@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evaluation metrics matching sklearn semantics — the reference's
+  * `balanced_accuracy_score` (functions_v2.py:358,536,561; notebook cell 13)
+  * and `roc_auc_score` (patient_data_integration.ipynb:1252,1523), plus the
+  * mean ± population-std fold summary (`np.std` is ddof=0 —
+  * ipynb:1256-1259).
+  *
+  * Both metrics are compositions of built-in hash aggregations (no UDAF,
+  * SURVEY.md §2 I): map-side partial aggregation applies, and AUROC avoids a
+  * global row sort by first collapsing to distinct score values (usually
+  * orders of magnitude smaller than the row count) before ranking.
+  */
+object Metrics {
+
+  /** Balanced accuracy = unweighted mean of per-class recall
+    * (sklearn.metrics.balanced_accuracy_score). Classes absent from the
+    * label column simply don't contribute (sklearn's "adjusted" warning
+    * path). Returns a 1-row DataFrame `(balanced_accuracy DOUBLE)`.
+    */
+  def balancedAccuracy(df: DataFrame, label: Column, pred: Column): DataFrame =
+    df.select(label.as("__y"), pred.as("__p"))
+      .groupBy(col("__y"))
+      .agg(avg(when(col("__p") === col("__y"), 1.0).otherwise(0.0)).as("__recall"))
+      .agg(avg(col("__recall")).as("balanced_accuracy"))
+
+  /** Per-class recall table (the intermediate the reference prints in its
+    * fold audits): `(class, recall, support)`.
+    */
+  def recallByClass(df: DataFrame, label: Column, pred: Column): DataFrame =
+    df.select(label.as("class"), pred.as("__p"))
+      .groupBy(col("class"))
+      .agg(avg(when(col("__p") === col("class"), 1.0).otherwise(0.0)).as("recall"),
+           count(lit(1)).as("support"))
+      .orderBy(col("class"))
+
+  /** AUROC via the Mann-Whitney U statistic with sklearn's average-rank tie
+    * handling. `label` must be 0/1.
+    *
+    * Plan shape: groupBy(score) → (tiny) ordered cumulative pass → one final
+    * agg. Only the distinct-score table goes through the unpartitioned
+    * window, so the global sort touches |distinct scores| rows, not |rows|.
+    * Returns a 1-row DataFrame `(auroc DOUBLE)`.
+    */
+  def auroc(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val byScore = df.select(score.as("__s"), label.cast("long").as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byScore
+      .withColumn("__cum", sum(col("__n")).over(w))
+      // average rank of a tie group of size n ending at cumulative count c:
+      // (c - n + 1 + c) / 2
+      .withColumn("__avgRank", (col("__cum") * 2 - col("__n") + 1) / 2.0)
+    ranked.agg(
+      ((sum(col("__pos") * col("__avgRank"))
+        - sum(col("__pos")) * (sum(col("__pos")) + 1) / 2.0)
+        / (sum(col("__pos")) * (sum(col("__n")) - sum(col("__pos")))))
+        .as("auroc"))
+  }
+
+  /** mean ± std over folds/runs — `np.std` is population std (ddof=0), so
+    * Spark's sample `stddev` would be wrong; `stddev_pop` matches
+    * (SURVEY.md §2 E8). Returns `(mean_<v>, std_<v>)` per group of
+    * `groupCols` (or one global row when `groupCols` is empty).
+    */
+  def meanStd(df: DataFrame, value: Column, groupCols: Seq[Column] = Nil): DataFrame = {
+    val aggs = Seq(avg(value).as("mean"), stddev_pop(value).as("std"))
+    if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

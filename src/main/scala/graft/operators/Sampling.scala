@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Grouped/seeded sampling — the reference's per-slide tile subsampling
+  * (PDI_classes_and_functions/dataset_classes_v1.py:44-51:
+  * `random.sample(tiles_of_slide, min(len, nr_tiles))` with a fixed seed)
+  * and the DataLoader shuffle (training_scripts/ExperimentSetup_v2.py:173).
+  *
+  * Scale: the window partitions by the group key (slides/documents — high
+  * cardinality), so the shuffle is well spread; within each group only a
+  * rank is computed, no materialized sort of the whole table.
+  */
+object Sampling {
+
+  /** Keep at most `k` rows per group, chosen by the given deterministic
+    * order. `k <= 0` keeps all rows (the reference's `nr_tiles = 0`,
+    * dataset_classes_v1.py:47).
+    */
+  def takePerGroup(df: DataFrame, groupCols: Seq[Column], k: Int,
+                   orderBy: Column): DataFrame =
+    if (k <= 0) df
+    else {
+      val w = Window.partitionBy(groupCols: _*).orderBy(orderBy)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .drop("__rn")
+    }
+
+  /** Engine-independent pseudo-random order key from an integer column —
+    * a Knuth multiplicative hash kept in Long range so the same expression
+    * is reproducible in any ANSI SQL engine (used by the DuckDB oracle).
+    */
+  def pseudoRand(key: Column): Column =
+    pmod(key.cast("long") * lit(2654435761L), lit(1000000007L))
+
+  /** Spark-native seeded variant (`rand(seed)` — per-partition determinism
+    * requires a stable prior ordering, SURVEY.md §7.4 risk 4).
+    */
+  def seededOrder(df: DataFrame, stableKey: Column, seed: Long): Column = {
+    // rand(seed) is deterministic per (partition, row-position); anchoring on
+    // a repartition-by-key keeps results stable across reruns.
+    xxhash64(stableKey, lit(seed))
+  }
+}

@@ -1,0 +1,229 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational surface: scans, projections/filters (SURVEY.md §2 B),
+  * joins incl. broadcast/semi/anti (§2 C), unions/distinct (§2 G), hash
+  * aggregation (§2 E), and window functions — exercised TPC-H-style on the
+  * driver's tables.
+  *
+  * Scale notes per query are inline; the common discipline: filters and
+  * projections sit directly on the parquet scan (pushdown), dimension sides
+  * of joins are broadcast, aggregates are partial-aggregated map-side by
+  * Catalyst.
+  */
+object CoreQueries {
+
+  private val ts = (s: String) => lit(java.sql.Timestamp.valueOf(s))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- E: grouped aggregation (TPC-H Q1 shape) -------------------------
+    QueryDef.sql("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= ts("2001-09-01 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- B: filter + projection pushed into the parquet scan ------------
+    QueryDef.sql("q02_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") < ts("1995-06-01 00:00:00") && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- C: 3-way join + agg + top-k (TPC-H Q3 shape) --------------------
+    // customer is the small side → broadcast; lineitem⋈orders shuffles on
+    // the (high-cardinality) order key.
+    QueryDef.sql("q03_top_revenue",
+      """SELECT o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, o.o_orderkey
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ---- C: left-semi join (EXISTS) --------------------------------------
+    QueryDef.sql("q04_semi_join",
+      """SELECT o.o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- C: 6-way join through the dimension chain (TPC-H Q5 shape) ------
+    // region/nation/supplier/customer all broadcast; only fact tables shuffle.
+    QueryDef.sql("q05_revenue_by_nation",
+      """SELECT n.n_name, r.r_name,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |GROUP BY n.n_name, r.r_name
+        |ORDER BY n.n_name, r.r_name""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d); val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su),
+          col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(r), col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("n_name"), col("r_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("n_name"), col("r_name"))
+    },
+
+    // ---- E: scalar aggregate over a pushed-down range filter (Q6 shape) --
+    QueryDef.sql("q06_revenue_filter",
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 25""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 25)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    },
+
+    // ---- C: left-anti join (NOT EXISTS) ----------------------------------
+    QueryDef.sql("q07_anti_join",
+      """SELECT c.c_custkey, c.c_name
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- G: union ---------------------------------------------------------
+    QueryDef.sql("q08_union",
+      """SELECT o_orderkey AS k, o_totalprice AS v, 'HI' AS src
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey AS k, o_totalprice AS v, 'LO' AS src
+        |FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY src, k""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val hi = o.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"), lit("HI").as("src"))
+      val lo = o.where(col("o_orderpriority") === "5-LOW")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"), lit("LO").as("src"))
+      hi.unionByName(lo).orderBy(col("src"), col("k"))
+    },
+
+    // ---- E: distinct ------------------------------------------------------
+    QueryDef.sql("q09_distinct",
+      """SELECT DISTINCT c_mktsegment AS mktsegment FROM customer
+        |ORDER BY mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_mktsegment").as("mktsegment"))
+        .distinct().orderBy(col("mktsegment"))
+    },
+
+    // ---- window: top-k per group ------------------------------------------
+    QueryDef.sql("q10_window_topk",
+      """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+        |  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY c.c_mktsegment
+        |                       ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) t
+        |WHERE rn <= 3
+        |ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+
+    // ---- window: running aggregate -----------------------------------------
+    QueryDef.sql("q11_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // ---- E: group + having --------------------------------------------------
+    QueryDef.sql("q12_group_having",
+      """SELECT c_mktsegment, round(avg(c_acctbal), 2) AS avg_bal, count(*) AS n
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |HAVING count(*) > 20
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(round(avg(col("c_acctbal")), 2).as("avg_bal"), count(lit(1)).as("n"))
+        .where(col("n") > 20)
+        .orderBy(col("c_mktsegment"))
+    }
+  )
+}
