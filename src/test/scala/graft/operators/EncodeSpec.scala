@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class EncodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scale01 maps min->0, max->1, midpoint->0.5") {
+    val df = Seq(0.0, 5.0, 10.0).toDF("v")
+    val out = Encode.scale01(df, "v", "s").orderBy("v").select("s").as[Double].collect()
+    assert(out.toSeq == Seq(0.0, 0.5, 1.0))
+  }
+
+  test("oneHotCols emits exactly one 1 per row, in the right slot") {
+    val df = Seq(0, 1, 2, 1).toDF("loc")
+    val out = Encode.oneHotCols(df, "loc", Seq(0, 1, 2), "loc")
+      .select("loc", "loc_0", "loc_1", "loc_2").as[(Int, Int, Int, Int)].collect()
+    out.foreach { case (v, a, b, c) =>
+      assert(a + b + c == 1)
+      assert(Seq(a, b, c)(v) == 1)
+    }
+  }
+
+  test("oneHotArray mirrors the reference's list-valued cells") {
+    val df = Seq(2).toDF("loc")
+    val out = Encode.oneHotArray(df, "loc", Seq(0, 1, 2), "oh")
+      .select("oh").as[Seq[Int]].collect()
+    assert(out(0) == Seq(0, 0, 1))
+  }
+
+  test("bucketize is right-INCLUSIVE at the boundaries (<=30 -> 0, <=60 -> 1, >60 -> 2)") {
+    val df = Seq(29.0, 30.0, 30.5, 60.0, 60.0001, 99.0).toDF("age")
+    val out = Encode.bucketize(df, "age", Seq(30.0, 60.0), "c")
+      .orderBy("age").select("c").as[Int].collect()
+    assert(out.toSeq == Seq(0, 0, 1, 1, 2, 2))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("balancedAccuracy matches hand computation (unbalanced classes)") {
+    // y=[0,0,0,1], p=[0,1,1,1]: recall0=1/3, recall1=1 -> BA=2/3
+    val df = Seq((0, 0), (0, 1), (0, 1), (1, 1)).toDF("y", "p")
+    val ba = Metrics.balancedAccuracy(df, col("y"), col("p"))
+      .as[Double].collect()(0)
+    assert(math.abs(ba - 2.0 / 3.0) < 1e-12)
+  }
+
+  test("balancedAccuracy equals plain accuracy on class-balanced data (sklearn property)") {
+    val df = spark.range(1000).select(
+      (col("id") % 2).as("y"),
+      when(col("id") % 5 === 0, lit(1) - col("id") % 2).otherwise(col("id") % 2).as("p"))
+    val ba = Metrics.balancedAccuracy(df, col("y"), col("p")).as[Double].collect()(0)
+    val acc = df.agg(avg(when(col("y") === col("p"), 1.0).otherwise(0.0)))
+      .as[Double].collect()(0)
+    assert(math.abs(ba - acc) < 1e-12)
+  }
+
+  test("auroc matches sklearn on a tied-score fixture (average-rank ties)") {
+    // y=[1,1,0,0], s=[0.9,0.5,0.5,0.1]: sklearn roc_auc_score = 0.875
+    val df = Seq((1, 0.9), (1, 0.5), (0, 0.5), (0, 0.1)).toDF("y", "s")
+    val a = Metrics.auroc(df, col("y"), col("s")).as[Double].collect()(0)
+    assert(math.abs(a - 0.875) < 1e-12)
+  }
+
+  test("auroc is 1.0 for perfect separation, 0.5 for constant scores") {
+    val perfect = Seq((0, 0.1), (0, 0.2), (1, 0.8), (1, 0.9)).toDF("y", "s")
+    assert(math.abs(Metrics.auroc(perfect, col("y"), col("s")).as[Double].collect()(0) - 1.0) < 1e-12)
+    val const = Seq((0, 0.5), (1, 0.5), (0, 0.5), (1, 0.5)).toDF("y", "s")
+    assert(math.abs(Metrics.auroc(const, col("y"), col("s")).as[Double].collect()(0) - 0.5) < 1e-12)
+  }
+
+  test("auroc is invariant under monotone score transforms") {
+    val df = Seq((1, 0.9), (1, 0.4), (0, 0.6), (0, 0.1), (1, 0.6)).toDF("y", "s")
+    val a = Metrics.auroc(df, col("y"), col("s")).as[Double].collect()(0)
+    val b = Metrics.auroc(df.withColumn("s", col("s") * 100 + 7), col("y"), col("s"))
+      .as[Double].collect()(0)
+    assert(math.abs(a - b) < 1e-12)
+  }
+
+  test("meanStd uses POPULATION std (np.std ddof=0), not sample std") {
+    // values 1,2,3,4: pop std = sqrt(1.25), sample std = sqrt(5/3)
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("m")
+    val r = Metrics.meanStd(df, col("m")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 2.5) < 1e-12)
+    assert(math.abs(r.getDouble(1) - math.sqrt(1.25)) < 1e-12)
+  }
+
+  test("recallByClass reports per-class recall and support") {
+    val df = Seq((0, 0), (0, 1), (1, 1), (1, 1)).toDF("y", "p")
+    val rows = Metrics.recallByClass(df, col("y"), col("p")).collect()
+    assert(rows(0).getInt(0) == 0 && math.abs(rows(0).getDouble(1) - 0.5) < 1e-12 && rows(0).getLong(2) == 2)
+    assert(rows(1).getInt(0) == 1 && math.abs(rows(1).getDouble(1) - 1.0) < 1e-12 && rows(1).getLong(2) == 2)
+  }
+}
