@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact (hash groupBy), MinHash+LSH banding (Jaccard near-dup),
+  * SimHash (Hamming near-dup), and verified n-gram Jaccard.
+  *
+  * Scale design: every variant is blocking-based — candidates come from an
+  * equi-join on a bucket key (band hash / simhash prefix), never an O(n²)
+  * cross join. All hashing is `xxhash64` (codegen'd Catalyst expression,
+  * deterministic across runs/partitions — no RNG in the data plane).
+  */
+object Dedup {
+
+  /** Exact dedup: one keeper (minimum id) per distinct text; n_copies for
+    * audit. Hash-groupBy shape: map-side partial agg, shuffle on a 64-bit
+    * fingerprint rather than the full text.
+    */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(TextFunctions.fingerprint64(text).as("text_hash"))
+      .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Rows of `df` minus exact duplicates (keeps the min-id row per text). */
+  def dropExactDupes(df: DataFrame, id: String, text: String): DataFrame = {
+    val keepers = exact(df, col(id), col(text))
+      .select(col("keeper_id").as(id))
+    df.join(keepers, Seq(id), "left_semi")
+  }
+
+  /** MinHash signature: `numHashes` permutation-min values over the word
+    * `shingleN`-gram set. Entirely expression-level (`transform` +
+    * `array_min` over the shingle array — no explode, no shuffle).
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column = {
+    val sh = TextFunctions.shingles(text, shingleN)
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature (`bands` × `rowsPerBand`
+    * = numHashes), bucket-join on (band index, band hash), emit distinct
+    * (id_a < id_b) pairs. Probability a pair with Jaccard j collides:
+    * 1-(1-j^r)^b — tune r,b for the target threshold (~(1/b)^(1/r)).
+    */
+  def minhashCandidates(df: DataFrame, id: String, text: String,
+                        bands: Int = 8, rowsPerBand: Int = 4,
+                        shingleN: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = df.select(col(id).as("doc"),
+      minhashSignature(col(text), numHashes, shingleN).as("sig"))
+    val banded = sig.select(col("doc"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(concat_ws(",",
+              slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
+        }: _*)).as("bk"))
+      .select(col("doc"), col("bk.band"), col("bk.bh"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity over word n-gram shingle sets for given
+    * candidate pairs — the verify stage after LSH blocking.
+    */
+  def verifyJaccard(candidates: DataFrame, docs: DataFrame, id: String,
+                    text: String, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(id),
+      TextFunctions.shingles(col(text), shingleN).as("sh"))
+    candidates
+      .join(sh.select(col(id).as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col(id).as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: block with banding, verify with
+    * exact Jaccard, keep pairs at or above `threshold`.
+    */
+  def minhashNearDupes(df: DataFrame, id: String, text: String,
+                       threshold: Double = 0.8, bands: Int = 8,
+                       rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
+    val cand = minhashCandidates(df, id, text, bands, rowsPerBand, shingleN)
+    verifyJaccard(cand, df, id, text, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over tokens: bit j of the result is the sign of
+    * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Expression-level:
+    * per-bit vote via `aggregate` over the token array.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { j =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Driver-side hamming for tests/inspection. */
+  def hammingLongs(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash near-dup candidates: block on `prefixBits` high bits (near-dups
+    * agree on most bits, so high-bit prefixes collide), then filter by exact
+    * Hamming distance <= maxHamming within blocks.
+    */
+  def simhashNearDupes(df: DataFrame, id: String, text: String,
+                       maxHamming: Int = 3, prefixBits: Int = 16): DataFrame = {
+    val sh = df.select(col(id).as("doc"), simhash64(col(text)).as("sh"))
+      .withColumn("block", shiftrightunsigned(col("sh"), 64 - prefixBits))
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.doc") < col("b.doc"))
+      .withColumn("hamming", hamming(col("a.sh"), col("b.sh")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ARRAY<FLOAT>`): brute-force cosine top-k as the exact baseline, and a
+  * sign-random-projection LSH variant as the scale path.
+  *
+  * Scale design: the query side is always broadcast; the corpus is scanned
+  * once (brute force) or pre-bucketed on hyperplane-sign keys so each query
+  * probes only its bucket (LSH). Dot products are expression-level
+  * (`zip_with` + `aggregate`) — codegen'd, no UDF, no driver collect.
+  */
+object Similarity {
+
+  /** Element sum of an array column. */
+  private def arraySum(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    arraySum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine similarity against one query row.
+    * `query` must be a 1-row DataFrame with an `embedding` column; it is
+    * broadcast, so the corpus-side plan is a single scan + local top-k
+    * (TakeOrderedAndProject — no full sort).
+    */
+  def bruteForceTopK(corpus: DataFrame, id: String, query: DataFrame,
+                     k: Int): DataFrame = {
+    val q = query.select(col("embedding").as("__q"))
+    corpus.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("embedding"), col("__q")))
+      .select(col(id), col("cos"))
+      .orderBy(col("cos").desc, col(id))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
+    * hash-derived value in [-0.5, 0.5). Fixed by (seed, p, j) — no RNG, so
+    * signatures are reproducible across runs and engines.
+    */
+  private def planeComponent(p: Int, j: Column, seed: Long): Column =
+    (pmod(xxhash64(lit(p), j, lit(seed)), lit(1000000L)).cast("double")
+      / 1000000.0) - 0.5
+
+  /** Sign-random-projection signature: bit p = sign(v · plane_p). */
+  def srpSignature(v: Column, planes: Int, seed: Long = 42L): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, j) => x.cast("double") * planeComponent(p, j, seed)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** LSH-bucketed ANN: bucket corpus and queries by SRP signature; probe
+    * only matching buckets (Hamming-0 probe; recall rises with fewer planes
+    * or multiprobe). Returns per-query top-k within the probed bucket.
+    */
+  def lshTopK(corpus: DataFrame, corpusId: String,
+              queries: DataFrame, queryId: String,
+              k: Int, planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(corpusId).as("__cid"), col("embedding").as("__ce"))
+      .withColumn("__bucket", srpSignature(col("__ce"), planes, seed))
+    val q = queries.select(col(queryId).as("__qid"), col("embedding").as("__qe"))
+      .withColumn("__bucket", srpSignature(col("__qe"), planes, seed))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("cos").desc, col("__cid"))
+    c.join(broadcast(q), Seq("__bucket"))
+      .withColumn("cos", cosine(col("__ce"), col("__qe")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(queryId), col("__cid").as(corpusId), col("cos"))
+  }
+
+  /** Embedding near-duplicate pairs: same-bucket blocking + exact cosine
+    * verification — the embedding-space analogue of MinHash dedup.
+    */
+  def cosineNearDupes(corpus: DataFrame, id: String, threshold: Double,
+                      planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(id).as("doc"), col("embedding").as("e"))
+      .withColumn("bucket", srpSignature(col("e"), planes, seed))
+    val a = c.as("a"); val b = c.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+      .withColumn("cos", cosine(col("a.e"), col("b.e")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("cos"))
+  }
+}

@@ -1,6 +1,73 @@
 package graft.queries
 
-/** Embedding similarity-search queries (phase 3). */
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (`ARRAY<FLOAT>` column):
+  * brute-force cosine top-k (exact baseline) and LSH-bucketed variants
+  * (scale path). The oracle replays dot products positionally via
+  * generate_series, with explicit float->double casts on both sides so the
+  * arithmetic agrees to rounding.
+  */
 object SimilarityQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact ANN baseline: top-10 neighbors of vec_id 0 ------------------
+    QueryDef.sql("q48_embedding_topk",
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |p AS (
+        |  SELECT b.vec_id,
+        |    list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |                           CAST(q.qe AS DOUBLE[])) AS c
+        |  FROM embeddings b, q
+        |  WHERE b.vec_id <> 0)
+        |SELECT vec_id, round(c, 4) AS cos
+        |FROM p
+        |ORDER BY c DESC, vec_id
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val query = emb.where(col("vec_id") === 0).select(col("embedding"))
+      Similarity.bruteForceTopK(emb.where(col("vec_id") =!= 0), "vec_id", query, 10)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+    },
+
+    // ---- brute-force near-dup pairs on a deterministic sample --------------
+    QueryDef.sql("q49_embedding_pairs",
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM e a, e b
+        |  WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 4) AS cos
+        |FROM p
+        |ORDER BY c DESC, id_a, id_b
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d).where(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos_raw", Similarity.cosine(col("ea"), col("eb")))
+        .select(col("id_a"), col("id_b"), col("cos_raw"))
+        .orderBy(col("cos_raw").desc, col("id_a"), col("id_b"))
+        .limit(20)
+        .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos"))
+    },
+
+    // ---- LSH-bucketed ANN (xxhash64-derived hyperplanes: not SQL-replayable
+    //      -> rows-only; recall vs brute force pinned by SimilaritySpec) -----
+    QueryDef.rowsOnly("q4a_embedding_lsh") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(emb.where(col("vec_id") >= 5), "vec_id",
+          queries, "query_id", k = 5, planes = 6)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
+    }
+  )
 }

@@ -1,6 +1,187 @@
 package graft.queries
 
-/** Text-analysis + dedup queries over the documents table (phase 3). */
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup + multimodal queries over the documents table —
+  * the training-data-pipeline surface (token stats, language-ID heuristic,
+  * quality scoring, fingerprinting, exact + n-gram + MinHash + SimHash
+  * dedup, multimodal metadata plumbing).
+  */
 object TextQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- token statistics --------------------------------------------------
+    QueryDef.sql("q40_doc_stats",
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  round(len(list_distinct(string_split(text, ' ')))
+        |        / len(string_split(text, ' ')), 6) AS ttr,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextFunctions.distinctTokenCount(col("text")).cast("long").as("n_distinct"),
+          round(TextFunctions.typeTokenRatio(col("text")), 6).as("ttr"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- language-ID heuristic (stopword coverage argmax) ------------------
+    QueryDef.sql("q41_lang_heuristic",
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','ein','eine','zu','nicht','mit')))
+        |      / len(string_split(text,' ')) AS s_de,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','in','is','it','that','was')))
+        |      / len(string_split(text,' ')) AS s_en,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','y','es','un','una','en','que','por')))
+        |      / len(string_split(text,' ')) AS s_es,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est','un','une','dans','que','pour')))
+        |      / len(string_split(text,' ')) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id, round(s_en, 6) AS en_score,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 0.02 THEN 'und'
+        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          round(TextFunctions.langScore(col("text"), "en"), 6).as("en_score"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- quality scoring ----------------------------------------------------
+    QueryDef.sql("q42_quality_score",
+      """SELECT doc_id, round(
+        |  (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4
+        |  + least(len(list_distinct(string_split(text,' ')))
+        |          / len(string_split(text,' ')), 1.0) * 0.3
+        |  + (length(regexp_replace(text, '[^\p{L}]', '', 'g'))
+        |     / greatest(length(text), 1)) * 0.3, 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- document fingerprinting --------------------------------------------
+    QueryDef.sql("q43_fingerprint",
+      """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- exact dedup ----------------------------------------------------------
+    QueryDef.sql("q44_dedup_exact",
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select(col("keeper_id"), col("n_copies"))
+        .orderBy(col("keeper_id"))
+    },
+
+    // ---- n-gram Jaccard similarity (top pairs on a deterministic sample) ----
+    QueryDef.sql("q45_ngram_jaccard",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |              for i in range(len(t) - 2)]) AS s
+        |    FROM toks) u),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  round(i / (na.n + nb.n - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes na ON na.doc_id = doc_a
+        |JOIN sizes nb ON nb.doc_id = doc_b
+        |ORDER BY jaccard DESC, doc_a, doc_b
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).where(col("doc_id") % 10 === 0)
+      val sh = docs.select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 3)).as("s"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("i") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    },
+
+    // ---- MinHash-LSH near-dup candidates (xxhash64 not SQL-replayable ->
+    //      rows-only check; semantics pinned by DedupSpec) -------------------
+    QueryDef.rowsOnly("q46_minhash_lsh") { (s, d) =>
+      // Self-union with doctored ids guarantees true near-dupes exist, so the
+      // LSH pipeline (block -> verify) always has work to do.
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dupes = docs.where(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text"))
+      Dedup.minhashNearDupes(docs.unionByName(dupes), "doc_id", "text",
+          threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- SimHash near-dup candidates (rows-only; pinned by DedupSpec) ------
+    QueryDef.rowsOnly("q47_simhash") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dupes = docs.where(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text"))
+      Dedup.simhashNearDupes(docs.unionByName(dupes), "doc_id", "text",
+          maxHamming = 6, prefixBits = 12)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- multimodal: binary payload + metadata plumbing ---------------------
+    // Runs the real mapPartitions stub path (Multimodal.fakeDecode); the
+    // oracle replays the deterministic fake-header math in SQL.
+    QueryDef.sql("q50_multimodal_meta",
+      """SELECT doc_id AS media_id,
+        |  octet_length(text::BLOB) AS n_bytes,
+        |  64 + octet_length(text::BLOB) % 192 AS width,
+        |  64 + (octet_length(text::BLOB) * 7 + ascii(substring(text, 1, 1))) % 192 AS height,
+        |  CAST(floor((64 + octet_length(text::BLOB) % 192 + 31) / 32.0)
+        |    * floor((64 + (octet_length(text::BLOB) * 7 + ascii(substring(text, 1, 1))) % 192 + 31) / 32.0)
+        |    AS BIGINT) AS n_patches
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+      val decoded = Multimodal.fakeDecode(media)
+      decoded.select(
+          col("media_id"),
+          col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          (floor((col("width") + 31) / 32.0) * floor((col("height") + 31) / 32.0))
+            .cast("long").as("n_patches"))
+        .orderBy(col("media_id"))
+    }
+  )
 }

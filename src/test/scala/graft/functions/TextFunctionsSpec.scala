@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens splits on whitespace runs, no empties") {
+    val out = Seq("a  b\tc ").toDF("t")
+      .select(TextFunctions.tokens(col("t"))).as[Seq[String]].collect()(0)
+    assert(out == Seq("a", "b", "c"))
+  }
+
+  test("bpeish tokens split punctuation off words") {
+    val out = Seq("don't stop, now!").toDF("t")
+      .select(TextFunctions.bpeishTokens(col("t"))).as[Seq[String]].collect()(0)
+    assert(out == Seq("don", "'", "t", "stop", ",", "now", "!"))
+  }
+
+  test("type-token ratio: distinct/total") {
+    val out = Seq("a b a c").toDF("t")
+      .select(TextFunctions.typeTokenRatio(col("t"))).as[Double].collect()(0)
+    assert(math.abs(out - 0.75) < 1e-12)
+  }
+
+  test("langId picks the language with highest stopword coverage") {
+    val df = Seq(
+      ("the cat sat on the mat and it was good", "en"),
+      ("der hund und die katze ist nicht zu haus", "de"),
+      ("le chat est dans la maison et les oiseaux", "fr"),
+      ("el perro y la casa es un lugar que vemos", "es"),
+      ("xyzzy plugh quux", "und")
+    ).toDF("t", "expected")
+    val out = df.select(TextFunctions.langId(col("t")).as("got"), col("expected"))
+      .as[(String, String)].collect()
+    out.foreach { case (got, exp) => assert(got == exp, s"got $got expected $exp") }
+  }
+
+  test("shingles: word trigrams, distinct; short text collapses to one shingle") {
+    val out = Seq("a b c d").toDF("t")
+      .select(TextFunctions.shingles(col("t"), 3)).as[Seq[String]].collect()(0)
+    assert(out == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextFunctions.shingles(col("t"), 3)).as[Seq[String]].collect()(0)
+    assert(short == Seq("a b"))
+  }
+
+  test("fingerprint64 is injective on distinct texts, stable on equal texts") {
+    val fps = Seq("alpha", "beta", "alpha").toDF("t")
+      .select(TextFunctions.fingerprint64(col("t"))).as[Long].collect()
+    assert(fps(0) == fps(2) && fps(0) != fps(1))
+  }
+
+  test("bagFingerprint is order-insensitive over token multisets") {
+    val fps = Seq("a b c", "c b a", "a b d").toDF("t")
+      .select(TextFunctions.bagFingerprint(col("t"))).as[Long].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("qualityScore rewards normal prose over degenerate text") {
+    val df = Seq(
+      "The quick brown fox jumps over the lazy dog near the quiet river bank today",
+      "aa aa aa aa aa aa aa aa aa aa aa aa aa aa aa aa aa aa aa aa aa aa aa aa aa"
+    ).toDF("t")
+    val scores = df.select(TextFunctions.qualityScore(col("t"))).as[Double].collect()
+    assert(scores(0) > scores(1))
+  }
+}

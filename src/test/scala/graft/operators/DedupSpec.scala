@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bend"), // near dup of 1
+    (4L, "completely different text about spark query engines and shuffles"),
+    (5L, "unrelated words forming another document entirely separate topic")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeper = min id") {
+    val out = Dedup.exact(docs, col("doc_id"), col("text"))
+      .orderBy("keeper_id")
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("dropExactDupes keeps one row per distinct text") {
+    val kept = Dedup.dropExactDupes(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash near-dupes finds the near pair, not unrelated docs") {
+    val pairs = Dedup.minhashNearDupes(docs, "doc_id", "text",
+        threshold = 0.5, bands = 16, rowsPerBand = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup must collide")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near dup should collide with 16x2 bands, got $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("verifyJaccard computes exact shingle Jaccard") {
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val j = Dedup.verifyJaccard(cand, docs, "doc_id", "text")
+      .select("jaccard").as[Double].collect()(0)
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical text -> hamming 0; near text -> small; far -> large") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(Dedup.hammingLongs(sh(1L), sh(2L)) == 0)
+    assert(Dedup.hammingLongs(sh(1L), sh(3L)) <= 12,
+      "one-word change should flip few bits")
+    assert(Dedup.hammingLongs(sh(1L), sh(4L)) > 12,
+      "unrelated docs should be far apart")
+  }
+
+  test("simhashNearDupes blocks + filters by hamming") {
+    val pairs = Dedup.simhashNearDupes(docs, "doc_id", "text",
+        maxHamming = 12, prefixBits = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(1.0f, 0.0f, 0.0f)),   // identical to 0
+    (2L, Seq(0.9f, 0.1f, 0.0f)),   // close to 0
+    (3L, Seq(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (4L, Seq(-1.0f, 0.0f, 0.0f))   // opposite
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val a = vecs.as("a"); val b = vecs.as("b")
+    val cos = a.join(b, col("a.vec_id") === 0)
+      .select(col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(cos(1L) - 1.0) < 1e-6)
+    assert(math.abs(cos(3L)) < 1e-6)
+    assert(math.abs(cos(4L) + 1.0) < 1e-6)
+  }
+
+  test("bruteForceTopK ranks by cosine, identical vector first") {
+    val q = vecs.where(col("vec_id") === 0).select(col("embedding"))
+    val top = Similarity.bruteForceTopK(vecs.where(col("vec_id") =!= 0), "vec_id", q, 3)
+      .select("vec_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("bruteForceTopK plan has no global sort (TakeOrderedAndProject)") {
+    val q = vecs.where(col("vec_id") === 0).select(col("embedding"))
+    val plan = Similarity.bruteForceTopK(vecs, "vec_id", q, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"wanted top-k plan, got:\n$plan")
+  }
+
+  test("srp signature: identical vectors share a bucket, opposite vectors don't") {
+    val sig = vecs.select(col("vec_id"),
+        Similarity.srpSignature(col("embedding"), planes = 8).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig(0L) != sig(4L), "opposite vector must flip every plane sign")
+  }
+
+  test("lshTopK retrieves the identical vector for each query") {
+    val corpus = vecs.where(col("vec_id") =!= 0)
+    val queries = vecs.where(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.lshTopK(corpus, "vec_id", queries, "query_id", k = 2, planes = 4)
+      .select("vec_id").as[Long].collect()
+    assert(got.contains(1L), s"identical vector must be in its query's bucket, got ${got.toSeq}")
+  }
+
+  test("cosineNearDupes finds the identical pair and not the orthogonal one") {
+    val pairs = Similarity.cosineNearDupes(vecs, "vec_id", threshold = 0.99, planes = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+}
