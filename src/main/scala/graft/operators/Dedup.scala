@@ -31,14 +31,34 @@ object Dedup {
   }
 
   /** MinHash signature: `numHashes` permutation-min values over the word
-    * `shingleN`-gram set. Entirely expression-level (`transform` +
-    * `array_min` over the shingle array — no explode, no shuffle).
+    * `shingleN`-gram set. Expression-level (`transform` + `array_min`) —
+    * convenient for single-column use, but lambda functions evaluate
+    * interpreted (no codegen) and the shingle expression is re-evaluated per
+    * hash function; use [[minhashSignatures]] for the bulk path.
     */
   def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column = {
     val sh = TextFunctions.shingles(text, shingleN)
     array((0 until numHashes).map { i =>
       array_min(transform(sh, s => xxhash64(s, lit(i))))
     }: _*)
+  }
+
+  /** Bulk MinHash signatures, one row per doc: explode shingles once, then
+    * `numHashes` codegen'd `min(xxhash64(shingle, seed))` hash-aggregates.
+    * Map-side partial agg collapses each doc's shingles before the shuffle,
+    * so the exchange carries only numDocs × numHashes longs — the shape that
+    * survives 100 TB. Produces bit-identical signatures to
+    * [[minhashSignature]] (same per-shingle hash, min is dup-insensitive).
+    */
+  def minhashSignatures(df: DataFrame, id: String, text: String,
+                        numHashes: Int, shingleN: Int): DataFrame = {
+    val ex = df.select(col(id).as("doc"),
+      explode(TextFunctions.shingles(col(text), shingleN)).as("s"))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    ex.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** MinHash-LSH candidate pairs: band the signature (`bands` × `rowsPerBand`
@@ -50,8 +70,7 @@ object Dedup {
                         bands: Int = 8, rowsPerBand: Int = 4,
                         shingleN: Int = 3): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = df.select(col(id).as("doc"),
-      minhashSignature(col(text), numHashes, shingleN).as("sig"))
+    val sig = minhashSignatures(df, id, text, numHashes, shingleN)
     val banded = sig.select(col("doc"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
@@ -94,8 +113,9 @@ object Dedup {
   }
 
   /** 64-bit SimHash over tokens: bit j of the result is the sign of
-    * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Expression-level:
-    * per-bit vote via `aggregate` over the token array.
+    * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Expression-level (per-bit
+    * vote via `aggregate` lambdas — interpreted, re-hashes tokens per bit);
+    * use [[simhashSignatures]] for the bulk path.
     */
   def simhash64(text: Column): Column = {
     val toks = TextFunctions.tokens(text)
@@ -105,6 +125,24 @@ object Dedup {
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Bulk SimHash, one row per doc: explode tokens, hash each once
+    * (codegen'd), then 64 `sum(±1)` bit-votes in a single hash-aggregate and
+    * a final bit-pack. Identical values to [[simhash64]] (same token
+    * multiset, same per-token hash); one narrow shuffle of 64 longs per doc.
+    */
+  def simhashSignatures(df: DataFrame, id: String, text: String): DataFrame = {
+    val ex = df.select(col(id).as("doc"),
+      explode(TextFunctions.tokens(col(text))).as("t"))
+    val hashed = ex.select(col("doc"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$j"))
+    hashed.groupBy("doc").agg(votes.head, votes.tail: _*)
+      .select(col("doc"),
+        (0 until 64).map(j =>
+          when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sh"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */
@@ -119,7 +157,7 @@ object Dedup {
     */
   def simhashNearDupes(df: DataFrame, id: String, text: String,
                        maxHamming: Int = 3, prefixBits: Int = 16): DataFrame = {
-    val sh = df.select(col(id).as("doc"), simhash64(col(text)).as("sh"))
+    val sh = simhashSignatures(df, id, text)
       .withColumn("block", shiftrightunsigned(col("sh"), 64 - prefixBits))
     val a = sh.as("a"); val b = sh.as("b")
     a.join(b, col("a.block") === col("b.block") && col("a.doc") < col("b.doc"))

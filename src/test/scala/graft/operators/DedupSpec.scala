@@ -54,6 +54,22 @@ class DedupSpec extends SparkSpec {
       "unrelated docs should be far apart")
   }
 
+  test("bulk signature paths are bit-identical to expression-level ones") {
+    val exprM = docs.select(col("doc_id").as("doc"),
+        Dedup.minhashSignature(col("text"), 8, 3).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val bulkM = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(bulkM == exprM)
+
+    val exprS = docs.select(col("doc_id").as("doc"),
+        Dedup.simhash64(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val bulkS = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(bulkS == exprS)
+  }
+
   test("simhashNearDupes blocks + filters by hamming") {
     val pairs = Dedup.simhashNearDupes(docs, "doc_id", "text",
         maxHamming = 12, prefixBits = 8)
