@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.expressions.VecExpressions.vecDot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -9,8 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: the query side is always broadcast; the corpus is scanned
   * once (brute force) or pre-bucketed on hyperplane-sign keys so each query
-  * probes only its bucket (LSH). Dot products are expression-level
-  * (`zip_with` + `aggregate`) — codegen'd, no UDF, no driver collect.
+  * probes only its bucket (LSH). Dot products use the native codegen'd
+  * [[graft.expressions.VecDot]] kernel (no UDF, no interpreted lambda), and
+  * every pairwise path precomputes per-vector norms once so the per-pair
+  * work is a single dot product.
   */
 object Similarity {
 
@@ -18,8 +21,7 @@ object Similarity {
   private def arraySum(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x)
 
-  def dot(a: Column, b: Column): Column =
-    arraySum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+  def dot(a: Column, b: Column): Column = vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -67,27 +69,32 @@ object Similarity {
               k: Int, planes: Int = 8, seed: Long = 42L): DataFrame = {
     val c = corpus.select(col(corpusId).as("__cid"), col("embedding").as("__ce"))
       .withColumn("__bucket", srpSignature(col("__ce"), planes, seed))
+      .withColumn("__cn", norm(col("__ce")))
     val q = queries.select(col(queryId).as("__qid"), col("embedding").as("__qe"))
       .withColumn("__bucket", srpSignature(col("__qe"), planes, seed))
+      .withColumn("__qn", norm(col("__qe")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__qid")).orderBy(col("cos").desc, col("__cid"))
     c.join(broadcast(q), Seq("__bucket"))
-      .withColumn("cos", cosine(col("__ce"), col("__qe")))
+      .withColumn("cos", dot(col("__ce"), col("__qe")) / (col("__cn") * col("__qn")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("__qid").as(queryId), col("__cid").as(corpusId), col("cos"))
   }
 
   /** Embedding near-duplicate pairs: same-bucket blocking + exact cosine
-    * verification — the embedding-space analogue of MinHash dedup.
+    * verification — the embedding-space analogue of MinHash dedup. Norms are
+    * computed once per vector before the self-join, so the per-pair work is
+    * one codegen'd dot product.
     */
   def cosineNearDupes(corpus: DataFrame, id: String, threshold: Double,
                       planes: Int = 8, seed: Long = 42L): DataFrame = {
     val c = corpus.select(col(id).as("doc"), col("embedding").as("e"))
       .withColumn("bucket", srpSignature(col("e"), planes, seed))
+      .withColumn("n", norm(col("e")))
     val a = c.as("a"); val b = c.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
-      .withColumn("cos", cosine(col("a.e"), col("b.e")))
+      .withColumn("cos", dot(col("a.e"), col("b.e")) / (col("a.n") * col("b.n")))
       .filter(col("cos") >= threshold)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("cos"))
   }

@@ -46,12 +46,16 @@ object SimilarityQueries {
         |FROM p
         |ORDER BY c DESC, id_a, id_b
         |LIMIT 20""".stripMargin) { (s, d) =>
+      // Norms computed once per vector pre-join; per-pair work is one
+      // codegen'd VecDot.
       val e = Tables.embeddings(s, d).where(col("vec_id") % 5 === 0)
-        .select(col("vec_id"), col("embedding"))
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+        .select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos_raw", Similarity.cosine(col("ea"), col("eb")))
+        .withColumn("cos_raw",
+          Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .select(col("id_a"), col("id_b"), col("cos_raw"))
         .orderBy(col("cos_raw").desc, col("id_a"), col("id_b"))
         .limit(20)

@@ -1,0 +1,55 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.expressions.VecExpressions.vecDot
+import org.apache.spark.sql.functions._
+
+class VecExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vecDot over float arrays matches hand-computed double math") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val d = df.select(vecDot(col("a"), col("b")).as("d")).as[Double].head()
+    assert(d == 1.0 * 4 + 2.0 * 5 + 3.0 * 6)
+  }
+
+  test("vecDot accepts mixed float/double arrays") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(0.5, 0.25))).toDF("a", "b")
+    val d = df.select(vecDot(col("a"), col("b")).as("d")).as[Double].head()
+    assert(d == 1.0)
+  }
+
+  test("vecDot: null array -> null; null element counts as zero") {
+    val df = Seq(
+      (1L, Some(Seq[java.lang.Float](1.0f, null, 3.0f)), Some(Seq[java.lang.Float](1.0f, 1.0f, 1.0f))),
+      (2L, None, Some(Seq[java.lang.Float](1.0f)))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), vecDot(col("a"), col("b")).as("d"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(4.0))
+    assert(out(2L).isEmpty)
+  }
+
+  test("vecDot matches the interpreted zip_with/aggregate formulation") {
+    val df = (0 until 50).map { i =>
+      (i.toLong, (0 until 16).map(j => (i * 31 + j * 7 % 13 - 6).toFloat / 7f))
+    }.toDF("id", "e")
+    val a = df.as("a"); val b = df.as("b")
+    val pairs = a.join(b, col("a.id") < col("b.id"))
+    val native = pairs.select(vecDot(col("a.e"), col("b.e")).as("d")).as[Double].collect()
+    val interp = pairs.select(
+      aggregate(zip_with(col("a.e"), col("b.e"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("d")).as[Double].collect()
+    assert(native.length == interp.length)
+    native.zip(interp).foreach { case (n, i) => assert(math.abs(n - i) < 1e-9) }
+  }
+
+  test("vecDot rejects non-array inputs at analysis time") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    intercept[Exception] {
+      df.select(vecDot(col("a"), col("b"))).collect()
+    }
+  }
+}
