@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over an event log `(user_id, ts_us, event_type,
+  * value, ...)` — the batch half of the streaming surface (see
+  * [[graft.streaming.EventStream]] for the Structured Streaming half; the
+  * windowed aggregations are the same logical plans).
+  *
+  * Scale design: everything partitions by `user_id` (sessionization, funnel)
+  * or by a time bucket (windowed aggs) — no global windows, no driver-side
+  * state. The funnel "range join" is an equi-join on `user_id` with the time
+  * range as a post-join filter, so it shuffles once on the natural key
+  * instead of falling into a nested-loop range join.
+  */
+object Events {
+
+  /** Gaps-and-islands sessionization: a new session starts when the gap to
+    * the previous event of the same user exceeds `gapUs` microseconds.
+    * Adds `session_id` (1-based per user). One shuffle on `user_id`; the
+    * two window functions share the same partitioning.
+    */
+  def sessionize(df: DataFrame, gapUs: Long,
+                 userCol: String = "user_id", tsUsCol: String = "ts_us"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsUsCol))
+    val prev = lag(col(tsUsCol), 1).over(byUser)
+    df.withColumn("__new_session",
+        when(prev.isNull || col(tsUsCol) - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new_session")
+  }
+
+  /** Per-session roll-up: event count, span, value total. */
+  def sessionStats(df: DataFrame, gapUs: Long,
+                   userCol: String = "user_id", tsUsCol: String = "ts_us"): DataFrame =
+    sessionize(df, gapUs, userCol, tsUsCol)
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsUsCol)).as("start_us"),
+        max(col(tsUsCol)).as("end_us"),
+        sum(col("value")).as("total_value"))
+
+  /** Conversion funnel: pairs (from-event, to-event) of the same user where
+    * the to-event lands in `(t_from, t_from + withinUs]`. Equi-join on
+    * `user_id` + range filter — broadcast/SMJ-able, skew-safe via AQE.
+    */
+  def funnelPairs(df: DataFrame, fromType: String, toType: String, withinUs: Long,
+                  userCol: String = "user_id", tsUsCol: String = "ts_us"): DataFrame = {
+    val from = df.filter(col("event_type") === fromType)
+      .select(col(userCol), col(tsUsCol).as("from_us"))
+    val to = df.filter(col("event_type") === toType)
+      .select(col(userCol), col(tsUsCol).as("to_us"))
+    from.join(to, Seq(userCol))
+      .filter(col("to_us") > col("from_us") && col("to_us") <= col("from_us") + withinUs)
+  }
+
+  /** Day-over-day retention: for each day, how many users active that day
+    * were also active the next day.
+    */
+  def dailyRetention(df: DataFrame, tsCol: String = "ts",
+                     userCol: String = "user_id"): DataFrame = {
+    val ud = df.select(col(userCol), date_trunc("day", col(tsCol)).as("d")).distinct()
+    val nxt = ud.select(col(userCol), col("d").as("d_next"))
+    ud.join(nxt, ud(userCol) === nxt(userCol) &&
+        col("d_next") === col("d") + expr("INTERVAL 1 DAY"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("retained"))
+  }
+}

@@ -1,6 +1,134 @@
 package graft.queries
 
-/** Event-stream analytics queries (phase 4). */
+import graft.Tables
+import graft.operators.Events
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics over the `events` table: type/hourly aggregations,
+  * gaps-and-islands sessionization, funnel (range-join on user+time),
+  * day-over-day retention, and JSON property extraction.
+  *
+  * Timestamp convention: the parquet carries nanosecond timestamps; both
+  * engines are compared on epoch-microseconds (DuckDB truncates ns -> us on
+  * read; the Spark loader truncates identically — see Tables.events), so
+  * every emitted time column is an epoch-us BIGINT.
+  */
 object EventQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  private val halfHourUs = 30L * 60 * 1000000
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- per-type aggregation ----------------------------------------------
+    QueryDef.sql("q60_event_type_agg",
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value,
+        |  round(avg(value), 4) AS avg_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"),
+          round(avg(col("value")), 4).as("avg_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- tumbling 1-hour windows (the batch twin of the streaming agg) -----
+    QueryDef.sql("q61_hourly_windows",
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_start,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  round(sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*)), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      // values are 2-decimal; summing exact integer cents makes the average
+      // independent of summation order (doubles are not associative and the
+      // partial-agg order differs between engines)
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(round(col("value") * 100).cast("long")) /
+            (count(lit(1)) * 100.0), 4).as("avg_value"))
+        .select(unix_micros(col("window.start")).as("win_start"),
+          col("n"), col("n_users"), col("avg_value"))
+        .orderBy(col("win_start"))
+    },
+
+    // ---- sessionization (30-min inactivity gap) ----------------------------
+    QueryDef.sql("q62_sessions",
+      """WITH o AS (
+        |  SELECT user_id, value, epoch_us(ts) AS tus,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |      OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, value, tus,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM o)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us,
+        |  round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      Events.sessionStats(Tables.events(s, d), gapUs = halfHourUs)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("start_us"), col("end_us"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // ---- top users by activity ---------------------------------------------
+    QueryDef.sql("q63_top_users",
+      """SELECT user_id, count(*) AS n,
+        |  count(DISTINCT event_type) AS n_types,
+        |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY user_id
+        |ORDER BY n DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_type")).as("n_types"),
+          min(col("ts_us")).as("first_us"),
+          max(col("ts_us")).as("last_us"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(20)
+    },
+
+    // ---- funnel: view -> click within 30 minutes ---------------------------
+    QueryDef.sql("q64_funnel",
+      """SELECT count(*) AS n_pairs, count(DISTINCT v.user_id) AS n_users
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        |  AND v.event_type = 'view' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) > epoch_us(v.ts)
+        |  AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800000000""".stripMargin) { (s, d) =>
+      Events.funnelPairs(Tables.events(s, d), "view", "click", withinUs = halfHourUs)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // ---- day-over-day retention --------------------------------------------
+    QueryDef.sql("q65_retention",
+      """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+        |SELECT epoch_us(a.d) AS day_us, count(*) AS retained
+        |FROM ud a JOIN ud b ON a.user_id = b.user_id
+        |  AND b.d = a.d + INTERVAL 1 DAY
+        |GROUP BY a.d ORDER BY day_us""".stripMargin) { (s, d) =>
+      Events.dailyRetention(Tables.events(s, d))
+        .select(unix_micros(col("d")).as("day_us"), col("retained"))
+        .orderBy(col("day_us"))
+    },
+
+    // ---- JSON property extraction ------------------------------------------
+    QueryDef.sql("q66_props_json",
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+        |  count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy((get_json_object(col("props"), "$.k").cast("int") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("k_bucket"))
+    }
+  )
 }

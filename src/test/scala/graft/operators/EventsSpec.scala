@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val m = 60L * 1000000  // one minute in micros
+
+  private def evts = Seq(
+    // user 1: two sessions (gap at 45 min > 30 min)
+    (1L, 0 * m, "view", 1.0), (1L, 10 * m, "click", 2.0),
+    (1L, 55 * m, "view", 3.0),
+    // user 2: one session
+    (2L, 5 * m, "view", 4.0), (2L, 20 * m, "purchase", 5.0)
+  ).toDF("user_id", "ts_us", "event_type", "value")
+
+  test("sessionize splits on gaps > gapUs, numbering sessions per user") {
+    val out = Events.sessionize(evts, gapUs = 30 * m)
+      .select("user_id", "ts_us", "session_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 1L), (1L, 10 * m, 1L), (1L, 55 * m, 2L),
+      (2L, 5 * m, 1L), (2L, 20 * m, 1L)))
+  }
+
+  test("sessionStats aggregates per session") {
+    val out = Events.sessionStats(evts, gapUs = 30 * m)
+      .select("user_id", "session_id", "n_events", "total_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0), (2L, 1L, 2L, 9.0)))
+  }
+
+  test("sessionize shuffles once: both windows share the user partitioning") {
+    val plan = Events.sessionize(evts, gapUs = 30 * m)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected a single user_id shuffle, got $exchanges:\n$plan")
+  }
+
+  test("funnelPairs respects the (from, from+within] window and user equality") {
+    val out = Events.funnelPairs(evts, "view", "click", withinUs = 30 * m)
+      .select("user_id", "from_us", "to_us").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L, 10 * m)), s"got $out")
+  }
+
+  test("dailyRetention counts users active on consecutive days") {
+    val day = 24L * 3600 * 1000000
+    val df = Seq(
+      (1L, 0L), (1L, day + 1), (2L, 0L), (3L, day + 1), (1L, 2 * day + 5))
+      .toDF("user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val out = Events.dailyRetention(df)
+      .select(unix_micros(col("d")).as("d"), col("retained"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 1L, day -> 1L))  // u1 retained d0->d1 and d1->d2
+  }
+}

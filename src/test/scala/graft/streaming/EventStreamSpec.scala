@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  /** Minutes from t(0) (epoch-absolute window starts, relative assertions). */
+  private def minutesFromT0(winStartUs: Column): Column =
+    (winStartUs - lit(t(0).getTime * 1000L)) / 60000000L
+
+  private var sinkId = 0
+  private def nextSink(): String = { sinkId += 1; s"es_sink_$sinkId" }
+
+  /** Run a streaming transform over MemoryStream batches; returns the sink
+    * table name. Each inner Seq is one micro-batch (watermark advances
+    * between batches, never within one).
+    */
+  private def run(batches: Seq[Seq[Ev]], mode: String)
+                 (xf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val sink = nextSink()
+    val q = xf(in.toDF()).writeStream
+      .format("memory").queryName(sink).outputMode(mode).start()
+    try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    sink
+  }
+
+  test("tumbling window counts finalize in append mode once watermark passes") {
+    val early = Seq(
+      Ev(1, t(5), 1, "view", 1.0), Ev(2, t(10), 2, "view", 2.0),
+      Ev(3, t(65), 1, "click", 3.0))
+    // batch 2 pushes event time far enough that hour-0 and hour-1 close
+    val late = Seq(Ev(4, t(400), 3, "view", 4.0))
+    val sink = run(Seq(early, late), "append")(
+      EventStream.tumblingTypeCounts(_, "1 hour", "10 minutes"))
+    val out = spark.table(sink)
+      .select(minutesFromT0(unix_micros(col("win_start"))), col("event_type"), col("n"))
+      .as[(Double, String, Long)].collect().toSet
+    assert(out.contains((0.0, "view", 2L)), s"hour-0 views, got $out")
+    assert(out.contains((60.0, "click", 1L)), s"hour-1 clicks, got $out")
+  }
+
+  test("late event beyond the watermark is dropped") {
+    val batches = Seq(
+      Seq(Ev(1, t(5), 1, "view", 1.0)),
+      Seq(Ev(2, t(600), 2, "view", 1.0)),      // advances watermark to 590min
+      Seq(Ev(3, t(7), 1, "view", 1.0)),        // hour-0 already finalized -> dropped
+      Seq(Ev(4, t(1200), 9, "view", 1.0)))     // flush
+    val sink = run(batches, "append")(
+      EventStream.tumblingTypeCounts(_, "1 hour", "10 minutes"))
+    val hour0 = spark.table(sink)
+      .filter(col("win_start") === lit(t(0)))
+      .select(col("n")).as[Long].collect()
+    assert(hour0.toSeq == Seq(1L), "late event must not reopen the closed window")
+  }
+
+  test("session windows merge events within gap, split across it") {
+    val batch = Seq(
+      Ev(1, t(0), 1, "view", 1.0), Ev(2, t(10), 1, "view", 1.0),  // session A
+      Ev(3, t(120), 1, "view", 1.0),                              // session B (gap > 30m)
+      Ev(4, t(0), 2, "view", 1.0))                                // other user
+    val flush = Seq(Ev(5, t(2000), 9, "view", 1.0))
+    val sink = run(Seq(batch, flush), "append")(
+      EventStream.sessionAgg(_, "30 minutes", "10 minutes"))
+    val sessions = spark.table(sink)
+      .select(col("user_id"), col("n_events")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(sessions(1L) == Seq(1L, 2L), s"user 1 sessions: $sessions")
+    assert(sessions(2L) == Seq(1L))
+  }
+
+  test("dedupByEventId drops re-delivered events within the watermark") {
+    val batches = Seq(
+      Seq(Ev(1, t(0), 1, "view", 1.0), Ev(2, t(1), 1, "view", 1.0)),
+      Seq(Ev(1, t(0), 1, "view", 1.0), Ev(3, t(2), 1, "view", 1.0)))  // 1 re-delivered
+    val sink = run(batches, "append")(EventStream.dedupByEventId(_, "1 hour"))
+    val ids = spark.table(sink).select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("streaming tumbling counts equal the batch groupBy on the same data") {
+    val evs = (0 until 100).map(i =>
+      Ev(i.toLong, t(i * 3), i % 7L, if (i % 3 == 0) "click" else "view", i.toDouble))
+    val flush = Seq(Ev(999, t(5000), 9, "view", 0.0))
+    val sink = run(Seq(evs, flush), "append")(
+      EventStream.tumblingTypeCounts(_, "1 hour", "0 seconds"))
+    val streamed = spark.table(sink)
+      .filter(col("win_start") < lit(t(300)))
+      .select(col("win_start"), col("event_type"), col("n"), col("total_value"))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val batch = EventStream.tumblingTypeCounts(evs.toDF(), "1 hour", "0 seconds")
+      .select(col("win_start"), col("event_type"), col("n"), col("total_value"))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("highValueAlerts is stateless filter+project (no aggregation in plan)") {
+    val df = Seq(Ev(1, t(0), 1, "view", 5.0), Ev(2, t(1), 1, "view", 50.0)).toDF()
+    val out = EventStream.highValueAlerts(df, 10.0)
+    assert(out.select("event_id").as[Long].collect().toSeq == Seq(2L))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "alerts path must not shuffle")
+  }
+}
