@@ -13,8 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    CoreQueries.defs ++ PdiQueries.defs ++ TextQueries.defs ++
-      SimilarityQueries.defs ++ EventQueries.defs
+    CoreQueries.defs ++ PdiQueries.defs ++ PipelineQueries.defs ++
+      TextQueries.defs ++ SimilarityQueries.defs ++ EventQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the TPC-H Q3-shaped join+agg+top-k (CoreQueries q03).

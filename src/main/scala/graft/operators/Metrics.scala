@@ -23,10 +23,22 @@ object Metrics {
     * path). Returns a 1-row DataFrame `(balanced_accuracy DOUBLE)`.
     */
   def balancedAccuracy(df: DataFrame, label: Column, pred: Column): DataFrame =
-    df.select(label.as("__y"), pred.as("__p"))
-      .groupBy(col("__y"))
+    balancedAccuracyBy(df, label, pred, Nil)
+
+  /** Grouped balanced accuracy: one row per group combination — collapses
+    * the reference's per-(mode, fold) Python loops (ipynb:1185-1259) into a
+    * single two-level hash aggregation. `groups` are column names on `df`;
+    * output keeps them.
+    */
+  def balancedAccuracyBy(df: DataFrame, label: Column, pred: Column,
+                         groups: Seq[String]): DataFrame = {
+    val gc = groups.map(col)
+    val perClass = df.select(gc :+ label.as("__y") :+ pred.as("__p"): _*)
+      .groupBy(gc :+ col("__y"): _*)
       .agg(avg(when(col("__p") === col("__y"), 1.0).otherwise(0.0)).as("__recall"))
-      .agg(avg(col("__recall")).as("balanced_accuracy"))
+    if (gc.isEmpty) perClass.agg(avg(col("__recall")).as("balanced_accuracy"))
+    else perClass.groupBy(gc: _*).agg(avg(col("__recall")).as("balanced_accuracy"))
+  }
 
   /** Per-class recall table (the intermediate the reference prints in its
     * fold audits): `(class, recall, support)`.
@@ -46,22 +58,34 @@ object Metrics {
     * window, so the global sort touches |distinct scores| rows, not |rows|.
     * Returns a 1-row DataFrame `(auroc DOUBLE)`.
     */
-  def auroc(df: DataFrame, label: Column, score: Column): DataFrame = {
-    val byScore = df.select(score.as("__s"), label.cast("long").as("__y"))
-      .groupBy(col("__s"))
+  def auroc(df: DataFrame, label: Column, score: Column): DataFrame =
+    aurocBy(df, label, score, Nil)
+
+  /** Grouped AUROC: one row per group combination (e.g. per (fold, set)).
+    * The ranking window partitions by the groups, so each group ranks
+    * independently and in parallel — no global sort anywhere when grouped.
+    */
+  def aurocBy(df: DataFrame, label: Column, score: Column,
+              groups: Seq[String]): DataFrame = {
+    val gc = groups.map(col)
+    val byScore = df.select(gc :+ score.as("__s") :+ label.cast("long").as("__y"): _*)
+      .groupBy(gc :+ col("__s"): _*)
       .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__n"))
-    val w = Window.orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w0 = if (gc.isEmpty) Window.orderBy(col("__s"))
+             else Window.partitionBy(gc: _*).orderBy(col("__s"))
+    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = byScore
       .withColumn("__cum", sum(col("__n")).over(w))
       // average rank of a tie group of size n ending at cumulative count c:
       // (c - n + 1 + c) / 2
       .withColumn("__avgRank", (col("__cum") * 2 - col("__n") + 1) / 2.0)
-    ranked.agg(
+    val aurocExpr =
       ((sum(col("__pos") * col("__avgRank"))
         - sum(col("__pos")) * (sum(col("__pos")) + 1) / 2.0)
         / (sum(col("__pos")) * (sum(col("__n")) - sum(col("__pos")))))
-        .as("auroc"))
+        .as("auroc")
+    if (gc.isEmpty) ranked.agg(aurocExpr)
+    else ranked.groupBy(gc: _*).agg(aurocExpr)
   }
 
   /** mean ± std over folds/runs — `np.std` is population std (ddof=0), so

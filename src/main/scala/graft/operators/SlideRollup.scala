@@ -25,12 +25,14 @@ object SlideRollup {
       .withColumn("pred", when(col("score1") > col("score0"), 1).otherwise(0))
 
   /** One-score (sigmoid) roll-up: pred = mean score >= threshold
-    * (functions_v2.py:525: `preds = 1*(output >= 0.5)`).
+    * (functions_v2.py:525: `preds = 1*(output >= 0.5)`). `carry` are
+    * group-constant columns (fold, set, ...) carried through via max.
     */
   def rollup1(df: DataFrame, group: Column, score: Column, label: Column,
-              threshold: Double = 0.5): DataFrame =
+              threshold: Double = 0.5, carry: Seq[String] = Nil): DataFrame =
     df.groupBy(group.as("group_id"))
-      .agg(avg(score).as("score"), max(label).as("label"))
+      .agg(avg(score).as("score"),
+        (max(label).as("label") +: carry.map(c => max(col(c)).as(c))): _*)
       .withColumn("pred", when(col("score") >= lit(threshold), 1).otherwise(0))
 
   /** Confidence of the predicted class — the reference's `so[sp]` pick

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** H6: the end-to-end experiment dataflow (`ExperimentSetup_v2.py:20-298`)
+  * minus GPU training — ingest cohorts, impute, stratified folds + set
+  * assignment, encode, join injected tile scores, roll up per slide, and
+  * produce the per-fold metric report the reference prints.
+  *
+  * The whole thing is ONE lazy DataFrame DAG per output: cohort union and
+  * metadata prep stay unmaterialized until the per-fold aggregations run,
+  * so Catalyst fuses ingest->impute->encode into the scan of each cohort.
+  *
+  * Scoring is injected as a `(slide key, tile scores)` table — the model
+  * boundary of SURVEY.md §7.4: the relational engine is testable without a
+  * CNN, exactly as the notebook's analytics cells consume score tables the
+  * training script materialized earlier.
+  */
+object Experiment {
+
+  case class Config(
+      nFolds: Int = 5, nVal: Int = 1, nTest: Int = 2,
+      ageCol: String = "age", catCols: Seq[String] = Seq("gender", "location"),
+      labelCol: String = "label", slideCol: String = "slide_name",
+      rollupThreshold: Double = 0.5, fusionThreshold: Double = 0.7)
+
+  /** A1/A2/G1: union per-lab cohorts, tagging each with its `lab` id. */
+  def ingest(cohorts: Seq[DataFrame]): DataFrame =
+    cohorts.zipWithIndex
+      .map { case (df, i) => df.withColumn("lab", lit(i)) }
+      .reduce(_ unionByName _)
+
+  /** E1-E3 + F1/F3 + D1/D2: impute -> stratified folds -> encodings. */
+  def prepare(meta: DataFrame, cfg: Config): DataFrame = {
+    val imputed = Impute.modeImpute(
+      Impute.meanImpute(meta, Seq(cfg.ageCol)), cfg.catCols)
+    val folded = StratifiedFolds.assignSets(
+      StratifiedFolds.assignRoundRobin(
+        imputed, Seq(col(cfg.labelCol), col("lab")), cfg.nFolds, col(cfg.slideCol)),
+      cfg.nVal, cfg.nTest)
+    Encode.bucketize(
+      Encode.scale01(folded, cfg.ageCol, s"${cfg.ageCol}_scaled"),
+      cfg.ageCol, Seq(30.0, 60.0), s"${cfg.ageCol}_class")
+  }
+
+  /** E4 + E5/E7: per-slide roll-up of tile scores, then slide-level balanced
+    * accuracy and AUROC per (fold, set).
+    *
+    * `tileScores`: one row per scored tile `(slide_name, score1)`.
+    * Returns `(fold, set, balanced_accuracy, auroc)`.
+    */
+  def evaluate(prepared: DataFrame, tileScores: DataFrame, cfg: Config): DataFrame = {
+    val slides = SlideRollup.rollup1(
+      tileScores.join(
+        broadcast(prepared.select(col(cfg.slideCol), col(cfg.labelCol),
+          col("fold"), col("set"))),
+        Seq(cfg.slideCol)),
+      col(cfg.slideCol), col("score1"), col(cfg.labelCol),
+      threshold = cfg.rollupThreshold, carry = Seq("fold", "set"))
+    val ba = Metrics.balancedAccuracyBy(slides, col("label"), col("pred"),
+      Seq("fold", "set"))
+    val au = Metrics.aurocBy(slides, col("label"), col("score"),
+      Seq("fold", "set"))
+    ba.join(au, Seq("fold", "set"))
+  }
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.Tables
+import graft.ml.MetaClassifier
+import graft.pipeline.Experiment
+import graft.sources.Sources
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composite workloads: the tile-inventory source composition (A3/B5/C1),
+  * the H5 RF metadata classifier, and the full H6 experiment pipeline
+  * replayed end-to-end against a single DuckDB oracle.
+  */
+object PipelineQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- B5/F5 + C1: path synthesis -> parse -> broadcast metadata join ----
+    // Tile paths are synthesized from lineitem (the driver tables contain no
+    // image files); the parse + broadcast-join + per-slide aggregation is
+    // exactly the Sources.tileInventory shape (dataset_classes_v1.py:56-74).
+    QueryDef.sql("q35_tile_paths",
+      """WITH p AS (SELECT printf('/tiles/s%d/s%d_%d_%d.jpg',
+        |    l_suppkey, l_suppkey, l_partkey % 100, l_linenumber) AS path FROM lineitem),
+        |t AS (SELECT regexp_extract(path, '([^/]+)/[^/]+$', 1) AS slide_name,
+        |        CAST(regexp_extract(path, '_(\d+)_(\d+)\.jpg$', 1) AS INT) AS tile_col,
+        |        CAST(regexp_extract(path, '_(\d+)_(\d+)\.jpg$', 2) AS INT) AS tile_row
+        |      FROM p)
+        |SELECT t.slide_name, count(*) AS n_tiles, max(t.tile_col) AS max_col,
+        |  max(t.tile_row) AS max_row, max(s.s_nationkey) AS label
+        |FROM t JOIN (SELECT printf('s%d', s_suppkey) AS slide_name, s_nationkey
+        |             FROM supplier) s USING (slide_name)
+        |GROUP BY t.slide_name ORDER BY slide_name""".stripMargin) { (s, d) =>
+      val paths = Tables.lineitem(s, d).select(
+        format_string("/tiles/s%d/s%d_%d_%d.jpg",
+          col("l_suppkey"), col("l_suppkey"),
+          col("l_partkey") % 100, col("l_linenumber")).as("path"))
+      val meta = Tables.supplier(s, d).select(
+        format_string("s%d", col("s_suppkey")).as("slide_name"),
+        col("s_nationkey"))
+      paths
+        .select((col("path") +: Sources.parseTilePath(col("path"))): _*)
+        .join(broadcast(meta), Seq("slide_name"))
+        .groupBy(col("slide_name"))
+        .agg(count(lit(1)).as("n_tiles"),
+          max(col("col")).as("max_col"), max(col("row")).as("max_row"),
+          max(col("s_nationkey")).as("label"))
+        .orderBy(col("slide_name"))
+    },
+
+    // ---- H5: RF metadata classifier (model output is not SQL-replayable ->
+    //      rows-only; learnability + determinism pinned by MetaClassifierSpec)
+    QueryDef.rowsOnly("q34_rf_classifier") { (s, d) =>
+      import graft.operators.StratifiedFolds
+      val meta = Tables.customer(s, d).select(
+        col("c_custkey"),
+        col("c_acctbal").as("bal"),
+        (col("c_nationkey") % 5).cast("double").as("cat"),
+        when(col("c_acctbal") > 4500, 1.0).otherwise(0.0).as("label"),
+        col("c_mktsegment"))
+      val folded = StratifiedFolds.assignSets(
+        StratifiedFolds.assignRoundRobin(meta, Seq(col("c_mktsegment")), 5,
+          col("c_custkey")),
+        nVal = 1, nTest = 2)
+      val model = MetaClassifier.fit(
+        folded.filter(col("set") === "train"), Seq("bal", "cat"), "label",
+        MetaClassifier.Config(numTrees = 21, maxDepth = 5, seed = 0L))
+      val spark = s; import spark.implicits._
+      Seq("val", "test", "train").sorted.map { st =>
+        (st, MetaClassifier.balancedAccuracy(model,
+          folded.filter(col("set") === st), Seq("bal", "cat"), "label"))
+      }.toDF("set", "ba").select(col("set"), round(col("ba"), 4).as("ba"))
+        .orderBy(col("set"))
+    },
+
+    // ---- H6: the full experiment pipeline, one oracle ----------------------
+    // ingest(2 cohorts) -> impute(mean age, mode gender) -> stratified
+    // round-robin folds over (label, lab) -> fold->set map -> per-slide
+    // roll-up of injected tile scores -> per-(fold,set) BA + AUROC.
+    // Tile scores are integer-valued so double summation is exact and
+    // order-independent (both engines bit-agree on every slide mean).
+    QueryDef.sql("q36_pipeline_e2e",
+      """WITH m0 AS (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS slide_name,
+        |    CAST(c_custkey % 2 AS INT) AS label,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS age,
+        |    CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |         ELSE CAST(c_nationkey % 2 AS INT) END AS gender,
+        |    CASE WHEN c_nationkey < 12 THEN 0 ELSE 1 END AS lab
+        |  FROM customer),
+        |imp AS (
+        |  SELECT slide_name, label, lab,
+        |    coalesce(age, (SELECT avg(age) FROM m0)) AS age,
+        |    coalesce(gender, (SELECT gender FROM m0 WHERE gender IS NOT NULL
+        |                      GROUP BY gender ORDER BY count(*) DESC, gender
+        |                      LIMIT 1)) AS gender
+        |  FROM m0),
+        |fld AS (
+        |  SELECT *, CAST((row_number() OVER (PARTITION BY label, lab
+        |    ORDER BY slide_name) - 1) % 5 AS INT) AS fold FROM imp),
+        |st AS (SELECT *, CASE WHEN fold < 1 THEN 'val' WHEN fold < 3 THEN 'test'
+        |                      ELSE 'train' END AS s FROM fld),
+        |ts AS (SELECT CAST(o_custkey AS VARCHAR) AS slide_name,
+        |         CAST(l_partkey % 100 AS DOUBLE) AS score1
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |sl AS (SELECT t.slide_name, avg(t.score1) AS score, max(m.label) AS label,
+        |         max(m.fold) AS fold, max(m.s) AS s
+        |       FROM ts t JOIN st m ON t.slide_name = m.slide_name
+        |       GROUP BY t.slide_name),
+        |sp AS (SELECT *, CASE WHEN score >= 50 THEN 1 ELSE 0 END AS pred FROM sl),
+        |ba AS (SELECT fold, s, avg(rec) AS balanced_accuracy FROM (
+        |         SELECT fold, s, label,
+        |           avg(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END) AS rec
+        |         FROM sp GROUP BY fold, s, label) GROUP BY fold, s),
+        |g AS (SELECT fold, s, score, sum(label) AS pos, count(*) AS n
+        |      FROM sp GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, sum(n) OVER (PARTITION BY fold, s ORDER BY score
+        |         ROWS UNBOUNDED PRECEDING) AS cum FROM g),
+        |au AS (SELECT fold, s,
+        |         (sum(pos*((2.0*cum - n + 1)/2)) - sum(pos)*(sum(pos)+1)/2.0)
+        |           / (sum(pos)*(sum(n)-sum(pos))) AS auroc
+        |       FROM rk GROUP BY 1, 2)
+        |SELECT ba.fold, ba.s AS "set",
+        |  round(ba.balanced_accuracy, 6) AS balanced_accuracy,
+        |  round(au.auroc, 6) AS auroc
+        |FROM ba JOIN au ON ba.fold = au.fold AND ba.s = au.s
+        |ORDER BY ba.fold""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      def mk(df: DataFrame) = df.select(
+        col("c_custkey").cast("string").as("slide_name"),
+        (col("c_custkey") % 2).cast("int").as("label"),
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal")).as("age"),
+        when(col("c_custkey") % 5 === 0, lit(null))
+          .otherwise((col("c_nationkey") % 2).cast("int")).as("gender"))
+      val cfg = Experiment.Config(catCols = Seq("gender"), rollupThreshold = 50.0)
+      val meta = Experiment.ingest(Seq(
+        mk(cust.where(col("c_nationkey") < 12)),
+        mk(cust.where(col("c_nationkey") >= 12))))
+      val prepared = Experiment.prepare(meta, cfg)
+      val tileScores = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("string").as("slide_name"),
+          (col("l_partkey") % 100).cast("double").as("score1"))
+      Experiment.evaluate(prepared, tileScores, cfg)
+        .select(col("fold"), col("set"),
+          round(col("balanced_accuracy"), 6).as("balanced_accuracy"),
+          round(col("auroc"), 6).as("auroc"))
+        .orderBy(col("fold"))
+    }
+  )
+}

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources/sinks from SURVEY.md §2 A plus the tile-inventory composition
+  * (A3 directory listing + B5 path parsing + C1 broadcast metadata join).
+  *
+  * The reference enumerates tile image files by walking slide directories
+  * (`dataset_classes_v1.py:32-54`), derives `slide_name`/`col`/`row` from
+  * the path (`:62,70-71`), and looks up slide metadata per tile with an
+  * O(n) pandas scan per row (`:63-67`). Here the listing is a distributed
+  * `binaryFile` scan and the lookup is a build-once broadcast hash join.
+  */
+object Sources {
+
+  /** A1: schema'd CSV metadata scan (reference: `pd.read_csv`,
+    * ExperimentSetup_v2.py:57-60 — which infers types; we declare them).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** A5: CSV sink with header (reference: `to_csv(index=False)`,
+    * functions_v2.py:132-138).
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** A3: recursive tile-file listing as a DataFrame of `(path, length)`.
+    * `binaryFile` without selecting `content` reads only file status — no
+    * byte I/O — and distributes the listing across executors.
+    */
+  def listFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("length"))
+
+  /** B5: parse `<...>/<slide_name>/<slide>_<col>_<row>.jpg` path columns.
+    * Tile filename convention from dataset_classes_v1.py:62.
+    */
+  def parseTilePath(path: Column): Seq[Column] = Seq(
+    regexp_extract(path, "([^/]+)/[^/]+$", 1).as("slide_name"),
+    regexp_extract(path, "_(\\d+)_(\\d+)\\.jpg$", 1).cast("int").as("col"),
+    regexp_extract(path, "_(\\d+)_(\\d+)\\.jpg$", 2).cast("int").as("row"))
+
+  /** A stable integer key per metadata row, replacing the pandas row index
+    * the reference uses as `slide_id` (dataset_classes_v1.py:63-67): dense
+    * row_number over an explicit deterministic order.
+    */
+  def withSlideId(meta: DataFrame, orderBy: Column): DataFrame =
+    meta.withColumn("slide_id",
+      row_number().over(Window.orderBy(orderBy)) - 1)
+
+  /** C1: tile -> metadata lookup as a broadcast hash join (metadata is a
+    * few hundred rows; the reference re-scans it per tile per epoch).
+    */
+  def tileInventory(tilePaths: DataFrame, meta: DataFrame): DataFrame =
+    tilePaths
+      .select((col("path") +: parseTilePath(col("path"))): _*)
+      .join(broadcast(meta), Seq("slide_name"), "inner")
+}

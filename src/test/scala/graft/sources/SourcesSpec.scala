@@ -1,0 +1,54 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureDir(name: String): String = {
+    val d = Paths.get("target", "tmp", name).toAbsolutePath
+    Files.createDirectories(d)
+    d.toString
+  }
+
+  test("CSV sink + schema'd scan round-trip (A5 + A1)") {
+    val dir = fixtureDir("csv_roundtrip")
+    val df = Seq(("s1", 0, 63.0), ("s2", 1, 48.5)).toDF("slide_name", "label", "age")
+    Sources.writeCsv(df, dir)
+    val back = Sources.readCsv(spark, dir,
+      StructType.fromDDL("slide_name STRING, label INT, age DOUBLE"))
+    assert(back.as[(String, Int, Double)].collect().toSet ==
+      Set(("s1", 0, 63.0), ("s2", 1, 48.5)))
+  }
+
+  test("binaryFile listing + path parse + broadcast metadata join (A3+B5+C1)") {
+    val root = fixtureDir("tiles")
+    for (slide <- Seq("slideA", "slideB"); c <- 0 to 1; r <- 0 to 2) {
+      val d = Paths.get(root, slide)
+      Files.createDirectories(d)
+      Files.write(d.resolve(s"${slide}_${c}_$r.jpg"), Array[Byte](1, 2, 3))
+    }
+    val meta = Seq(("slideA", 0), ("slideB", 1)).toDF("slide_name", "label")
+    val tiles = Sources.tileInventory(
+      Sources.listFiles(spark, root, glob = "*.jpg"),
+      Sources.withSlideId(meta, col("slide_name")))
+    assert(tiles.count() == 12)
+    val parsed = tiles.select("slide_name", "col", "row", "label", "slide_id")
+      .as[(String, Int, Int, Int, Int)].collect().toSet
+    assert(parsed.contains(("slideA", 1, 2, 0, 0)))
+    assert(parsed.contains(("slideB", 0, 0, 1, 1)))
+    val plan = tiles.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"C1 must broadcast:\n$plan")
+  }
+
+  test("withSlideId is a dense 0-based key in the given order") {
+    val meta = Seq("b", "a", "c").toDF("slide_name")
+    val ids = Sources.withSlideId(meta, col("slide_name"))
+      .as[(String, Int)].collect().toMap
+    assert(ids == Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
+}
