@@ -43,23 +43,18 @@ object Dedup {
     }: _*)
   }
 
-  /** Bulk MinHash signatures, one row per doc: explode shingles once, then
-    * `numHashes` codegen'd `min(xxhash64(shingle, seed))` hash-aggregates.
-    * Map-side partial agg collapses each doc's shingles before the shuffle,
-    * so the exchange carries only numDocs × numHashes longs — the shape that
-    * survives 100 TB. Produces bit-identical signatures to
-    * [[minhashSignature]] (same per-shingle hash, min is dup-insensitive).
+  /** Bulk MinHash signatures, one row per doc, via the native codegen'd
+    * [[graft.expressions.MinHashSignature]] kernel: each shingle is hashed
+    * ONCE and folded through all hash functions with cheap `hashLong`s,
+    * entirely inside whole-stage codegen — sketching at scan speed, zero
+    * shuffle. Bit-identical to [[minhashSignature]] (pinned by DedupSpec).
     */
   def minhashSignatures(df: DataFrame, id: String, text: String,
-                        numHashes: Int, shingleN: Int): DataFrame = {
-    val ex = df.select(col(id).as("doc"),
-      explode(TextFunctions.shingles(col(text), shingleN)).as("s"))
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("s"), lit(i))).as(s"h$i"))
-    ex.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+                        numHashes: Int, shingleN: Int): DataFrame =
+    Par.spread(df.select(col(id).as("doc"), col(text).as("__t")))
       .select(col("doc"),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+        graft.expressions.HashSketchExpressions.minhashSig(
+          TextFunctions.shingles(col("__t"), shingleN), numHashes).as("sig"))
 
   /** MinHash-LSH candidate pairs: band the signature (`bands` × `rowsPerBand`
     * = numHashes), bucket-join on (band index, band hash), emit distinct
@@ -90,8 +85,12 @@ object Dedup {
     */
   def verifyJaccard(candidates: DataFrame, docs: DataFrame, id: String,
                     text: String, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(id),
-      TextFunctions.shingles(col(text), shingleN).as("sh"))
+    // shingle only docs that appear in a candidate pair (LSH typically
+    // flags a small fraction of the corpus — don't re-shingle all of it)
+    val ids = candidates.select(col("doc_a").as(id))
+      .union(candidates.select(col("doc_b").as(id))).distinct()
+    val sh = Par.spread(docs.join(ids, Seq(id), "left_semi"))
+      .select(col(id), TextFunctions.shingles(col(text), shingleN).as("sh"))
     candidates
       .join(sh.select(col(id).as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col(id).as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -107,7 +106,12 @@ object Dedup {
   def minhashNearDupes(df: DataFrame, id: String, text: String,
                        threshold: Double = 0.8, bands: Int = 8,
                        rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
+    // The candidate table is consumed twice by the verify stage (once for
+    // the doc-id semi-join, once as the pair list). Persist it — it's tiny
+    // (LSH flags a small fraction of the corpus) — so the LSH pipeline runs
+    // once instead of per consumer.
     val cand = minhashCandidates(df, id, text, bands, rowsPerBand, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifyJaccard(cand, df, id, text, shingleN)
       .filter(col("jaccard") >= threshold)
   }
@@ -127,23 +131,16 @@ object Dedup {
     }.reduce(_.bitwiseOR(_))
   }
 
-  /** Bulk SimHash, one row per doc: explode tokens, hash each once
-    * (codegen'd), then 64 `sum(±1)` bit-votes in a single hash-aggregate and
-    * a final bit-pack. Identical values to [[simhash64]] (same token
-    * multiset, same per-token hash); one narrow shuffle of 64 longs per doc.
+  /** Bulk SimHash, one row per doc, via the native codegen'd
+    * [[graft.expressions.SimHash64]] kernel: one string hash + 64 bit-votes
+    * per token inside whole-stage codegen — zero shuffle. Identical values
+    * to [[simhash64]] (pinned by DedupSpec).
     */
-  def simhashSignatures(df: DataFrame, id: String, text: String): DataFrame = {
-    val ex = df.select(col(id).as("doc"),
-      explode(TextFunctions.tokens(col(text))).as("t"))
-    val hashed = ex.select(col("doc"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$j"))
-    hashed.groupBy("doc").agg(votes.head, votes.tail: _*)
+  def simhashSignatures(df: DataFrame, id: String, text: String): DataFrame =
+    Par.spread(df.select(col(id).as("doc"), col(text).as("__t")))
       .select(col("doc"),
-        (0 until 64).map(j =>
-          when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("sh"))
-  }
+        graft.expressions.HashSketchExpressions.simhash(
+          TextFunctions.tokens(col("__t"))).as("sh"))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
