@@ -14,11 +14,17 @@ object TextFunctions {
   def tokens(text: Column): Column =
     split(trim(text), "\\s+")
 
-  /** BPE-ish tokenizer: words, numbers, and single punctuation marks as
-    * separate tokens — the usual pre-tokenization regex shape.
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, and single
+    * non-alphanumeric marks as separate tokens — the usual pre-tokenization
+    * shape. Expressed as an alternation extract (RE2-compatible: no
+    * lookarounds), so the same pattern runs in any regex engine.
     */
+  val bpeishPattern = "[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"
+
   def bpeishTokens(text: Column): Column =
-    filter(split(text, "(?=[^\\w])|(?<=[^\\w])"), t => trim(t) =!= "")
+    regexp_extract_all(text, lit(bpeishPattern), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

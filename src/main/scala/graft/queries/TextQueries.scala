@@ -32,6 +32,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- BPE-ish pre-tokenization counts (RE2-safe alternation, so the
+    //      exact same pattern runs in DuckDB) --------------------------------
+    QueryDef.sql("q4b_bpeish_tokens",
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]')) AS n_bpeish,
+        |  len(list_distinct(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]'))) AS n_bpeish_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+          size(array_distinct(TextFunctions.bpeishTokens(col("text"))))
+            .cast("long").as("n_bpeish_distinct"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- language-ID heuristic (stopword coverage argmax) ------------------
     QueryDef.sql("q41_lang_heuristic",
       """WITH sc AS (

@@ -1,7 +1,21 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input row for the custom stateful sessionizer. */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Open-session accumulator kept in the state store (one per user). */
+case class SessionAcc(start_us: Long, end_us: Long, n_events: Long,
+                      total_value: Double)
+
+/** A finalized session emitted once its inactivity gap has passed the
+  * watermark (or a newer event implies it closed).
+  */
+case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+                         n_events: Long, total_value: Double)
 
 /** Structured Streaming surface over the event schema
   * `(event_id, ts TIMESTAMP, user_id, event_type, value)`.
@@ -62,6 +76,65 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState` — the
+    * escape hatch for session semantics `session_window` can't express
+    * (custom accumulators, emit-on-close payloads, per-user state machines).
+    *
+    * State machine per user: events within `gapUs` of the open session's end
+    * extend it; a later event closes it (emitted immediately) and opens a
+    * new one; the event-time timeout closes the open session once the
+    * watermark passes `end + gap`. State is one `SessionAcc` per user —
+    * bounded by active users in the watermark horizon, not stream length.
+    */
+  def statefulSessions(events: DataFrame, gapUs: Long,
+                       watermark: String): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapUs / 1000
+
+    def update(user: Long, evs: Iterator[SessionEvent],
+               state: GroupState[SessionAcc]): Iterator[ClosedSession] = {
+      def close(s: SessionAcc) =
+        ClosedSession(user, s.start_us, s.end_us, s.n_events, s.total_value)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close).iterator
+        state.remove()
+        out
+      } else {
+        val closed = Seq.newBuilder[ClosedSession]
+        var cur = state.getOption
+        // micro-batch events are not ordering-guaranteed; sort by event time
+        evs.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+          val tus = e.ts.getTime * 1000L
+          cur match {
+            case Some(s) if tus - s.end_us <= gapUs =>
+              cur = Some(SessionAcc(s.start_us, math.max(s.end_us, tus),
+                s.n_events + 1, s.total_value + e.value))
+            case Some(s) =>
+              closed += close(s)
+              cur = Some(SessionAcc(tus, tus, 1, e.value))
+            case None =>
+              cur = Some(SessionAcc(tus, tus, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(
+            math.max(s.end_us / 1000L + gapMs, state.getCurrentWatermarkMs() + 1))
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 
   /** Stateless high-value alert stream (filter + project only — no state,
     * no shuffle; runs fully pipelined).

@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based invariants (SURVEY.md §5.2-3): imputation totality,
+  * metric ranges and invariances, fold-assignment partition laws, union
+  * count conservation, per-group sampling cardinality.
+  *
+  * Uses ScalaCheck generators driven by a fixed-seed sampler (each case is
+  * a Spark job, so the case count is kept small and deterministic).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministically draw `n` samples from `gen` and run `f` on each. */
+  private def forSamples[A](gen: Gen[A], n: Int = 5)(f: A => Unit): Unit = {
+    val params = Gen.Parameters.default.withSize(40)
+    var seed = org.scalacheck.rng.Seed(42L)
+    var drawn = 0
+    var attempts = 0
+    while (drawn < n && attempts < n * 20) {
+      gen.apply(params, seed) match {
+        case Some(a) => f(a); drawn += 1
+        case None =>
+      }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(drawn == n, s"generator too restrictive: only $drawn/$n samples")
+  }
+
+  private val rowsGen: Gen[List[(Long, Option[Double], Int)]] =
+    Gen.nonEmptyListOf(for {
+      age <- Gen.option(Gen.choose(0.0, 100.0))
+      label <- Gen.choose(0, 1)
+    } yield (age, label))
+      .suchThat(_.exists(_._1.isDefined))
+      .map(_.zipWithIndex.map { case ((a, l), i) => (i.toLong, a, l) })
+
+  test("imputation never leaves nulls and preserves non-null values") {
+    forSamples(rowsGen) { rows =>
+      val df = rows.toDF("id", "age", "label")
+      val out = Impute.meanImpute(df, Seq("age"))
+      assert(out.filter(col("age").isNull).count() == 0)
+      val changed = out.join(df.filter(col("age").isNotNull)
+          .select(col("id"), col("age").as("orig")), "id")
+        .filter(col("age") =!= col("orig")).count()
+      assert(changed == 0, "non-null values must be preserved")
+    }
+  }
+
+  private val predsGen: Gen[List[(Int, Int)]] =
+    Gen.nonEmptyListOf(for {
+      y <- Gen.choose(0, 1); p <- Gen.choose(0, 1)
+    } yield (y, p))
+
+  test("balanced accuracy is always in [0,1]") {
+    forSamples(predsGen) { rows =>
+      val df = rows.toDF("y", "p")
+      val ba = Metrics.balancedAccuracy(df, col("y"), col("p"))
+        .collect()(0).getDouble(0)
+      assert(ba >= 0.0 && ba <= 1.0, s"BA=$ba out of range for $rows")
+    }
+  }
+
+  private val scoresGen: Gen[List[(Int, Double)]] =
+    Gen.listOfN(30, for {
+      y <- Gen.choose(0, 1); s <- Gen.choose(0.0, 1.0)
+    } yield (y, s)).suchThat(l => l.exists(_._1 == 0) && l.exists(_._1 == 1))
+
+  test("AUROC is invariant under strictly monotone score transforms") {
+    forSamples(scoresGen) { rows =>
+      val df = rows.toDF("y", "s").cache()
+      def au(c: org.apache.spark.sql.Column): Double =
+        Metrics.auroc(df, col("y"), c).collect()(0).getDouble(0)
+      val base = au(col("s"))
+      assert(math.abs(au(col("s") * 3.0 + 7.0) - base) < 1e-9)
+      assert(math.abs(au(exp(col("s"))) - base) < 1e-9)
+      df.unpersist()
+    }
+  }
+
+  test("fold assignment is a partition: exhaustive, in range, balanced per stratum") {
+    forSamples(Gen.zip(Gen.choose(2, 7), Gen.choose(10, 60))) { case (k, n) =>
+      val df = (0 until n).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "stratum")
+      val folded = StratifiedFolds.assignRoundRobin(df, Seq(col("stratum")), k, col("id"))
+      assert(folded.count() == n)
+      assert(folded.filter(col("fold") < 0 || col("fold") >= k).count() == 0)
+      val unbalanced = folded.groupBy("stratum", "fold").count()
+        .groupBy("stratum").agg((max("count") - min("count")).as("spread"))
+        .filter(col("spread") > 1).count()
+      assert(unbalanced == 0, "round-robin must balance within each stratum")
+    }
+  }
+
+  test("union + groupBy conserves row counts") {
+    forSamples(Gen.zip(Gen.choose(1, 30), Gen.choose(1, 30))) { case (n1, n2) =>
+      val a = (0 until n1).map(i => (i.toLong, "a")).toDF("id", "src")
+      val b = (0 until n2).map(i => (i.toLong, "b")).toDF("id", "src")
+      val u = a.unionByName(b)
+      assert(u.count() == n1 + n2)
+      assert(u.groupBy("src").count().as[(String, Long)].collect().toMap ==
+        Map("a" -> n1.toLong, "b" -> n2.toLong))
+    }
+  }
+
+  test("per-group sampling takes exactly min(k, group size) rows per group") {
+    forSamples(Gen.zip(Gen.choose(1, 5), Gen.choose(5, 40))) { case (k, n) =>
+      val df = (0 until n).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "g")
+      val sampled = Sampling.takePerGroup(df, Seq(col("g")), k,
+        Sampling.pseudoRand(col("id")))
+      val bad = sampled.groupBy("g").count()
+        .join(df.groupBy("g").count().withColumnRenamed("count", "total"), "g")
+        .filter(col("count") =!= least(lit(k), col("total"))).count()
+      assert(bad == 0)
+    }
+  }
+}

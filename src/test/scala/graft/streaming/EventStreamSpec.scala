@@ -108,6 +108,42 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("statefulSessions: gap split emits immediately, timeout closes the tail") {
+    val batches = Seq(
+      Seq(Ev(1, t(0), 1, "view", 1.0), Ev(2, t(10), 1, "view", 2.0)),
+      // 120 > 10+30 gap: closes session A immediately, opens B
+      Seq(Ev(3, t(120), 1, "view", 4.0)),
+      // watermark jumps far past B's gap -> B closes via event-time timeout
+      Seq(Ev(4, t(2000), 9, "view", 0.0)),
+      Seq(Ev(5, t(4000), 9, "view", 0.0)))
+    val sink = run(batches, "append")(
+      EventStream.statefulSessions(_, gapUs = 30L * 60 * 1000000, "0 seconds").toDF())
+    val out = spark.table(sink)
+      .filter(col("user_id") === 1)
+      .select(col("n_events"), col("total_value"))
+      .as[(Long, Double)].collect().toSet
+    assert(out.contains((2L, 3.0)), s"session A (2 events), got $out")
+    assert(out.contains((1L, 4.0)), s"session B closed by timeout, got $out")
+  }
+
+  test("statefulSessions agrees with the batch gaps-and-islands sessionizer") {
+    val evs = (0 until 60).map(i =>
+      Ev(i.toLong, t(i * 17 % 300 + (i % 5) * 60), i % 4L, "view", 1.0))
+    val flush = Seq(Ev(999, t(5000), 9, "view", 0.0), Ev(998, t(9000), 9, "view", 0.0))
+    val gapUs = 25L * 60 * 1000000
+    val sink = run(Seq(evs, flush), "append")(
+      EventStream.statefulSessions(_, gapUs, "0 seconds").toDF())
+    val streamed = spark.table(sink)
+      .filter(col("user_id") < 4)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Events.sessionStats(
+        evs.toDF().withColumn("ts_us", unix_micros(col("ts"))), gapUs)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+  }
+
   test("highValueAlerts is stateless filter+project (no aggregation in plan)") {
     val df = Seq(Ev(1, t(0), 1, "view", 5.0), Ev(2, t(1), 1, "view", 50.0)).toDF()
     val out = EventStream.highValueAlerts(df, 10.0)
