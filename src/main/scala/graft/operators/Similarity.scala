@@ -82,6 +82,59 @@ object Similarity {
       .select(col("__qid").as(queryId), col("__cid").as(corpusId), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    * corpus into `nCentroids` cells; each query probes only its `nProbe`
+    * nearest cells and ranks by exact cosine inside them.
+    *
+    * The scale path beyond SRP-LSH: cell assignment is one pass, the
+    * centroid table is tiny (broadcast), and the probe join fans each query
+    * out to nProbe cells — corpus-side work is |corpus|·nProbe/nCentroids
+    * per query instead of |corpus|. Recall is tunable via nProbe.
+    */
+  def ivfTopK(corpus: DataFrame, corpusId: String,
+              queries: DataFrame, queryId: String,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val c = corpus.select(col(corpusId).as("__cid"), col("embedding").as("__ce"))
+      .withColumn("__fv", array_to_vector(col("__ce").cast("array<double>")))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("__cell").fit(c)
+    val assigned = model.transform(c)
+      .select(col("__cid"), col("__ce"), col("__cell"), norm(col("__ce")).as("__cn"))
+
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq
+      .toDF("__cell", "__centroid")
+
+    // probe assignment: rank centroids per query by L2 distance, keep nProbe
+    val qWithDist = queries
+      .select(col(queryId).as("__qid"), col("embedding").as("__qe"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__d2",
+        dot(col("__centroid"), col("__centroid"))
+          - lit(2.0) * dot(col("__qe"), col("__centroid")))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("__d2"), col("__cell"))
+    val probes = qWithDist
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nProbe)
+      .select(col("__qid"), col("__qe"), col("__cell"),
+        norm(col("__qe")).as("__qn"))
+
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("cos").desc, col("__cid"))
+    assigned.join(broadcast(probes), Seq("__cell"))
+      .withColumn("cos", dot(col("__ce"), col("__qe")) / (col("__cn") * col("__qn")))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(queryId), col("__cid").as(corpusId), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs: same-bucket blocking + exact cosine
     * verification — the embedding-space analogue of MinHash dedup. Norms are
     * computed once per vector before the self-join, so the per-pair work is

@@ -120,6 +120,26 @@ object EventQueries {
         .orderBy(col("day_us"))
     },
 
+    // ---- sliding 2-hour windows every 30 minutes ---------------------------
+    // The batch twin of EventStream.slidingCounts; the oracle replays the
+    // window fan-out with generate_series (each event hits 4 windows).
+    QueryDef.sql("q67_sliding_windows",
+      """WITH w AS (
+        |  SELECT epoch_us(time_bucket(INTERVAL 30 MINUTE, ts) - to_minutes(k * 30)) AS win_start,
+        |    value
+        |  FROM events, (SELECT unnest(generate_series(0, 3)) AS k))
+        |SELECT win_start, count(*) AS n,
+        |  round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS total_value
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("value") * 100).cast("long")) / 100.0, 2).as("total_value"))
+        .select(unix_micros(col("window.start")).as("win_start"),
+          col("n"), col("total_value"))
+        .orderBy(col("win_start"))
+    },
+
     // ---- JSON property extraction ------------------------------------------
     QueryDef.sql("q66_props_json",
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,

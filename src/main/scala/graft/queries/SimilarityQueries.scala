@@ -62,6 +62,19 @@ object SimilarityQueries {
         .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos"))
     },
 
+    // ---- IVF ANN (KMeans coarse quantizer; model output not SQL-replayable
+    //      -> rows-only; exactness at nProbe=nCentroids pinned by
+    //      SimilaritySpec) ------------------------------------------------------
+    QueryDef.rowsOnly("q4d_embedding_ivf") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopK(emb.where(col("vec_id") >= 5), "vec_id",
+          queries, "query_id", k = 5, nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
+    },
+
     // ---- LSH-bucketed ANN (xxhash64-derived hyperplanes: not SQL-replayable
     //      -> rows-only; recall vs brute force pinned by SimilaritySpec) -----
     QueryDef.rowsOnly("q4a_embedding_lsh") { (s, d) =>

@@ -175,6 +175,25 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // ---- multimodal: patch-grid generator fan-out ---------------------------
+    // Exercises the real explode-generator path (decode -> patchGrid); the
+    // oracle replays the fake-header math and the grid cardinality.
+    QueryDef.sql("q51_patch_grid",
+      """SELECT doc_id AS media_id,
+        |  CAST(ceil((64 + octet_length(text::BLOB) % 192) / 32.0) *
+        |       ceil((64 + (octet_length(text::BLOB) * 7 + ascii(substring(text, 1, 1))) % 192) / 32.0)
+        |    AS BIGINT) AS n_patches,
+        |  CAST(ceil((64 + octet_length(text::BLOB) % 192) / 32.0) - 1 AS INT) AS max_px,
+        |  CAST(ceil((64 + (octet_length(text::BLOB) * 7 + ascii(substring(text, 1, 1))) % 192) / 32.0) - 1 AS INT) AS max_py
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.patchGrid(Multimodal.fakeDecode(media), patch = 32)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_patches"),
+          max(col("px")).as("max_px"), max(col("py")).as("max_py"))
+        .orderBy(col("media_id"))
+    },
+
     // ---- multimodal: binary payload + metadata plumbing ---------------------
     // Runs the real mapPartitions stub path (Multimodal.fakeDecode); the
     // oracle replays the deterministic fake-header math in SQL.

@@ -56,6 +56,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got.contains(1L), s"identical vector must be in its query's bucket, got ${got.toSeq}")
   }
 
+  test("ivfTopK recalls the identical vector; all-cells probe equals brute force") {
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Seq((i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.ivfTopK(corpus, "vec_id", queries, "query_id",
+        k = 1, nCentroids = 4, nProbe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    // with nProbe == nCentroids every cell is probed -> exact: the best
+    // match for each query is itself (cosine 1)
+    (0L until 3L).foreach(q => assert(got(q) == q, s"query $q got ${got.get(q)}"))
+  }
+
   test("cosineNearDupes finds the identical pair and not the orthogonal one") {
     val pairs = Similarity.cosineNearDupes(vecs, "vec_id", threshold = 0.99, planes = 4)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
