@@ -31,8 +31,11 @@ object PipelineQueries {
         |FROM t JOIN (SELECT printf('s%d', s_suppkey) AS slide_name, s_nationkey
         |             FROM supplier) s USING (slide_name)
         |GROUP BY t.slide_name ORDER BY slide_name""".stripMargin) { (s, d) =>
-      val paths = Tables.lineitem(s, d).select(
-        format_string("/tiles/s%d/s%d_%d_%d.jpg",
+      // Par.spread: the regex parse is CPU-bound and the single-row-group
+      // scan would otherwise pin it to one core (no-op on well-split input)
+      val paths = graft.operators.Par.spread(Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_partkey"), col("l_linenumber")))
+        .select(format_string("/tiles/s%d/s%d_%d_%d.jpg",
           col("l_suppkey"), col("l_suppkey"),
           col("l_partkey") % 100, col("l_linenumber")).as("path"))
       val meta = Tables.supplier(s, d).select(

@@ -62,4 +62,18 @@ object Sources {
     tilePaths
       .select((col("path") +: parseTilePath(col("path"))): _*)
       .join(broadcast(meta), Seq("slide_name"), "inner")
+
+  /** Bucketed-table sink: co-locates future equi-joins/aggregations on
+    * `bucketCol` — both sides of a join bucketed the same way need NO
+    * exchange at read time, the standard 100 TB trick for repeatedly-joined
+    * fact tables. (Requires a table catalog; pass the table name, read back
+    * with `spark.table`.)
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)  // managed table under spark.sql.warehouse.dir
 }

@@ -45,6 +45,27 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"C1 must broadcast:\n$plan")
   }
 
+  test("bucketed tables join without a shuffle on either side") {
+    for (t <- Seq("b_facts", "b_dims")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = Paths.get("spark-warehouse", t)
+      if (Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(loc).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+    val n = 500
+    val facts = (0 until n).map(i => (i.toLong % 50, i.toDouble)).toDF("k", "v")
+    val dims = (0L until 50L).map(i => (i, s"d$i")).toDF("k", "name")
+    Sources.writeBucketed(facts, "b_facts", "k", 8)
+    Sources.writeBucketed(dims, "b_dims", "k", 8)
+    val joined = spark.table("b_facts").join(spark.table("b_dims").hint("merge"), "k")
+    assert(joined.count() == n)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed SMJ must not shuffle either side:\n$plan")
+  }
+
   test("withSlideId is a dense 0-based key in the given order") {
     val meta = Seq("b", "a", "c").toDF("slide_name")
     val ids = Sources.withSlideId(meta, col("slide_name"))
