@@ -102,8 +102,18 @@ object TextFunctions {
   def bagFingerprint(text: Column): Column =
     xxhash64(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
-  /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit.
+    * Native single-pass kernel (see [[graft.expressions.WordShingles]]);
+    * [[shinglesComposable]] is the built-in-only formulation it must match.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.expressions.WordShingles.shingles(text, n)
+
+  /** Reference formulation of [[shingles]] from composable built-ins
+    * (interpreted lambdas — slower; kept as the semantic oracle for the
+    * native kernel's bit-equality spec).
+    */
+  def shinglesComposable(text: Column, n: Int): Column = {
     val t = tokens(text)
     array_distinct(
       when(size(t) < n, array(concat_ws(" ", t)))

@@ -46,6 +46,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(short == Seq("a b"))
   }
 
+  test("native shingles kernel is bit-identical to the composable formulation") {
+    val texts = Seq(
+      "", " ", "a", "a b", "a b c", "a b c d e f",
+      "dup dup dup dup", "  leading  and   inner   spaces  ",
+      "the quick brown fox the quick brown fox")
+    val df = texts.toDF("t").cache()
+    for (n <- Seq(1, 2, 3, 5)) {
+      val native = df.select(TextFunctions.shingles(col("t"), n))
+        .as[Seq[String]].collect().toSeq
+      val composable = df.select(TextFunctions.shinglesComposable(col("t"), n))
+        .as[Seq[String]].collect().toSeq
+      assert(native == composable, s"n=$n")
+    }
+    df.unpersist()
+  }
+
   test("fingerprint64 is injective on distinct texts, stable on equal texts") {
     val fps = Seq("alpha", "beta", "alpha").toDF("t")
       .select(TextFunctions.fingerprint64(col("t"))).as[Long].collect()
