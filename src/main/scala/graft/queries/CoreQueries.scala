@@ -224,6 +224,39 @@ object CoreQueries {
         .agg(round(avg(col("c_acctbal")), 2).as("avg_bal"), count(lit(1)).as("n"))
         .where(col("n") > 20)
         .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- E: exact percentiles (interpolated, = DuckDB quantile_cont) --------
+    QueryDef.sql("q13_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- E: sketch aggregates, the 100TB substitutes for exact distinct /
+    //      percentile (HLL++ / KLL values are engine-specific -> rows-only;
+    //      error bounds vs exact pinned by the check below against the same
+    //      session's exact aggregates) --------------------------------------
+    QueryDef.rowsOnly("q14_approx_agg") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("approx_p50"))
+        .withColumn("rel_err",
+          round(abs(col("approx_orders") - col("exact_orders"))
+            / col("exact_orders"), 4))
+        .orderBy(col("l_returnflag"))
     }
   )
 }
