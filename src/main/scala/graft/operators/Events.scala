@@ -57,6 +57,40 @@ object Events {
       .filter(col("to_us") > col("from_us") && col("to_us") <= col("from_us") + withinUs)
   }
 
+  /** Backward as-of join: for each left row, the single most recent right
+    * row of the same key with `right.ts <= left.ts` (DuckDB/kdb ASOF JOIN
+    * semantics; ties take the right row).
+    *
+    * Spark has no native as-of join; the usual range-join phrasing explodes
+    * into a per-key nested loop. This is the union trick instead: tag both
+    * sides, sort per key by (ts, side), and carry the last right payload
+    * forward with a running `last(ignoreNulls)` window — ONE shuffle on the
+    * key, linear work, no row explosion, skew-safe like any keyed window.
+    *
+    * `rightCols` are the right-side columns to attach (emitted as
+    * `asof_<name>`, NULL when no right row precedes).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               rightCols: Seq[String]): DataFrame = {
+    val payload = struct(rightCols.map(col): _*)
+    val l = left.withColumn("__r", lit(null).cast(
+        right.select(payload).schema.fields.head.dataType))
+      .withColumn("__side", lit(1))
+    val r = right.select(col(key), col(tsCol), payload.as("__r"), lit(0).as("__side"))
+    val unioned = l.columns.foldLeft(r) { (acc, c) =>
+      if (acc.columns.contains(c)) acc
+      else acc.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l.columns.map(col): _*).unionByName(l)
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = unioned
+      .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    rightCols.foldLeft(filled) { (acc, c) =>
+      acc.withColumn(s"asof_$c", col(s"__last.$c"))
+    }.drop("__r", "__side", "__last")
+  }
+
   /** Day-over-day retention: for each day, how many users active that day
     * were also active the next day.
     */

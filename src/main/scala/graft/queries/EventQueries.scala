@@ -140,6 +140,29 @@ object EventQueries {
         .orderBy(col("win_start"))
     },
 
+    // ---- backward as-of join: click -> most recent prior view --------------
+    QueryDef.sql("q68_asof_join",
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value
+        |           FROM events WHERE event_type = 'click'),
+        |     v AS (SELECT user_id, epoch_us(ts) AS tus, value AS view_value
+        |           FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, c.tus, v.tus AS view_tus,
+        |  round(v.view_value, 2) AS view_value
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.tus >= v.tus
+        |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("tus"), col("event_id"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us").as("tus"), col("value").as("view_value"))
+      Events.asofJoin(clicks, views, "user_id", "tus",
+          rightCols = Seq("tus", "view_value"))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("asof_tus").as("view_tus"),
+          round(col("asof_view_value"), 2).as("view_value"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- JSON property extraction ------------------------------------------
     QueryDef.sql("q66_props_json",
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,

@@ -45,6 +45,30 @@ class EventsSpec extends SparkSpec {
     assert(out == Seq((1L, 0L, 10 * m)), s"got $out")
   }
 
+  test("asofJoin attaches the most recent right row at or before each left ts") {
+    val clicks = Seq((1L, 100L, "c1"), (1L, 200L, "c2"), (2L, 50L, "c3"))
+      .toDF("user_id", "tus", "tag")
+    val views = Seq((1L, 90L, 9.0), (1L, 100L, 10.0), (1L, 150L, 15.0), (2L, 60L, 6.0))
+      .toDF("user_id", "tus", "v")
+    val out = Events.asofJoin(clicks, views, "user_id", "tus", Seq("tus", "v"))
+      .select(col("tag"), col("asof_tus"), col("asof_v"))
+      .as[(String, Option[Long], Option[Double])].collect()
+      .map { case (k, t, v) => k -> ((t, v)) }.toMap
+    assert(out("c1") == ((Some(100L), Some(10.0))), s"tie takes the right row: $out")
+    assert(out("c2") == ((Some(150L), Some(15.0))))
+    assert(out("c3") == ((None, None)), "no prior right row -> nulls")
+  }
+
+  test("asofJoin plans one shuffle on the key (no range explosion)") {
+    val clicks = Seq((1L, 100L)).toDF("user_id", "tus")
+    val views = Seq((1L, 90L, 9.0)).toDF("user_id", "tus", "v")
+    val plan = Events.asofJoin(clicks, views, "user_id", "tus", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"must not nested-loop:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"one keyed shuffle expected, got $shuffles:\n$plan")
+  }
+
   test("dailyRetention counts users active on consecutive days") {
     val day = 24L * 3600 * 1000000
     val df = Seq(
