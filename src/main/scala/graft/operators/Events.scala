@@ -91,6 +91,29 @@ object Events {
     }.drop("__r", "__side", "__last")
   }
 
+  /** Bucket-banded range join: match each point (`tsUsCol`) to every
+    * interval `[startUs, endUs)` that contains it.
+    *
+    * The naive phrasing is a cross join with a BETWEEN filter —
+    * BroadcastNestedLoopJoin, quadratic at scale. Banding instead: explode
+    * each interval into the `bucketUs`-wide time buckets it covers, tag each
+    * point with its bucket, equi-join on the bucket, and keep the exact
+    * containment filter. Work is |points| + Σ interval-width/bucket — a hash
+    * join, never a nested loop. Pick `bucketUs` near the typical interval
+    * width (amplification = width/bucket + 1 per interval).
+    */
+  def rangeJoin(points: DataFrame, tsUsCol: String,
+                intervals: DataFrame, startUs: String, endUs: String,
+                bucketUs: Long): DataFrame = {
+    val iv = intervals.withColumn("__b",
+      explode(sequence(expr(s"$startUs DIV $bucketUs"),
+        expr(s"($endUs - 1) DIV $bucketUs"))))
+    points.withColumn("__b", expr(s"$tsUsCol DIV $bucketUs"))
+      .join(iv, "__b")
+      .filter(col(tsUsCol) >= col(startUs) && col(tsUsCol) < col(endUs))
+      .drop("__b")
+  }
+
   /** Day-over-day retention: for each day, how many users active that day
     * were also active the next day.
     */

@@ -69,6 +69,21 @@ class EventsSpec extends SparkSpec {
     assert(shuffles == 1, s"one keyed shuffle expected, got $shuffles:\n$plan")
   }
 
+  test("rangeJoin equals the naive cross+filter and plans a hash join") {
+    val points = (0L until 200L by 7L).map(t => (t, s"p$t")).toDF("tus", "ptag")
+    val intervals = Seq((0L, 50L, "w0"), (40L, 100L, "w1"), (150L, 160L, "w2"))
+      .toDF("s_us", "e_us", "wtag")
+    val banded = Events.rangeJoin(points, "tus", intervals, "s_us", "e_us", bucketUs = 16L)
+      .select("ptag", "wtag").as[(String, String)].collect().toSet
+    val naive = points.crossJoin(intervals)
+      .filter(col("tus") >= col("s_us") && col("tus") < col("e_us"))
+      .select("ptag", "wtag").as[(String, String)].collect().toSet
+    assert(banded == naive && naive.nonEmpty)
+    val plan = Events.rangeJoin(points, "tus", intervals, "s_us", "e_us", 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"banded range join must hash-join:\n$plan")
+  }
+
   test("dailyRetention counts users active on consecutive days") {
     val day = 24L * 3600 * 1000000
     val df = Seq(
