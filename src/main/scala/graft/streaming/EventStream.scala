@@ -69,6 +69,28 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Watermarked stream-stream interval join: each `leftType` event joins
+    * the `rightType` events of the same user within `(left.ts, left.ts +
+    * within]`. Both sides carry watermarks and the join condition bounds
+    * event-time distance, so Spark can expire join state — the streaming
+    * twin of Events.funnelPairs with bounded memory.
+    */
+  def streamStreamFunnel(events: DataFrame, leftType: String, rightType: String,
+                         within: String, watermark: String): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+      .withWatermark("l_ts", watermark)
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Exactly-once-per-event-id dedup bounded by the watermark horizon —
     * the streaming ingest guard for at-least-once sources.
     */

@@ -144,6 +144,36 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
   }
 
+  test("stream-stream funnel join matches the batch funnel on the same data") {
+    val evs = (0 until 80).map { i =>
+      Ev(i.toLong, t(i * 7 % 240), i % 5L,
+        if (i % 2 == 0) "view" else "click", 1.0)
+    }
+    val sink = run(Seq(evs), "append")(
+      EventStream.streamStreamFunnel(_, "view", "click", "30 MINUTES", "0 seconds"))
+    val streamed = spark.table(sink)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val batch = graft.operators.Events.funnelPairs(
+        evs.toDF().withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("from_id", col("event_id")),
+        "view", "click", withinUs = 30L * 60 * 1000000)
+      .count()
+    assert(streamed.size.toLong == batch, s"stream=${streamed.size} batch=$batch")
+    assert(streamed.nonEmpty)
+  }
+
+  test("sliding windows overlap: each event lands in window/slide windows") {
+    val evs = Seq(Ev(1, t(65), 1, "view", 1.0))
+    val flush = Seq(Ev(2, t(4000), 9, "view", 0.0))
+    val sink = run(Seq(evs, flush), "append")(
+      EventStream.slidingCounts(_, "1 hour", "15 minutes", "0 seconds"))
+    val wins = spark.table(sink)
+      .filter(col("n") === 1)
+      .select(minutesFromT0(unix_micros(col("win_start")))).as[Double]
+      .collect().toSet
+    assert(wins == Set(15.0, 30.0, 45.0, 60.0), s"got $wins")
+  }
+
   test("file-source streaming over the real events parquet equals batch") {
     // the realistic ingest: readStream over a parquet directory, with the
     // same ns->us schema override Tables.events uses for the batch path
