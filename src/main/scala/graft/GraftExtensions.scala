@@ -21,7 +21,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             classOf[GraftExtensions].getName, name),
           builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.types.PhysicalDataType
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Grouped top-k as a first-class operator: keep the `k` rows with the
+  * smallest `order` value per group (lexicographic for struct orders; wrap
+  * descending columns by negation or struct tricks).
+  *
+  * Why a custom operator: the DataFrame phrasing —
+  * `row_number().over(Window.partitionBy(g).orderBy(o)) <= k` — must SORT
+  * every group in full (O(n log n) per group, full materialization in the
+  * window buffer) just to discard all but k rows. This physical operator
+  * keeps a bounded max-heap per group (O(n log k), O(groups·k) memory) after
+  * the same single clustered shuffle. The classic D3 shape (per-slide tile
+  * sampling, dataset_classes_v1.py:44-51) at 100 TB: billions of tiles,
+  * k≈100 — the sort buffer is the difference between fitting in memory and
+  * spilling.
+  *
+  * Mechanism demo for the whole custom-operator ladder: LogicalPlan node →
+  * SparkStrategy (via SparkSessionExtensions.injectPlannerStrategy or
+  * spark.experimental.extraStrategies) → UnaryExecNode with
+  * requiredChildDistribution driving the exchange.
+  *
+  * Tie behavior at the k boundary is unspecified (like the reference's
+  * unordered sampling) — pass a totally-ordering `order` expression (e.g.
+  * `struct(score, id)`) when exact reproducibility is required.
+  */
+case class GroupedTopKPlan(k: Int, groupExprs: Seq[Expression],
+                           order: Expression, child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupedTopKPlan =
+    copy(child = newChild)
+}
+
+case class GroupedTopKExec(k: Int, groupExprs: Seq[Expression],
+                           order: Expression, child: SparkPlan)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val kLocal = k
+    val groupLocal = groupExprs
+    val orderLocal = order
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(groupLocal, childOutput)
+      val rowProj = UnsafeProjection.create(childOutput, childOutput)
+      val boundOrder = org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(orderLocal, childOutput)
+      val ord = PhysicalDataType.ordering(orderLocal.dataType)
+        .asInstanceOf[Ordering[Any]]
+      // max-heap of size k per group: head = current worst of the kept k
+      val heapOrd = new java.util.Comparator[(Any, UnsafeRow)] {
+        override def compare(a: (Any, UnsafeRow), b: (Any, UnsafeRow)): Int =
+          ord.compare(b._1, a._1)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(Any, UnsafeRow)]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[(Any, UnsafeRow)](kLocal + 1, heapOrd)
+          heaps.put(key.copy(), heap)
+        }
+        val v = boundOrder.eval(row)
+        if (heap.size() < kLocal) {
+          heap.add((v, rowProj(row).copy()))
+        } else if (ord.compare(v, heap.peek()._1) < 0) {
+          heap.poll()
+          heap.add((v, rowProj(row).copy()))
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().asScala.iterator.flatMap(_.iterator().asScala.map(_._2))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupedTopKExec =
+    copy(child = newChild)
+}
+
+object GroupedTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupedTopKPlan(k, g, o, child) =>
+      GroupedTopKExec(k, g, o, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object GroupedTopK {
+  /** Keep the k rows with the smallest `order` value per group. */
+  def perGroup(df: DataFrame, groupCols: Seq[Column], order: Column,
+               k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    }
+    // Columns resolve only through the analyzer: analyze a throwaway
+    // projection of (groups :+ order) and lift out its resolved expressions
+    // (bound to the same attribute ids as its child plan).
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val tagged = df.select(
+      (groupCols :+ order).zipWithIndex.map { case (c, i) => c.as(s"__gtk$i") }: _*)
+    val project = tagged.queryExecution.analyzed.asInstanceOf[Project]
+    val exprs = project.projectList.map {
+      case a: Alias => a.child
+      case e => e
+    }
+    ColumnBridge.ofRows(spark,
+      GroupedTopKPlan(k, exprs.take(groupCols.size), exprs.last, project.child))
+  }
+}

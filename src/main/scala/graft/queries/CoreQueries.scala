@@ -242,6 +242,27 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- custom physical operator: grouped top-k via bounded heaps --------
+    // (graft.plans.GroupedTopK - LogicalPlan + SparkStrategy + ExecNode; the
+    // total order struct(totalprice, orderkey) makes the heap result equal
+    // the window-rank oracle exactly)
+    QueryDef.sql("q16_grouped_topk",
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM r WHERE rn <= 3
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      graft.plans.GroupedTopK.perGroup(
+          Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+          Seq(col("o_custkey")),
+          struct(col("o_totalprice"), col("o_orderkey")), k = 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // ---- E: sketch aggregates, the 100TB substitutes for exact distinct /
     //      percentile (HLL++ / KLL values are engine-specific -> rows-only;
     //      error bounds vs exact pinned by the check below against the same
