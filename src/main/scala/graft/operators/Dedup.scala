@@ -142,6 +142,49 @@ object Dedup {
         graft.expressions.HashSketchExpressions.simhash(
           TextFunctions.tokens(col("__t"))).as("sh"))
 
+  /** MinHash-union sketch aggregate: elementwise min of signatures across a
+    * group — the group's own MinHash signature (union semantics: the
+    * signature of a union of shingle sets is the elementwise min of the
+    * per-doc signatures). Lets corpus-level dedup roll up to any grouping
+    * (per domain, per crawl, per day) in one hash-aggregate, and estimate
+    * cross-group Jaccard from the aggregated sketches without touching the
+    * text again. Registered for DataFrames via `minhashUnionUdaf`.
+    */
+  class MinHashUnion(numHashes: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+    override def reduce(b: Array[Long], sig: Seq[Long]): Array[Long] = {
+      if (sig != null) {
+        var i = 0
+        while (i < numHashes && i < sig.length) {
+          if (sig(i) < b(i)) b(i) = sig(i); i += 1
+        }
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** DataFrame-usable MinHash-union aggregate column. */
+  def minhashUnion(sig: Column, numHashes: Int): Column =
+    udaf(new MinHashUnion(numHashes)).apply(sig)
+
+  /** Estimated Jaccard between two aggregated signatures: fraction of
+    * agreeing components.
+    */
+  def sketchJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
+      .cast("double") / size(sigA)
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -164,6 +164,23 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // ---- MinHash-union sketch rollup: group-level signatures + cross-group
+    //      sketch Jaccard (xxhash-derived -> rows-only; union semantics
+    //      pinned by DedupSpec) --------------------------------------------
+    QueryDef.rowsOnly("q4e_minhash_union") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16, 3)
+        .withColumn("grp", col("doc") % 10)
+      val grouped = sigs.groupBy("grp")
+        .agg(Dedup.minhashUnion(col("sig"), 16).as("gsig"))
+      val a = grouped.select(col("grp").as("grp_a"), col("gsig").as("sig_a"))
+      val b = grouped.select(col("grp").as("grp_b"), col("gsig").as("sig_b"))
+      a.join(b, col("grp_a") < col("grp_b"))
+        .select(col("grp_a"), col("grp_b"),
+          round(Dedup.sketchJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
+        .orderBy(col("grp_a"), col("grp_b"))
+    },
+
     // ---- SimHash near-dup candidates (rows-only; pinned by DedupSpec) ------
     QueryDef.rowsOnly("q47_simhash") { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))

@@ -70,6 +70,29 @@ class DedupSpec extends SparkSpec {
     assert(bulkS == exprS)
   }
 
+  test("minhashUnion aggregate equals the signature of the concatenated group") {
+    val groups = Seq(
+      (1L, "g1", "the quick brown fox jumps over the lazy dog"),
+      (2L, "g1", "a completely different second document here today"),
+      (3L, "g2", "third doc about spark engines and aggregation"))
+      .toDF("doc_id", "grp", "text")
+    val sigs = Dedup.minhashSignatures(groups, "doc_id", "text", 8, 3)
+      .join(groups.select(col("doc_id").as("doc"), col("grp")), "doc")
+    val agg = sigs.groupBy("grp")
+      .agg(Dedup.minhashUnion(col("sig"), 8).as("gsig"))
+      .as[(String, Seq[Long])].collect().toMap
+    // union semantics: g1's signature == elementwise min of doc 1 and 2
+    val docSigs = Dedup.minhashSignatures(groups, "doc_id", "text", 8, 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    val expected = docSigs(1L).zip(docSigs(2L)).map { case (a, b) => math.min(a, b) }
+    assert(agg("g1") == expected)
+    assert(agg("g2") == docSigs(3L))
+    // sketch Jaccard of a group with itself is 1
+    val j = sigs.groupBy("grp").agg(Dedup.minhashUnion(col("sig"), 8).as("s"))
+      .select(Dedup.sketchJaccard(col("s"), col("s"))).as[Double].head()
+    assert(j == 1.0)
+  }
+
   test("simhashNearDupes blocks + filters by hamming") {
     val pairs = Dedup.simhashNearDupes(docs, "doc_id", "text",
         maxHamming = 12, prefixBits = 8)
