@@ -49,4 +49,18 @@ object Encode {
     }
     df.withColumn(out, expr)
   }
+
+  /** Equal-frequency bucketing for continuous stratification columns
+    * (SURVEY.md §2 D1: "discretize continuous cols (age → buckets)"). The
+    * ntile-window phrasing would funnel all rows through one unpartitioned
+    * sort; instead compute approximate quantile cutoffs in one pass
+    * (KLL sketch, distributed) and bucketize with the ≤-inclusive chain —
+    * two scans, no global sort, scale-safe.
+    */
+  def quantileBuckets(df: DataFrame, c: String, nBuckets: Int, out: String,
+                      relErr: Double = 0.001): DataFrame = {
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val splits = df.stat.approxQuantile(c, probs, relErr).distinct.sorted
+    bucketize(df, c, splits.toIndexedSeq, out)
+  }
 }

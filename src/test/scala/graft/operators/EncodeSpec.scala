@@ -5,6 +5,15 @@ import graft.SparkSpec
 class EncodeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("quantileBuckets yields near-equal bucket sizes, stratification-ready") {
+    val df = (0 until 1000).map(i => (i.toLong, (i * i % 997).toDouble)).toDF("id", "v")
+    val out = Encode.quantileBuckets(df, "v", nBuckets = 4, out = "b")
+    val sizes = out.groupBy("b").count().as[(Int, Long)].collect().toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3))
+    sizes.values.foreach(n =>
+      assert(n >= 150 && n <= 350, s"equal-frequency-ish buckets, got $sizes"))
+  }
+
   test("scale01 maps min->0, max->1, midpoint->0.5") {
     val df = Seq(0.0, 5.0, 10.0).toDF("v")
     val out = Encode.scale01(df, "v", "s").orderBy("v").select("s").as[Double].collect()
