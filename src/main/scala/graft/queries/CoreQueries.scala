@@ -242,6 +242,26 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- G: intersect / except ---------------------------------------------
+    QueryDef.sql("q17_set_ops",
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |b AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |      WHERE o_orderstatus = 'O')
+        |SELECT 'except' AS op, count(*) AS n
+        |FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'intersect' AS op, count(*) AS n
+        |FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |ORDER BY op""".stripMargin) { (s, d) =>
+      val a = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val b = Tables.orders(s, d).where(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val spark = s; import spark.implicits._
+      Seq(("except", a.except(b).count()), ("intersect", a.intersect(b).count()))
+        .toDF("op", "n").orderBy(col("op"))
+    },
+
     // ---- custom physical operator: grouped top-k via bounded heaps --------
     // (graft.plans.GroupedTopK - LogicalPlan + SparkStrategy + ExecNode; the
     // total order struct(totalprice, orderkey) makes the heap result equal
