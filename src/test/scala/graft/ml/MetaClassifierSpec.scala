@@ -41,6 +41,20 @@ class MetaClassifierSpec extends SparkSpec {
     assert(p1 == p2)
   }
 
+  test("model persists and reloads with identical predictions (A6 artifact store)") {
+    val m = MetaClassifier.fit(meta, Seq("age", "noise"), "label",
+      MetaClassifier.Config(numTrees = 11, maxDepth = 3, seed = 3L))
+    val path = java.nio.file.Paths.get("target", "tmp", "rf_model").toAbsolutePath.toString
+    m.write.overwrite().save(path)
+    val reloaded = org.apache.spark.ml.classification
+      .RandomForestClassificationModel.load(path)
+    val before = MetaClassifier.score(m, meta, Seq("age", "noise"))
+      .select("id", "score1").as[(Long, Double)].collect().toMap
+    val after = MetaClassifier.score(reloaded, meta, Seq("age", "noise"))
+      .select("id", "score1").as[(Long, Double)].collect().toMap
+    assert(before == after)
+  }
+
   test("gridSearch picks a config achieving the best val BA") {
     val train = meta.filter(col("id") % 3 =!= 0)
     val valDf = meta.filter(col("id") % 3 === 0)
