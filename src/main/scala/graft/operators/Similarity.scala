@@ -60,18 +60,35 @@ object Similarity {
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
-  /** LSH-bucketed ANN: bucket corpus and queries by SRP signature; probe
-    * only matching buckets (Hamming-0 probe; recall rises with fewer planes
-    * or multiprobe). Returns per-query top-k within the probed bucket.
+  /** LSH-bucketed ANN: bucket corpus and queries by SRP signature; each
+    * query multiprobes every bucket within Hamming distance `probeHamming`
+    * of its own signature (0 = exact bucket only). Near neighbors that
+    * disagree on one hyperplane sign land one bit away, so probeHamming=1
+    * (the default) recovers most of the recall that exact-bucket probing
+    * loses, at (planes+1)× query-side fan-out — corpus-side work is still
+    * the probed cells only. Returns per-query top-k within probed buckets.
     */
   def lshTopK(corpus: DataFrame, corpusId: String,
               queries: DataFrame, queryId: String,
-              k: Int, planes: Int = 8, seed: Long = 42L): DataFrame = {
+              k: Int, planes: Int = 8, seed: Long = 42L,
+              probeHamming: Int = 1): DataFrame = {
     val c = corpus.select(col(corpusId).as("__cid"), col("embedding").as("__ce"))
       .withColumn("__bucket", srpSignature(col("__ce"), planes, seed))
       .withColumn("__cn", norm(col("__ce")))
+    // XOR masks for all buckets within the probe radius (radius <= 2 kept
+    // expression-level; beyond that the fan-out outweighs the pruning)
+    val masks: Seq[Long] = probeHamming match {
+      case 0 => Seq(0L)
+      case 1 => 0L +: (0 until planes).map(p => 1L << p)
+      case _ => (0L +: (0 until planes).map(p => 1L << p)) ++
+        (for (i <- 0 until planes; j <- i + 1 until planes)
+          yield (1L << i) | (1L << j))
+    }
     val q = queries.select(col(queryId).as("__qid"), col("embedding").as("__qe"))
-      .withColumn("__bucket", srpSignature(col("__qe"), planes, seed))
+      .withColumn("__b0", srpSignature(col("__qe"), planes, seed))
+      .withColumn("__bucket",
+        explode(array(masks.map(m => col("__b0").bitwiseXOR(lit(m))): _*)))
+      .drop("__b0")
       .withColumn("__qn", norm(col("__qe")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__qid")).orderBy(col("cos").desc, col("__cid"))
