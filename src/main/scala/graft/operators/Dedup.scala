@@ -191,18 +191,36 @@ object Dedup {
   /** Driver-side hamming for tests/inspection. */
   def hammingLongs(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** SimHash near-dup candidates: block on `prefixBits` high bits (near-dups
-    * agree on most bits, so high-bit prefixes collide), then filter by exact
-    * Hamming distance <= maxHamming within blocks.
+  /** SimHash near-dup candidates with multi-band blocking: split the 64-bit
+    * signature into `bands` equal bit-blocks; a pair is a candidate if it
+    * agrees exactly on ANY band (pigeonhole: a pair with Hamming distance
+    * d < bands must share at least one clean band, so recall is EXACT for
+    * d <= maxHamming whenever bands > maxHamming — the classic simhash
+    * dedup structure). Candidates then filter on exact Hamming distance.
+    * Blocking fan-out is bands× rows; each band-join is an equi-join.
     */
   def simhashNearDupes(df: DataFrame, id: String, text: String,
-                       maxHamming: Int = 3, prefixBits: Int = 16): DataFrame = {
+                       maxHamming: Int = 3, bands: Int = 8): DataFrame = {
+    require(bands > maxHamming,
+      s"bands ($bands) must exceed maxHamming ($maxHamming) for exact recall")
+    require(64 % bands == 0, s"bands ($bands) must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sh = simhashSignatures(df, id, text)
-      .withColumn("block", shiftrightunsigned(col("sh"), 64 - prefixBits))
-    val a = sh.as("a"); val b = sh.as("b")
-    a.join(b, col("a.block") === col("b.block") && col("a.doc") < col("b.doc"))
-      .withColumn("hamming", hamming(col("a.sh"), col("b.sh")))
+    val banded = sh.select(col("doc"), col("sh"),
+      explode(array((0 until bands).map { i =>
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("sh"), i * width).bitwiseAND(mask).as("bits"))
+      }: _*)).as("bk"))
+      .select(col("doc"), col("sh"), col("bk.band"), col("bk.bits"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bits") === col("b.bits")
+        && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 }

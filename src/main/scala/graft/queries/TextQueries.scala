@@ -188,7 +188,7 @@ object TextQueries {
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" tail")).as("text"))
       Dedup.simhashNearDupes(docs.unionByName(dupes), "doc_id", "text",
-          maxHamming = 6, prefixBits = 12)
+          maxHamming = 6, bands = 8)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 

@@ -39,6 +39,30 @@ class RecallSpec extends SparkSpec {
     all.unpersist()
   }
 
+  test("SimHash blocking recalls planted near-dupes on real docs") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val dupes = docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val all = docs.unionByName(dupes)
+    // ground truth: planted pairs whose ACTUAL hamming distance qualifies
+    // (appending " tail" to a short doc can flip more than maxHamming bits)
+    val sigs = Dedup.simhashSignatures(all, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val plantedPairs: Set[(Long, Long)] = dupes
+      .select((col("doc_id") - 1000000).as("a"), col("doc_id").as("b"))
+      .as[(Long, Long)].collect().toSet
+    val qualifying = plantedPairs.filter(p =>
+      Dedup.hammingLongs(sigs(p._1), sigs(p._2)) <= 6)
+    assert(qualifying.size >= 80, s"most planted dupes should be close, got ${qualifying.size}")
+    val found = Dedup.simhashNearDupes(all, "doc_id", "text",
+        maxHamming = 6, bands = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // pigeonhole: bands(8) > maxHamming(6) makes recall EXACT on qualifiers
+    assert(qualifying.subsetOf(found),
+      s"multi-band blocking must find every pair with d<=maxHamming; missed ${qualifying.diff(found)}")
+  }
+
   test("SRP-LSH and IVF ANN recall the brute-force top-1 for most queries") {
     val emb = Tables.embeddings(spark, dir).cache()
     val queries = emb.where(col("vec_id") < 10)

@@ -95,7 +95,7 @@ class DedupSpec extends SparkSpec {
 
   test("simhashNearDupes blocks + filters by hamming") {
     val pairs = Dedup.simhashNearDupes(docs, "doc_id", "text",
-        maxHamming = 12, prefixBits = 8)
+        maxHamming = 12, bands = 16)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
