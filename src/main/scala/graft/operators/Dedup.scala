@@ -142,6 +142,52 @@ object Dedup {
         graft.expressions.HashSketchExpressions.simhash(
           TextFunctions.tokens(col("__t"))).as("sh"))
 
+  /** Near-dup clusters from a pair list: connected components by iterative
+    * min-label propagation (each doc's label converges to the smallest doc
+    * id reachable through near-dup edges). Converges in O(component
+    * diameter) rounds — near-dup components are shallow (dupes of dupes),
+    * so a handful of rounds suffices; lineage is truncated per round with
+    * `localCheckpoint` so the plan doesn't grow unboundedly at scale.
+    * Returns `(doc, cluster)` for every doc appearing in a pair.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("cluster", col("doc"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc").as("src"), col("cluster").as("c")), "src")
+        .groupBy(col("dst").as("doc"))
+        .agg(min(col("c")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** The corpus with near-duplicates removed: one keeper (the min-id member)
+    * per near-dup cluster; docs in no cluster pass through.
+    */
+  def dropNearDupes(df: DataFrame, id: String, text: String,
+                    threshold: Double = 0.8): DataFrame = {
+    val clusters = nearDupClusters(minhashNearDupes(df, id, text, threshold))
+    df.join(clusters.withColumnRenamed("doc", id), Seq(id), "left")
+      .filter(col("cluster").isNull || col("cluster") === col(id))
+      .drop("cluster")
+  }
+
   /** MinHash-union sketch aggregate: elementwise min of signatures across a
     * group — the group's own MinHash signature (union semantics: the
     * signature of a union of shingle sets is the elementwise min of the

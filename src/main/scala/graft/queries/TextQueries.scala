@@ -164,6 +164,19 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // ---- full near-dup removal: LSH pairs -> connected components -> one
+    //      keeper per cluster (xxhash-derived -> rows-only) ------------------
+    QueryDef.rowsOnly("q4f_drop_neardupes") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dupes = docs.where(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text"))
+      Dedup.dropNearDupes(docs.unionByName(dupes), "doc_id", "text",
+          threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- MinHash-union sketch rollup: group-level signatures + cross-group
     //      sketch Jaccard (xxhash-derived -> rows-only; union semantics
     //      pinned by DedupSpec) --------------------------------------------

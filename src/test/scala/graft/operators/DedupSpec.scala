@@ -70,6 +70,22 @@ class DedupSpec extends SparkSpec {
     assert(bulkS == exprS)
   }
 
+  test("nearDupClusters finds connected components across chained pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L),
+      s"chain 1-2-3 must collapse to one cluster, got $clusters")
+  }
+
+  test("dropNearDupes keeps one doc per near-dup cluster plus all singletons") {
+    val kept = Dedup.dropNearDupes(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // docs 1,2 exact dupes and 3 near-dupes of them -> one keeper (1);
+    // 4 and 5 unrelated singletons pass through
+    assert(kept == Seq(1L, 4L, 5L), s"got $kept")
+  }
+
   test("minhashUnion aggregate equals the signature of the concatenated group") {
     val groups = Seq(
       (1L, "g1", "the quick brown fox jumps over the lazy dog"),
