@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation: the standard pretraining-data funnel composed from the
+  * engine's own operators — quality gate → language gate → exact dedup →
+  * near-dup dedup — plus greedy sequence packing into fixed token budgets.
+  * Every stage is a DataFrame transform; the funnel is one lazy DAG until
+  * the near-dup stage (which pipelines through the LSH block/verify jobs).
+  */
+object Curate {
+
+  case class Config(
+      minQuality: Double = 0.5,
+      lang: String = "en",
+      minTokens: Int = 10, maxTokens: Int = 100000,
+      nearDupThreshold: Double = 0.8)
+
+  /** The funnel. Returns surviving rows of `df` with `quality`, `lang`, and
+    * `n_tokens` columns attached (useful for audit aggregations).
+    */
+  def curate(df: DataFrame, id: String, text: String,
+             cfg: Config = Config()): DataFrame = {
+    val scored = df
+      .withColumn("quality", TextFunctions.qualityScore(col(text)))
+      .withColumn("lang", TextFunctions.langId(col(text)))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(text)))
+    val gated = scored
+      .filter(col("quality") >= cfg.minQuality)
+      .filter(col("lang") === cfg.lang)
+      .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
+    val exactDeduped = Dedup.dropExactDupes(gated, id, text)
+    Dedup.dropNearDupes(exactDeduped, id, text, cfg.nearDupThreshold)
+  }
+
+  /** Per-stage survivor counts — the curation audit table. */
+  def funnelAudit(df: DataFrame, id: String, text: String,
+                  cfg: Config = Config()): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scored = df
+      .withColumn("quality", TextFunctions.qualityScore(col(text)))
+      .withColumn("lang", TextFunctions.langId(col(text)))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(text)))
+      .cache()
+    try {
+      val total = scored.count()
+      val q = scored.filter(col("quality") >= cfg.minQuality)
+      val nq = q.count()
+      val lg = q.filter(col("lang") === cfg.lang)
+      val nl = lg.count()
+      val tk = lg.filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
+      val nt = tk.count()
+      val ne = Dedup.dropExactDupes(tk, id, text).count()
+      Seq(("0_total", total), ("1_quality", nq), ("2_lang", nl),
+        ("3_tokens", nt), ("4_exact_dedup", ne))
+        .toDF("stage", "n_docs")
+    } finally scored.unpersist()
+  }
+
+  /** Greedy contiguous sequence packing: in `orderBy` order, assign docs to
+    * packs so each pack holds ~`budget` tokens (a doc larger than the budget
+    * gets its own pack). Deterministic: pack id = floor(exclusive running
+    * token total / budget) — the cumulative-sum phrasing that replays in
+    * ANSI SQL. The running window is per `shard` so no single task sees the
+    * whole corpus; shard by date/source at scale.
+    */
+  def packSequences(df: DataFrame, tokenCol: String, orderBy: String,
+                    budget: Long, shardCol: Option[String] = None): DataFrame = {
+    val w0 = shardCol match {
+      case Some(s) => Window.partitionBy(col(s)).orderBy(col(orderBy))
+      case None => Window.orderBy(col(orderBy))
+    }
+    val w = w0.rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("pack_id", (col("__cum") / budget).cast("long"))
+      .drop("__cum")
+  }
+}

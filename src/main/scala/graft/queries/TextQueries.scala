@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal}
+import graft.operators.{Curate, Dedup, Multimodal}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup + multimodal queries over the documents table —
@@ -162,6 +162,55 @@ object TextQueries {
           threshold = 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- curation funnel audit (quality -> lang -> tokens -> exact dedup) --
+    QueryDef.sql("q4g_curate_funnel",
+      """WITH sc AS (
+        |  SELECT doc_id, text,
+        |    (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4
+        |    + least(len(list_distinct(string_split(text,' '))) / len(string_split(text,' ')), 1.0) * 0.3
+        |    + (length(regexp_replace(text, '[^\p{L}]', '', 'g')) / greatest(length(text), 1)) * 0.3 AS quality,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','ein','eine','zu','nicht','mit'))) / len(string_split(text,' ')) AS s_de,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','in','is','it','that','was'))) / len(string_split(text,' ')) AS s_en,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','y','es','un','una','en','que','por'))) / len(string_split(text,' ')) AS s_es,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est','un','une','dans','que','pour'))) / len(string_split(text,' ')) AS s_fr,
+        |    len(string_split(text,' ')) AS n_tokens
+        |  FROM documents),
+        |lg AS (SELECT *, CASE WHEN greatest(s_de,s_en,s_es,s_fr) < 0.02 THEN 'und'
+        |         WHEN s_de = greatest(s_de,s_en,s_es,s_fr) THEN 'de'
+        |         WHEN s_en = greatest(s_de,s_en,s_es,s_fr) THEN 'en'
+        |         WHEN s_es = greatest(s_de,s_en,s_es,s_fr) THEN 'es'
+        |         ELSE 'fr' END AS lang FROM sc),
+        |q AS (SELECT * FROM lg WHERE quality >= 0.5),
+        |l AS (SELECT * FROM q WHERE lang = 'en'),
+        |t AS (SELECT * FROM l WHERE n_tokens BETWEEN 10 AND 100000),
+        |e AS (SELECT min(doc_id) AS k FROM t GROUP BY text)
+        |SELECT '0_total' AS stage, count(*) AS n_docs FROM sc
+        |UNION ALL SELECT '1_quality', count(*) FROM q
+        |UNION ALL SELECT '2_lang', count(*) FROM l
+        |UNION ALL SELECT '3_tokens', count(*) FROM t
+        |UNION ALL SELECT '4_exact_dedup', count(*) FROM e
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      Curate.funnelAudit(Tables.documents(s, d), "doc_id", "text",
+          Curate.Config(minQuality = 0.5, lang = "en",
+            minTokens = 10, maxTokens = 100000))
+        .orderBy(col("stage"))
+    },
+
+    // ---- greedy sequence packing into fixed token budgets ------------------
+    QueryDef.sql("q4h_seq_packing",
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, n, coalesce(sum(n) OVER (ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t)
+        |SELECT doc_id, CAST(floor(cum / 1000.0) AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val withTokens = Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curate.packSequences(withTokens, "n_tokens", "doc_id", budget = 1000L)
+        .select(col("doc_id"), col("pack_id"))
+        .orderBy(col("doc_id"))
     },
 
     // ---- full near-dup removal: LSH pairs -> connected components -> one

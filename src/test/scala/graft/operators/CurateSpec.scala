@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val good = "the quick brown fox jumps over the lazy dog and then " +
+    "it runs far away into the woods where it lives happily with other foxes"
+
+  private def docs = Seq(
+    (1L, good),                                     // survives
+    (2L, good),                                     // exact dup of 1
+    (3L, good + " extra trailing tail"),            // near dup of 1
+    (4L, "la la la la la la la la la la la la"),    // low quality (repetitive) + not en
+    (5L, "word word word")                          // too short
+  ).toDF("doc_id", "text")
+
+  test("curate keeps one high-quality english doc per near-dup cluster") {
+    val kept = Curate.curate(docs, "doc_id", "text",
+        Curate.Config(minQuality = 0.5, minTokens = 10, nearDupThreshold = 0.5))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L), s"got $kept")
+  }
+
+  test("funnelAudit reports monotone survivor counts per stage") {
+    val audit = Curate.funnelAudit(docs, "doc_id", "text",
+        Curate.Config(minQuality = 0.5, minTokens = 10))
+      .orderBy("stage").as[(String, Long)].collect()
+    val counts = audit.map(_._2)
+    assert(counts.head == 5)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel must be monotone: ${audit.toSeq}")
+  }
+
+  test("packSequences fills packs to the token budget in order") {
+    val df = Seq((1L, 40L), (2L, 50L), (3L, 30L), (4L, 100L), (5L, 10L))
+      .toDF("doc_id", "n_tokens")
+    val packs = Curate.packSequences(df, "n_tokens", "doc_id", budget = 100L)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    // exclusive cumsum: 0,40,90,120,220 -> packs 0,0,0,1,2
+    assert(packs == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L),
+      s"got $packs")
+  }
+
+  test("packSequences shards the running window (no global sort when sharded)") {
+    val df = Seq((1L, "a", 40L), (2L, "a", 80L), (3L, "b", 40L))
+      .toDF("doc_id", "shard", "n_tokens")
+    val packs = Curate.packSequences(df, "n_tokens", "doc_id", 100L, Some("shard"))
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(packs == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+    val plan = Curate.packSequences(df, "n_tokens", "doc_id", 100L, Some("shard"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"),
+      s"sharded packing must partition by shard:\n$plan")
+  }
+}
