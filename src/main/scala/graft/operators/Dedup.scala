@@ -151,8 +151,12 @@ object Dedup {
     * Returns `(doc, cluster)` for every doc appearing in a pair.
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // pairs is consumed once per edge direction and once per propagation
+    // round - persist the (tiny) pair list so its producing pipeline (often
+    // a full LSH block+verify) runs exactly once
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("cluster", col("doc"))
@@ -174,6 +178,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels
   }
 
