@@ -34,6 +34,30 @@ object Fusion {
     * decision. One cross join + one grouped aggregation replaces the
     * reference's per-threshold Python loop (SURVEY.md §3.3).
     */
+  /** H4 (uncertain-subset fusion comparison, ipynb:1563-1601): for each
+    * confidence threshold v, restrict to rows where the base model's
+    * confidence is <= v (the "uncertain" partition) and report each
+    * candidate model's balanced accuracy there, plus the partition size.
+    * One melt + broadcast threshold fan-out + grouped BA — the notebook's
+    * nested v × model Python loops as a single shuffle.
+    */
+  def uncertainSubsetBA(df: DataFrame, conf: Column, label: Column,
+                        models: Seq[(String, Column)],
+                        thresholds: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val melted = models.map { case (name, p) =>
+      df.select(lit(name).as("model"), p.as("pred"), label.as("y"), conf.as("conf"))
+    }.reduce(_ unionByName _)
+    val expanded = melted.crossJoin(broadcast(thresholds.toDF("v")))
+      .filter(col("conf") <= col("v"))
+    val ba = Metrics.balancedAccuracyBy(expanded, col("y"), col("pred"),
+      Seq("v", "model"))
+    val n = expanded.groupBy(col("v"), col("model"))
+      .agg(count(lit(1)).as("n_uncertain"))
+    ba.join(n, Seq("v", "model"))
+  }
+
   def thresholdSweep(fusedInput: DataFrame, thresholds: Seq[Double],
                      label: Column): DataFrame = {
     val spark = fusedInput.sparkSession

@@ -276,6 +276,52 @@ object PdiQueries {
         .orderBy(col("v"))
     },
 
+    // ---- H4: uncertain-subset fusion comparison (ipynb:1563-1601) ----------
+    QueryDef.sql("q38_uncertain_subset",
+      """WITH cnn AS (
+        |  SELECT l_orderkey AS k,
+        |    (CAST(sum(l_quantity) AS BIGINT) % 100) / 100.0 AS cnn_score1
+        |  FROM lineitem GROUP BY l_orderkey),
+        |c2 AS (SELECT k, cnn_score1,
+        |         CASE WHEN cnn_score1 >= 0.5 THEN cnn_score1
+        |              ELSE 1.0 - cnn_score1 END AS cnn_conf
+        |       FROM cnn),
+        |j AS (SELECT c2.*, CAST(o.o_custkey % 2 AS INT) AS rf_pred,
+        |             CAST((o.o_custkey % 3) % 2 AS INT) AS se_pred,
+        |             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |      FROM c2 JOIN orders o ON o.o_orderkey = c2.k),
+        |m AS (SELECT 'rf' AS model, rf_pred AS pred, y, cnn_conf FROM j
+        |      UNION ALL SELECT 'se', se_pred, y, cnn_conf FROM j),
+        |e AS (SELECT v, model, pred, y FROM m,
+        |        (VALUES (0.6), (0.65), (0.7)) t(v)
+        |      WHERE cnn_conf <= v),
+        |r AS (SELECT v, model, y,
+        |        avg(CASE WHEN pred = y THEN 1.0 ELSE 0.0 END) AS rec
+        |      FROM e GROUP BY v, model, y),
+        |ba AS (SELECT v, model, round(avg(rec), 6) AS balanced_accuracy
+        |       FROM r GROUP BY v, model),
+        |n AS (SELECT v, model, count(*) AS n_uncertain FROM e GROUP BY v, model)
+        |SELECT ba.v, ba.model, ba.balanced_accuracy, n.n_uncertain
+        |FROM ba JOIN n ON ba.v = n.v AND ba.model = n.model
+        |ORDER BY ba.v, ba.model""".stripMargin) { (s, d) =>
+      val cnn = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(((sum(col("l_quantity")).cast("long") % 100) / 100.0).as("cnn_score1"))
+        .withColumn("cnn_pred", when(col("cnn_score1") >= 0.5, 1).otherwise(0))
+        .withColumn("cnn_conf", SlideRollup.confidence(col("cnn_score1"), col("cnn_pred")))
+      val j = cnn.join(Tables.orders(s, d), col("k") === col("o_orderkey"))
+        .withColumn("rf_pred", (col("o_custkey") % 2).cast("int"))
+        .withColumn("se_pred", ((col("o_custkey") % 3) % 2).cast("int"))
+        .withColumn("y", when(col("o_orderstatus") === "F", 1).otherwise(0))
+      Fusion.uncertainSubsetBA(j, col("cnn_conf"), col("y"),
+          Seq("rf" -> col("rf_pred"), "se" -> col("se_pred")),
+          Seq(0.6, 0.65, 0.7))
+        .select(col("v"), col("model"),
+          round(col("balanced_accuracy"), 6).as("balanced_accuracy"),
+          col("n_uncertain"))
+        .orderBy(col("v"), col("model"))
+    },
+
     // ---- E8: mean ± population std across folds (np.std ddof=0) -----------
     QueryDef.sql("q33_mean_std_folds",
       """WITH f AS (SELECT o_orderkey % 5 AS fold, avg(o_totalprice) AS m
