@@ -70,6 +70,7 @@ object Curate {
     */
   def packSequences(df: DataFrame, tokenCol: String, orderBy: String,
                     budget: Long, shardCol: Option[String] = None): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
     val w0 = shardCol match {
       case Some(s) => Window.partitionBy(col(s)).orderBy(col(orderBy))
       case None => Window.orderBy(col(orderBy))

@@ -59,6 +59,7 @@ object Encode {
     */
   def quantileBuckets(df: DataFrame, c: String, nBuckets: Int, out: String,
                       relErr: Double = 0.001): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val splits = df.stat.approxQuantile(c, probs, relErr).distinct.sorted
     bucketize(df, c, splits.toIndexedSeq, out)

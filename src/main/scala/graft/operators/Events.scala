@@ -72,6 +72,7 @@ object Events {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                rightCols: Seq[String]): DataFrame = {
+    require(rightCols.nonEmpty, "asofJoin needs at least one right column to attach")
     val payload = struct(rightCols.map(col): _*)
     val l = left.withColumn("__r", lit(null).cast(
         right.select(payload).schema.fields.head.dataType))
@@ -105,6 +106,7 @@ object Events {
   def rangeJoin(points: DataFrame, tsUsCol: String,
                 intervals: DataFrame, startUs: String, endUs: String,
                 bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
     val iv = intervals.withColumn("__b",
       explode(sequence(expr(s"$startUs DIV $bucketUs"),
         expr(s"($endUs - 1) DIV $bucketUs"))))
