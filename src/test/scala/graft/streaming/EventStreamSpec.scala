@@ -207,6 +207,30 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("foreachBatch sinks windowed aggregates to parquet (production sink path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Paths.get("target", "tmp", "fb_sink").toAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir.toFile)
+    val in = MemoryStream[Ev]
+    val q = EventStream.tumblingTypeCounts(in.toDF(), "1 hour", "0 seconds")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(outDir.toString)
+      }
+      .start()
+    try {
+      in.addData(Seq(Ev(1, t(5), 1, "view", 1.0), Ev(2, t(10), 2, "view", 2.0)))
+      q.processAllAvailable()
+      in.addData(Seq(Ev(3, t(500), 3, "view", 0.0)))  // closes hour-0
+      q.processAllAvailable()
+    } finally q.stop()
+    val sunk = spark.read.parquet(outDir.toString)
+      .filter(col("win_start") === lit(t(0)))
+      .select("event_type", "n").as[(String, Long)].collect().toSet
+    assert(sunk == Set(("view", 2L)), s"got $sunk")
+  }
+
   test("highValueAlerts is stateless filter+project (no aggregation in plan)") {
     val df = Seq(Ev(1, t(0), 1, "view", 5.0), Ev(2, t(1), 1, "view", 50.0)).toDF()
     val out = EventStream.highValueAlerts(df, 10.0)
