@@ -17,7 +17,9 @@ object Sampling {
 
   /** Keep at most `k` rows per group, chosen by the given deterministic
     * order. `k <= 0` keeps all rows (the reference's `nr_tiles = 0`,
-    * dataset_classes_v1.py:47).
+    * dataset_classes_v1.py:47). Window phrasing sorts each group in full;
+    * for huge groups with small k prefer the bounded-heap physical operator
+    * [[graft.plans.GroupedTopK]] (same semantics under a total order).
     */
   def takePerGroup(df: DataFrame, groupCols: Seq[Column], k: Int,
                    orderBy: Column): DataFrame =

@@ -242,6 +242,41 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- C: correlated EXISTS subquery -------------------------------------
+    QueryDef.sql("q18_correlated_exists",
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |              AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).as("c")
+        .join(Tables.orders(s, d).where(col("o_totalprice") > 400000).as("o"),
+          col("o.o_custkey") === col("c.c_custkey"), "left_semi")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- E: ROLLUP grouping sets with subtotal disambiguation --------------
+    QueryDef.sql("q19_rollup",
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_p,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_s
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY g_p, g_s, priority, status""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          grouping(col("o_orderpriority")).cast("int").as("g_p"),
+          grouping(col("o_orderstatus")).cast("int").as("g_s"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("total"), col("g_p"), col("g_s"))
+        .orderBy(col("g_p"), col("g_s"), col("priority"), col("status"))
+    },
+
     // ---- G: intersect / except ---------------------------------------------
     QueryDef.sql("q17_set_ops",
       """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
