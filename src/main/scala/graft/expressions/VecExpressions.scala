@@ -20,9 +20,12 @@ import org.apache.spark.sql.types._
   * results match DuckDB's `list_cosine_similarity(CAST(... AS DOUBLE[]))`
   * oracle arithmetic.
   *
-  * Null contract: null array -> null (nullSafe); null *elements* count as 0,
-  * matching `aggregate`'s `acc + CAST(null AS DOUBLE)`-avoidance shape used
-  * before (the testdata embeddings contain no null elements).
+  * Null contract: null array -> null (nullSafe); MISMATCHED LENGTHS -> null
+  * (a truncated partial dot product would be a plausible-looking wrong
+  * answer, and DuckDB's `list_cosine_similarity` oracle raises on mismatch —
+  * null surfaces the upstream bug instead of hiding it); null *elements*
+  * count as 0, matching `aggregate`'s `acc + CAST(null AS DOUBLE)`-avoidance
+  * shape used before (the testdata embeddings contain no null elements).
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -38,6 +41,7 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -45,7 +49,8 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = isFloat(left); val rf = isFloat(right)
     var s = 0.0
     var i = 0
@@ -66,14 +71,18 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       def get(arr: String, fl: Boolean) =
         if (fl) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $s += ${get(a, isFloat(left))} * ${get(b, isFloat(right))};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |      $s += ${get(a, isFloat(left))} * ${get(b, isFloat(right))};
+         |    }
          |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

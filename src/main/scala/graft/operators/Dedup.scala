@@ -109,11 +109,19 @@ object Dedup {
     // The candidate table is consumed twice by the verify stage (once for
     // the doc-id semi-join, once as the pair list). Persist it — it's tiny
     // (LSH flags a small fraction of the corpus) — so the LSH pipeline runs
-    // once instead of per consumer.
+    // once instead of per consumer. The verified pair list is materialized
+    // eagerly (localCheckpoint truncates lineage and stores the — tiny —
+    // result as blocks cleaned up by GC), which (a) lets the candidate
+    // cache be released HERE instead of leaking for the session lifetime,
+    // and (b) guarantees downstream consumers (clustering rounds, audits)
+    // never replay the LSH front-end.
     val cand = minhashCandidates(df, id, text, bands, rowsPerBand, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifyJaccard(cand, df, id, text, shingleN)
+    val verified = verifyJaccard(cand, df, id, text, shingleN)
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    cand.unpersist()
+    verified
   }
 
   /** 64-bit SimHash over tokens: bit j of the result is the sign of
@@ -168,13 +176,17 @@ object Dedup {
         .join(labels.select(col("doc").as("src"), col("cluster").as("c")), "src")
         .groupBy(col("dst").as("doc"))
         .agg(min(col("c")).as("nmin"))
+      // change detection rides along as a 0/1 column computed in the SAME
+      // pass that materializes the round (localCheckpoint is eager), so the
+      // convergence check is a sum over the just-cached tiny label table —
+      // not a second labels×edges join job per round
       val next = labels.join(neighborMin, Seq("doc"), "left")
         .select(col("doc"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          when(col("nmin") < col("cluster"), 1L).otherwise(0L).as("__chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc")
-        .filter(col("cluster") =!= col("old")).count()
-      labels = next
+      changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).first().getLong(0)
+      labels = next.drop("__chg")
       iter += 1
     }
     edges.unpersist()

@@ -44,10 +44,12 @@ object Encode {
     * (functions_v2.py:198-218).
     */
   def bucketize(df: DataFrame, c: String, splits: Seq[Double], out: String): DataFrame = {
-    val expr = splits.zipWithIndex.foldRight(lit(splits.size): Column) {
+    val chain = splits.zipWithIndex.foldRight(lit(splits.size): Column) {
       case ((s, i), acc) => when(col(c) <= lit(s), lit(i)).otherwise(acc)
     }
-    df.withColumn(out, expr)
+    // null guard: without it a NULL input falls through every `null <= s`
+    // branch into the top bucket; nulls must stay null (impute first)
+    df.withColumn(out, when(col(c).isNull, lit(null)).otherwise(chain))
   }
 
   /** Equal-frequency bucketing for continuous stratification columns

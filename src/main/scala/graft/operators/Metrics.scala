@@ -53,10 +53,10 @@ object Metrics {
   /** AUROC via the Mann-Whitney U statistic with sklearn's average-rank tie
     * handling. `label` must be 0/1.
     *
-    * Plan shape: groupBy(score) → (tiny) ordered cumulative pass → one final
-    * agg. Only the distinct-score table goes through the unpartitioned
-    * window, so the global sort touches |distinct scores| rows, not |rows|.
-    * Returns a 1-row DataFrame `(auroc DOUBLE)`.
+    * Plan shape: groupBy(score) → distributed prefix-sum over the
+    * distinct-score table (range partition + local cumsum + broadcast
+    * per-partition offsets; no single-partition stage even for continuous
+    * scores) → one final agg. Returns a 1-row DataFrame `(auroc DOUBLE)`.
     */
   def auroc(df: DataFrame, label: Column, score: Column): DataFrame =
     aurocBy(df, label, score, Nil)
@@ -71,11 +71,38 @@ object Metrics {
     val byScore = df.select(gc :+ score.as("__s") :+ label.cast("long").as("__y"): _*)
       .groupBy(gc :+ col("__s"): _*)
       .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__n"))
-    val w0 = if (gc.isEmpty) Window.orderBy(col("__s"))
-             else Window.partitionBy(gc: _*).orderBy(col("__s"))
-    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = byScore
-      .withColumn("__cum", sum(col("__n")).over(w))
+    val cummed =
+      if (gc.isEmpty) {
+        // Ungrouped: an unpartitioned Window.orderBy(__s) would funnel the
+        // whole distinct-score table through ONE task — fine for integer-ish
+        // scores (|distinct| ≪ |rows|) but a scale-killer for continuous
+        // scores where |distinct| = |rows|. Instead: range-partition by
+        // score, local cumulative sums per partition, and add per-partition
+        // prefix offsets computed from the (≤ shuffle.partitions rows) total
+        // table — the classic distributed prefix-sum. No single-partition
+        // stage anywhere (pinned by MetricsSpec's plan assertion).
+        val p = byScore.sparkSession.sessionState.conf.numShufflePartitions
+        val parted = byScore.repartitionByRange(p, col("__s"))
+          .withColumn("__pid", spark_partition_id())
+        val wOff = Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = parted.groupBy(col("__pid"))
+          .agg(sum(col("__n")).as("__pt"))
+          .withColumn("__off", coalesce(sum(col("__pt")).over(wOff), lit(0L)))
+          .select(col("__pid"), col("__off"))
+        val wLoc = Window.partitionBy(col("__pid")).orderBy(col("__s"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        parted.withColumn("__cumLoc", sum(col("__n")).over(wLoc))
+          .join(broadcast(offsets), Seq("__pid"))
+          .withColumn("__cum", col("__cumLoc") + col("__off"))
+      } else {
+        // Grouped: the window partitions by the groups, so each group ranks
+        // independently and in parallel — already scale-safe.
+        val w = Window.partitionBy(gc: _*).orderBy(col("__s"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byScore.withColumn("__cum", sum(col("__n")).over(w))
+      }
+    val ranked = cummed
       // average rank of a tie group of size n ending at cumulative count c:
       // (c - n + 1 + c) / 2
       .withColumn("__avgRank", (col("__cum") * 2 - col("__n") + 1) / 2.0)

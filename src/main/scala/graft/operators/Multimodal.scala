@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side machinery here is real and tested — schema contracts,
   * partition-parallel batch iteration, metadata extraction, frame-sample
-  * fan-out. The actual codec calls are STUBBED (this container has no
-  * image/audio libraries): [[fakeDecode]] derives deterministic pseudo
-  * metadata from the bytes where a JPEG/PNG decoder would parse headers.
-  * Swapping in a real decoder changes only the marked function body.
+  * fan-out. IMAGE decode is real ([[decodeImages]]: `javax.imageio` over the
+  * binary payload, exercised end-to-end by the [[synthesizePng]] →
+  * [[decodeImages]] round trip in q52 and MultimodalSpec). Audio/video
+  * codecs remain stubbed ([[fakeDecode]] derives deterministic pseudo
+  * metadata — this container has no av libraries); swapping in a real one
+  * changes only the marked function body.
   */
 object Multimodal {
 
@@ -67,6 +69,74 @@ object Multimodal {
         }
       }
       .toDF()
+  }
+
+  /** Decoded-image record: dimensions are null when the payload is not a
+    * decodable image (decode failure is data, not an exception — a 100 TB
+    * crawl always contains corrupt files).
+    */
+  case class DecodedImage(media_id: Long, media_type: String, n_bytes: Long,
+                          width: Option[Int], height: Option[Int],
+                          channels: Option[Int])
+
+  /** REAL image decode over the binary `content` column via `javax.imageio`
+    * (JPEG/PNG/GIF/BMP — the JDK's built-in codecs; the reference decodes
+    * every tile with PIL `Image.open`, dataset_classes_v1.py:61). Same
+    * `mapPartitions` iterator shape as [[fakeDecode]]: one decoder per
+    * partition, rows streamed through it, no driver involvement. Corrupt or
+    * non-image payloads yield null dimensions instead of failing the task.
+    */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"), col("media_type"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, mediaType) =>
+          val n = if (bytes == null) 0 else bytes.length
+          val img =
+            if (n == 0) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) DecodedImage(id, mediaType, n.toLong, None, None, None)
+          else DecodedImage(id, mediaType, n.toLong, Some(img.getWidth),
+            Some(img.getHeight), Some(img.getRaster.getNumBands))
+        }
+      }
+      .toDF()
+  }
+
+  /** Deterministic PNG synthesis (executor-side `javax.imageio` encode): one
+    * `width`×`height` image per row, pixel values derived from the id. The
+    * inverse fixture for [[decodeImages]] — lets an end-to-end
+    * encode→binary→decode round trip run on any table, with dimensions an
+    * oracle can predict from the id alone.
+    */
+  def synthesizePng(df: DataFrame, id: String, width: String,
+                    height: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(width).cast("int"), col(height).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (mid, w, h) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((mid * 2654435761L + x * 31 + y) & 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (mid, bos.toByteArray, "image/png")
+        }
+      }
+      .toDF("media_id", "content", "media_type")
   }
 
   /** Patch/tile grid fan-out: one row per (patchX, patchY) — the tile

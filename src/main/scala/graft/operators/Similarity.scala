@@ -50,8 +50,21 @@ object Similarity {
     (pmod(xxhash64(lit(p), j, lit(seed)), lit(1000000L)).cast("double")
       / 1000000.0) - 0.5
 
-  /** Sign-random-projection signature: bit p = sign(v · plane_p). */
+  /** Sign-random-projection signature: bit p = sign(v · plane_p), via the
+    * native codegen'd [[graft.expressions.SrpSignature]] kernel (cached
+    * plane table + primitive multiply-accumulate inside whole-stage
+    * codegen). Bit-identical to [[srpSignatureExpr]] (pinned by
+    * SimilaritySpec).
+    */
   def srpSignature(v: Column, planes: Int, seed: Long = 42L): Column =
+    graft.expressions.SrpExpressions.srpSig(v, planes, seed)
+
+  /** Composable-expression form of [[srpSignature]] (`zip_with` +
+    * `aggregate` lambdas — interpreted, O(planes × dim) re-hashing per row).
+    * Kept as the executable spec the native kernel is pinned against; not
+    * used in any hot path.
+    */
+  def srpSignatureExpr(v: Column, planes: Int, seed: Long = 42L): Column =
     (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
@@ -111,7 +124,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, corpusId: String,
               queries: DataFrame, queryId: String,
               k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, fitSampleCap: Int = 0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -119,8 +132,26 @@ object Similarity {
 
     val c = corpus.select(col(corpusId).as("__cid"), col("embedding").as("__ce"))
       .withColumn("__fv", array_to_vector(col("__ce").cast("array<double>")))
+    // The coarse quantizer only needs a representative sample: KMeans
+    // iterates over its input once per iteration, so fitting on the full
+    // corpus is O(iters × |corpus|) — the scale-killer at 100 TB. Fit on a
+    // bounded sample (one cheap count + one sampled scan of the features
+    // column only), then assign the FULL corpus in the single transform
+    // below. Cell assignment — and therefore search results — is exact for
+    // whatever centroids come out; the sample only moves centroid positions
+    // (recall is tuned by nProbe, pinned by RecallSpec/SimilaritySpec).
+    // cap 0 = auto: ~200 sample points per centroid is ample for a coarse
+    // quantizer (FAISS trains IVF on 30-256 points/centroid)
+    val cap = if (fitSampleCap > 0) fitSampleCap
+              else math.max(200 * nCentroids, 4000)
+    val nRows = c.count()
+    val fitInput =
+      if (nRows <= cap) c.select(col("__fv"))
+      else c.select(col("__fv"))
+        .sample(withReplacement = false,
+          math.min(1.0, cap.toDouble * 1.05 / nRows), seed)
     val model = new KMeans().setK(nCentroids).setSeed(seed)
-      .setFeaturesCol("__fv").setPredictionCol("__cell").fit(c)
+      .setFeaturesCol("__fv").setPredictionCol("__cell").fit(fitInput)
     val assigned = model.transform(c)
       .select(col("__cid"), col("__ce"), col("__cell"), norm(col("__ce")).as("__cn"))
 

@@ -75,11 +75,13 @@ case class GroupedTopKExec(k: Int, groupExprs: Seq[Expression],
           heaps.put(key.copy(), heap)
         }
         val v = boundOrder.eval(row)
+        // copy buffer-backed order values (UTF8String / struct / array point
+        // into the reused UnsafeRow) before they outlive this iteration
         if (heap.size() < kLocal) {
-          heap.add((v, rowProj(row).copy()))
+          heap.add((InternalRow.copyValue(v), rowProj(row).copy()))
         } else if (ord.compare(v, heap.peek()._1) < 0) {
           heap.poll()
-          heap.add((v, rowProj(row).copy()))
+          heap.add((InternalRow.copyValue(v), rowProj(row).copy()))
         }
       }
       import scala.jdk.CollectionConverters._

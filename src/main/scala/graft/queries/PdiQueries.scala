@@ -322,6 +322,74 @@ object PdiQueries {
         .orderBy(col("v"), col("model"))
     },
 
+    // ---- H1: multi-model × fold grouped evaluation (ipynb cells 12/13) ----
+    // The reference's 4-model × 5-fold evaluation loop as ONE query: melt
+    // injected per-model scores (the scoring-boundary contract — models run
+    // outside the engine, their scores arrive as columns), then grouped
+    // balanced accuracy + grouped AUROC over (model, fold) in two hash
+    // aggregations — no per-(model, fold) driver loop anywhere. Scores are
+    // integer-valued so the rank arithmetic is exact across engines.
+    QueryDef.sql("q37_multimodel_eval",
+      """WITH cnn AS (
+        |  SELECT l_orderkey AS k, CAST(sum(l_quantity) AS BIGINT) % 100 AS cnn_sc
+        |  FROM lineitem GROUP BY l_orderkey),
+        |base AS (
+        |  SELECT o.o_orderkey % 5 AS fold,
+        |    CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |    cnn.cnn_sc, o.o_custkey % 100 AS rf_sc,
+        |    (o.o_custkey * 7 + 13) % 100 AS cat_sc,
+        |    (o.o_custkey + o.o_orderkey) % 100 AS se_sc
+        |  FROM cnn JOIN orders o ON o.o_orderkey = cnn.k),
+        |m AS (
+        |  SELECT 'cnn' AS model, fold, y, cnn_sc AS sc FROM base
+        |  UNION ALL SELECT 'rf', fold, y, rf_sc FROM base
+        |  UNION ALL SELECT 'cat', fold, y, cat_sc FROM base
+        |  UNION ALL SELECT 'se', fold, y, se_sc FROM base),
+        |r AS (SELECT model, fold, y,
+        |        avg(CASE WHEN (CASE WHEN sc >= 50 THEN 1 ELSE 0 END) = y
+        |            THEN 1.0 ELSE 0.0 END) AS rec
+        |      FROM m GROUP BY model, fold, y),
+        |ba AS (SELECT model, fold, avg(rec) AS balanced_accuracy
+        |       FROM r GROUP BY model, fold),
+        |g AS (SELECT model, fold, sc, CAST(sum(y) AS BIGINT) AS pos, count(*) AS n
+        |      FROM m GROUP BY model, fold, sc),
+        |rk AS (SELECT model, fold, pos, n,
+        |        (2 * sum(n) OVER (PARTITION BY model, fold ORDER BY sc
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n + 1) / 2.0 AS avg_rank
+        |       FROM g),
+        |au AS (SELECT model, fold,
+        |        (sum(pos * avg_rank) - sum(pos) * (sum(pos) + 1) / 2.0)
+        |          / (sum(pos) * (sum(n) - sum(pos))) AS auroc
+        |       FROM rk GROUP BY model, fold)
+        |SELECT ba.model, ba.fold,
+        |  round(ba.balanced_accuracy, 6) AS balanced_accuracy,
+        |  round(au.auroc, 6) AS auroc
+        |FROM ba JOIN au ON ba.model = au.model AND ba.fold = au.fold
+        |ORDER BY ba.model, ba.fold""".stripMargin) { (s, d) =>
+      val cnn = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k"))
+        .agg((sum(col("l_quantity")).cast("long") % 100).as("cnn_sc"))
+      val base = cnn.join(Tables.orders(s, d), col("k") === col("o_orderkey"))
+        .select(
+          (col("o_orderkey") % 5).as("fold"),
+          when(col("o_orderstatus") === "F", 1).otherwise(0).as("y"),
+          col("cnn_sc"),
+          (col("o_custkey") % 100).as("rf_sc"),
+          ((col("o_custkey") * 7 + 13) % 100).as("cat_sc"),
+          ((col("o_custkey") + col("o_orderkey")) % 100).as("se_sc"))
+      val melted = base.selectExpr("fold", "y",
+        "stack(4, 'cnn', cnn_sc, 'rf', rf_sc, 'cat', cat_sc, 'se', se_sc) AS (model, sc)")
+      val ba = Metrics.balancedAccuracyBy(
+        melted.withColumn("pred", when(col("sc") >= 50, 1).otherwise(0)),
+        col("y"), col("pred"), Seq("model", "fold"))
+      val au = Metrics.aurocBy(melted, col("y"), col("sc"), Seq("model", "fold"))
+      ba.join(au, Seq("model", "fold"))
+        .select(col("model"), col("fold"),
+          round(col("balanced_accuracy"), 6).as("balanced_accuracy"),
+          round(col("auroc"), 6).as("auroc"))
+        .orderBy(col("model"), col("fold"))
+    },
+
     // ---- E8: mean ± population std across folds (np.std ddof=0) -----------
     QueryDef.sql("q33_mean_std_folds",
       """WITH f AS (SELECT o_orderkey % 5 AS fold, avg(o_totalprice) AS m

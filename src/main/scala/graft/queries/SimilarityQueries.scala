@@ -62,15 +62,34 @@ object SimilarityQueries {
         .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos"))
     },
 
-    // ---- IVF ANN (KMeans coarse quantizer; model output not SQL-replayable
-    //      -> rows-only; exactness at nProbe=nCentroids pinned by
-    //      SimilaritySpec) ------------------------------------------------------
-    QueryDef.rowsOnly("q4d_embedding_ivf") { (s, d) =>
+    // ---- IVF ANN (KMeans coarse quantizer) ---------------------------------
+    // Run at nProbe = nCentroids: the full IVF machinery executes (sampled
+    // quantizer fit, cell assignment, centroid-ranked probe join, in-cell
+    // ranking) but probing is exhaustive, so results are EXACTLY the
+    // brute-force top-k — which DuckDB replays, giving the IVF path a hard
+    // oracle instead of a rows-only check. The approximate-probe recall
+    // (nProbe < nCentroids) is pinned by RecallSpec/SimilaritySpec.
+    QueryDef.sql("q4d_embedding_ivf",
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |p AS (
+        |  SELECT q.query_id, b.vec_id,
+        |    list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |                           CAST(q.qe AS DOUBLE[])) AS c
+        |  FROM embeddings b, q
+        |  WHERE b.vec_id >= 5),
+        |r AS (SELECT query_id, vec_id, c,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY c DESC, vec_id) AS rn
+        |      FROM p)
+        |SELECT query_id, vec_id, round(c, 4) AS cos
+        |FROM r WHERE rn <= 5
+        |ORDER BY query_id, cos DESC, vec_id""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.ivfTopK(emb.where(col("vec_id") >= 5), "vec_id",
-          queries, "query_id", k = 5, nCentroids = 16, nProbe = 4)
+          queries, "query_id", k = 5, nCentroids = 16, nProbe = 16)
         .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
         .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
     },

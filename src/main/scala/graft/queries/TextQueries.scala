@@ -273,6 +273,97 @@ object TextQueries {
         .orderBy(col("media_id"))
     },
 
+    // ---- multimodal: REAL image decode round trip ---------------------------
+    // PNGs are synthesized executor-side (deterministic size from doc_id),
+    // then decoded back with javax.imageio — the decode path is the real
+    // codec, and the oracle predicts the decoded dimensions from the id
+    // arithmetic alone. Closes SURVEY §2 A4 (reference: PIL Image.open,
+    // dataset_classes_v1.py:61).
+    QueryDef.sql("q52_image_decode",
+      """SELECT doc_id AS media_id,
+        |  CAST(1 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(1 + doc_id % 13 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels
+        |FROM documents WHERE doc_id % 10 = 3 ORDER BY media_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).where(col("doc_id") % 10 === 3)
+        .select(col("doc_id"),
+          (lit(1) + col("doc_id") % 16).cast("int").as("w"),
+          (lit(1) + col("doc_id") % 13).cast("int").as("h"))
+      val media = Multimodal.synthesizePng(base, "doc_id", "w", "h")
+      Multimodal.decodeImages(media)
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"))
+        .orderBy(col("media_id"))
+    },
+
+    // ---- connected-components clustering with an EXACT oracle ---------------
+    // The near-dup cluster machinery (min-label propagation) replayed on a
+    // pair list DuckDB can reproduce exactly: all-pairs n-gram Jaccard on a
+    // deterministic subset (no hashing anywhere), components via a recursive
+    // transitive-closure CTE. Chained dupes (A~B~C) force multi-hop
+    // propagation, so the oracle pins the iteration, not just single edges.
+    QueryDef.sql("q4j_cluster_exact",
+      """WITH RECURSIVE
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' tail' FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' tail extra' FROM documents WHERE doc_id % 20 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |              for i in range(len(t) - 2)]) AS s
+        |    FROM toks) u),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes na ON na.doc_id = doc_a
+        |  JOIN sizes nb ON nb.doc_id = doc_b
+        |  WHERE i / (na.n + nb.n - i) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc, least(src, min(dst)) AS cluster
+        |FROM reach GROUP BY src ORDER BY doc""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text"))
+      val corpus = base
+        .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text")))
+        .unionByName(base.select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" tail extra")).as("text")))
+      // exact all-pairs Jaccard (shingle equi-join — q45's shape), no LSH:
+      // the pair list must be engine-reproducible for the oracle
+      val sh = corpus.select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 3)).as("s"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val pairs = a
+        .join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .filter(col("i") / (col("na") + col("nb") - col("i")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.nearDupClusters(pairs)
+        .select(col("doc"), col("cluster"))
+        .orderBy(col("doc"))
+    },
+
     // ---- multimodal: binary payload + metadata plumbing ---------------------
     // Runs the real mapPartitions stub path (Multimodal.fakeDecode); the
     // oracle replays the deterministic fake-header math in SQL.

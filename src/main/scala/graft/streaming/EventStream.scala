@@ -126,9 +126,14 @@ object EventStream {
       } else {
         val closed = Seq.newBuilder[ClosedSession]
         var cur = state.getOption
+        // full µs precision: getTime is ms-truncated; the sub-ms component
+        // lives in getNanos (the events table is µs-resolution, and the
+        // batch twin Events.sessionize compares exact ts_us)
+        def micros(ts: java.sql.Timestamp): Long =
+          ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000
         // micro-batch events are not ordering-guaranteed; sort by event time
-        evs.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
-          val tus = e.ts.getTime * 1000L
+        evs.toSeq.sortBy(e => (micros(e.ts), e.value)).foreach { e =>
+          val tus = micros(e.ts)
           cur match {
             case Some(s) if tus - s.end_us <= gapUs =>
               cur = Some(SessionAcc(s.start_us, math.max(s.end_us, tus),

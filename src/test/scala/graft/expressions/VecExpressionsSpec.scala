@@ -46,6 +46,17 @@ class VecExpressionsSpec extends SparkSpec {
     native.zip(interp).foreach { case (n, i) => assert(math.abs(n - i) < 1e-9) }
   }
 
+  test("vecDot: mismatched dimensions -> null, not a truncated partial product") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 1.0f)),   // mismatch
+      (2L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)))          // match
+      .toDF("id", "a", "b")
+    val out = df.select(col("id"), vecDot(col("a"), col("b")).as("d"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty, "dimension mismatch must surface as null")
+    assert(out(2L).contains(11.0))
+  }
+
   test("vecDot rejects non-array inputs at analysis time") {
     val df = Seq((1, 2)).toDF("a", "b")
     intercept[Exception] {

@@ -43,4 +43,13 @@ class EncodeSpec extends SparkSpec {
       .orderBy("age").select("c").as[Int].collect()
     assert(out.toSeq == Seq(0, 0, 1, 1, 2, 2))
   }
+
+  test("bucketize keeps NULL input NULL instead of dumping it in the top bucket") {
+    val df = Seq(Some(29.0), None, Some(99.0)).toDF("age")
+    val out = Encode.bucketize(df, "age", Seq(30.0, 60.0), "c")
+      .select("age", "c").as[(Option[Double], Option[Int])].collect().toMap
+    assert(out(Some(29.0)).contains(0))
+    assert(out(None).isEmpty, "null age must stay null")
+    assert(out(Some(99.0)).contains(2))
+  }
 }

@@ -46,6 +46,35 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(a - b) < 1e-12)
   }
 
+  test("ungrouped auroc on continuous (all-distinct) scores matches direct Mann-Whitney") {
+    // all-distinct scores = the worst case the old single-partition window
+    // choked on; the distributed prefix-sum must still rank globally
+    val n = 500
+    val data = (0 until n).map { i =>
+      val s = ((i * 2654435761L) % 1000003L).toDouble
+      val y = if ((i * 48271) % 97 < 48) 1 else 0
+      (y, s)
+    }
+    val df = data.toDF("y", "s").repartition(7)
+    val a = Metrics.auroc(df, col("y"), col("s")).as[Double].collect()(0)
+    val ranked = data.sortBy(_._2).zipWithIndex
+    val posRanks = ranked.collect { case ((1, _), r) => r + 1.0 }
+    val nPos = posRanks.size; val nNeg = n - nPos
+    val expected = (posRanks.sum - nPos * (nPos + 1) / 2.0) / (nPos.toDouble * nNeg)
+    assert(math.abs(a - expected) < 1e-9)
+  }
+
+  test("ungrouped auroc plan has no unpartitioned window over the score table") {
+    val df = spark.range(1000).select((col("id") % 2).as("y"),
+      ((col("id") * 37) % 997).cast("double").as("s"))
+    val planStr = Metrics.auroc(df, col("y"), col("s"))
+      .queryExecution.executedPlan.toString
+    // the score-table cumsum must partition by __pid; only the tiny
+    // per-partition-totals table may go through an unpartitioned window
+    assert(!planStr.contains("windowspecdefinition(__s#"),
+      s"found unpartitioned window directly over scores:\n$planStr")
+  }
+
   test("meanStd uses POPULATION std (np.std ddof=0), not sample std") {
     // values 1,2,3,4: pop std = sqrt(1.25), sample std = sqrt(5/3)
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("m")

@@ -27,6 +27,47 @@ class MultimodalSpec extends SparkSpec {
     assert(a.map(_.getAs[Long]("content_hash")).distinct.length == 3)
   }
 
+  test("decodeImages really decodes: PNG and JPEG round-trip via javax.imageio") {
+    // build one PNG and one JPEG in-memory with known dimensions
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      img.setRGB(0, 0, 0x336699)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, encode("png", 17, 9), "image/png"),
+      (2L, encode("jpg", 33, 21), "image/jpeg"),
+      (3L, "not an image".getBytes("UTF-8"), "image/png"), // corrupt payload
+      (4L, null.asInstanceOf[Array[Byte]], "image/png"))   // null payload
+      .toDF("media_id", "content", "media_type")
+    val out = Multimodal.decodeImages(rows).orderBy("media_id").collect()
+    assert(out(0).getAs[Int]("width") == 17 && out(0).getAs[Int]("height") == 9)
+    assert(out(0).getAs[Int]("channels") == 3)
+    assert(out(1).getAs[Int]("width") == 33 && out(1).getAs[Int]("height") == 21)
+    assert(out(2).isNullAt(out(2).fieldIndex("width")), "corrupt bytes -> null dims")
+    assert(out(3).isNullAt(out(3).fieldIndex("width")), "null payload -> null dims")
+    assert(out(3).getAs[Long]("n_bytes") == 0L)
+  }
+
+  test("synthesizePng -> decodeImages round-trips the id-derived dimensions") {
+    val base = spark.range(20).select(col("id"),
+      (lit(1) + col("id") % 16).cast("int").as("w"),
+      (lit(1) + col("id") % 13).cast("int").as("h"))
+    val decoded = Multimodal.decodeImages(
+        Multimodal.synthesizePng(base, "id", "w", "h"))
+      .select(col("media_id"), col("width"), col("height"), col("channels"))
+      .as[(Long, Int, Int, Int)].collect()
+    assert(decoded.length == 20)
+    decoded.foreach { case (id, w, h, c) =>
+      assert(w == 1 + (id % 16).toInt, s"id=$id width")
+      assert(h == 1 + (id % 13).toInt, s"id=$id height")
+      assert(c == 3)
+    }
+  }
+
   test("patchGrid fans out ceil(w/p)*ceil(h/p) rows per image") {
     val decoded = Multimodal.fakeDecode(media)
     val grid = Multimodal.patchGrid(decoded, 32)

@@ -47,6 +47,34 @@ class SimilaritySpec extends SparkSpec {
     assert(sig(0L) != sig(4L), "opposite vector must flip every plane sign")
   }
 
+  test("srpSignature native kernel is bit-identical to the expression form") {
+    // mixed-sign pseudo-random floats; several (planes, seed) combos
+    val df = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(16)(j => ((i * 31 + j * 7) % 19 - 9) / 3.0f))
+    }.toDF("vec_id", "embedding")
+    for (planes <- Seq(1, 6, 8, 64); seed <- Seq(42L, 7L)) {
+      val diff = df.select(
+          Similarity.srpSignature(col("embedding"), planes, seed).as("a"),
+          Similarity.srpSignatureExpr(col("embedding"), planes, seed).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff == 0, s"native != expr at planes=$planes seed=$seed")
+    }
+  }
+
+  test("srpSignature edge cases match the expression form (empty array, zeros)") {
+    val df = Seq(
+      (0L, Seq.empty[Float]),
+      (1L, Seq(0.0f)),
+      (2L, Seq(-1.5f, 2.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = df.select(col("vec_id"),
+        Similarity.srpSignature(col("embedding"), 8).as("a"),
+        Similarity.srpSignatureExpr(col("embedding"), 8).as("b"))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (id, a, b) => assert(a == b, s"vec $id: native=$a expr=$b") }
+    assert(rows.find(_._1 == 0L).get._2 == 0L, "empty array must sign to 0")
+  }
+
   test("lshTopK retrieves the identical vector for each query") {
     val corpus = vecs.where(col("vec_id") =!= 0)
     val queries = vecs.where(col("vec_id") === 0)

@@ -38,6 +38,22 @@ class GroupedTopKSpec extends SparkSpec {
       s"one clustered shuffle:\n$plan")
   }
 
+  test("string order values survive UnsafeRow buffer reuse (copied into the heap)") {
+    // order by a STRING expression: the evaluated UTF8String points into the
+    // child's reused row buffer, so without a defensive copy the heap's kept
+    // keys mutate as the iterator advances
+    val sdf = (0 until 300).map { i =>
+      (s"g${i % 3}", f"s${(i * 61) % 307}%04d", i.toLong)
+    }.toDF("g", "name", "id")
+    val heap = GroupedTopK.perGroup(sdf, Seq(col("g")), col("name"), k = 4)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("name"))
+    val window = sdf.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4).select("g", "id").as[(String, Long)].collect().toSet
+    assert(heap == window, "string-ordered top-k must match the window phrasing")
+  }
+
   test("composes with downstream operators through the analyzer") {
     val out = GroupedTopK.perGroup(df, Seq(col("g")),
         struct(col("score"), col("id")), k = 2)

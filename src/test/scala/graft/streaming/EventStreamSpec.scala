@@ -126,6 +126,29 @@ class EventStreamSpec extends SparkSpec {
     assert(out.contains((1L, 4.0)), s"session B closed by timeout, got $out")
   }
 
+  test("statefulSessions keeps sub-millisecond precision at gap boundaries") {
+    // µs-resolution timestamps (the events table is µs-precision): a 300µs
+    // step stays in-session, an 800µs step splits, with gapUs = 500. The
+    // ms-truncated formulation collapses all three onto the same instant.
+    def tus(us: Long): Timestamp = {
+      val ts = new Timestamp(us / 1000)
+      ts.setNanos(((us % 1000000L) * 1000L).toInt)
+      ts
+    }
+    val evs = Seq(
+      Ev(1, tus(1000100), 1, "view", 1.0),
+      Ev(2, tus(1000400), 1, "view", 1.0),
+      Ev(3, tus(1001200), 1, "view", 1.0))
+    val flush = Seq(Ev(4, t(4000), 9, "view", 0.0))
+    val sink = run(Seq(evs, flush), "append")(
+      EventStream.statefulSessions(_, gapUs = 500L, "0 seconds").toDF())
+    val out = spark.table(sink).filter(col("user_id") === 1)
+      .select("start_us", "end_us", "n_events").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(out == Set((1000100L, 1000400L, 2L), (1001200L, 1001200L, 1L)),
+      s"µs session boundaries wrong: $out")
+  }
+
   test("statefulSessions agrees with the batch gaps-and-islands sessionizer") {
     val evs = (0 until 60).map(i =>
       Ev(i.toLong, t(i * 17 % 300 + (i % 5) * 60), i % 4L, "view", 1.0))
