@@ -82,18 +82,27 @@ object Dedup {
 
   /** Exact Jaccard similarity over word n-gram shingle sets for given
     * candidate pairs — the verify stage after LSH blocking.
+    *
+    * Plan shape: the candidate table is joined to the docs table once per
+    * pair side (`doc_a`, then `doc_b`), so CANDIDATES APPEAR EXACTLY ONCE
+    * in the DAG — no diamond, nothing to persist, and callers can stay
+    * fully lazy. The docs scan runs twice, but that's a pruned parquet
+    * scan (id + text only); the earlier semi-join formulation consumed the
+    * candidate pipeline (a full LSH block) twice instead. Shingles are
+    * computed after the joins, on pair rows: the per-pair work was already
+    * O(|sh_a| + |sh_b|) for the intersection, so re-shingling a doc that
+    * appears in several pairs adds a constant factor while shuffling the
+    * (smaller) raw text instead of the n-gram arrays.
     */
   def verifyJaccard(candidates: DataFrame, docs: DataFrame, id: String,
                     text: String, shingleN: Int = 3): DataFrame = {
-    // shingle only docs that appear in a candidate pair (LSH typically
-    // flags a small fraction of the corpus — don't re-shingle all of it)
-    val ids = candidates.select(col("doc_a").as(id))
-      .union(candidates.select(col("doc_b").as(id))).distinct()
-    val sh = Par.spread(docs.join(ids, Seq(id), "left_semi"))
-      .select(col(id), TextFunctions.shingles(col(text), shingleN).as("sh"))
+    val d = docs.select(col(id), col(text))
     candidates
-      .join(sh.select(col(id).as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col(id).as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(d.select(col(id).as("doc_a"), col(text).as("__ta")), Seq("doc_a"))
+      .join(d.select(col(id).as("doc_b"), col(text).as("__tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        TextFunctions.shingles(col("__ta"), shingleN).as("sh_a"),
+        TextFunctions.shingles(col("__tb"), shingleN).as("sh_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -102,27 +111,20 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: block with banding, verify with
     * exact Jaccard, keep pairs at or above `threshold`.
+    *
+    * Fully lazy — verifyJaccard consumes the candidate pipeline exactly
+    * once, so there is no persist and no eager materialization here (and
+    * therefore no cache to leak and no localCheckpoint to lose blocks under
+    * dynamic-allocation executor loss). Multi-consumer callers
+    * ([[nearDupClusters]] via [[dropNearDupes]]) persist the returned pair
+    * list themselves.
     */
   def minhashNearDupes(df: DataFrame, id: String, text: String,
                        threshold: Double = 0.8, bands: Int = 8,
-                       rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
-    // The candidate table is consumed twice by the verify stage (once for
-    // the doc-id semi-join, once as the pair list). Persist it — it's tiny
-    // (LSH flags a small fraction of the corpus) — so the LSH pipeline runs
-    // once instead of per consumer. The verified pair list is materialized
-    // eagerly (localCheckpoint truncates lineage and stores the — tiny —
-    // result as blocks cleaned up by GC), which (a) lets the candidate
-    // cache be released HERE instead of leaking for the session lifetime,
-    // and (b) guarantees downstream consumers (clustering rounds, audits)
-    // never replay the LSH front-end.
-    val cand = minhashCandidates(df, id, text, bands, rowsPerBand, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verified = verifyJaccard(cand, df, id, text, shingleN)
+                       rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame =
+    verifyJaccard(minhashCandidates(df, id, text, bands, rowsPerBand, shingleN),
+        df, id, text, shingleN)
       .filter(col("jaccard") >= threshold)
-      .localCheckpoint(true)
-    cand.unpersist()
-    verified
-  }
 
   /** 64-bit SimHash over tokens: bit j of the result is the sign of
     * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Expression-level (per-bit

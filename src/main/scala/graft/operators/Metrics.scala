@@ -73,28 +73,61 @@ object Metrics {
       .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__n"))
     val cummed =
       if (gc.isEmpty) {
-        // Ungrouped: an unpartitioned Window.orderBy(__s) would funnel the
-        // whole distinct-score table through ONE task — fine for integer-ish
-        // scores (|distinct| ≪ |rows|) but a scale-killer for continuous
-        // scores where |distinct| = |rows|. Instead: range-partition by
-        // score, local cumulative sums per partition, and add per-partition
-        // prefix offsets computed from the (≤ shuffle.partitions rows) total
-        // table — the classic distributed prefix-sum. No single-partition
-        // stage anywhere (pinned by MetricsSpec's plan assertion).
-        val p = byScore.sparkSession.sessionState.conf.numShufflePartitions
-        val parted = byScore.repartitionByRange(p, col("__s"))
-          .withColumn("__pid", spark_partition_id())
-        val wOff = Window.orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = parted.groupBy(col("__pid"))
-          .agg(sum(col("__n")).as("__pt"))
-          .withColumn("__off", coalesce(sum(col("__pt")).over(wOff), lit(0L)))
-          .select(col("__pid"), col("__off"))
-        val wLoc = Window.partitionBy(col("__pid")).orderBy(col("__s"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        parted.withColumn("__cumLoc", sum(col("__n")).over(wLoc))
-          .join(broadcast(offsets), Seq("__pid"))
-          .withColumn("__cum", col("__cumLoc") + col("__off"))
+        val scoreType = df.select(score.as("__s")).schema.head.dataType
+        val integral = scoreType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.BooleanType => true
+          case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+          case _ => false
+        }
+        if (integral) {
+          // Integer-typed scores: the distinct-score table is bounded by the
+          // value range (score bins, class counts, quantized scores), so the
+          // simple global cumsum over it is cheap — skip the prefix-sum
+          // machinery and its ~4 extra stages. Callers with integer-VALUED
+          // double scores can cast to long to opt in.
+          val w = Window.orderBy(col("__s"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          byScore.withColumn("__cum", sum(col("__n")).over(w))
+        } else {
+          // Continuous scores: an unpartitioned Window.orderBy(__s) would
+          // funnel the whole distinct-score table (= |rows| when scores are
+          // all-distinct) through ONE task — a scale-killer. Instead: bucket
+          // by score VALUE (min/max bounds + affine bucketing — monotone in
+          // __s, so bucket order = score order), local cumulative sums per
+          // bucket, and add per-bucket prefix offsets computed from the
+          // (≤ shuffle.partitions rows) totals table — the classic
+          // distributed prefix-sum with no single-partition stage over the
+          // score table (pinned by MetricsSpec's plan assertion). The bucket
+          // id is DERIVED FROM THE DATA, not spark_partition_id(), so every
+          // branch that consumes it computes identical ids even if exchange
+          // reuse is disabled or the planner stops deduplicating the
+          // repartition subtree.
+          val p = byScore.sparkSession.sessionState.conf.numShufflePartitions
+          val bounds = byScore.agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"))
+          val span = col("__hi").cast("double") - col("__lo").cast("double")
+          val parted = byScore.crossJoin(broadcast(bounds))
+            .withColumn("__pid",
+              when(col("__s").isNull || !(span > 0.0), lit(0))
+                .otherwise(least(lit(p - 1),
+                  floor((col("__s").cast("double") - col("__lo").cast("double"))
+                    / span * p).cast("int"))))
+            .drop("__lo", "__hi")
+          val wOff = Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val offsets = parted.groupBy(col("__pid"))
+            .agg(sum(col("__n")).as("__pt"))
+            .withColumn("__off", coalesce(sum(col("__pt")).over(wOff), lit(0L)))
+            .select(col("__pid"), col("__off"))
+          val wLoc = Window.partitionBy(col("__pid")).orderBy(col("__s"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          parted.withColumn("__cumLoc", sum(col("__n")).over(wLoc))
+            .join(broadcast(offsets), Seq("__pid"))
+            .withColumn("__cum", col("__cumLoc") + col("__off"))
+        }
       } else {
         // Grouped: the window partitions by the groups, so each group ranks
         // independently and in parallel — already scale-safe.

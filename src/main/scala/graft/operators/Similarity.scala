@@ -88,11 +88,17 @@ object Similarity {
     val c = corpus.select(col(corpusId).as("__cid"), col("embedding").as("__ce"))
       .withColumn("__bucket", srpSignature(col("__ce"), planes, seed))
       .withColumn("__cn", norm(col("__ce")))
-    // XOR masks for all buckets within the probe radius (radius <= 2 kept
-    // expression-level; beyond that the fan-out outweighs the pruning)
+    // XOR masks for all buckets within the probe radius. probeHamming >=
+    // planes enumerates ALL 2^planes buckets — exhaustive probing, so
+    // results are exactly brute-force top-k (the oracle twin q4k exploits
+    // this); radius 2..planes-1 is kept at the radius-2 mask set (beyond
+    // that the fan-out outweighs the pruning).
+    require(probeHamming < planes || planes <= 16,
+      s"exhaustive probe (probeHamming >= planes) needs planes <= 16, got $planes")
     val masks: Seq[Long] = probeHamming match {
       case 0 => Seq(0L)
       case 1 => 0L +: (0 until planes).map(p => 1L << p)
+      case h if h >= planes => 0L until (1L << planes)
       case _ => (0L +: (0 until planes).map(p => 1L << p)) ++
         (for (i <- 0 until planes; j <- i + 1 until planes)
           yield (1L << i) | (1L << j))
@@ -135,21 +141,24 @@ object Similarity {
     // The coarse quantizer only needs a representative sample: KMeans
     // iterates over its input once per iteration, so fitting on the full
     // corpus is O(iters × |corpus|) — the scale-killer at 100 TB. Fit on a
-    // bounded sample (one cheap count + one sampled scan of the features
-    // column only), then assign the FULL corpus in the single transform
+    // bounded sample, then assign the FULL corpus in the single transform
     // below. Cell assignment — and therefore search results — is exact for
     // whatever centroids come out; the sample only moves centroid positions
     // (recall is tuned by nProbe, pinned by RecallSpec/SimilaritySpec).
     // cap 0 = auto: ~200 sample points per centroid is ample for a coarse
-    // quantizer (FAISS trains IVF on 30-256 points/centroid)
+    // quantizer (FAISS trains IVF on 30-256 points/centroid).
+    // Sampling is COUNT-FREE (no extra driver-side scan job): take the
+    // first ceil(cap/numPartitions) rows of EACH partition — every task
+    // early-exits after a handful of rows, the sample spans all partitions
+    // (not just the first files, as a bare limit would), and the global
+    // limit trims the remainder deterministically.
     val cap = if (fitSampleCap > 0) fitSampleCap
               else math.max(200 * nCentroids, 4000)
-    val nRows = c.count()
-    val fitInput =
-      if (nRows <= cap) c.select(col("__fv"))
-      else c.select(col("__fv"))
-        .sample(withReplacement = false,
-          math.min(1.0, cap.toDouble * 1.05 / nRows), seed)
+    val fvOnly = c.select(col("__fv"))
+    val parts = math.max(1, fvOnly.rdd.getNumPartitions)
+    val perPart = (cap + parts - 1) / parts
+    val fitInput = spark.createDataFrame(
+      fvOnly.rdd.mapPartitions(_.take(perPart)), fvOnly.schema).limit(cap)
     val model = new KMeans().setK(nCentroids).setSeed(seed)
       .setFeaturesCol("__fv").setPredictionCol("__cell").fit(fitInput)
     val assigned = model.transform(c)

@@ -199,10 +199,14 @@ object PdiQueries {
         |SELECT round((sum(pos * avg_rank) - sum(pos) * (sum(pos) + 1) / 2.0)
         |       / (sum(pos) * (sum(n) - sum(pos))), 6) AS auroc
         |FROM r""".stripMargin) { (s, d) =>
+      // l_quantity is integer-valued (TPC-H quantities), so the summed score
+      // is exactly representable as long — cast to opt into Metrics' simple
+      // integer-score cumsum path (the distinct-score table is tiny); the
+      // oracle keeps the double and groups/ranks identically.
       val slide = Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderstatus"))
-        .agg(sum(col("l_quantity")).as("sc"))
+        .agg(sum(col("l_quantity")).cast("long").as("sc"))
         .select(when(col("o_orderstatus") === "F", 1).otherwise(0).as("y"), col("sc"))
       Metrics.auroc(slide, col("y"), col("sc"))
         .select(round(col("auroc"), 6).as("auroc"))

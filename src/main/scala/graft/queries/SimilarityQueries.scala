@@ -104,6 +104,38 @@ object SimilarityQueries {
           queries, "query_id", k = 5, planes = 6)
         .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
         .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
+    },
+
+    // ---- SRP-LSH at exhaustive probe radius --------------------------------
+    // probeHamming = planes probes every one of the 2^planes buckets, so the
+    // full LSH machinery executes (signature kernel, bucket explode, probe
+    // join, per-bucket ranking) but coverage is total — results are EXACTLY
+    // the brute-force top-k, which DuckDB replays. Gives the SRP-LSH path a
+    // hard oracle (the q4d trick); approximate-radius recall is pinned by
+    // RecallSpec.
+    QueryDef.sql("q4k_embedding_lsh_exact",
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |p AS (
+        |  SELECT q.query_id, b.vec_id,
+        |    list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |                           CAST(q.qe AS DOUBLE[])) AS c
+        |  FROM embeddings b, q
+        |  WHERE b.vec_id >= 5),
+        |r AS (SELECT query_id, vec_id, c,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY c DESC, vec_id) AS rn
+        |      FROM p)
+        |SELECT query_id, vec_id, round(c, 4) AS cos
+        |FROM r WHERE rn <= 5
+        |ORDER BY query_id, cos DESC, vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(emb.where(col("vec_id") >= 5), "vec_id",
+          queries, "query_id", k = 5, planes = 6, probeHamming = 6)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
     }
   )
 }
