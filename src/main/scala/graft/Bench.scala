@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at the given scale factor,
+  * then times the same oracle SQL in DuckDB (via tools/duckdb_bench.py) so
+  * the emitted line carries BOTH engines' per-query seconds — the
+  * "within 2x of baseline" criterion is computable from the artifact alone.
+  * Prints exactly one JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,10 +32,27 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val duckdb = duckdbBaseline(sfDir)
+    def obj(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val dTotal = duckdb.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results.toMap)},"duckdb":${obj(duckdb)},"duckdb_total":$dTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Per-query DuckDB seconds for every oracle-backed query, or empty when
+    * python3/duckdb is unavailable (the Spark numbers still print).
+    */
+  private def duckdbBaseline(sfDir: String): Map[String, Double] = try {
+    val tmp = java.nio.file.Files.createTempFile("graft_oracle_sql", ".json")
+    java.nio.file.Files.writeString(tmp, JsonDump.oracleSqlJson)
+    val script = new java.io.File("tools/duckdb_bench.py")
+    if (!script.isFile) return Map.empty
+    import scala.sys.process._
+    val out = Seq("python3", script.getPath, sfDir, tmp.toString).!!.trim
+    // flat {"name":seconds,...} — regex parse keeps the bench dependency-free
+    "\"([^\"]+)\"\\s*:\\s*(-?[0-9.eE+]+)".r.findAllMatchIn(out)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  } catch { case _: Throwable => Map.empty }
 }

@@ -116,24 +116,29 @@ object Multimodal {
                     height: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // bad input is DATA, not an exception (matching decodeImages' stance):
+    // null or non-positive dimensions yield a null payload row instead of
+    // crashing the task (BufferedImage throws on w/h <= 0)
     df.select(col(id).cast("long"), col(width).cast("int"), col(height).cast("int"))
-      .as[(Long, Int, Int)]
+      .as[(Long, Option[Int], Option[Int])]
       .mapPartitions { rows =>
-        rows.map { case (mid, w, h) =>
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              img.setRGB(x, y, ((mid * 2654435761L + x * 31 + y) & 0xffffff).toInt)
-              x += 1
+        rows.map {
+          case (mid, Some(w), Some(h)) if w > 0 && h > 0 =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y, ((mid * 2654435761L + x * 31 + y) & 0xffffff).toInt)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          (mid, bos.toByteArray, "image/png")
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (mid, bos.toByteArray, "image/png")
+          case (mid, _, _) => (mid, null: Array[Byte], "image/png")
         }
       }
       .toDF("media_id", "content", "media_type")

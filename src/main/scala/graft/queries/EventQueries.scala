@@ -79,6 +79,43 @@ object EventQueries {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // ---- STREAMING sessionization parity -----------------------------------
+    // The same session semantics as q62, but executed by the streaming
+    // engine: MemoryStream -> flatMapGroupsWithState (event-time timeout)
+    // -> memory sink, via EventStream.replaySessions. The DuckDB
+    // gaps-and-islands SQL is therefore an oracle over the STREAMING
+    // output — the driver-visible correctness row for the streaming
+    // surface. total_value is emitted as exact integer cents (values are
+    // 2-decimal) so the oracle hash is independent of each engine's
+    // summation order.
+    QueryDef.sql("q6a_stream_sessions",
+      """WITH o AS (
+        |  SELECT user_id, value, epoch_us(ts) AS tus,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |      OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, value, tus,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM o)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us,
+        |  CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      val closed = graft.streaming.EventStream.replaySessions(
+        Tables.events(s, d), gapUs = halfHourUs)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("start_us"))
+      closed
+        .withColumn("session_id", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("start_us"), col("end_us"),
+          round(col("total_value") * 100).cast("long").as("total_cents"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
     // ---- top users by activity ---------------------------------------------
     QueryDef.sql("q63_top_users",
       """SELECT user_id, count(*) AS n,

@@ -76,6 +76,36 @@ object PipelineQueries {
         .orderBy(col("set"))
     },
 
+    // ---- A6: binary model artifact store round-trip ------------------------
+    // Fit the H5 RF, save it through Spark ML's artifact writer, reload,
+    // and score the SAME rows with both models: the reloaded model must
+    // agree with the in-memory one on every prediction and probability
+    // (model bytes are opaque -> rows-only; the agreement counts ARE the
+    // check, and are deterministic because the fit is seeded).
+    QueryDef.rowsOnly("q39_model_roundtrip") { (s, d) =>
+      val meta = Tables.customer(s, d).select(
+        col("c_custkey"),
+        col("c_acctbal").as("bal"),
+        (col("c_nationkey") % 5).cast("double").as("cat"),
+        when(col("c_acctbal") > 4500, 1.0).otherwise(0.0).as("label"))
+      val feats = Seq("bal", "cat")
+      val model = MetaClassifier.fit(meta, feats, "label",
+        MetaClassifier.Config(numTrees = 21, maxDepth = 5, seed = 0L))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_rf_roundtrip").toString
+      model.write.overwrite().save(dir)
+      val loaded = org.apache.spark.ml.classification
+        .RandomForestClassificationModel.load(dir)
+      val pre = MetaClassifier.score(model, meta, feats)
+        .select(col("c_custkey"), col("prediction").as("p0"), col("score1").as("s0"))
+      val post = MetaClassifier.score(loaded, meta, feats)
+        .select(col("c_custkey"), col("prediction").as("p1"), col("score1").as("s1"))
+      pre.join(post, Seq("c_custkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("p0") === col("p1"), 1L).otherwise(0L)).as("n_pred_agree"),
+          sum(when(col("s0") === col("s1"), 1L).otherwise(0L)).as("n_score_agree"))
+    },
+
     // ---- H6: the full experiment pipeline, one oracle ----------------------
     // ingest(2 cohorts) -> impute(mean age, mode gender) -> stratified
     // round-robin folds over (label, lab) -> fold->set map -> per-slide

@@ -169,4 +169,50 @@ object EventStream {
   def highValueAlerts(events: DataFrame, threshold: Double): DataFrame =
     events.filter(col("value") >= threshold)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+
+  private val replayCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming replay of a BOUNDED event table: runs [[statefulSessions]]
+    * as a real streaming query — MemoryStream source →
+    * `flatMapGroupsWithState` → memory sink — over the given events, then
+    * closes every open session by advancing the watermark with a synthetic
+    * flush event far past the horizon. Returns the closed-session table
+    * `(user_id, start_us, end_us, n_events, total_value)`.
+    *
+    * This is the verification twin that lets the driver's oracle gate see
+    * the streaming engine (stream output == the batch sessionizer == the
+    * DuckDB gaps-and-islands SQL — query q6a); the production ingest path
+    * is the same transform over `readStream` with no collect. The driver
+    * collect here is bounded-input-only by construction (MemoryStream takes
+    * local data), not an operator pattern.
+    */
+  def replaySessions(events: DataFrame, gapUs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("value"))
+      .as[SessionEvent].collect()
+    val maxUs = rows.iterator.map(e =>
+      e.ts.getTime * 1000L + (e.ts.getNanos % 1000000) / 1000).max
+    // flush user -1 advances the watermark past every open session's
+    // timeout (end + gap), forcing emission; its own session is dropped
+    val flushTs = new java.sql.Timestamp((maxUs + gapUs) / 1000L + 3600L * 1000)
+
+    val stream = MemoryStream[SessionEvent]
+    val sink = s"graft_stream_sessions_${replayCounter.incrementAndGet()}"
+    val query = statefulSessions(stream.toDF(), gapUs, "0 seconds").toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(rows.toSeq)
+      query.processAllAvailable()
+      stream.addData(Seq(SessionEvent(-1L, flushTs, 0.0)))
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table(sink).filter(col("user_id") =!= -1L)
+  }
 }

@@ -68,6 +68,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("synthesizePng treats bad dimensions as data: null/zero/negative -> null payload") {
+    val base = Seq(
+      (0L, Some(4), Some(3)),            // valid
+      (1L, Some(0), Some(3)),            // zero width
+      (2L, Some(4), Some(-2)),           // negative height
+      (3L, None: Option[Int], Some(3)),  // null width
+      (4L, Some(4), None: Option[Int])   // null height
+    ).toDF("id", "w", "h")
+    val out = Multimodal.synthesizePng(base, "id", "w", "h")
+      .select(col("media_id"), col("content").isNull.as("null_content"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out.size == 5, "every input row must survive (no task crash)")
+    assert(!out(0L), "valid dims must encode")
+    Seq(1L, 2L, 3L, 4L).foreach(id =>
+      assert(out(id), s"id=$id bad dims must yield null payload"))
+  }
+
   test("patchGrid fans out ceil(w/p)*ceil(h/p) rows per image") {
     val decoded = Multimodal.fakeDecode(media)
     val grid = Multimodal.patchGrid(decoded, 32)

@@ -75,6 +75,30 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.find(_._1 == 0L).get._2 == 0L, "empty array must sign to 0")
   }
 
+  test("null embedding: native signature is NULL (row drops from LSH buckets); expr form gives 0") {
+    // Intended divergence, pinned so it can't regress silently: the native
+    // kernel nulls the signature for a null input array, so null-embedding
+    // rows vanish from lshTopK/cosineNearDupes equi-join bucketing (a null
+    // vector has no meaningful bucket); the interpreted expression form
+    // folds null per-plane projections to bucket 0.
+    val df = Seq((0L, Seq(1.0f, 2.0f)), (1L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val rows = df.select(col("vec_id"),
+        Similarity.srpSignature(col("embedding"), 8).as("a"),
+        Similarity.srpSignatureExpr(col("embedding"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(rows(1L)._1.isEmpty, "native signature of null embedding must be NULL")
+    assert(rows(1L)._2.contains(0L), "expr signature of null embedding folds to 0")
+    assert(rows(0L)._1 == rows(0L)._2)
+    // and the LSH path drops the null row rather than erroring or bucketing it
+    val corpus = df
+    val queries = Seq((100L, Seq(1.0f, 2.0f))).toDF("query_id", "embedding")
+    val hits = Similarity.lshTopK(corpus, "vec_id", queries, "query_id",
+        k = 5, planes = 8, probeHamming = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(hits == Set(0L), s"null-embedding row must not surface: $hits")
+  }
+
   test("lshTopK retrieves the identical vector for each query") {
     val corpus = vecs.where(col("vec_id") =!= 0)
     val queries = vecs.where(col("vec_id") === 0)

@@ -167,6 +167,22 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
   }
 
+  test("replaySessions (bounded streaming replay) matches the batch sessionizer exactly") {
+    // integer-valued doubles so total_value is summation-order-exact
+    val evs = (0 until 40).map(i =>
+      Ev(i.toLong, t(i * 13 % 240 + (i % 3) * 45), i % 3L, "view", (i % 7).toDouble))
+    val gapUs = 25L * 60 * 1000000
+    val cols = Seq("user_id", "start_us", "end_us", "n_events", "total_value")
+    val streamed = EventStream.replaySessions(evs.toDF(), gapUs)
+      .select(cols.map(col): _*)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val batch = graft.operators.Events.sessionStats(
+        evs.toDF().withColumn("ts_us", unix_micros(col("ts"))), gapUs)
+      .select(cols.map(col): _*)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+  }
+
   test("stream-stream funnel join matches the batch funnel on the same data") {
     val evs = (0 until 80).map { i =>
       Ev(i.toLong, t(i * 7 % 240), i % 5L,
