@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-linearity probe: times the engine's load-bearing operator shapes on
+  * a 1× and a 10× copy of the sf0.1 tables (both written multi-row-group to
+  * /tmp so partitioning is identical and only DATA VOLUME varies) and writes
+  * the per-op times + ratios to BENCH_10x.json — the committed, reproducible
+  * form of PERF.md's "every cost curve is linear past the scheduling floor"
+  * claim.
+  *
+  * Usage: `sbt 'runMain graft.Scale10x'` (env SPARK_GRAFT_SF_DIR /
+  * SPARK_GRAFT_CPUS as in Bench; output path arg 1, default BENCH_10x.json).
+  */
+object Scale10x {
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val r = f
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  /** Evaluate EVERY column of `df` (count() alone lets Catalyst prune the
+    * computed columns — a probe that times nothing) and return the row
+    * count: one aggregate over a row hash.
+    */
+  private def force(df: DataFrame): Long =
+    df.agg(count(lit(1)),
+        sum(pmod(xxhash64(df.columns.map(col): _*), lit(1000000007L))))
+      .collect()(0).getLong(0)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = if (args.nonEmpty) args(0) else "BENCH_10x.json"
+    val work = "/tmp/graft_scale10x"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- build 1x and 10x copies (same layout: 32-way multi-row-group) ----
+    // 10x: union of 10 id-shifted copies; doc text gets a per-copy suffix so
+    // copies are near-dupes (not exact dupes) of each other — the near-dup
+    // pipeline sees realistic planted-pair work, like the r1 probe.
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount", "l_tax")
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+    def write(df: DataFrame, name: String): String = {
+      val p = s"$work/$name"
+      df.repartition(32).write.mode("overwrite").parquet(p)
+      p
+    }
+    def scaled(df: DataFrame, idCols: Seq[String], copies: Int,
+               suffix: Option[String]): DataFrame =
+      (0 until copies).map { k =>
+        val shifted = idCols.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(k * 100000000L)))
+        suffix match {
+          case Some(tc) if k > 0 =>
+            shifted.withColumn(tc, concat(col(tc), lit(s" copymark$k")))
+          case _ => shifted
+        }
+      }.reduce(_ unionByName _)
+
+    val docs1P = write(docs, "docs1")
+    val docs10P = write(scaled(docs, Seq("doc_id"), 10, Some("text")), "docs10")
+    val li1P = write(li, "li1")
+    val li10P = write(scaled(li, Seq("l_orderkey"), 10, None), "li10")
+    val ord1P = write(orders, "ord1")
+    val ord10P = write(scaled(orders, Seq("o_orderkey"), 10, None), "ord10")
+
+    // warmup: session/codegen init so op timings don't absorb cold-start
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(li1P).count(); spark.read.parquet(docs1P).count()
+
+    // ---- the probed operator shapes ---------------------------------------
+    def aggShape(p: String): Long =                       // q01 shape
+      force(spark.read.parquet(p)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sq"), sum(col("l_extendedprice")).as("sp"),
+          avg(col("l_discount")).as("ad"), count(lit(1)).as("n")))
+    def sigShape(p: String): Long =                       // minhash signatures
+      force(graft.operators.Dedup.minhashSignatures(
+        spark.read.parquet(p), "doc_id", "text", numHashes = 32, shingleN = 3))
+    def exactDedupShape(p: String): Long =
+      force(graft.operators.Dedup.dropExactDupes(
+        spark.read.parquet(p), "doc_id", "text"))
+    def topkShape(p: String): Long =                      // q16 shape
+      force(graft.plans.GroupedTopK.perGroup(
+        spark.read.parquet(p).select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq(col("o_custkey")),
+        struct(col("o_totalprice"), col("o_orderkey")), k = 3))
+    def nearDupShape(p: String): Long =                   // LSH block+verify
+      force(graft.operators.Dedup.minhashNearDupes(
+        spark.read.parquet(p), "doc_id", "text", threshold = 0.5))
+    def clusterShape(p: String): Long =                   // q4j scale path
+      force(graft.operators.Dedup.nearDupClusters(
+        graft.operators.Dedup.minhashNearDupes(
+          spark.read.parquet(p), "doc_id", "text", threshold = 0.5)))
+    def multiEvalShape(liP: String, ordP: String): Long = { // q37 shape
+      val cnn = spark.read.parquet(liP).groupBy(col("l_orderkey").as("k"))
+        .agg((sum(col("l_quantity")).cast("long") % 100).as("cnn_sc"))
+      val o = spark.read.parquet(ordP)
+      val base = cnn.join(o, col("o_orderkey") === col("k"))
+        .select((col("o_orderkey") % 5).as("fold"),
+          when(col("o_orderstatus") === "F", 1).otherwise(0).as("y"),
+          col("cnn_sc"), (col("o_custkey") % 100).as("rf_sc"),
+          ((col("o_custkey") * 7 + 13) % 100).as("cat_sc"),
+          ((col("o_custkey") + col("o_orderkey")) % 100).as("se_sc"))
+      val melted = Seq(("cnn", "cnn_sc"), ("rf", "rf_sc"),
+          ("cat", "cat_sc"), ("se", "se_sc"))
+        .map { case (m, c) =>
+          base.select(lit(m).as("model"), col("fold"), col("y"), col(c).as("sc")) }
+        .reduce(_ unionByName _)
+      force(graft.operators.Metrics.aurocBy(
+        melted, col("y"), col("sc"), Seq("model", "fold")))
+    }
+
+    case class Probe(name: String, run1: () => Long, run10: () => Long)
+    val probes = Seq(
+      Probe("agg_6m_rows", () => aggShape(li1P), () => aggShape(li10P)),
+      Probe("minhash_signatures", () => sigShape(docs1P), () => sigShape(docs10P)),
+      Probe("exact_dedup", () => exactDedupShape(docs1P), () => exactDedupShape(docs10P)),
+      Probe("grouped_topk", () => topkShape(ord1P), () => topkShape(ord10P)),
+      Probe("neardup_lsh_e2e", () => nearDupShape(docs1P), () => nearDupShape(docs10P)),
+      Probe("neardup_clusters", () => clusterShape(docs1P), () => clusterShape(docs10P)),
+      Probe("multimodel_eval", () => multiEvalShape(li1P, ord1P),
+        () => multiEvalShape(li10P, ord10P)))
+
+    val results = probes.map { p =>
+      val (tw, _) = time(p.run1())       // warm the code path once at 1x
+      val (t1, rows1) = time(p.run1())   // timed 1x (warm)
+      val (t10, rows10) = time(p.run10())
+      val best1 = math.min(tw, t1)
+      println(f"[scale10x] ${p.name}%-20s 1x=${best1}%.2fs/${rows1} rows  10x=${t10}%.2fs/${rows10} rows  time-ratio=${t10 / best1}%.1f")
+      (p.name, best1, t10, rows1, rows10)
+    }
+    val json = results.map { case (n, t1, t10, r1, r10) =>
+      f"""  "$n": {"t1_sec": $t1%.3f, "t10_sec": $t10%.3f, "ratio": ${t10 / t1}%.2f, "rows1": $r1, "rows10": $r10}"""
+    }.mkString(
+      s"""{\n  "_meta": {"sf": "$sfDir", "copies": 10, "layout": "32-way multi-row-group parquet for BOTH scales", "note": "ratio ~<=10 = linear-or-better (sub-linear = the 1x run is scheduling-floor-bound, not compute-bound); the neardup probes are OUTPUT-bound - the 10x build plants 10 near-identical copies per doc, so true pairs (rows10) grow quadratically in the duplication factor, far beyond 10x, and honest scaling is time vs output rows"},\n""",
+      ",\n", "\n}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    println(s"[scale10x] wrote $outPath")
+    spark.stop()
+  }
+}

@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -23,7 +23,8 @@ object WordShinglesKernel {
   private val WS: UTF8String = UTF8String.fromString("\\s+")
   private val SPACE: UTF8String = UTF8String.fromString(" ")
 
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  /** The distinct shingle set (first-occurrence order). */
+  def shingleSet(text: UTF8String, n: Int): java.util.LinkedHashSet[UTF8String] = {
     val toks = text.trim().split(WS, -1)
     val out = new java.util.LinkedHashSet[UTF8String]()
     if (toks.length < n) {
@@ -37,7 +38,33 @@ object WordShinglesKernel {
         i += 1
       }
     }
-    new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
+    out
+  }
+
+  def compute(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(
+      shingleSet(text, n).toArray.asInstanceOf[Array[AnyRef]])
+
+  /** Fused shingle-set Jaccard: |A∩B| / (|A|+|B|-|A∩B|) in ONE pass over
+    * both texts — bit-identical to
+    * `size(array_intersect(sh_a, sh_b)) / (size(sh_a)+size(sh_b)-inter)`
+    * over [[compute]] outputs (same set construction, integer arithmetic,
+    * single double division).
+    *
+    * Exists as a kernel because the composed form is catastrophically
+    * duplication-sensitive: Catalyst's project collapse + filter pushdown
+    * inline the shingle/intersect subtrees into join conditions AND output
+    * projections (no common-subexpression elimination across a join
+    * condition), re-shingling each candidate pair up to ~8×. A single
+    * scalar expression is evaluated at most once per site.
+    */
+  def jaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = shingleSet(a, n)
+    val sb = shingleSet(b, n)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    inter.toDouble / (sa.size.toDouble + sb.size.toDouble - inter.toDouble)
   }
 }
 
@@ -67,4 +94,40 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 object WordShingles {
   def shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  def shingleJaccard(a: Column, b: Column, n: Int): Column =
+    ColumnBridge.column(
+      ShingleJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b), n))
+}
+
+/** See [[WordShinglesKernel.jaccard]]: the near-dup verify metric as one
+  * codegen'd scalar, so per-pair cost is a single fused pass regardless of
+  * how many plan sites Catalyst copies the expression into.
+  */
+case class ShingleJaccard(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if n > 0 => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"shingle_jaccard requires (STRING, STRING) and n > 0, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString}) / $n")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    WordShinglesKernel.jaccard(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = WordShinglesKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $kernel.jaccard($a, $b, $n);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleJaccard =
+    copy(left = newLeft, right = newRight)
 }

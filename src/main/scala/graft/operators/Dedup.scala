@@ -88,11 +88,12 @@ object Dedup {
     * in the DAG — no diamond, nothing to persist, and callers can stay
     * fully lazy. The docs scan runs twice, but that's a pruned parquet
     * scan (id + text only); the earlier semi-join formulation consumed the
-    * candidate pipeline (a full LSH block) twice instead. Shingles are
-    * computed after the joins, on pair rows: the per-pair work was already
-    * O(|sh_a| + |sh_b|) for the intersection, so re-shingling a doc that
-    * appears in several pairs adds a constant factor while shuffling the
-    * (smaller) raw text instead of the n-gram arrays.
+    * candidate pipeline (a full LSH block) twice instead. The pair metric
+    * is the fused [[graft.expressions.ShingleJaccard]] kernel — one pass
+    * over both texts per evaluation — because Catalyst copies the jaccard
+    * expression into the join condition (threshold pushdown) AND the output
+    * projection, and the composed shingle/array_intersect form would
+    * re-shingle each pair at every copied site (measured ~8× per pair).
     */
   def verifyJaccard(candidates: DataFrame, docs: DataFrame, id: String,
                     text: String, shingleN: Int = 3): DataFrame = {
@@ -101,12 +102,8 @@ object Dedup {
       .join(d.select(col(id).as("doc_a"), col(text).as("__ta")), Seq("doc_a"))
       .join(d.select(col(id).as("doc_b"), col(text).as("__tb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        TextFunctions.shingles(col("__ta"), shingleN).as("sh_a"),
-        TextFunctions.shingles(col("__tb"), shingleN).as("sh_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        graft.expressions.WordShingles.shingleJaccard(
+          col("__ta"), col("__tb"), shingleN).as("jaccard"))
   }
 
   /** Full MinHash-LSH near-dup pipeline: block with banding, verify with
@@ -122,8 +119,23 @@ object Dedup {
   def minhashNearDupes(df: DataFrame, id: String, text: String,
                        threshold: Double = 0.8, bands: Int = 8,
                        rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame =
-    verifyJaccard(minhashCandidates(df, id, text, bands, rowsPerBand, shingleN),
+    verifyJaccard(
+        // explicit round-robin repartition: the candidate table is BYTES-tiny
+        // (two ids per row), so AQE's coalescing would funnel the verify
+        // stage - whose cost is per-pair CPU (the jaccard kernel), not bytes
+        // - into one or two tasks. A user repartition is exempt from AQE
+        // coalescing and also spreads pair-count skew.
+        minhashCandidates(df, id, text, bands, rowsPerBand, shingleN)
+          .repartition(df.sparkSession.sessionState.conf.numShufflePartitions),
         df, id, text, shingleN)
+      // no-op aggregate (candidate pairs are already distinct) acting as a
+      // pushdown BARRIER: without it the optimizer folds the threshold into
+      // the verify join's condition and the jaccard kernel runs a second
+      // time per candidate pair (measured ~2x verify cost at 10x scale).
+      // The aggregate keeps the filter above a once-evaluated column at the
+      // price of one exchange of the tiny (id, id, double) pair table.
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("jaccard")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
   /** 64-bit SimHash over tokens: bit j of the result is the sign of

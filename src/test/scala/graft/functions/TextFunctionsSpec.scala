@@ -62,6 +62,29 @@ class TextFunctionsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("fused shingleJaccard is bit-identical to the composed intersect formula") {
+    val texts = Seq(
+      "", " ", "a", "a b", "a b c", "a b c d e f",
+      "dup dup dup dup", "  leading  and   inner   spaces  ",
+      "the quick brown fox the quick brown fox",
+      "the quick brown fox jumps over the lazy dog")
+    val pairs = for (a <- texts; b <- texts) yield (a, b)
+    val df = pairs.toDF("ta", "tb").cache()
+    for (n <- Seq(1, 2, 3)) {
+      val sa = TextFunctions.shingles(col("ta"), n)
+      val sb = TextFunctions.shingles(col("tb"), n)
+      val inter = size(array_intersect(sa, sb))
+      val composed = df.select(
+        (inter.cast("double") / (size(sa) + size(sb) - inter)).as("j"))
+        .as[Double].collect().toSeq
+      val fused = df.select(
+        graft.expressions.WordShingles.shingleJaccard(col("ta"), col("tb"), n))
+        .as[Double].collect().toSeq
+      assert(fused == composed, s"n=$n")
+    }
+    df.unpersist()
+  }
+
   test("fingerprint64 is injective on distinct texts, stable on equal texts") {
     val fps = Seq("alpha", "beta", "alpha").toDF("t")
       .select(TextFunctions.fingerprint64(col("t"))).as[Long].collect()
