@@ -109,12 +109,15 @@ object Similarity {
         explode(array(masks.map(m => col("__b0").bitwiseXOR(lit(m))): _*)))
       .drop("__b0")
       .withColumn("__qn", norm(col("__qe")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__qid")).orderBy(col("cos").desc, col("__cid"))
-    c.join(broadcast(q), Seq("__bucket"))
+    // per-query top-k via the bounded-heap GroupedTopK physical operator
+    // (O(candidates log k) per query, no per-group sort buffer): at scale
+    // the probed-candidate set per query is large and a window row_number
+    // would sort all of it just to keep k. order = (-cos, cid) gives the
+    // same total order as (cos DESC, cid ASC).
+    val scored = c.join(broadcast(q), Seq("__bucket"))
       .withColumn("cos", dot(col("__ce"), col("__qe")) / (col("__cn") * col("__qn")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
+    graft.plans.GroupedTopK.perGroup(scored, Seq(col("__qid")),
+        struct(-col("cos"), col("__cid")), k)
       .select(col("__qid").as(queryId), col("__cid").as(corpusId), col("cos"))
   }
 
@@ -168,27 +171,25 @@ object Similarity {
       .map { case (v, i) => (i, v.toArray) }.toSeq
       .toDF("__cell", "__centroid")
 
-    // probe assignment: rank centroids per query by L2 distance, keep nProbe
+    // probe assignment: rank centroids per query by L2 distance, keep the
+    // nProbe nearest — bounded-heap GroupedTopK instead of a window sort
+    // (queries can be millions of rows; centroid fan-out is nCentroids×)
     val qWithDist = queries
       .select(col(queryId).as("__qid"), col("embedding").as("__qe"))
       .crossJoin(broadcast(centroids))
       .withColumn("__d2",
         dot(col("__centroid"), col("__centroid"))
           - lit(2.0) * dot(col("__qe"), col("__centroid")))
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__qid")).orderBy(col("__d2"), col("__cell"))
-    val probes = qWithDist
-      .withColumn("__pr", row_number().over(wProbe))
-      .filter(col("__pr") <= nProbe)
+    val probes = graft.plans.GroupedTopK.perGroup(qWithDist,
+        Seq(col("__qid")), struct(col("__d2"), col("__cell")), nProbe)
       .select(col("__qid"), col("__qe"), col("__cell"),
         norm(col("__qe")).as("__qn"))
 
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__qid")).orderBy(col("cos").desc, col("__cid"))
-    assigned.join(broadcast(probes), Seq("__cell"))
+    // in-cell ranking: same bounded-heap top-k as lshTopK
+    val scored = assigned.join(broadcast(probes), Seq("__cell"))
       .withColumn("cos", dot(col("__ce"), col("__qe")) / (col("__cn") * col("__qn")))
-      .withColumn("__rn", row_number().over(wTop))
-      .filter(col("__rn") <= k)
+    graft.plans.GroupedTopK.perGroup(scored, Seq(col("__qid")),
+        struct(-col("cos"), col("__cid")), k)
       .select(col("__qid").as(queryId), col("__cid").as(corpusId), col("cos"))
   }
 

@@ -333,6 +333,31 @@ object CoreQueries {
           round(abs(col("approx_orders") - col("exact_orders"))
             / col("exact_orders"), 4))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ---- sketch CONTRACT oracle: the HLL++/KLL values are engine-specific
+    // (q14 stays rows-only), but their error bounds are not. The oracle
+    // emits the exact aggregates plus literal TRUE for each bound; the hash
+    // gate then fails iff a sketch violates its contract (HLL within 5% of
+    // exact at rsd=0.02; approx p50 between exact p45 and p55).
+    QueryDef.sql("q15_approx_bounds",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  true AS hll_ok, true AS kll_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("hll"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50a"),
+          expr("percentile(l_extendedprice, 0.45)").as("p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("p55"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("hll") - col("exact_orders"))
+            / col("exact_orders") <= 0.05).as("hll_ok"),
+          col("p50a").between(col("p45"), col("p55")).as("kll_ok"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

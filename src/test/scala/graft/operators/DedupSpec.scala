@@ -44,6 +44,21 @@ class DedupSpec extends SparkSpec {
     assert(j == 1.0)
   }
 
+  test("minhashNearDupes plan: jaccard kernel never in a join condition, evaluated at most twice") {
+    // Regression pins for the round-3 verify-stage fixes: (a) the threshold
+    // must stay ABOVE the barrier aggregate, not folded into the verify
+    // join's condition (where it would re-run the kernel per candidate
+    // pair); (b) project collapse must not multiply kernel sites.
+    val plan = Dedup.minhashNearDupes(docs, "doc_id", "text", 0.5)
+      .queryExecution.executedPlan.toString
+    plan.split("\n").filter(_.contains("Join")).foreach { l =>
+      assert(!l.toLowerCase.contains("shinglejaccard"),
+        s"jaccard kernel leaked into a join condition:\n$l")
+    }
+    val sites = "shinglejaccard".r.findAllIn(plan.toLowerCase).size
+    assert(sites >= 1 && sites <= 2, s"expected 1-2 kernel sites, got $sites:\n$plan")
+  }
+
   test("simhash: identical text -> hamming 0; near text -> small; far -> large") {
     val sh = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap
