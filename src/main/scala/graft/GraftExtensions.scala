@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{MinHashSignature, SimHash64, VecDot, WordShingles}
+import graft.expressions.{MinHashSignature, ShingleJaccard, SimHash64, SrpSignature, VecDot, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
@@ -46,7 +46,12 @@ object GraftExtensions {
     "word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "word_shingles")) },
     "minhash_signature" -> { args =>
       MinHashSignature(args(0), intArg(args(1), "minhash_signature")) },
-    "simhash64" -> { args => SimHash64(args(0)) })
+    "simhash64" -> { args => SimHash64(args(0)) },
+    "shingle_jaccard" -> { args =>
+      ShingleJaccard(args(0), args(1), intArg(args(2), "shingle_jaccard")) },
+    "srp_signature" -> { args =>
+      SrpSignature(args(0), intArg(args(1), "srp_signature"),
+        intArg(args(2), "srp_signature").toLong) })
 
   /** Runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =

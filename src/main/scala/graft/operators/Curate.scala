@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,29 +36,38 @@ object Curate {
     Dedup.dropNearDupes(exactDeduped, id, text, cfg.nearDupThreshold)
   }
 
-  /** Per-stage survivor counts — the curation audit table. */
+  /** Per-stage survivor counts — the curation audit table.
+    *
+    * ONE lazy aggregation pass: each gate is a conditional sum (gates are
+    * cumulative, so stage k's predicate is the conjunction of gates 1..k)
+    * and the exact-dedup stage is `countDistinct` of the text among stage-3
+    * survivors — no cache, no per-stage driver actions, and at 100 TB the
+    * corpus is read once (the multi-aggregate plans as a single hash
+    * aggregate with an Expand for the distinct, not five scans).
+    */
   def funnelAudit(df: DataFrame, id: String, text: String,
                   cfg: Config = Config()): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val scored = df
       .withColumn("quality", TextFunctions.qualityScore(col(text)))
       .withColumn("lang", TextFunctions.langId(col(text)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(text)))
-      .cache()
-    try {
-      val total = scored.count()
-      val q = scored.filter(col("quality") >= cfg.minQuality)
-      val nq = q.count()
-      val lg = q.filter(col("lang") === cfg.lang)
-      val nl = lg.count()
-      val tk = lg.filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
-      val nt = tk.count()
-      val ne = Dedup.dropExactDupes(tk, id, text).count()
-      Seq(("0_total", total), ("1_quality", nq), ("2_lang", nl),
-        ("3_tokens", nt), ("4_exact_dedup", ne))
-        .toDF("stage", "n_docs")
-    } finally scored.unpersist()
+    val qok = col("quality") >= cfg.minQuality
+    val lok = qok && col("lang") === cfg.lang
+    val tok = lok && col("n_tokens").between(cfg.minTokens, cfg.maxTokens)
+    def stage(name: String, c: Column) =
+      struct(lit(name).as("stage"), c.as("n_docs"))
+    scored
+      .agg(
+        count(lit(1)).as("c0"),
+        sum(when(qok, 1L).otherwise(0L)).as("c1"),
+        sum(when(lok, 1L).otherwise(0L)).as("c2"),
+        sum(when(tok, 1L).otherwise(0L)).as("c3"),
+        countDistinct(when(tok, col(text))).as("c4"))
+      .select(explode(array(
+        stage("0_total", col("c0")), stage("1_quality", col("c1")),
+        stage("2_lang", col("c2")), stage("3_tokens", col("c3")),
+        stage("4_exact_dedup", col("c4")))).as("kv"))
+      .select(col("kv.stage").as("stage"), col("kv.n_docs").as("n_docs"))
   }
 
   /** Greedy contiguous sequence packing: in `orderBy` order, assign docs to

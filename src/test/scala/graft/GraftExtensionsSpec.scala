@@ -28,6 +28,19 @@ class GraftExtensionsSpec extends SparkSpec {
     val opSim = Seq((1L, "the quick brown fox the quick")).toDF("id", "text")
       .select(graft.operators.Dedup.simhash64(col("text"))).as[Long].head()
     assert(sqlSim == opSim)
+
+    // fused jaccard: identical texts -> 1.0; equals the Column-level kernel
+    val jac = spark.sql("SELECT shingle_jaccard(text, text, 3) FROM ext_t")
+      .as[Double].head()
+    assert(jac == 1.0)
+
+    // srp_signature equals the Column-level kernel (same planes + seed)
+    val sqlSrp = spark.sql("SELECT srp_signature(a, 8, 42) FROM ext_t")
+      .as[Long].head()
+    val opSrp = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "embedding")
+      .select(graft.operators.Similarity.srpSignature(col("embedding"), 8, 42L))
+      .as[Long].head()
+    assert(sqlSrp == opSrp)
   }
 
   test("extensions class registers via SparkSessionExtensions (builder path)") {
