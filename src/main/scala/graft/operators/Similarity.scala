@@ -197,11 +197,16 @@ object Similarity {
     * verification — the embedding-space analogue of MinHash dedup. Norms are
     * computed once per vector before the self-join, so the per-pair work is
     * one codegen'd dot product.
+    *
+    * `planes = 0` puts every row in one bucket — EXACT all-pairs mode, for
+    * filtered subsets and oracle twins (q4l); recall at planes > 0 is pinned
+    * by SimilaritySpec.
     */
   def cosineNearDupes(corpus: DataFrame, id: String, threshold: Double,
                       planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val bucket = if (planes == 0) lit(0L) else srpSignature(col("e"), planes, seed)
     val c = corpus.select(col(id).as("doc"), col("embedding").as("e"))
-      .withColumn("bucket", srpSignature(col("e"), planes, seed))
+      .withColumn("bucket", bucket)
       .withColumn("n", norm(col("e")))
     val a = c.as("a"); val b = c.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))

@@ -136,6 +136,28 @@ object SimilarityQueries {
           queries, "query_id", k = 5, planes = 6, probeHamming = 6)
         .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
         .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
+    },
+
+    // ---- embedding-cosine near-dup pairs (exact single-bucket mode) --------
+    // planes = 0 -> one bucket -> the blocking join degenerates to exact
+    // all-pairs on the (deterministic) subset, which DuckDB replays; the
+    // approximate bucketed recall (planes > 0) is pinned by SimilaritySpec.
+    QueryDef.sql("q4l_cosine_neardup",
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 1),
+        |p AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM e a, e b
+        |  WHERE a.vec_id < b.vec_id)
+        |SELECT doc_a, doc_b, round(c, 4) AS cos
+        |FROM p WHERE c >= 0.15
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      Similarity.cosineNearDupes(
+          Tables.embeddings(s, d).where(col("vec_id") % 5 === 1),
+          "vec_id", threshold = 0.15, planes = 0)
+        .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 }

@@ -122,6 +122,20 @@ class SimilaritySpec extends SparkSpec {
     (0L until 3L).foreach(q => assert(got(q) == q, s"query $q got ${got.get(q)}"))
   }
 
+  test("ANN top-k plans use the bounded-heap operator, not a window sort") {
+    val corpus = vecs.where(col("vec_id") =!= 0)
+    val queries = vecs.where(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    for ((name, df) <- Seq(
+        "lsh" -> Similarity.lshTopK(corpus, "vec_id", queries, "query_id", k = 2),
+        "ivf" -> Similarity.ivfTopK(corpus, "vec_id", queries, "query_id",
+          k = 2, nCentroids = 2, nProbe = 2))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("GroupedTopK"), s"$name: no bounded-heap operator:\n$plan")
+      assert(!plan.contains("Window"), s"$name: window sort still present:\n$plan")
+    }
+  }
+
   test("cosineNearDupes finds the identical pair and not the orthogonal one") {
     val pairs = Similarity.cosineNearDupes(vecs, "vec_id", threshold = 0.99, planes = 4)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
