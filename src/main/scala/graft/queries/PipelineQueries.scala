@@ -78,11 +78,15 @@ object PipelineQueries {
 
     // ---- A6: binary model artifact store round-trip ------------------------
     // Fit the H5 RF, save it through Spark ML's artifact writer, reload,
-    // and score the SAME rows with both models: the reloaded model must
-    // agree with the in-memory one on every prediction and probability
-    // (model bytes are opaque -> rows-only; the agreement counts ARE the
-    // check, and are deterministic because the fit is seeded).
-    QueryDef.rowsOnly("q39_model_roundtrip") { (s, d) =>
+    // and score the SAME rows with both models. The model bytes are opaque,
+    // but the round-trip CONTRACT is not: the reloaded model must agree with
+    // the in-memory one on every prediction and probability, so the oracle
+    // emits count(*) for all three columns — the hash gate fails iff
+    // persistence is unfaithful on any row.
+    QueryDef.sql("q39_model_roundtrip",
+      """SELECT count(*) AS n_rows, count(*) AS n_pred_agree,
+        |  count(*) AS n_score_agree
+        |FROM customer""".stripMargin) { (s, d) =>
       val meta = Tables.customer(s, d).select(
         col("c_custkey"),
         col("c_acctbal").as("bal"),

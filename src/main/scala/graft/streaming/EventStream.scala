@@ -196,6 +196,9 @@ object EventStream {
       .select(col("user_id").cast("long").as("user_id"), col("ts"),
         col("value").cast("double").as("value"))
       .as[SessionEvent].collect()
+    if (rows.isEmpty) {
+      return spark.emptyDataset[ClosedSession].toDF()
+    }
     val maxUs = rows.iterator.map(e =>
       e.ts.getTime * 1000L + (e.ts.getNanos % 1000000) / 1000).max
     // flush user -1 advances the watermark past every open session's

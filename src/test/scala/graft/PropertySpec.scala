@@ -95,6 +95,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("shingleJaccard: symmetric, bounded in [0,1], 1.0 iff equal shingle sets") {
+    val wordGen = Gen.listOfN(2, Gen.oneOf("a", "b", "c", "dd")).map(_.mkString(""))
+    val textGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    forSamples(Gen.zip(textGen, textGen), n = 8) { case (ta, tb) =>
+      val r = Seq((ta, tb)).toDF("ta", "tb")
+        .select(
+          graft.expressions.WordShingles.shingleJaccard(col("ta"), col("tb"), 2).as("ab"),
+          graft.expressions.WordShingles.shingleJaccard(col("tb"), col("ta"), 2).as("ba"),
+          graft.expressions.WordShingles.shingleJaccard(col("ta"), col("ta"), 2).as("aa"))
+        .as[(Double, Double, Double)].head()
+      assert(r._1 == r._2, s"not symmetric on ($ta, $tb)")
+      assert(r._1 >= 0.0 && r._1 <= 1.0, s"out of bounds on ($ta, $tb): ${r._1}")
+      assert(r._3 == 1.0, s"self-jaccard != 1 on $ta")
+      val sameSet = Seq((ta, tb)).toDF("ta", "tb")
+        .select((array_sort(graft.functions.TextFunctions.shingles(col("ta"), 2)) ===
+          array_sort(graft.functions.TextFunctions.shingles(col("tb"), 2))).as("eq"))
+        .as[Boolean].head()
+      assert((r._1 == 1.0) == sameSet, s"jaccard=1 iff equal sets violated on ($ta, $tb)")
+    }
+  }
+
   test("union + groupBy conserves row counts") {
     forSamples(Gen.zip(Gen.choose(1, 30), Gen.choose(1, 30))) { case (n1, n2) =>
       val a = (0 until n1).map(i => (i.toLong, "a")).toDF("id", "src")
