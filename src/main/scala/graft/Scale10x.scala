@@ -33,7 +33,8 @@ object Scale10x {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val outPath = if (args.nonEmpty) args(0) else "BENCH_10x.json"
+    val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
+    val outPath = if (args.nonEmpty) args(0) else s"BENCH_${copies}x.json"
     val work = "/tmp/graft_scale10x"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -72,11 +73,11 @@ object Scale10x {
       }.reduce(_ unionByName _)
 
     val docs1P = write(docs, "docs1")
-    val docs10P = write(scaled(docs, Seq("doc_id"), 10, Some("text")), "docs10")
+    val docs10P = write(scaled(docs, Seq("doc_id"), copies, Some("text")), s"docs$copies")
     val li1P = write(li, "li1")
-    val li10P = write(scaled(li, Seq("l_orderkey"), 10, None), "li10")
+    val li10P = write(scaled(li, Seq("l_orderkey"), copies, None), s"li$copies")
     val ord1P = write(orders, "ord1")
-    val ord10P = write(scaled(orders, Seq("o_orderkey"), 10, None), "ord10")
+    val ord10P = write(scaled(orders, Seq("o_orderkey"), copies, None), s"ord$copies")
 
     // warmup: session/codegen init so op timings don't absorb cold-start
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -126,28 +127,34 @@ object Scale10x {
     }
 
     case class Probe(name: String, run1: () => Long, run10: () => Long)
+    // near-dup probes plant `copies` near-identical texts per doc, so their
+    // true-pair OUTPUT grows quadratically in the copy factor - meaningful
+    // at 10x, pure output-size measurement beyond it. Skip them past 10x.
+    val nearDupProbes = if (copies <= 10) Seq(
+      Probe("neardup_lsh_e2e", () => nearDupShape(docs1P), () => nearDupShape(docs10P)),
+      Probe("neardup_clusters", () => clusterShape(docs1P), () => clusterShape(docs10P)))
+    else Seq.empty
     val probes = Seq(
       Probe("agg_6m_rows", () => aggShape(li1P), () => aggShape(li10P)),
       Probe("minhash_signatures", () => sigShape(docs1P), () => sigShape(docs10P)),
       Probe("exact_dedup", () => exactDedupShape(docs1P), () => exactDedupShape(docs10P)),
-      Probe("grouped_topk", () => topkShape(ord1P), () => topkShape(ord10P)),
-      Probe("neardup_lsh_e2e", () => nearDupShape(docs1P), () => nearDupShape(docs10P)),
-      Probe("neardup_clusters", () => clusterShape(docs1P), () => clusterShape(docs10P)),
+      Probe("grouped_topk", () => topkShape(ord1P), () => topkShape(ord10P))) ++
+      nearDupProbes :+
       Probe("multimodel_eval", () => multiEvalShape(li1P, ord1P),
-        () => multiEvalShape(li10P, ord10P)))
+        () => multiEvalShape(li10P, ord10P))
 
     val results = probes.map { p =>
       val (tw, _) = time(p.run1())       // warm the code path once at 1x
       val (t1, rows1) = time(p.run1())   // timed 1x (warm)
       val (t10, rows10) = time(p.run10())
       val best1 = math.min(tw, t1)
-      println(f"[scale10x] ${p.name}%-20s 1x=${best1}%.2fs/${rows1} rows  10x=${t10}%.2fs/${rows10} rows  time-ratio=${t10 / best1}%.1f")
+      println(f"[scale10x] ${p.name}%-20s 1x=${best1}%.2fs/${rows1} rows  ${copies}x=${t10}%.2fs/${rows10} rows  time-ratio=${t10 / best1}%.1f")
       (p.name, best1, t10, rows1, rows10)
     }
     val json = results.map { case (n, t1, t10, r1, r10) =>
       f"""  "$n": {"t1_sec": $t1%.3f, "t10_sec": $t10%.3f, "ratio": ${t10 / t1}%.2f, "rows1": $r1, "rows10": $r10}"""
     }.mkString(
-      s"""{\n  "_meta": {"sf": "$sfDir", "copies": 10, "layout": "32-way multi-row-group parquet for BOTH scales", "note": "ratio ~<=10 = linear-or-better (sub-linear = the 1x run is scheduling-floor-bound, not compute-bound); the neardup probes are OUTPUT-bound - the 10x build plants 10 near-identical copies per doc, so true pairs (rows10) grow quadratically in the duplication factor, far beyond 10x, and honest scaling is time vs output rows"},\n""",
+      s"""{\n  "_meta": {"sf": "$sfDir", "copies": $copies, "layout": "32-way multi-row-group parquet for BOTH scales", "note": "ratio ~<=copies = linear-or-better (sub-linear = the 1x run is scheduling-floor-bound, not compute-bound); the neardup probes (10x artifact only) are OUTPUT-bound - the scaled build plants near-identical copies per doc, so true pairs (rows10) grow quadratically in the duplication factor, and honest scaling is time vs output rows"},\n""",
       ",\n", "\n}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(s"[scale10x] wrote $outPath")
