@@ -45,6 +45,29 @@ object WordShinglesKernel {
     new GenericArrayData(
       shingleSet(text, n).toArray.asInstanceOf[Array[AnyRef]])
 
+  /** All word n-grams WITH duplicates (one per window position) — the
+    * occurrence sequence repetition statistics need; [[compute]] is the
+    * distinct-set form dedup needs. Same tokenizer, same short-text
+    * collapse to a single joined gram.
+    */
+  def computeAll(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.trim().split(WS, -1)
+    val out =
+      if (toks.length < n) Array[AnyRef](UTF8String.concatWs(SPACE, toks: _*))
+      else {
+        val arr = new Array[AnyRef](toks.length - n + 1)
+        var i = 0
+        while (i <= toks.length - n) {
+          val parts = new Array[UTF8String](n)
+          System.arraycopy(toks, i, parts, 0, n)
+          arr(i) = UTF8String.concatWs(SPACE, parts: _*)
+          i += 1
+        }
+        arr
+      }
+    new GenericArrayData(out)
+  }
+
   /** Fused shingle-set Jaccard: |A∩B| / (|A|+|B|-|A∩B|) in ONE pass over
     * both texts — bit-identical to
     * `size(array_intersect(sh_a, sh_b)) / (size(sh_a)+size(sh_b)-inter)`
@@ -95,9 +118,36 @@ object WordShingles {
   def shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 
+  def ngrams(text: Column, n: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(text), n))
+
   def shingleJaccard(a: Column, b: Column, n: Int): Column =
     ColumnBridge.column(
       ShingleJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b), n))
+}
+
+/** All word n-grams with duplicates — [[WordShinglesKernel.computeAll]]. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires STRING and n > 0, got ${child.dataType.simpleString} / $n")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    WordShinglesKernel.computeAll(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = WordShinglesKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $kernel.computeAll($a, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
 }
 
 /** See [[WordShinglesKernel.jaccard]]: the near-dup verify metric as one

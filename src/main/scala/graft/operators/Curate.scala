@@ -70,6 +70,27 @@ object Curate {
       .select(col("kv.stage").as("stage"), col("kv.n_docs").as("n_docs"))
   }
 
+  /** Gopher-style repetition signals per document: total n-gram occurrences,
+    * the fraction of occurrences taken by the single most frequent n-gram
+    * (`top_ngram_frac` — high = looped/boilerplate text), and the distinct
+    * fraction (`distinct_frac` — low = repetitive). One explode of the
+    * native non-distinct [[graft.expressions.WordNgrams]] kernel + a
+    * two-level hash aggregation; nothing quadratic, no window.
+    */
+  def repetitionStats(df: DataFrame, id: String, text: String,
+                      n: Int = 3): DataFrame = {
+    val perGram = Par.spread(df.select(col(id), col(text)))
+      .select(col(id),
+        explode(graft.expressions.WordShingles.ngrams(col(text), n)).as("__g"))
+      .groupBy(col(id), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    perGram.groupBy(col(id))
+      .agg(
+        sum(col("__c")).as("n_grams"),
+        (max(col("__c")).cast("double") / sum(col("__c"))).as("top_ngram_frac"),
+        (count(lit(1)).cast("double") / sum(col("__c"))).as("distinct_frac"))
+  }
+
   /** Greedy contiguous sequence packing: in `orderBy` order, assign docs to
     * packs so each pack holds ~`budget` tokens (a doc larger than the budget
     * gets its own pack). Deterministic: pack id = floor(exclusive running

@@ -30,6 +30,34 @@ object Dedup {
     df.join(keepers, Seq(id), "left_semi")
   }
 
+  /** C4-style repeated-line removal: a line whose exact text occurs in at
+    * least `minRepeats` DISTINCT documents is boilerplate (navigation,
+    * cookie banners, license footers) and is dropped from every document;
+    * documents left with no lines disappear. Returns `(id, text)` with each
+    * surviving document's lines rejoined in original order.
+    *
+    * Scale shape: lines explode once, the hot-line table is built by a
+    * hash-aggregate over 64-bit line fingerprints (the line text itself
+    * never shuffles for counting), membership is a left-anti join, and the
+    * reassembly is one hash-aggregate with an in-group sort of each doc's
+    * surviving lines (`array_sort` on (pos, line) structs — no window).
+    */
+  def dropRepeatedLines(df: DataFrame, id: String, text: String,
+                        minRepeats: Int = 3): DataFrame = {
+    val lines = Par.spread(df.select(col(id), col(text)))
+      .select(col(id), posexplode(split(col(text), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__fp", TextFunctions.fingerprint64(col("__line")))
+    val hot = lines.groupBy(col("__fp"))
+      .agg(countDistinct(col(id)).as("__n"))
+      .filter(col("__n") >= minRepeats)
+      .select(col("__fp"))
+    lines.join(hot, Seq("__fp"), "left_anti")
+      .groupBy(col(id))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line"))).as(text))
+  }
+
   /** MinHash signature: `numHashes` permutation-min values over the word
     * `shingleN`-gram set. Expression-level (`transform` + `array_min`) —
     * convenient for single-column use, but lambda functions evaluate

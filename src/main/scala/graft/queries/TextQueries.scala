@@ -386,6 +386,54 @@ object TextQueries {
           (floor((col("width") + 31) / 32.0) * floor((col("height") + 31) / 32.0))
             .cast("long").as("n_patches"))
         .orderBy(col("media_id"))
+    },
+
+    // ---- C4-style repeated-line removal ------------------------------------
+    // Lines planted to repeat across many docs (a shared footer in every doc,
+    // a per-(doc_id%7) header in ~1/7 of docs) must be dropped from every
+    // document; each doc's unique body line survives with order preserved.
+    // Counting groups on 64-bit line fingerprints internally; the oracle
+    // groups on the raw line text — same equivalence classes.
+    QueryDef.sql("q4m_line_dedup",
+      """WITH d AS (SELECT doc_id,
+        |    'header-' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || text
+        |      || chr(10) || 'shared footer line' AS text
+        |  FROM documents),
+        |sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |l AS (SELECT doc_id, z[1]::BIGINT AS pos, z[2]::VARCHAR AS line
+        |      FROM (SELECT doc_id, unnest(list_zip(range(1, len(ls) + 1), ls)) AS z
+        |            FROM sp)),
+        |hot AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 10),
+        |keep AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM hot))
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs2 = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("header-"), (col("doc_id") % 7).cast("string"), lit("\n"),
+          col("text"), lit("\nshared footer line")).as("text"))
+      Dedup.dropRepeatedLines(docs2, "doc_id", "text", minRepeats = 10)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Gopher-style repetition signals -----------------------------------
+    QueryDef.sql("q4n_repetition",
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |             ELSE list_transform(range(1, len(t) - 1),
+        |                    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END AS gs
+        |      FROM sp),
+        |u AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |c AS (SELECT doc_id, gram, count(*) AS n FROM u GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+        |  round(max(n)::DOUBLE / sum(n), 6) AS top_ngram_frac,
+        |  round(count(*)::DOUBLE / sum(n), 6) AS distinct_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Curate.repetitionStats(
+          Tables.documents(s, d), "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("top_ngram_frac"), 6).as("top_ngram_frac"),
+          round(col("distinct_frac"), 6).as("distinct_frac"))
+        .orderBy(col("doc_id"))
     }
   )
 }

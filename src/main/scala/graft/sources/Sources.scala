@@ -63,6 +63,18 @@ object Sources {
       .select((col("path") +: parseTilePath(col("path"))): _*)
       .join(broadcast(meta), Seq("slide_name"), "inner")
 
+  /** Hive-style partitioned parquet sink: one directory per distinct value
+    * combination of `partitionCols` (e.g. ingest date, source). The 100 TB
+    * layout default — a filter on a partition column prunes whole
+    * directories at PLANNING time (`PartitionFilters` in the scan, zero
+    * bytes read for pruned partitions), which no row-level pushdown can
+    * match. Keep partition cardinality moderate (date, source — not
+    * user_id) so file counts stay manageable.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   /** Bucketed-table sink: co-locates future equi-joins/aggregations on
     * `bucketCol` — both sides of a join bucketed the same way need NO
     * exchange at read time, the standard 100 TB trick for repeatedly-joined

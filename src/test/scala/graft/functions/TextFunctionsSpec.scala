@@ -62,6 +62,18 @@ class TextFunctionsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("ngrams keeps duplicates in window order; shingles is its distinct form") {
+    val df = Seq("a b a b a").toDF("t")
+    val all = df.select(graft.expressions.WordShingles.ngrams(col("t"), 2))
+      .as[Seq[String]].head()
+    assert(all == Seq("a b", "b a", "a b", "b a"))
+    val set = df.select(TextFunctions.shingles(col("t"), 2)).as[Seq[String]].head()
+    assert(set == all.distinct)
+    val short = df.select(graft.expressions.WordShingles.ngrams(col("t"), 9))
+      .as[Seq[String]].head()
+    assert(short == Seq("a b a b a"), "short text collapses to one gram")
+  }
+
   test("fused shingleJaccard is bit-identical to the composed intersect formula") {
     val texts = Seq(
       "", " ", "a", "a b", "a b c", "a b c d e f",

@@ -34,6 +34,19 @@ class CurateSpec extends SparkSpec {
       s"funnel must be monotone: ${audit.toSeq}")
   }
 
+  test("repetitionStats: looped text scores high top-gram fraction, varied text scores 1.0 distinct") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"),          // 7 trigrams, 'a b c' x3, 3 distinct
+      (2L, "one two three four five six") // 4 trigrams, all distinct
+    ).toDF("doc_id", "text")
+    val r = Curate.repetitionStats(df, "doc_id", "text", n = 3)
+      .select("doc_id", "n_grams", "top_ngram_frac", "distinct_frac")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(1L) == ((7L, 3.0 / 7, 3.0 / 7)), s"looped doc: ${r(1L)}")
+    assert(r(2L) == ((4L, 1.0 / 4, 1.0)), s"varied doc: ${r(2L)}")
+  }
+
   test("packSequences fills packs to the token budget in order") {
     val df = Seq((1L, 40L), (2L, 50L), (3L, 30L), (4L, 100L), (5L, 10L))
       .toDF("doc_id", "n_tokens")

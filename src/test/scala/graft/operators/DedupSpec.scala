@@ -44,6 +44,21 @@ class DedupSpec extends SparkSpec {
     assert(j == 1.0)
   }
 
+  test("dropRepeatedLines strips boilerplate lines, preserves order, drops emptied docs") {
+    val df = Seq(
+      (1L, "unique one\nboilerplate\nunique two"),
+      (2L, "boilerplate\nanother body"),
+      (3L, "boilerplate"), // all lines hot -> doc disappears
+      (4L, "solo text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedLines(df, "doc_id", "text", minRepeats = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      1L -> "unique one\nunique two",
+      2L -> "another body",
+      4L -> "solo text"), s"got $out")
+  }
+
   test("minhashNearDupes plan: jaccard kernel never in a join condition, evaluated at most twice") {
     // Regression pins for the round-3 verify-stage fixes: (a) the threshold
     // must stay ABOVE the barrier aggregate, not folded into the verify

@@ -66,6 +66,24 @@ class SourcesSpec extends SparkSpec {
       s"bucketed SMJ must not shuffle either side:\n$plan")
   }
 
+  test("partitioned sink prunes partitions at planning time") {
+    val dir = fixtureDir("partitioned")
+    val df = spark.range(300).select(col("id"),
+      (col("id") % 3).cast("string").as("src"),
+      (col("id") * 2).as("v"))
+    Sources.writePartitioned(df, dir, Seq("src"))
+    val filtered = spark.read.parquet(dir).filter(col("src") === "1")
+    assert(filtered.count() == 100)
+    val scan = filtered.queryExecution.executedPlan.toString
+    // the src filter must be a PARTITION filter (directory pruning), not a
+    // row-level pushed filter over all files
+    assert(scan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*src".r.findFirstIn(scan).isDefined,
+      s"src=1 not applied as a partition filter:\n$scan")
+    val partsRead = filtered.select(countDistinct(col("src"))).as[Long].head()
+    assert(partsRead == 1)
+  }
+
   test("withSlideId is a dense 0-based key in the given order") {
     val meta = Seq("b", "a", "c").toDF("slide_name")
     val ids = Sources.withSlideId(meta, col("slide_name"))
