@@ -90,6 +90,24 @@ object TextFunctions {
     (lenOk * 0.4 + least(ttr, lit(1.0)) * 0.3 + alphaRatio * 0.3)
   }
 
+  /** RE2-safe PII patterns (no lookarounds), shared verbatim with the
+    * DuckDB oracle so redaction replays cross-engine.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+
+  /** PII scrubbing for training corpora: replace email addresses and
+    * phone-number-shaped digit runs with typed placeholder tokens.
+    * Pure codegen'd `regexp_replace` chain (compiled pattern cached per
+    * task) — scan-speed, no shuffle. Emails first so their digits can't be
+    * half-eaten by the phone pattern.
+    */
+  def redactPii(text: Column, emailToken: String = "<EMAIL>",
+                phoneToken: String = "<PHONE>"): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, emailToken),
+      phonePattern, phoneToken)
+
   /** 64-bit document fingerprint (xxhash64 of the full text) — exact-dup
     * key at 8 bytes/doc.
     */

@@ -434,6 +434,30 @@ object TextQueries {
           round(col("top_ngram_frac"), 6).as("top_ngram_frac"),
           round(col("distinct_frac"), 6).as("distinct_frac"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- PII scrubbing (emails + phone-shaped digit runs) ------------------
+    // PII is planted deterministically per doc, then redacted; the oracle
+    // shares the RE2-safe patterns verbatim (DuckDB regexp_replace needs
+    // the explicit 'g' flag to match Spark's replace-all).
+    QueryDef.sql("q4o_pii_redact",
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@example.com or +49 30 '
+        |        || CAST(doc_id * 7 % 10000 + 1000 AS VARCHAR) || '9',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g') AS text
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +49 30 "),
+          (col("doc_id") * 7 % 10000 + 1000).cast("string"), lit("9")).as("text"))
+      planted
+        .select(col("doc_id"),
+          TextFunctions.redactPii(col("text")).as("text"))
+        .orderBy(col("doc_id"))
     }
   )
 }

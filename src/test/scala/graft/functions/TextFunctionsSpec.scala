@@ -62,6 +62,17 @@ class TextFunctionsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("redactPii replaces emails and phone runs, leaves clean text alone") {
+    val out = Seq(
+      "write to jane.doe+x@sub.example.org today",
+      "call +49 (0)30 123-4567 now",
+      "no pii in this sentence at all"
+    ).toDF("t").select(TextFunctions.redactPii(col("t"))).as[String].collect()
+    assert(out(0) == "write to <EMAIL> today")
+    assert(out(1) == "call <PHONE> now")
+    assert(out(2) == "no pii in this sentence at all")
+  }
+
   test("ngrams keeps duplicates in window order; shingles is its distinct form") {
     val df = Seq("a b a b a").toDF("t")
     val all = df.select(graft.expressions.WordShingles.ngrams(col("t"), 2))

@@ -167,6 +167,22 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
   }
 
+  test("file-sink streaming (parquet + checkpoint) equals the batch filter") {
+    val evs = (0 until 50).map(i => Ev(i.toLong, t(i), i % 5L, "view", i.toDouble))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dir = java.nio.file.Files.createTempDirectory("es_file_sink").toString
+    val q = EventStream.highValueAlerts(in.toDF(), 25.0).writeStream
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try { in.addData(evs); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("event_id").as[Long].collect().toSet
+    val batch = evs.filter(_.value >= 25.0).map(_.event_id).toSet
+    assert(streamed == batch, s"file sink rows: $streamed")
+  }
+
   test("replaySessions (bounded streaming replay) matches the batch sessionizer exactly") {
     // integer-valued doubles so total_value is summation-order-exact
     val evs = (0 until 40).map(i =>
