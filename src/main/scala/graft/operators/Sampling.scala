@@ -46,4 +46,29 @@ object Sampling {
     // a repartition-by-key keeps results stable across reruns.
     xxhash64(stableKey, lit(seed))
   }
+
+  private val M = 1000000007L
+
+  /** Deterministic weighted mixture sampling — the source-weighting step of
+    * a pretraining data mixture: keep a row of group g iff
+    * `pseudoRand(key) < fraction(g) * M`. Groups absent from `fractions`
+    * keep nothing by default (`defaultFraction`).
+    *
+    * Properties a mixture step needs and RNG-based `sampleBy` lacks: the
+    * decision is a pure function of the row key (reproducible across runs,
+    * partitionings, engines — the same arithmetic replays in ANSI SQL, so
+    * it is ORACLE-verifiable), upweighting a source later keeps all
+    * previously selected rows (nested samples), and no shuffle is
+    * introduced — it is a scan-level filter.
+    */
+  def sampleMixture(df: DataFrame, groupCol: Column, key: Column,
+                    fractions: Map[String, Double],
+                    defaultFraction: Double = 0.0): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0,1]: $fractions")
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (g, f)) => when(groupCol === g, f).otherwise(acc)
+    }
+    df.filter(pseudoRand(key).cast("double") < frac * M)
+  }
 }

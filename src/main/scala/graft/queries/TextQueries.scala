@@ -458,6 +458,23 @@ object TextQueries {
         .select(col("doc_id"),
           TextFunctions.redactPii(col("text")).as("text"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- deterministic weighted mixture sampling ---------------------------
+    // Source-weighting over a derived 3-way source split; the selection hash
+    // (Knuth multiplicative mod prime) replays exactly in ANSI SQL, so the
+    // sampled ROW SET itself is oracle-checked, not just its size.
+    QueryDef.sql("q4p_mixture_sample",
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS src FROM documents)
+        |SELECT doc_id, src FROM d
+        |WHERE (doc_id * 2654435761) % 1000000007 <
+        |  (CASE src WHEN '0' THEN 1.0 WHEN '1' THEN 0.5 ELSE 0.1 END) * 1000000007
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        (col("doc_id") % 3).cast("string").as("src"))
+      graft.operators.Sampling.sampleMixture(docs, col("src"), col("doc_id"),
+          Map("0" -> 1.0, "1" -> 0.5, "2" -> 0.1))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -35,6 +35,25 @@ class SamplingSpec extends SparkSpec {
     assert(s3 != Seq(1, 2, 3), "pseudo-random order should not match insertion order")
   }
 
+  test("sampleMixture: nested in the fraction, reproducible, rate near target") {
+    val df = spark.range(10000).select(col("id"),
+      (col("id") % 2).cast("string").as("src"))
+    def run(fA: Double, fB: Double) =
+      Sampling.sampleMixture(df, col("src"), col("id"),
+        Map("0" -> fA, "1" -> fB)).select("id").as[Long].collect().toSet
+    val half = run(0.5, 0.2)
+    val more = run(0.8, 0.2)
+    assert(half.subsetOf(more), "upweighting must keep previously selected rows")
+    assert(run(0.5, 0.2) == half, "must be reproducible")
+    val rateA = half.count(_ % 2 == 0) / 5000.0
+    assert(math.abs(rateA - 0.5) < 0.05, s"src 0 rate $rateA")
+    val rateB = half.count(_ % 2 == 1) / 5000.0
+    assert(math.abs(rateB - 0.2) < 0.05, s"src 1 rate $rateB")
+    // unlisted group keeps nothing by default
+    assert(Sampling.sampleMixture(df, col("src"), col("id"),
+      Map("0" -> 1.0)).filter(col("src") === "1").count() == 0)
+  }
+
   test("seededOrder varies with seed") {
     val a = tiles.orderBy(Sampling.seededOrder(tiles, col("tile"), 1)).select("tile").as[Int].collect()
     val b = tiles.orderBy(Sampling.seededOrder(tiles, col("tile"), 2)).select("tile").as[Int].collect()
