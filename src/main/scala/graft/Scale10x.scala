@@ -107,6 +107,15 @@ object Scale10x {
       force(graft.operators.Dedup.nearDupClusters(
         graft.operators.Dedup.minhashNearDupes(
           spark.read.parquet(p), "doc_id", "text", threshold = 0.5)))
+    def lineDedupShape(p: String): Long =                 // q4m shape
+      force(graft.operators.Dedup.dropRepeatedLines(
+        spark.read.parquet(p).select(col("doc_id"),
+          concat(lit("hdr-"), (col("doc_id") % 7).cast("string"),
+            lit("\n"), col("text")).as("text")),
+        "doc_id", "text", minRepeats = 10))
+    def repetitionShape(p: String): Long =                // q4n shape
+      force(graft.operators.Curate.repetitionStats(
+        spark.read.parquet(p), "doc_id", "text", n = 3))
     def multiEvalShape(liP: String, ordP: String): Long = { // q37 shape
       val cnn = spark.read.parquet(liP).groupBy(col("l_orderkey").as("k"))
         .agg((sum(col("l_quantity")).cast("long") % 100).as("cnn_sc"))
@@ -138,7 +147,9 @@ object Scale10x {
       Probe("agg_6m_rows", () => aggShape(li1P), () => aggShape(li10P)),
       Probe("minhash_signatures", () => sigShape(docs1P), () => sigShape(docs10P)),
       Probe("exact_dedup", () => exactDedupShape(docs1P), () => exactDedupShape(docs10P)),
-      Probe("grouped_topk", () => topkShape(ord1P), () => topkShape(ord10P))) ++
+      Probe("grouped_topk", () => topkShape(ord1P), () => topkShape(ord10P)),
+      Probe("line_dedup", () => lineDedupShape(docs1P), () => lineDedupShape(docs10P)),
+      Probe("repetition_stats", () => repetitionShape(docs1P), () => repetitionShape(docs10P))) ++
       nearDupProbes :+
       Probe("multimodel_eval", () => multiEvalShape(li1P, ord1P),
         () => multiEvalShape(li10P, ord10P))
