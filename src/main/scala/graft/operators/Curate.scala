@@ -110,4 +110,26 @@ object Curate {
       .withColumn("pack_id", (col("__cum") / budget).cast("long"))
       .drop("__cum")
   }
+
+  /** Materialized training sequences: run [[packSequences]] then collapse
+    * each pack to one row — documents joined in `orderBy` order with the
+    * `sep` token between them (the EOS-joined sequence a trainer consumes),
+    * plus doc/token counts for auditing. One hash aggregate per pack with
+    * an in-group `array_sort` of the pack's (bounded: ≈ budget tokens)
+    * member docs — no window over the packed output.
+    */
+  def materializePacks(df: DataFrame, tokenCol: String, orderBy: String,
+                       textCol: String, budget: Long,
+                       shardCol: Option[String] = None,
+                       sep: String = "<|eos|>"): DataFrame = {
+    val packed = packSequences(df, tokenCol, orderBy, budget, shardCol)
+    val keys = shardCol.toSeq.map(col) :+ col("pack_id")
+    packed.groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("n_tokens"),
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col(orderBy), col(textCol)))),
+            x => x.getField(textCol))).as("text"))
+  }
 }

@@ -475,6 +475,25 @@ object TextQueries {
       graft.operators.Sampling.sampleMixture(docs, col("src"), col("doc_id"),
           Map("0" -> 1.0, "1" -> 0.5, "2" -> 0.1))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- materialized training sequences (q4h packing -> EOS-joined text) --
+    QueryDef.sql("q4q_pack_materialize",
+      """WITH t AS (SELECT doc_id, text,
+        |             CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, text, n, coalesce(sum(n) OVER (ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t),
+        |p AS (SELECT doc_id, text, n,
+        |        CAST(floor(cum / 1000.0) AS BIGINT) AS pack_id FROM c)
+        |SELECT pack_id, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  string_agg(text, '<|eos|>' ORDER BY doc_id) AS text
+        |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin) { (s, d) =>
+      val withTokens = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Curate.materializePacks(withTokens, "n_tokens", "doc_id",
+          "text", budget = 1000L)
+        .select(col("pack_id"), col("n_docs"), col("n_tokens"), col("text"))
+        .orderBy(col("pack_id"))
     }
   )
 }

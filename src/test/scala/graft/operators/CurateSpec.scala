@@ -57,6 +57,20 @@ class CurateSpec extends SparkSpec {
       s"got $packs")
   }
 
+  test("materializePacks joins each pack's docs in order with the separator") {
+    val df = Seq(
+      (1L, "aaa", 600L), (2L, "bbb", 600L), (3L, "ccc", 300L), (4L, "ddd", 900L)
+    ).toDF("doc_id", "text", "n_tokens")
+    // cum: 0, 600, 1200, 1500 -> packs 0, 0, 1, 1
+    val out = Curate.materializePacks(df, "n_tokens", "doc_id", "text",
+        budget = 1000L, sep = "|")
+      .select("pack_id", "n_docs", "n_tokens", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1200L, "aaa|bbb"),
+      (1L, 2L, 1200L, "ccc|ddd")), s"got ${out.toSeq}")
+  }
+
   test("packSequences shards the running window (no global sort when sharded)") {
     val df = Seq((1L, "a", 40L), (2L, "a", 80L), (3L, "b", 40L))
       .toDF("doc_id", "shard", "n_tokens")
