@@ -34,9 +34,16 @@ object Sampling {
   /** Engine-independent pseudo-random order key from an integer column —
     * a Knuth multiplicative hash kept in Long range so the same expression
     * is reproducible in any ANSI SQL engine (used by the DuckDB oracle).
+    *
+    * The key is reduced mod the prime BEFORE the multiply: ((k mod M)·C)
+    * mod M = (k·C) mod M, so values are identical to the naive form, but
+    * the product stays under 2^63 for EVERY long key — the naive form
+    * overflows (an ANSI-mode error) for keys above ~3.5e9, i.e. at
+    * billions-of-rows id ranges.
     */
   def pseudoRand(key: Column): Column =
-    pmod(key.cast("long") * lit(2654435761L), lit(1000000007L))
+    pmod(pmod(key.cast("long"), lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L))
 
   /** Spark-native seeded variant (`rand(seed)` — per-partition determinism
     * requires a stable prior ordering, SURVEY.md §7.4 risk 4).

@@ -54,6 +54,20 @@ class SamplingSpec extends SparkSpec {
       Map("0" -> 1.0)).filter(col("src") === "1").count() == 0)
   }
 
+  test("pseudoRand is overflow-safe for any long key, value-compatible for small keys") {
+    val r = spark.range(1).select(
+      Sampling.pseudoRand(lit(Long.MaxValue)).as("big"),
+      Sampling.pseudoRand(lit(4000000000L)).as("overOldLimit"),
+      Sampling.pseudoRand(lit(-7L)).as("neg"),
+      Sampling.pseudoRand(lit(123L)).as("small")).collect()(0)
+    // the naive key*C form overflows (ANSI error) past ~3.5e9 — these must
+    // just produce in-range values
+    Seq(0, 1, 2, 3).foreach(i =>
+      assert(r.getLong(i) >= 0 && r.getLong(i) < 1000000007L))
+    assert(r.getLong(3) == (123L * 2654435761L) % 1000000007L,
+      "mod-first form must equal the naive form where the naive form is defined")
+  }
+
   test("seededOrder varies with seed") {
     val a = tiles.orderBy(Sampling.seededOrder(tiles, col("tile"), 1)).select("tile").as[Int].collect()
     val b = tiles.orderBy(Sampling.seededOrder(tiles, col("tile"), 2)).select("tile").as[Int].collect()
