@@ -38,7 +38,11 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val dTotal = duckdb.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results.toMap)},"duckdb":${obj(duckdb)},"duckdb_total":$dTotal,"sf":"$sfDir"}""")
+    // failed oracles time as -1.0 and are EXCLUDED from duckdb_total while
+    // their Spark twins stay in `value` — surface the count so a non-zero
+    // value flags that the two totals cover different query sets
+    val dFailed = duckdb.values.count(_ < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results.toMap)},"duckdb":${obj(duckdb)},"duckdb_total":$dTotal,"duckdb_failed":$dFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -53,7 +57,8 @@ object Bench {
     import scala.sys.process._
     val out = Seq("python3", script.getPath, sfDir, tmp.toString).!!.trim
     // flat {"name":seconds,...} — regex parse keeps the bench dependency-free
-    "\"([^\"]+)\"\\s*:\\s*(-?[0-9.eE+]+)".r.findAllMatchIn(out)
+    // (the exponent sign matters: json prints tiny timings as 1.2e-05)
+    "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)".r.findAllMatchIn(out)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   } catch { case _: Throwable => Map.empty }
 }

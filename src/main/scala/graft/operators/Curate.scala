@@ -59,9 +59,10 @@ object Curate {
     scored
       .agg(
         count(lit(1)).as("c0"),
-        sum(when(qok, 1L).otherwise(0L)).as("c1"),
-        sum(when(lok, 1L).otherwise(0L)).as("c2"),
-        sum(when(tok, 1L).otherwise(0L)).as("c3"),
+        // coalesce: sum over ZERO rows is SQL NULL; the audit must read 0
+        coalesce(sum(when(qok, 1L).otherwise(0L)), lit(0L)).as("c1"),
+        coalesce(sum(when(lok, 1L).otherwise(0L)), lit(0L)).as("c2"),
+        coalesce(sum(when(tok, 1L).otherwise(0L)), lit(0L)).as("c3"),
         countDistinct(when(tok, col(text))).as("c4"))
       .select(explode(array(
         stage("0_total", col("c0")), stage("1_quality", col("c1")),
@@ -128,8 +129,13 @@ object Curate {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col(tokenCol)).as("n_tokens"),
+        // null texts become empty strings BEFORE the join: concat_ws would
+        // silently skip null elements and desynchronize the sequence from
+        // the n_docs/n_tokens audit counts
         concat_ws(sep,
-          transform(array_sort(collect_list(struct(col(orderBy), col(textCol)))),
+          transform(
+            array_sort(collect_list(
+              struct(col(orderBy), coalesce(col(textCol), lit("")).as(textCol)))),
             x => x.getField(textCol))).as("text"))
   }
 }

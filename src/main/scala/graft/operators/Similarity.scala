@@ -34,8 +34,11 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, id: String, query: DataFrame,
                      k: Int): DataFrame = {
+    // zero-norm rows (cosine undefined) are excluded up front: under ANSI
+    // mode the division would not yield NaN but RAISE, killing the job
     val q = query.select(col("embedding").as("__q"))
-    corpus.crossJoin(broadcast(q))
+      .filter(norm(col("__q")) > 0)
+    corpus.filter(norm(col("embedding")) > 0).crossJoin(broadcast(q))
       .withColumn("cos", cosine(col("embedding"), col("__q")))
       .select(col(id), col("cos"))
       .orderBy(col("cos").desc, col(id))
@@ -88,6 +91,8 @@ object Similarity {
     val c = corpus.select(col(corpusId).as("__cid"), col("embedding").as("__ce"))
       .withColumn("__bucket", srpSignature(col("__ce"), planes, seed))
       .withColumn("__cn", norm(col("__ce")))
+      // cosine undefined for zero-norm vectors; ANSI division would raise
+      .filter(col("__cn") > 0)
     // XOR masks for all buckets within the probe radius. probeHamming >=
     // planes enumerates ALL 2^planes buckets — exhaustive probing, so
     // results are exactly brute-force top-k (the oracle twin q4k exploits
@@ -109,11 +114,14 @@ object Similarity {
         explode(array(masks.map(m => col("__b0").bitwiseXOR(lit(m))): _*)))
       .drop("__b0")
       .withColumn("__qn", norm(col("__qe")))
+      .filter(col("__qn") > 0)
     // per-query top-k via the bounded-heap GroupedTopK physical operator
     // (O(candidates log k) per query, no per-group sort buffer): at scale
     // the probed-candidate set per query is large and a window row_number
     // would sort all of it just to keep k. order = (-cos, cid) gives the
-    // same total order as (cos DESC, cid ASC).
+    // same total order as (cos DESC, cid ASC) — cosines are always real
+    // here because zero-norm rows were filtered above (pinned by
+    // SimilaritySpec).
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .withColumn("cos", dot(col("__ce"), col("__qe")) / (col("__cn") * col("__qn")))
     graft.plans.GroupedTopK.perGroup(scored, Seq(col("__qid")),
@@ -150,22 +158,38 @@ object Similarity {
     // (recall is tuned by nProbe, pinned by RecallSpec/SimilaritySpec).
     // cap 0 = auto: ~200 sample points per centroid is ample for a coarse
     // quantizer (FAISS trains IVF on 30-256 points/centroid).
-    // Sampling is COUNT-FREE (no extra driver-side scan job): take the
-    // first ceil(cap/numPartitions) rows of EACH partition — every task
-    // early-exits after a handful of rows, the sample spans all partitions
-    // (not just the first files, as a bare limit would), and the global
-    // limit trims the remainder deterministically.
+    // Sampling is COUNT-FREE (no extra driver-side scan job): a seeded
+    // per-partition RESERVOIR of ceil(cap/numPartitions) rows — one pass
+    // over the features column, UNBIASED within each partition (a plain
+    // first-N take would over-represent the head of sorted/clustered
+    // layouts and collapse the centroids onto one data region), spanning
+    // all partitions, with a global limit trimming the remainder.
     val cap = if (fitSampleCap > 0) fitSampleCap
               else math.max(200 * nCentroids, 4000)
     val fvOnly = c.select(col("__fv"))
     val parts = math.max(1, fvOnly.rdd.getNumPartitions)
-    val perPart = (cap + parts - 1) / parts
-    val fitInput = spark.createDataFrame(
-      fvOnly.rdd.mapPartitions(_.take(perPart)), fvOnly.schema).limit(cap)
+    val perPart = ((cap + parts - 1) / parts).toInt
+    val seedLocal = seed
+    val sampled = fvOnly.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rnd = new java.util.Random(seedLocal * 1315423911L + pid)
+      val buf = new Array[org.apache.spark.sql.Row](perPart)
+      var n = 0L
+      it.foreach { row =>
+        if (n < perPart) buf(n.toInt) = row
+        else {
+          val j = (rnd.nextDouble() * (n + 1)).toLong
+          if (j < perPart) buf(j.toInt) = row
+        }
+        n += 1
+      }
+      buf.iterator.take(math.min(n, perPart.toLong).toInt)
+    }
+    val fitInput = spark.createDataFrame(sampled, fvOnly.schema).limit(cap)
     val model = new KMeans().setK(nCentroids).setSeed(seed)
       .setFeaturesCol("__fv").setPredictionCol("__cell").fit(fitInput)
     val assigned = model.transform(c)
       .select(col("__cid"), col("__ce"), col("__cell"), norm(col("__ce")).as("__cn"))
+      .filter(col("__cn") > 0) // cosine undefined; ANSI division would raise
 
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq
@@ -184,6 +208,7 @@ object Similarity {
         Seq(col("__qid")), struct(col("__d2"), col("__cell")), nProbe)
       .select(col("__qid"), col("__qe"), col("__cell"),
         norm(col("__qe")).as("__qn"))
+      .filter(col("__qn") > 0)
 
     // in-cell ranking: same bounded-heap top-k as lshTopK
     val scored = assigned.join(broadcast(probes), Seq("__cell"))
@@ -208,6 +233,7 @@ object Similarity {
     val c = corpus.select(col(id).as("doc"), col("embedding").as("e"))
       .withColumn("bucket", bucket)
       .withColumn("n", norm(col("e")))
+      .filter(col("n") > 0) // cosine undefined; ANSI division would raise
     val a = c.as("a"); val b = c.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
       .withColumn("cos", dot(col("a.e"), col("b.e")) / (col("a.n") * col("b.n")))

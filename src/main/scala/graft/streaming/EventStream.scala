@@ -201,8 +201,14 @@ object EventStream {
     }
     val maxUs = rows.iterator.map(e =>
       e.ts.getTime * 1000L + (e.ts.getNanos % 1000000) / 1000).max
-    // flush user -1 advances the watermark past every open session's
-    // timeout (end + gap), forcing emission; its own session is dropped
+    // the flush user advances the watermark past every open session's
+    // timeout (end + gap), forcing emission; its own session is dropped.
+    // Sentinel = (min real user) - 1 so it can NEVER collide with a real
+    // user (a fixed -1 would merge with and then drop a genuine user -1).
+    val flushUser = {
+      val minUser = rows.iterator.map(_.user_id).min
+      if (minUser == Long.MinValue) Long.MaxValue else minUser - 1
+    }
     val flushTs = new java.sql.Timestamp((maxUs + gapUs) / 1000L + 3600L * 1000)
 
     val stream = MemoryStream[SessionEvent]
@@ -213,9 +219,9 @@ object EventStream {
     try {
       stream.addData(rows.toSeq)
       query.processAllAvailable()
-      stream.addData(Seq(SessionEvent(-1L, flushTs, 0.0)))
+      stream.addData(Seq(SessionEvent(flushUser, flushTs, 0.0)))
       query.processAllAvailable()
     } finally query.stop()
-    spark.table(sink).filter(col("user_id") =!= -1L)
+    spark.table(sink).filter(col("user_id") =!= flushUser)
   }
 }

@@ -122,6 +122,27 @@ class SimilaritySpec extends SparkSpec {
     (0L until 3L).foreach(q => assert(got(q) == q, s"query $q got ${got.get(q)}"))
   }
 
+  test("zero-norm embeddings (cosine undefined) are excluded from ANN paths, not a crash") {
+    // under ANSI mode the unguarded division would RAISE (not NaN) and kill
+    // the job on the first degenerate vector; the intended semantics is
+    // exclusion of rows whose cosine is undefined
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(1.0f, 0.0f))).toDF("query_id", "embedding")
+    val lsh = Similarity.lshTopK(corpus, "vec_id", queries, "query_id",
+        k = 3, planes = 4, probeHamming = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(lsh == Set(1L, 2L), s"zero-norm row must be excluded: $lsh")
+    val bf = Similarity.bruteForceTopK(corpus, "vec_id",
+        queries.select(col("embedding")), k = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(bf == Set(1L, 2L), s"brute force must exclude zero-norm rows: $bf")
+    val nd = Similarity.cosineNearDupes(corpus, "vec_id", threshold = 0.9, planes = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(nd == Set((1L, 2L)), s"near-dupes must exclude zero-norm rows: $nd")
+  }
+
   test("ANN top-k plans use the bounded-heap operator, not a window sort") {
     val corpus = vecs.where(col("vec_id") =!= 0)
     val queries = vecs.where(col("vec_id") === 0)
