@@ -287,8 +287,9 @@ object Dedup {
     * agreeing components.
     */
   def sketchJaccard(sigA: Column, sigB: Column): Column =
-    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
-      .cast("double") / size(sigA)
+    when(size(sigA) > 0,
+      size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
+        .cast("double") / size(sigA))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -16,8 +16,13 @@ object Encode {
   /** `scale01`: (x - min) / (max - min) (functions_v2.py:154-163). */
   def scale01(df: DataFrame, c: String, out: String): DataFrame = {
     val bounds = df.agg(min(col(c)).as("__min"), max(col(c)).as("__max"))
+    // constant column: sklearn's minmax_scale treats scale 0 as 1 (output
+    // 0.0); the unguarded division would RAISE under ANSI mode
+    val span = col("__max") - col("__min")
     df.crossJoin(broadcast(bounds))
-      .withColumn(out, (col(c) - col("__min")) / (col("__max") - col("__min")))
+      .withColumn(out,
+        when(span > 0, (col(c) - col("__min")) / span)
+          .otherwise(when(col(c).isNotNull, lit(0.0))))
       .drop("__min", "__max")
   }
 

@@ -139,10 +139,15 @@ object Metrics {
       // average rank of a tie group of size n ending at cumulative count c:
       // (c - n + 1 + c) / 2
       .withColumn("__avgRank", (col("__cum") * 2 - col("__n") + 1) / 2.0)
+    // single-class groups (all-positive or all-negative labels) have an
+    // undefined AUROC: emit NULL for that group instead of letting the
+    // ANSI divide-by-zero kill the whole job (sklearn raises per call; a
+    // grouped engine must degrade per group)
+    val denom = sum(col("__pos")) * (sum(col("__n")) - sum(col("__pos")))
     val aurocExpr =
-      ((sum(col("__pos") * col("__avgRank"))
-        - sum(col("__pos")) * (sum(col("__pos")) + 1) / 2.0)
-        / (sum(col("__pos")) * (sum(col("__n")) - sum(col("__pos")))))
+      when(denom > 0,
+        (sum(col("__pos") * col("__avgRank"))
+          - sum(col("__pos")) * (sum(col("__pos")) + 1) / 2.0) / denom)
         .as("auroc")
     if (gc.isEmpty) ranked.agg(aurocExpr)
     else ranked.groupBy(gc: _*).agg(aurocExpr)

@@ -149,10 +149,12 @@ object Multimodal {
     * (dataset_classes_v1.py:32-54) generalized to any decoded medium.
     * Pure generator (explode over sequences): no UDF, no shuffle.
     */
-  def patchGrid(decoded: DataFrame, patch: Int): DataFrame =
+  def patchGrid(decoded: DataFrame, patch: Int): DataFrame = {
+    require(patch > 0, s"patch size must be positive, got $patch")
     decoded
       .withColumn("px", explode(sequence(lit(0), ceil(col("width") / patch).cast("int") - 1)))
       .withColumn("py", explode(sequence(lit(0), ceil(col("height") / patch).cast("int") - 1)))
+  }
 
   /** Frame sampling for video-like media: every `stride`-th frame index up
     * to n_frames (metadata-driven; no decode needed for planning).

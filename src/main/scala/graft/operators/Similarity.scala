@@ -25,7 +25,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; NULL (not an ANSI divide error) when either vector
+    * has zero norm — cosine is undefined there.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom > 0, dot(a, b) / denom)
+  }
 
   /** Exact top-k by cosine similarity against one query row.
     * `query` must be a 1-row DataFrame with an `embedding` column; it is

@@ -20,6 +20,12 @@ class EncodeSpec extends SparkSpec {
     assert(out.toSeq == Seq(0.0, 0.5, 1.0))
   }
 
+  test("scale01 on a constant column yields 0.0 (sklearn scale-0 handling), not a divide error") {
+    val out = Seq(5.0, 5.0, 5.0).toDF("v")
+    val r = Encode.scale01(out, "v", "s").select("s").as[Double].collect()
+    assert(r.toSeq == Seq(0.0, 0.0, 0.0), s"got ${r.toSeq}")
+  }
+
   test("oneHotCols emits exactly one 1 per row, in the right slot") {
     val df = Seq(0, 1, 2, 1).toDF("loc")
     val out = Encode.oneHotCols(df, "loc", Seq(0, 1, 2), "loc")

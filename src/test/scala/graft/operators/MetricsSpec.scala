@@ -75,6 +75,19 @@ class MetricsSpec extends SparkSpec {
       s"found unpartitioned window directly over scores:\n$planStr")
   }
 
+  test("single-class input yields NULL auroc (per group), not an ANSI divide error") {
+    val allPos = Seq((1, 1.0), (1, 2.0)).toDF("y", "s")
+    val r = Metrics.auroc(allPos, col("y"), col("s")).collect()(0)
+    assert(r.isNullAt(0), "all-positive labels must give NULL auroc")
+    // grouped: the degenerate group is NULL, the healthy group still computes
+    val mixed = Seq(("a", 1, 1.0), ("a", 1, 2.0), ("b", 1, 2.0), ("b", 0, 1.0))
+      .toDF("g", "y", "s")
+    val byG = Metrics.aurocBy(mixed, col("y"), col("s"), Seq("g"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(byG("a").isEmpty, "single-class group must be NULL")
+    assert(byG("b").contains(1.0), s"healthy group must compute: ${byG("b")}")
+  }
+
   test("meanStd uses POPULATION std (np.std ddof=0), not sample std") {
     // values 1,2,3,4: pop std = sqrt(1.25), sample std = sqrt(5/3)
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("m")
