@@ -58,6 +58,32 @@ object Dedup {
           x => x.getField("__line"))).as(text))
   }
 
+  /** Benchmark decontamination (the GPT-3-style n-gram overlap rule): drop
+    * every corpus document that shares ANY word `n`-gram with the
+    * evaluation set. Returns the surviving corpus rows.
+    *
+    * Scale shape: the eval set is small by construction, so its distinct
+    * n-gram FINGERPRINTS (8 bytes each, not the gram text) form a
+    * broadcast-able table; the corpus side explodes its grams once and
+    * semi-joins the broadcast to find contaminated ids, which anti-join
+    * back. The corpus is scanned twice (gram explode + final anti-join) —
+    * both pruned scans; no corpus-side shuffle of gram text ever happens.
+    */
+  def decontaminate(corpus: DataFrame, id: String, text: String,
+                    eval_ : DataFrame, evalText: String,
+                    n: Int = 8): DataFrame = {
+    import graft.expressions.WordShingles
+    val evalFps = eval_
+      .select(explode(WordShingles.ngrams(col(evalText), n)).as("__g"))
+      .select(xxhash64(col("__g")).as("__fp")).distinct()
+    val contaminated = Par.spread(corpus.select(col(id), col(text)))
+      .select(col(id), explode(WordShingles.ngrams(col(text), n)).as("__g"))
+      .select(col(id), xxhash64(col("__g")).as("__fp"))
+      .join(broadcast(evalFps), Seq("__fp"), "left_semi")
+      .select(col(id)).distinct()
+    corpus.join(contaminated, Seq(id), "left_anti")
+  }
+
   /** MinHash signature: `numHashes` permutation-min values over the word
     * `shingleN`-gram set. Expression-level (`transform` + `array_min`) —
     * convenient for single-column use, but lambda functions evaluate

@@ -494,6 +494,32 @@ object TextQueries {
           "text", budget = 1000L)
         .select(col("pack_id"), col("n_docs"), col("n_tokens"), col("text"))
         .orderBy(col("pack_id"))
+    },
+
+    // ---- benchmark decontamination (GPT-3-style 8-gram overlap rule) -------
+    // Eval set = every 31st doc's text; any corpus doc sharing ANY 8-gram
+    // with it (the eval docs themselves + any exact/overlapping copies) is
+    // removed. Spark matches on gram fingerprints, the oracle on raw grams
+    // - same equivalence classes.
+    QueryDef.sql("q4s_decontaminate",
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |             ELSE list_transform(range(1, len(t) - 6),
+        |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |                      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]) END AS gs
+        |      FROM sp),
+        |u AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |e AS (SELECT DISTINCT gram FROM u WHERE doc_id % 31 = 0),
+        |c AS (SELECT DISTINCT doc_id FROM u WHERE gram IN (SELECT gram FROM e))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM c)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(docs, "doc_id", "text",
+          docs.where(col("doc_id") % 31 === 0).select(col("text")), "text", n = 8)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     }
   )
 }

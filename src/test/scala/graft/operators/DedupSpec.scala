@@ -44,6 +44,19 @@ class DedupSpec extends SparkSpec {
     assert(j == 1.0)
   }
 
+  test("decontaminate removes docs sharing any n-gram with the eval set") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),         // shares trigram with eval
+      (2L, "epsilon zeta eta theta"),         // clean
+      (3L, "x y alpha beta gamma"),           // shares "alpha beta gamma"
+      (4L, "beta gamma delta unrelated")      // shares "beta gamma delta"
+    ).toDF("doc_id", "text")
+    val eval_ = Seq("alpha beta gamma delta tail").toDF("text")
+    val out = Dedup.decontaminate(corpus, "doc_id", "text", eval_, "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(2L), s"only the clean doc survives: $out")
+  }
+
   test("dropRepeatedLines strips boilerplate lines, preserves order, drops emptied docs") {
     val df = Seq(
       (1L, "unique one\nboilerplate\nunique two"),
