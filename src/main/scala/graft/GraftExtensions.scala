@@ -41,6 +41,13 @@ object GraftExtensions {
       s"$fn expects a literal INT argument, got $other")
   }
 
+  private def longArg(e: Expression, fn: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT or BIGINT argument, got $other")
+  }
+
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> { args => VecDot(args(0), args(1)) },
     "word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "word_shingles")) },
@@ -51,7 +58,7 @@ object GraftExtensions {
       ShingleJaccard(args(0), args(1), intArg(args(2), "shingle_jaccard")) },
     "srp_signature" -> { args =>
       SrpSignature(args(0), intArg(args(1), "srp_signature"),
-        intArg(args(2), "srp_signature").toLong) })
+        longArg(args(2), "srp_signature")) })
 
   /** Runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =

@@ -94,7 +94,13 @@ object TextFunctions {
     * DuckDB oracle so redaction replays cross-engine.
     */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val phonePattern = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+
+  /** Phone shape = 9-15 digits with at most 2 separator chars between
+    * consecutive digits. The digit-COUNT floor (not a raw char-run length)
+    * keeps dates (8 digits), short ids, and "10000 - 20000" ranges (3-char
+    * separator) out of the redaction blast radius.
+    */
+  val phonePattern = "\\+?[0-9]([()\\-\\s]{0,2}[0-9]){8,14}"
 
   /** PII scrubbing for training corpora: replace email addresses and
     * phone-number-shaped digit runs with typed placeholder tokens.

@@ -40,8 +40,8 @@ object Curate {
     *
     * ONE lazy aggregation pass: each gate is a conditional sum (gates are
     * cumulative, so stage k's predicate is the conjunction of gates 1..k)
-    * and the exact-dedup stage is `countDistinct` of the text among stage-3
-    * survivors — no cache, no per-stage driver actions, and at 100 TB the
+    * and the exact-dedup stage is `countDistinct` of the text FINGERPRINT
+    * among stage-3 survivors — no cache, no per-stage driver actions, and at 100 TB the
     * corpus is read once (the multi-aggregate plans as a single hash
     * aggregate with an Expand for the distinct, not five scans).
     */
@@ -63,7 +63,10 @@ object Curate {
         coalesce(sum(when(qok, 1L).otherwise(0L)), lit(0L)).as("c1"),
         coalesce(sum(when(lok, 1L).otherwise(0L)), lit(0L)).as("c2"),
         coalesce(sum(when(tok, 1L).otherwise(0L)), lit(0L)).as("c3"),
-        countDistinct(when(tok, col(text))).as("c4"))
+        // distinct on the 64-bit FINGERPRINT, not the raw text: matches
+        // the dedup key curate() actually uses and shuffles 8 bytes per
+        // doc instead of full document bodies
+        countDistinct(when(tok, TextFunctions.fingerprint64(col(text)))).as("c4"))
       .select(explode(array(
         stage("0_total", col("c0")), stage("1_quality", col("c1")),
         stage("2_lang", col("c2")), stage("3_tokens", col("c3")),
@@ -128,7 +131,9 @@ object Curate {
     packed.groupBy(keys: _*)
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(col(tokenCol)).as("n_tokens"),
+        // coalesce: the running-sum in packSequences also treats null
+        // token counts as 0, so the audit stays aligned with placement
+        sum(coalesce(col(tokenCol), lit(0L))).as("n_tokens"),
         // null texts become empty strings BEFORE the join: concat_ws would
         // silently skip null elements and desynchronize the sequence from
         // the n_docs/n_tokens audit counts

@@ -73,6 +73,8 @@ object Sampling {
                     defaultFraction: Double = 0.0): DataFrame = {
     require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
       s"fractions must be in [0,1]: $fractions")
+    require(defaultFraction >= 0.0 && defaultFraction <= 1.0,
+      s"defaultFraction must be in [0,1]: $defaultFraction")
     val frac = fractions.foldLeft(lit(defaultFraction)) {
       case (acc, (g, f)) => when(groupCol === g, f).otherwise(acc)
     }

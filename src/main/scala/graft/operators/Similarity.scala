@@ -88,7 +88,9 @@ object Similarity {
     * disagree on one hyperplane sign land one bit away, so probeHamming=1
     * (the default) recovers most of the recall that exact-bucket probing
     * loses, at (planes+1)× query-side fan-out — corpus-side work is still
-    * the probed cells only. Returns per-query top-k within probed buckets.
+    * the probed cells only. Returns per-query top-k within probed buckets
+    * as an UNORDERED row set (sort on `cos` downstream if rank order
+    * matters — the bounded-heap operator does not emit in rank order).
     */
   def lshTopK(corpus: DataFrame, corpusId: String,
               queries: DataFrame, queryId: String,
@@ -142,7 +144,9 @@ object Similarity {
     * The scale path beyond SRP-LSH: cell assignment is one pass, the
     * centroid table is tiny (broadcast), and the probe join fans each query
     * out to nProbe cells — corpus-side work is |corpus|·nProbe/nCentroids
-    * per query instead of |corpus|. Recall is tunable via nProbe.
+    * per query instead of |corpus|. Recall is tunable via nProbe. Returns
+    * an UNORDERED top-k row set (sort on `cos` downstream if rank order
+    * matters).
     */
   def ivfTopK(corpus: DataFrame, corpusId: String,
               queries: DataFrame, queryId: String,

@@ -448,7 +448,7 @@ object TextQueries {
         |        || '@example.com or +49 30 '
         |        || CAST(doc_id * 7 % 10000 + 1000 AS VARCHAR) || '9',
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g') AS text
+        |    '\+?[0-9]([()\-\s]{0,2}[0-9]){8,14}', '<PHONE>', 'g') AS text
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       val planted = Tables.documents(s, d).select(col("doc_id"),
         concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),

@@ -203,11 +203,16 @@ object EventStream {
       e.ts.getTime * 1000L + (e.ts.getNanos % 1000000) / 1000).max
     // the flush user advances the watermark past every open session's
     // timeout (end + gap), forcing emission; its own session is dropped.
-    // Sentinel = (min real user) - 1 so it can NEVER collide with a real
-    // user (a fixed -1 would merge with and then drop a genuine user -1).
+    // Sentinel = an id OUTSIDE the observed user range (a fixed -1 would
+    // merge with and then drop a genuine user -1); only a corpus spanning
+    // the ENTIRE long range has no such id, and that is rejected.
     val flushUser = {
       val minUser = rows.iterator.map(_.user_id).min
-      if (minUser == Long.MinValue) Long.MaxValue else minUser - 1
+      val maxUser = rows.iterator.map(_.user_id).max
+      if (minUser > Long.MinValue) minUser - 1
+      else if (maxUser < Long.MaxValue) maxUser + 1
+      else throw new IllegalArgumentException(
+        "user_id spans the entire Long range; no flush sentinel available")
     }
     val flushTs = new java.sql.Timestamp((maxUs + gapUs) / 1000L + 3600L * 1000)
 

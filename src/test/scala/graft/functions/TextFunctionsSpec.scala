@@ -62,15 +62,21 @@ class TextFunctionsSpec extends SparkSpec {
     df.unpersist()
   }
 
-  test("redactPii replaces emails and phone runs, leaves clean text alone") {
+  test("redactPii replaces emails and phone runs, spares dates/ranges/short ids") {
     val out = Seq(
       "write to jane.doe+x@sub.example.org today",
       "call +49 (0)30 123-4567 now",
-      "no pii in this sentence at all"
+      "no pii in this sentence at all",
+      "released 2026-08-12 unchanged",          // 8 digits: not a phone
+      "range 10000 - 20000 unchanged",          // 3-char separator breaks the run
+      "order 12345678 unchanged"                // 8 digits: not a phone
     ).toDF("t").select(TextFunctions.redactPii(col("t"))).as[String].collect()
     assert(out(0) == "write to <EMAIL> today")
     assert(out(1) == "call <PHONE> now")
     assert(out(2) == "no pii in this sentence at all")
+    assert(out(3) == "released 2026-08-12 unchanged", s"date redacted: ${out(3)}")
+    assert(out(4) == "range 10000 - 20000 unchanged", s"range redacted: ${out(4)}")
+    assert(out(5) == "order 12345678 unchanged", s"short id redacted: ${out(5)}")
   }
 
   test("ngrams keeps duplicates in window order; shingles is its distinct form") {
