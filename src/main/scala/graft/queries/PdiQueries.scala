@@ -146,23 +146,30 @@ object PdiQueries {
     // ---- E4/F8: per-slide score roll-up (functions_v2.py:515-563) ---------
     // orders ≙ slides, lineitems ≙ tiles; scores derived from exact integer
     // arithmetic so both engines agree bit-for-bit before rounding.
+    // Scores enter the roll-up as INTEGER-VALUED doubles (raw 0-99
+    // residues) and are scaled to 0-1 only in the output projection: the
+    // per-group sums are then exact, so avg — and crucially the
+    // pred = score1 > score0 comparison, which TIES exactly for many
+    // groups — is bit-identical across engines. Feeding pre-divided
+    // (inexact) scores flipped pred on ulp noise at sf0.1 (68 tied
+    // groups), invisible at the sf0.01 gate.
     QueryDef.sql("q28_slide_rollup",
       """SELECT l_orderkey AS group_id,
-        |  round(avg((l_partkey % 100) / 100.0), 6) AS score0,
-        |  round(avg((l_suppkey % 100) / 100.0), 6) AS score1,
+        |  round(avg(l_partkey % 100) / 100.0, 6) AS score0,
+        |  round(avg(l_suppkey % 100) / 100.0, 6) AS score1,
         |  max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS label,
-        |  CASE WHEN avg((l_suppkey % 100) / 100.0) > avg((l_partkey % 100) / 100.0)
+        |  CASE WHEN avg(l_suppkey % 100) > avg(l_partkey % 100)
         |       THEN 1 ELSE 0 END AS pred
         |FROM lineitem GROUP BY l_orderkey ORDER BY group_id""".stripMargin) { (s, d) =>
       val tiles = Tables.lineitem(s, d).select(
         col("l_orderkey"),
-        ((col("l_partkey") % 100) / 100.0).as("s0"),
-        ((col("l_suppkey") % 100) / 100.0).as("s1"),
+        (col("l_partkey") % 100).cast("double").as("s0"),
+        (col("l_suppkey") % 100).cast("double").as("s1"),
         when(col("l_returnflag") === "R", 1).otherwise(0).as("y"))
       SlideRollup.rollup2(tiles, col("l_orderkey"), col("s0"), col("s1"), col("y"))
         .select(col("group_id"),
-          round(col("score0"), 6).as("score0"),
-          round(col("score1"), 6).as("score1"),
+          round(col("score0") / 100.0, 6).as("score0"),
+          round(col("score1") / 100.0, 6).as("score1"),
           col("label"), col("pred"))
         .orderBy(col("group_id"))
     },
