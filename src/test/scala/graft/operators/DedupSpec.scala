@@ -72,6 +72,27 @@ class DedupSpec extends SparkSpec {
       4L -> "solo text"), s"got $out")
   }
 
+  test("dropRepeatedLines and decontaminate are idempotent") {
+    // removal cannot create new hot lines / new contaminated docs, so a
+    // second pass is a no-op — the natural sanity property of both filters
+    val corpus = Seq(
+      (1L, "unique one\nboilerplate\nunique two"),
+      (2L, "boilerplate\nanother body"),
+      (3L, "boilerplate\nthird text"),
+      (4L, "solo text entirely different")
+    ).toDF("doc_id", "text")
+    val once = Dedup.dropRepeatedLines(corpus, "doc_id", "text", minRepeats = 3)
+    val twice = Dedup.dropRepeatedLines(once, "doc_id", "text", minRepeats = 3)
+    assert(twice.as[(Long, String)].collect().toSet ==
+      once.as[(Long, String)].collect().toSet)
+
+    val eval_ = Seq("unique one two three").toDF("text")
+    val d1 = Dedup.decontaminate(corpus, "doc_id", "text", eval_, "text", n = 2)
+    val d2 = Dedup.decontaminate(d1, "doc_id", "text", eval_, "text", n = 2)
+    assert(d2.select("doc_id").as[Long].collect().toSet ==
+      d1.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("minhashNearDupes plan: jaccard kernel never in a join condition, evaluated at most twice") {
     // Regression pins for the round-3 verify-stage fixes: (a) the threshold
     // must stay ABOVE the barrier aggregate, not folded into the verify
