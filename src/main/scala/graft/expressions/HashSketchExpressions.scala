@@ -29,6 +29,12 @@ import org.apache.spark.sql.types._
   * over the element hashes h0_j. Null elements hash like `xxhash64(null, i)`
   * (hash skipped, fold continues from the seed); an empty array yields a
   * null signature.
+  *
+  * Null-ARRAY contract (intentional divergence from the pinned expression
+  * form, which emits an array of nulls for null text): the kernel returns
+  * NULL, so null-text docs produce null band keys and silently drop out of
+  * LSH bucketing instead of all colliding in one degenerate bucket. The
+  * DedupSpec bit-equality pin covers non-null inputs only.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {
@@ -99,7 +105,13 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
 /** 64-bit SimHash: bit j of the result is the sign of
   * Σ_elements (bit j of xxhash64(element) ? +1 : -1) — bit-identical to the
-  * `aggregate`-lambda formulation, one string hash per element.
+  * `aggregate`-lambda formulation (non-null inputs), one string hash per
+  * element.
+  *
+  * Null-ARRAY contract (intentional divergence from the pinned lambda form,
+  * which folds null text to 0L): the kernel returns NULL, so null-text docs
+  * drop out of simhash band-joins instead of all clustering at signature 0
+  * — the same carve-out SrpSignature documents.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 

@@ -25,8 +25,16 @@ import org.apache.spark.sql.types._
 object SrpPlanes {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Double]]()
+  // backstop for pathological many-seed usage (multi-table LSH with
+  // hundreds of seeds): past this many (planes, seed) keys the cache is
+  // cleared rather than retaining dim*planes*8 bytes per key forever
+  private val MaxEntries = 64
 
-  /** Component table, j-major: `tab(j * planes + p)`; grows on demand. */
+  /** Component table, j-major: `tab(j * planes + p)`; grows on demand.
+    * Growth to a larger dim arraycopies the existing table (its values are
+    * exactly the new table's prefix in j-major layout) and only computes
+    * the new j-blocks.
+    */
   def table(planes: Int, seed: Long, dim: Int): Array[Double] = {
     val key = (planes, seed)
     val cur = cache.get(key)
@@ -35,8 +43,12 @@ object SrpPlanes {
       val again = cache.get(key)
       if (again != null && again.length >= dim * planes) return again
       val tab = new Array[Double](dim * planes)
+      val start =
+        if (again != null) { System.arraycopy(again, 0, tab, 0, again.length)
+          again.length / planes }
+        else 0
       val hp = Array.tabulate(planes)(p => XXH64.hashInt(p, 42L))
-      var j = 0
+      var j = start
       while (j < dim) {
         var p = 0
         while (p < planes) {
@@ -48,6 +60,7 @@ object SrpPlanes {
         }
         j += 1
       }
+      if (cache.size >= MaxEntries) cache.clear()
       cache.put(key, tab)
       tab
     }
@@ -96,10 +109,11 @@ case class SrpSignature(child: Expression, planes: Int, seed: Long)
     if (n == 0) return 0L
     val tab = SrpPlanes.table(planes, seed, n)
     val proj = new Array[Double](planes)
+    val f = isFloat
     var j = 0
     while (j < n) {
       if (a.isNullAt(j)) return 0L
-      val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+      val x = if (f) a.getFloat(j).toDouble else a.getDouble(j)
       val base = j * planes
       var p = 0
       while (p < planes) { proj(p) += x * tab(base + p); p += 1 }

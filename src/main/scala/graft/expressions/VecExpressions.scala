@@ -23,9 +23,10 @@ import org.apache.spark.sql.types._
   * Null contract: null array -> null (nullSafe); MISMATCHED LENGTHS -> null
   * (a truncated partial dot product would be a plausible-looking wrong
   * answer, and DuckDB's `list_cosine_similarity` oracle raises on mismatch —
-  * null surfaces the upstream bug instead of hiding it); null *elements*
-  * count as 0, matching `aggregate`'s `acc + CAST(null AS DOUBLE)`-avoidance
-  * shape used before (the testdata embeddings contain no null elements).
+  * null surfaces the upstream bug instead of hiding it); a null ELEMENT in
+  * either array skips that index pair entirely (contributes nothing — in
+  * particular it can NOT poison the sum by pairing with NaN/Infinity on the
+  * other side; eval and codegen implement the identical skip).
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -55,9 +56,13 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     var s = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (x.isNullAt(i)) 0.0 else if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (y.isNullAt(i)) 0.0 else if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      s += xv * yv
+      // same skip shape as the generated code: BOTH elements non-null, or
+      // the pair contributes nothing (0.0 * NaN would poison the sum)
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xv * yv
+      }
       i += 1
     }
     s

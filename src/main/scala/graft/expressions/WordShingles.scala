@@ -20,24 +20,43 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen. Bit-identical output is pinned by TextFunctionsSpec.
   */
 object WordShinglesKernel {
-  private val WS: UTF8String = UTF8String.fromString("\\s+")
+  // compiled ONCE: UTF8String.split delegates to String.split, which
+  // re-runs Pattern.compile per call for multi-char regexes — a real cost
+  // when the jaccard kernel tokenizes two texts per candidate pair.
+  // Pattern.split(s, -1) is byte-identical to s.split("\\s+", -1).
+  private val WSPAT: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("\\s+")
   private val SPACE: UTF8String = UTF8String.fromString(" ")
 
-  /** The distinct shingle set (first-occurrence order). */
-  def shingleSet(text: UTF8String, n: Int): java.util.LinkedHashSet[UTF8String] = {
-    val toks = text.trim().split(WS, -1)
-    val out = new java.util.LinkedHashSet[UTF8String]()
-    if (toks.length < n) {
-      out.add(UTF8String.concatWs(SPACE, toks: _*))
-    } else {
+  private def tokenize(text: UTF8String): Array[UTF8String] =
+    WSPAT.split(text.trim().toString, -1).map(UTF8String.fromString)
+
+  /** All window grams WITH duplicates, in position order — the single
+    * windowing implementation both public forms derive from (so the
+    * short-text collapse rule cannot drift between them).
+    */
+  private def windowGrams(text: UTF8String, n: Int): Array[AnyRef] = {
+    val toks = tokenize(text)
+    if (toks.length < n) Array[AnyRef](UTF8String.concatWs(SPACE, toks: _*))
+    else {
+      val arr = new Array[AnyRef](toks.length - n + 1)
       var i = 0
       while (i <= toks.length - n) {
         val parts = new Array[UTF8String](n)
         System.arraycopy(toks, i, parts, 0, n)
-        out.add(UTF8String.concatWs(SPACE, parts: _*))
+        arr(i) = UTF8String.concatWs(SPACE, parts: _*)
         i += 1
       }
+      arr
     }
+  }
+
+  /** The distinct shingle set (first-occurrence order). */
+  def shingleSet(text: UTF8String, n: Int): java.util.LinkedHashSet[UTF8String] = {
+    val grams = windowGrams(text, n)
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < grams.length) { out.add(grams(i).asInstanceOf[UTF8String]); i += 1 }
     out
   }
 
@@ -47,26 +66,11 @@ object WordShinglesKernel {
 
   /** All word n-grams WITH duplicates (one per window position) — the
     * occurrence sequence repetition statistics need; [[compute]] is the
-    * distinct-set form dedup needs. Same tokenizer, same short-text
-    * collapse to a single joined gram.
+    * distinct-set form dedup needs. Both derive from [[windowGrams]], so
+    * tokenizer and short-text collapse are one implementation.
     */
-  def computeAll(text: UTF8String, n: Int): ArrayData = {
-    val toks = text.trim().split(WS, -1)
-    val out =
-      if (toks.length < n) Array[AnyRef](UTF8String.concatWs(SPACE, toks: _*))
-      else {
-        val arr = new Array[AnyRef](toks.length - n + 1)
-        var i = 0
-        while (i <= toks.length - n) {
-          val parts = new Array[UTF8String](n)
-          System.arraycopy(toks, i, parts, 0, n)
-          arr(i) = UTF8String.concatWs(SPACE, parts: _*)
-          i += 1
-        }
-        arr
-      }
-    new GenericArrayData(out)
-  }
+  def computeAll(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(windowGrams(text, n))
 
   /** Fused shingle-set Jaccard: |A∩B| / (|A|+|B|-|A∩B|) in ONE pass over
     * both texts — bit-identical to

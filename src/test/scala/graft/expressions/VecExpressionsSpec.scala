@@ -20,7 +20,7 @@ class VecExpressionsSpec extends SparkSpec {
     assert(d == 1.0)
   }
 
-  test("vecDot: null array -> null; null element counts as zero") {
+  test("vecDot: null array -> null; null element skips the pair") {
     val df = Seq(
       (1L, Some(Seq[java.lang.Float](1.0f, null, 3.0f)), Some(Seq[java.lang.Float](1.0f, 1.0f, 1.0f))),
       (2L, None, Some(Seq[java.lang.Float](1.0f)))
@@ -29,6 +29,20 @@ class VecExpressionsSpec extends SparkSpec {
       .as[(Long, Option[Double])].collect().toMap
     assert(out(1L).contains(4.0))
     assert(out(2L).isEmpty)
+  }
+
+  test("vecDot: null element paired with NaN contributes nothing in eval AND codegen") {
+    // codegen path (column inputs)
+    val viaCodegen = Seq(
+      (Seq[java.lang.Float](null, 2.0f), Seq(Float.NaN, 3.0f))
+    ).toDF("a", "b").select(vecDot(col("a"), col("b"))).as[Double].head()
+    assert(viaCodegen == 6.0, s"codegen: $viaCodegen")
+    // interpreted path: constant folding over literal arrays runs eval()
+    val viaEval = spark.range(1).select(
+      vecDot(typedlit(Seq(Option.empty[Float], Some(2.0f))),
+        typedlit(Seq(Float.NaN, 3.0f)))).as[Double].head()
+    assert(viaEval == 6.0,
+      s"eval must skip null-paired elements exactly like codegen: $viaEval")
   }
 
   test("vecDot matches the interpreted zip_with/aggregate formulation") {
