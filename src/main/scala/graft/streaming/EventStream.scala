@@ -218,9 +218,20 @@ object EventStream {
 
     val stream = MemoryStream[SessionEvent]
     val sink = s"graft_stream_sessions_${replayCounter.incrementAndGet()}"
-    val query = statefulSessions(stream.toDF(), gapUs, "0 seconds").toDF()
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append).start()
+    // the replay is a bounded verification harness: a handful of state
+    // partitions suffices and saves the per-partition state-store
+    // init/commit cost across the micro-batches (the streaming query
+    // captures shuffle.partitions at start; restored right after). A
+    // production readStream would keep the session's own setting.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    val query =
+      try {
+        spark.conf.set(partsKey, math.min(prevParts.toInt, 8).toString)
+        statefulSessions(stream.toDF(), gapUs, "0 seconds").toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append).start()
+      } finally spark.conf.set(partsKey, prevParts)
     try {
       stream.addData(rows.toSeq)
       query.processAllAvailable()
