@@ -56,9 +56,15 @@ object Bench {
     if (!script.isFile) return Map.empty
     import scala.sys.process._
     val out = Seq("python3", script.getPath, sfDir, tmp.toString).!!.trim
-    // flat {"name":seconds,...} — regex parse keeps the bench dependency-free
-    // (the exponent sign matters: json prints tiny timings as 1.2e-05)
+    parseFlatJson(out)
+  } catch { case _: Throwable => Map.empty }
+
+  /** Parse a flat `{"name": seconds, ...}` object — regex keeps the bench
+    * dependency-free. The exponent clause matters: json prints tiny
+    * timings in scientific notation (1.2e-05), and one unparsable value
+    * would silently discard the whole baseline. Unit-tested in BenchSpec.
+    */
+  private[graft] def parseFlatJson(out: String): Map[String, Double] =
     "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)".r.findAllMatchIn(out)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
-  } catch { case _: Throwable => Map.empty }
 }

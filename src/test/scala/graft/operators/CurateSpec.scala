@@ -57,6 +57,24 @@ class CurateSpec extends SparkSpec {
       s"got $packs")
   }
 
+  test("materializePacks conserves docs and tokens exactly") {
+    val df = (1 to 57).map(i =>
+      (i.toLong, s"doc$i body", (i * 37 % 400 + 20).toLong))
+      .toDF("doc_id", "text", "n_tokens")
+    val packs = Curate.materializePacks(df, "n_tokens", "doc_id", "text",
+      budget = 700L)
+    val (nDocs, nTokens) = packs
+      .agg(sum(col("n_docs")), sum(col("n_tokens")))
+      .as[(Long, Long)].head()
+    assert(nDocs == 57, s"doc count not conserved: $nDocs")
+    val expectedTokens = (1 to 57).map(i => i * 37 % 400 + 20).sum
+    assert(nTokens == expectedTokens, s"token count not conserved: $nTokens")
+    // every doc's text appears in exactly one pack
+    val joined = packs.select("text").as[String].collect().mkString("<|eos|>")
+    (1 to 57).foreach(i =>
+      assert(joined.contains(s"doc$i body"), s"doc$i missing from packs"))
+  }
+
   test("materializePacks joins each pack's docs in order with the separator") {
     val df = Seq(
       (1L, "aaa", 600L), (2L, "bbb", 600L), (3L, "ccc", 300L), (4L, "ddd", 900L)
