@@ -234,11 +234,19 @@ object Dedup {
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("cluster", col("doc"))
+    // round 1 is FUSED into the first materialization: cluster(doc) after
+    // one propagation round is least(doc, min neighbor), computable directly
+    // from the edge list with one hash-aggregate — the job that materializes
+    // the persisted pair list IS round 1, instead of an identity-label
+    // distinct pass followed by a separate join round. (Every doc in a pair
+    // appears as a dst because edges hold both directions.)
+    var labels = edges.groupBy(col("dst"))
+      .agg(min(col("src")).as("__nmin"))
+      .select(col("dst").as("doc"),
+        least(col("dst"), col("__nmin")).as("cluster"))
       .localCheckpoint(true)
     var changed = 1L
-    var iter = 0
+    var iter = 1
     while (changed > 0 && iter < maxIters) {
       val neighborMin = edges
         .join(labels.select(col("doc").as("src"), col("cluster").as("c")), "src")

@@ -121,11 +121,16 @@ object Events {
     */
   def dailyRetention(df: DataFrame, tsCol: String = "ts",
                      userCol: String = "user_id"): DataFrame = {
+    // both sides of the self-join carry explicit string aliases: the
+    // `ud(userCol) === nxt(userCol)` dataframe-column form tripped Spark's
+    // "trivially true equals predicate" resolution warning (both Columns
+    // resolve to the same attribute id) and was one plan change away from
+    // degenerating into a cartesian
     val ud = df.select(col(userCol), date_trunc("day", col(tsCol)).as("d")).distinct()
-    val nxt = ud.select(col(userCol), col("d").as("d_next"))
-    ud.join(nxt, ud(userCol) === nxt(userCol) &&
-        col("d_next") === col("d") + expr("INTERVAL 1 DAY"))
-      .groupBy(col("d"))
+    val a = ud.as("cur"); val b = ud.as("nxt")
+    a.join(b, col(s"cur.$userCol") === col(s"nxt.$userCol") &&
+        col("nxt.d") === col("cur.d") + expr("INTERVAL 1 DAY"))
+      .groupBy(col("cur.d").as("d"))
       .agg(count(lit(1)).as("retained"))
   }
 }

@@ -8,9 +8,14 @@ import org.apache.spark.sql.functions._
   * (`ARRAY<FLOAT>`): brute-force cosine top-k as the exact baseline, and a
   * sign-random-projection LSH variant as the scale path.
   *
-  * Scale design: the query side is always broadcast; the corpus is scanned
-  * once (brute force) or pre-bucketed on hyperplane-sign keys so each query
-  * probes only its bucket (LSH). Dot products use the native codegen'd
+  * Scale design: the corpus is scanned once (brute force) or pre-bucketed
+  * on hyperplane-sign keys so each query probes only its bucket (LSH). The
+  * bucketed variants leave the probe join UNHINTED: Catalyst broadcasts a
+  * small query batch automatically (and AQE re-plans a post-shuffle
+  * broadcast at runtime), while a million-row query batch shuffle-joins on
+  * the bucket key instead of OOMing the driver — results are identical
+  * either way (pinned by SimilaritySpec under autoBroadcastJoinThreshold
+  * = -1). Dot products use the native codegen'd
   * [[graft.expressions.VecDot]] kernel (no UDF, no interpreted lambda), and
   * every pairwise path precomputes per-vector norms once so the per-pair
   * work is a single dot product.
@@ -130,7 +135,14 @@ object Similarity {
     // same total order as (cos DESC, cid ASC) — cosines are always real
     // here because zero-norm rows were filtered above (pinned by
     // SimilaritySpec).
-    val scored = c.join(broadcast(q), Seq("__bucket"))
+    //
+    // The probe join is deliberately UNHINTED: a forced broadcast(q) would
+    // ship every query embedding × (masks.size) fan-out to every executor —
+    // a driver/executor OOM when the query batch is itself table-sized.
+    // Catalyst broadcasts small batches on its own (stats), AQE converts a
+    // post-shuffle small side at runtime, and a genuinely large batch falls
+    // back to a shuffle join on __bucket with identical results.
+    val scored = c.join(q, Seq("__bucket"))
       .withColumn("cos", dot(col("__ce"), col("__qe")) / (col("__cn") * col("__qn")))
     graft.plans.GroupedTopK.perGroup(scored, Seq(col("__qid")),
         struct(-col("cos"), col("__cid")), k)
@@ -220,34 +232,117 @@ object Similarity {
         norm(col("__qe")).as("__qn"))
       .filter(col("__qn") > 0)
 
-    // in-cell ranking: same bounded-heap top-k as lshTopK
-    val scored = assigned.join(broadcast(probes), Seq("__cell"))
+    // in-cell ranking: same bounded-heap top-k as lshTopK. Unhinted for the
+    // same reason as lshTopK's probe join: `probes` carries nProbe copies of
+    // every query embedding — broadcast-sized only when the query batch is;
+    // the planner/AQE broadcasts small batches and shuffle-joins large ones.
+    val scored = assigned.join(probes, Seq("__cell"))
       .withColumn("cos", dot(col("__ce"), col("__qe")) / (col("__cn") * col("__qn")))
     graft.plans.GroupedTopK.perGroup(scored, Seq(col("__qid")),
         struct(-col("cos"), col("__cid")), k)
       .select(col("__qid").as(queryId), col("__cid").as(corpusId), col("cos"))
   }
 
-  /** Embedding near-duplicate pairs: same-bucket blocking + exact cosine
-    * verification — the embedding-space analogue of MinHash dedup. Norms are
-    * computed once per vector before the self-join, so the per-pair work is
-    * one codegen'd dot product.
+  /** Embedding near-duplicate pairs: banded SRP-LSH blocking + exact cosine
+    * verification — the embedding-space analogue of MinHash-LSH dedup.
+    * Norms are computed once per vector before the self-join, so the
+    * per-pair work is one codegen'd dot product over verified candidates.
+    *
+    * Blocking: `bands` independent SRP signatures of `planes` bits each
+    * (seed offset per band — independent hyperplane sets, the classic LSH
+    * band construction); a pair is a candidate iff it agrees exactly on ANY
+    * band. Collision probability for a pair at angle θ is
+    * 1 − (1 − (1 − θ/π)^planes)^bands — bands buy recall, planes buy
+    * selectivity.
+    *
+    * `planes` controls the bucket count per band (2^planes) and therefore
+    * the self-join's quadratic-in-bucket-size cost. The default
+    * `planes = -1` AUTO-SCALES bits to the corpus: one cheap count of the
+    * (id-only) corpus projection sets planes ≈ log2(n / 32), clamped to
+    * [8, 24] — expected bucket occupancy stays ~constant as the corpus
+    * grows, so candidate-pair work grows ~linearly with n instead of
+    * (n / 2^fixedPlanes)² (pinned by SimilaritySpec's growth probe).
     *
     * `planes = 0` puts every row in one bucket — EXACT all-pairs mode, for
     * filtered subsets and oracle twins (q4l); recall at planes > 0 is pinned
     * by SimilaritySpec.
     */
+  /** Bits per band for a corpus of `n` rows: 2^bits buckets per band
+    * targeting ~32 rows per bucket (`bits = ceil(log2(n / 32))`, clamped to
+    * [8, 24]) — expected within-bucket pair work is then ~16·n per band,
+    * linear in the corpus instead of quadratic (pinned by SimilaritySpec).
+    */
+  def autoPlanes(n: Long): Int =
+    math.min(24, math.max(8,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (n + 31) / 32) - 1)))
+
   def cosineNearDupes(corpus: DataFrame, id: String, threshold: Double,
-                      planes: Int = 8, seed: Long = 42L): DataFrame = {
-    val bucket = if (planes == 0) lit(0L) else srpSignature(col("e"), planes, seed)
-    val c = corpus.select(col(id).as("doc"), col("embedding").as("e"))
-      .withColumn("bucket", bucket)
+                      planes: Int = -1, seed: Long = 42L,
+                      bands: Int = 8): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val c0 = corpus.select(col(id).as("doc"), col("embedding").as("e"))
       .withColumn("n", norm(col("e")))
       .filter(col("n") > 0) // cosine undefined; ANSI division would raise
-    val a = c.as("a"); val b = c.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
-      .withColumn("cos", dot(col("a.e"), col("b.e")) / (col("a.n") * col("b.n")))
-      .filter(col("cos") >= threshold)
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("cos"))
+    val bits =
+      if (planes >= 0) planes
+      // one pruned-scan count job sizes the bucket space to the corpus
+      else autoPlanes(c0.select(col("doc")).count())
+    val verified =
+      if (bits == 0) {
+        val c = c0.select(col("doc"), col("e"), col("n"))
+        val a = c.as("a"); val b = c.as("b")
+        a.join(b, col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+            (dot(col("a.e"), col("b.e")) / (col("a.n") * col("b.n"))).as("cos"))
+          // no-op barrier (pairs are unique here): keeps the threshold
+          // filter from folding into the join condition, where the dot
+          // product would re-evaluate per pair (the minhashNearDupes lesson)
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(min(col("cos")).as("cos"))
+      } else {
+        // independent hyperplane set per band via a per-band seed offset;
+        // signatures are codegen'd kernels, so banding costs bands× scan
+        // work, never a shuffle of the embeddings beyond the bucket join
+        val banded = c0.select(col("doc"), col("e"), col("n"),
+          explode(array((0 until bands).map { bnd =>
+            struct(lit(bnd).as("band"),
+              srpSignature(col("e"), bits, seed + 1315423911L * bnd).as("sig"))
+          }: _*)).as("bk"))
+          .select(col("doc"), col("e"), col("n"), col("bk.band"), col("bk.sig"))
+        val a = banded.as("a"); val b = banded.as("b")
+        a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+            && col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+            (dot(col("a.e"), col("b.e")) / (col("a.n") * col("b.n"))).as("cos"))
+          // a pair colliding in k bands appears k times; one hash-agg
+          // dedups before the threshold filter (cos is identical per copy)
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(min(col("cos")).as("cos"))
+      }
+    verified.filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cos"))
+  }
+
+  /** Candidate-pair count for [[cosineNearDupes]]'s blocking stage at a
+    * given (planes, bands) — the growth probe SimilaritySpec pins (pairs
+    * must grow ~linearly under auto planes) and a capacity-planning helper.
+    */
+  def cosineCandidateCount(corpus: DataFrame, id: String,
+                           planes: Int, seed: Long = 42L,
+                           bands: Int = 8): Long = {
+    val c0 = corpus.select(col(id).as("doc"), col("embedding").as("e"))
+      .filter(norm(col("e")) > 0)
+    val banded = c0.select(col("doc"),
+      explode(array((0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          srpSignature(col("e"), planes, seed + 1315423911L * bnd).as("sig"))
+      }: _*)).as("bk"))
+      .select(col("doc"), col("bk.band"), col("bk.sig"))
+    // Σ_buckets m·(m−1)/2 per band — counted from bucket sizes, no join
+    // (m·(m−1) is even, so halving the long sum on the driver is exact;
+    // Column `/` would widen to double)
+    banded.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(col("m") * (col("m") - 1)), lit(0L)).as("p"))
+      .first().getLong(0) / 2
   }
 }

@@ -22,7 +22,13 @@ object Skew {
     */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
                      salts: Int = 16): DataFrame = {
-    val salt = pmod(hash(monotonically_increasing_id()), lit(salts))
+    // salt derived from the DATA (every input column), not
+    // monotonically_increasing_id(): a retried/repartitioned task re-salts
+    // identically, so partial aggregates are retry-stable for free. Only
+    // fully-identical rows share a salt — they spread no worse than the
+    // row-id salt did in expectation.
+    val salt = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
+      lit(salts.toLong)).cast("int")
     df.select(key.as("key"), value.as("v"), salt.as("__salt"))
       .groupBy(col("key"), col("__salt"))
       .agg(sum(col("v")).as("__psum"), count(lit(1)).as("__pcnt"))
@@ -40,8 +46,11 @@ object Skew {
                           salts: Int = 16): DataFrame = {
     val saltedDim = dim.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
+    // data-derived salt (see saltedSumCount): retry-stable, so a re-executed
+    // fact partition re-joins against the same replicated dim rows
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*),
+        lit(salts.toLong)).cast("int"))
     saltedFact.join(broadcast(saltedDim), Seq(key, "__salt")).drop("__salt")
   }
 }

@@ -50,10 +50,24 @@ object Sources {
   /** A stable integer key per metadata row, replacing the pandas row index
     * the reference uses as `slide_id` (dataset_classes_v1.py:63-67): dense
     * row_number over an explicit deterministic order.
+    *
+    * METADATA-ONLY by contract: the unpartitioned ordering window funnels
+    * the whole input through one task — exactly right for a few hundred
+    * slide rows (one tiny task beats a zipWithIndex job), a scale trap for
+    * anything else. Guarded: refuses inputs past `maxRows` so the trap
+    * fails loudly instead of straggling silently; key large tables by a
+    * hash of their natural key instead.
     */
-  def withSlideId(meta: DataFrame, orderBy: Column): DataFrame =
+  def withSlideId(meta: DataFrame, orderBy: Column,
+                  maxRows: Long = 10000000L): DataFrame = {
+    val n = meta.count()
+    require(n <= maxRows,
+      s"withSlideId is a metadata-only operator (single-task ordering " +
+        s"window): got $n rows > maxRows=$maxRows — key large tables by " +
+        s"xxhash64 of their natural key instead")
     meta.withColumn("slide_id",
       row_number().over(Window.orderBy(orderBy)) - 1)
+  }
 
   /** C1: tile -> metadata lookup as a broadcast hash join (metadata is a
     * few hundred rows; the reference re-scans it per tile per epoch).

@@ -163,4 +163,78 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.contains((0L, 3L)))
   }
+
+  test("cosineNearDupes auto mode (planes = -1) matches explicit-planes recall on dupes") {
+    val pairs = Similarity.cosineNearDupes(vecs, "vec_id", threshold = 0.99)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"identical pair must survive auto banding: $pairs")
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("ANN probe joins carry no forced broadcast hint (shuffle path works, same results)") {
+    // The r3 defect: broadcast(q) on the probe join OOMs when the query
+    // batch is table-sized. The join is now unhinted — under
+    // autoBroadcastJoinThreshold = -1 and AQE off the planner MUST pick a
+    // shuffle join (a surviving hint would still force broadcast), and
+    // results must be identical to the default-config run.
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => ((i * 17 + j * 13) % 23 - 11) / 4.0f))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def run() = Similarity.lshTopK(corpus, "vec_id", queries, "query_id",
+        k = 3, planes = 6, probeHamming = 6)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val expected = run()
+    val conf = spark.conf
+    val prevThresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Similarity.lshTopK(corpus, "vec_id", queries, "query_id",
+        k = 3, planes = 6, probeHamming = 6)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"probe join must not force a broadcast:\n$plan")
+      val got = df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, "shuffle-join path must return identical results")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("autoPlanes sizes the bucket space to the corpus") {
+    assert(Similarity.autoPlanes(0L) == 8)
+    assert(Similarity.autoPlanes(1000L) == 8)         // floor
+    assert(Similarity.autoPlanes(32L * 1024) == 10)   // 1024 buckets of ~32
+    assert(Similarity.autoPlanes(32L * (1 << 15)) == 15)
+    assert(Similarity.autoPlanes(1L << 40) == 24)     // ceiling
+    // monotone non-decreasing
+    val vals = Seq(1L, 100L, 10000L, 1000000L, 100000000L).map(Similarity.autoPlanes)
+    assert(vals == vals.sorted, s"autoPlanes must be monotone: $vals")
+  }
+
+  test("auto-scaled banding keeps candidate pairs ~linear in corpus size") {
+    // pseudo-random 16-dim embeddings; 8x the corpus with auto bits must
+    // grow blocking candidates FAR slower than the 64x a fixed bucket
+    // count would (quadratic); allow 3x slack over perfectly linear.
+    def corpus(n: Int) = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 16).map(j =>
+        ((pmod(xxhash64(col("id"), lit(j)), lit(1000)) - 500) / 100.0)
+          .cast("float")): _*).as("embedding"))
+    // both sizes sit in the unclamped regime of autoPlanes (>= 8 bits
+    // before the floor), where the ~32-row occupancy target is active
+    val small = 32768; val big = 262144
+    val pSmall = Similarity.cosineCandidateCount(corpus(small), "vec_id",
+      Similarity.autoPlanes(small), bands = 4)
+    val pBig = Similarity.cosineCandidateCount(corpus(big), "vec_id",
+      Similarity.autoPlanes(big), bands = 4)
+    assert(pSmall > 0, "probe needs some collisions to be meaningful")
+    val ratio = pBig.toDouble / pSmall
+    assert(ratio < 3.0 * (big.toDouble / small),
+      s"candidate growth must be ~linear under auto planes: " +
+        s"$pSmall -> $pBig (ratio $ratio for ${big / small}x data)")
+  }
 }
