@@ -135,6 +135,99 @@ object Scale10x {
         melted, col("y"), col("sc"), Seq("model", "fold")))
     }
 
+    // ---- DuckDB twins: the same RESULT computed by DuckDB over the SAME
+    // parquet files — engine-vs-engine in the compute-bound regime, the
+    // committed form of the "within 2x of the embedded baseline once
+    // compute dominates" criterion. Twins exist for every probe whose
+    // semantics DuckDB can express exactly; the near-dup twins compute the
+    // identical pair/cluster sets via exact shingle-join (DuckDB's natural
+    // algorithm — engine comparisons fix the ANSWER, not the algorithm;
+    // q46/q4f's oracles prove the two formulations agree). The
+    // xxhash64-kernel signature probe has no exact twin (DuckDB lacks the
+    // hash) and reports duck=null.
+    val pairSql = (docs: String) =>
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $docs),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         |                           for i in range(len(t) - 2)]) AS s FROM toks) u),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b, i / (na.n + nb.n - i) AS jaccard
+         |          FROM inter
+         |          JOIN sizes na ON na.doc_id = doc_a
+         |          JOIN sizes nb ON nb.doc_id = doc_b
+         |          WHERE i / (na.n + nb.n - i) >= 0.5)""".stripMargin
+    def duckSql(docs: String, li: String, ord: String): Map[String, String] = Map(
+      "agg_6m_rows" ->
+        s"""SELECT l_returnflag, l_linestatus, sum(l_quantity), sum(l_extendedprice),
+           |avg(l_discount), count(*) FROM $li GROUP BY 1, 2""".stripMargin,
+      "exact_dedup" ->
+        s"""SELECT d.* FROM $docs d
+           |JOIN (SELECT min(doc_id) AS k FROM $docs GROUP BY text) g ON d.doc_id = g.k""".stripMargin,
+      "grouped_topk" ->
+        s"""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           |  SELECT o_custkey, o_orderkey, o_totalprice,
+           |    row_number() OVER (PARTITION BY o_custkey
+           |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn FROM $ord)
+           |WHERE rn <= 3""".stripMargin,
+      "line_dedup" ->
+        s"""WITH d AS (SELECT doc_id,
+           |    'hdr-' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || text AS text FROM $docs),
+           |sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+           |l AS (SELECT doc_id, z[1]::BIGINT AS pos, z[2]::VARCHAR AS line
+           |      FROM (SELECT doc_id, unnest(list_zip(range(1, len(ls) + 1), ls)) AS z FROM sp)),
+           |hot AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 10),
+           |keep AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM hot))
+           |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+           |FROM keep GROUP BY doc_id""".stripMargin,
+      "repetition_stats" ->
+        s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM $docs),
+           |g AS (SELECT doc_id,
+           |        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+           |             ELSE list_transform(range(1, len(t) - 1),
+           |                    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END AS gs
+           |      FROM sp),
+           |u AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+           |c AS (SELECT doc_id, gram, count(*) AS n FROM u GROUP BY 1, 2)
+           |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+           |  max(n)::DOUBLE / sum(n) AS top_ngram_frac,
+           |  count(*)::DOUBLE / sum(n) AS distinct_frac
+           |FROM c GROUP BY doc_id""".stripMargin,
+      "neardup_lsh_e2e" ->
+        s"""${pairSql(docs)}
+           |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+      "neardup_clusters" ->
+        s"""WITH RECURSIVE
+           |${pairSql(docs).drop(5)},
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (SELECT src, dst FROM edges
+           |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+           |SELECT src AS doc, least(src, min(dst)) AS cluster
+           |FROM reach GROUP BY src""".stripMargin,
+      "multimodel_eval" ->
+        s"""WITH cnn AS (SELECT l_orderkey AS k,
+           |        CAST(sum(l_quantity) AS BIGINT) % 100 AS cnn_sc FROM $li GROUP BY 1),
+           |base AS (SELECT o_orderkey % 5 AS fold,
+           |           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y, cnn_sc,
+           |           o_custkey % 100 AS rf_sc, (o_custkey * 7 + 13) % 100 AS cat_sc,
+           |           (o_custkey + o_orderkey) % 100 AS se_sc
+           |         FROM cnn JOIN $ord ON o_orderkey = k),
+           |melted AS (SELECT 'cnn' AS model, fold, y, cnn_sc AS sc FROM base
+           |  UNION ALL SELECT 'rf', fold, y, rf_sc FROM base
+           |  UNION ALL SELECT 'cat', fold, y, cat_sc FROM base
+           |  UNION ALL SELECT 'se', fold, y, se_sc FROM base),
+           |g AS (SELECT model, fold, sc, sum(y) AS pos, count(*) AS n
+           |      FROM melted GROUP BY 1, 2, 3),
+           |rk AS (SELECT *, sum(n) OVER (PARTITION BY model, fold ORDER BY sc
+           |         ROWS UNBOUNDED PRECEDING) AS cum FROM g)
+           |SELECT model, fold,
+           |  (sum(pos * ((2.0 * cum - n + 1) / 2)) - sum(pos) * (sum(pos) + 1) / 2.0)
+           |    / (sum(pos) * (sum(n) - sum(pos))) AS auroc
+           |FROM rk GROUP BY 1, 2""".stripMargin)
+
     case class Probe(name: String, run1: () => Long, run10: () => Long)
     // near-dup probes plant `copies` near-identical texts per doc, so their
     // true-pair OUTPUT grows quadratically in the copy factor - meaningful

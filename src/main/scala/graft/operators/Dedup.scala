@@ -218,6 +218,39 @@ object Dedup {
         graft.expressions.HashSketchExpressions.simhash(
           TextFunctions.tokens(col("__t"))).as("sh"))
 
+  /** 60-bit SimHash over tokens with an ENGINE-PORTABLE token hash: the
+    * token's 64-bit value is the first 15 hex chars of its MD5 parsed as an
+    * integer, so any engine with `md5` (DuckDB:
+    * `CAST('0x' || substr(md5(t),1,15) AS BIGINT)`) reproduces the
+    * signature bit-for-bit — which makes simhash near-dup results
+    * cross-engine verifiable, unlike the xxhash64-seeded
+    * [[simhashSignatures]] (Spark-internal hash). 15 hex chars = 60 bits
+    * keeps the value inside a signed long in both engines.
+    *
+    * Plan shape: explode tokens, then ONE hash-aggregate per doc carrying
+    * 60 partial-aggregated bit-vote sums (all built-in codegen'd
+    * expressions; map-side combine collapses each partition to one row per
+    * doc before the shuffle) — scan-bound at scale, no window, no
+    * quadratic stage.
+    */
+  def simhashMd5Signatures(df: DataFrame, id: String, text: String,
+                           bits: Int = 60): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"bits must be in [1,60], got $bits")
+    val toks = Par.spread(df.select(col(id).as("doc"), col(text).as("__t")))
+      .select(col("doc"), explode(TextFunctions.tokens(col("__t"))).as("__tok"))
+      .select(col("doc"),
+        conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long").as("__h"))
+    val votes = (0 until bits).map { j =>
+      sum(shiftright(col("__h"), j).bitwiseAND(1L) * 2L - 1L).as(s"__v$j")
+    }
+    toks.groupBy(col("doc"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc"),
+        (0 until bits).map { j =>
+          when(col(s"__v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_)).as("sh"))
+  }
+
   /** Near-dup clusters from a pair list: connected components by iterative
     * min-label propagation (each doc's label converges to the smallest doc
     * id reachable through near-dup edges). Converges in O(component
@@ -340,13 +373,22 @@ object Dedup {
     * Blocking fan-out is bands× rows; each band-join is an equi-join.
     */
   def simhashNearDupes(df: DataFrame, id: String, text: String,
-                       maxHamming: Int = 3, bands: Int = 8): DataFrame = {
+                       maxHamming: Int = 3, bands: Int = 8): DataFrame =
+    simhashNearDupesFromSigs(simhashSignatures(df, id, text), maxHamming, bands)
+
+  /** The banding machinery of [[simhashNearDupes]] over precomputed
+    * signatures (`doc`, `sh: long`) — any 64-bit-or-narrower SimHash works
+    * (narrower sigs just leave the top band bits constant-zero, which
+    * preserves the pigeonhole recall argument: Hamming over the 64-bit
+    * representation equals Hamming over the sig's live bits).
+    */
+  def simhashNearDupesFromSigs(sh: DataFrame, maxHamming: Int = 3,
+                               bands: Int = 8): DataFrame = {
     require(bands > maxHamming,
       s"bands ($bands) must exceed maxHamming ($maxHamming) for exact recall")
     require(64 % bands == 0, s"bands ($bands) must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sh = simhashSignatures(df, id, text)
     val banded = sh.select(col("doc"), col("sh"),
       explode(array((0 until bands).map { i =>
         struct(lit(i).as("band"),

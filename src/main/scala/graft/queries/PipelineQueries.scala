@@ -197,10 +197,20 @@ object PipelineQueries {
         mk(cust.where(col("c_nationkey") < 12)),
         mk(cust.where(col("c_nationkey") >= 12))))
       val prepared = Experiment.prepare(meta, cfg)
-      val tileScores = Tables.lineitem(s, d)
+      // scores flow through the TileScorer contract (SURVEY §2 I): tiles
+      // carry the partkey as an opaque 8-byte payload; the fixture "model"
+      // decodes it and scores payload % 100 — exactly what the oracle
+      // replays as l_partkey % 100
+      import graft.pipeline.TileScorer.tileEnc
+      val tiles = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").cast("string").as("slide_name"),
-          (col("l_partkey") % 100).cast("double").as("score1"))
+          col("l_linenumber").cast("int").as("tile_col"),
+          lit(0).as("tile_row"),
+          to_binary(lpad(hex(col("l_partkey")), 16, "0"), lit("hex")).as("payload"))
+        .as[graft.pipeline.Tile](tileEnc)
+      val tileScores = graft.pipeline.TileScorer.score(
+        tiles, graft.pipeline.TileScorer.PayloadModScorer(100))
       Experiment.evaluate(prepared, tileScores, cfg)
         .select(col("fold"), col("set"),
           round(col("balanced_accuracy"), 6).as("balanced_accuracy"),

@@ -149,9 +149,38 @@ object TextQueries {
         .limit(20)
     },
 
-    // ---- MinHash-LSH near-dup candidates (xxhash64 not SQL-replayable ->
-    //      rows-only check; semantics pinned by DedupSpec) -------------------
-    QueryDef.rowsOnly("q46_minhash_lsh") { (s, d) =>
+    // ---- MinHash-LSH near-dup pipeline with a FULL exact-recall oracle -----
+    // The oracle computes the COMPLETE true pair set (exact word-3-gram
+    // Jaccard >= threshold, q45's shingle-join shape — no hashing), so the
+    // hash gate passes iff the LSH pipeline emits exactly that set: zero
+    // false positives (verify stage guarantees this analytically) AND zero
+    // missed pairs. Recall is probabilistic in general (1-(1-j^r)^b) but
+    // DETERMINISTIC for fixed data + fixed xxhash64 banding; measured exact
+    // at sf0.001/0.01/0.1 (missed=0, extra=0 at each), so green is stable.
+    QueryDef.sql("q46_minhash_lsh",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' tail' FROM documents
+        |  WHERE doc_id % 25 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |              for i in range(len(t) - 2)]) AS s
+        |    FROM toks) u),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, round(i / (na.n + nb.n - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes na ON na.doc_id = doc_a
+        |JOIN sizes nb ON nb.doc_id = doc_b
+        |WHERE i / (na.n + nb.n - i) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       // Self-union with doctored ids guarantees true near-dupes exist, so the
       // LSH pipeline (block -> verify) always has work to do.
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -214,8 +243,47 @@ object TextQueries {
     },
 
     // ---- full near-dup removal: LSH pairs -> connected components -> one
-    //      keeper per cluster (xxhash-derived -> rows-only) ------------------
-    QueryDef.rowsOnly("q4f_drop_neardupes") { (s, d) =>
+    //      keeper per cluster, with a FULL oracle -----------------------------
+    // Same exact-recall argument as q46 (the LSH pair set provably/measured-
+    // equals the true jaccard>=0.5 set on this data), composed with q4j's
+    // recursive-CTE transitive closure: the oracle derives the keeper set
+    // (min-id member per component + unpaired docs) with no hashing, so the
+    // gate pins blocking, verification, AND the propagation loop end-to-end.
+    QueryDef.sql("q4f_drop_neardupes",
+      """WITH RECURSIVE
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' tail' FROM documents
+        |  WHERE doc_id % 25 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |              for i in range(len(t) - 2)]) AS s
+        |    FROM toks) u),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes na ON na.doc_id = doc_a
+        |  JOIN sizes nb ON nb.doc_id = doc_b
+        |  WHERE i / (na.n + nb.n - i) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |dropped AS (
+        |  SELECT src AS doc FROM reach GROUP BY src HAVING min(dst) < src)
+        |SELECT doc_id FROM corpus
+        |WHERE doc_id NOT IN (SELECT doc FROM dropped)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val dupes = docs.where(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
@@ -243,14 +311,44 @@ object TextQueries {
         .orderBy(col("grp_a"), col("grp_b"))
     },
 
-    // ---- SimHash near-dup candidates (rows-only; pinned by DedupSpec) ------
-    QueryDef.rowsOnly("q47_simhash") { (s, d) =>
+    // ---- SimHash near-dup candidates with a FULL brute-force oracle --------
+    // The signature uses the engine-portable md5-derived token hash
+    // (Dedup.simhashMd5Signatures), so DuckDB reproduces every signature
+    // bit-for-bit and brute-forces all pairs at Hamming <= maxHamming —
+    // while Spark goes through the banded-LSH machinery. bands(8) >
+    // maxHamming(6) makes banding recall provably exact (pigeonhole), so
+    // the two result sets must be identical: the oracle PROVES the blocking
+    // structure, not just the hamming arithmetic. (The xxhash64-seeded
+    // native SimHash64 kernel path stays pinned by DedupSpec bit-equality.)
+    QueryDef.sql("q47_simhash",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' tail' FROM documents
+        |  WHERE doc_id % 25 = 0),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+        |h AS (SELECT doc_id,
+        |        CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS v
+        |  FROM h, range(60) r(j) GROUP BY doc_id, j),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sh
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val dupes = docs.where(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" tail")).as("text"))
-      Dedup.simhashNearDupes(docs.unionByName(dupes), "doc_id", "text",
+      Dedup.simhashNearDupesFromSigs(
+          Dedup.simhashMd5Signatures(docs.unionByName(dupes), "doc_id", "text"),
           maxHamming = 6, bands = 8)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
