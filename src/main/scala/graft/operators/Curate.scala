@@ -83,9 +83,17 @@ object Curate {
     */
   def repetitionStats(df: DataFrame, id: String, text: String,
                       n: Int = 3): DataFrame = {
+    // the counts only need gram IDENTITY, never gram text: hash each gram
+    // to 64 bits BEFORE the aggregation so the shuffle carries (id, 8
+    // bytes) instead of (id, n-word string) — ~5× fewer shuffle bytes at
+    // corpus scale, same counts (an xxhash64 collision within one
+    // document's gram set is vanishingly rare, and deterministic if it
+    // ever occurs — the same discipline line dedup applies via
+    // fingerprint64)
     val perGram = Par.spread(df.select(col(id), col(text)))
       .select(col(id),
-        explode(graft.expressions.WordShingles.ngrams(col(text), n)).as("__g"))
+        explode(graft.expressions.WordShingles.ngrams(col(text), n)).as("__gt"))
+      .select(col(id), xxhash64(col("__gt")).as("__g"))
       .groupBy(col(id), col("__g"))
       .agg(count(lit(1)).as("__c"))
     perGram.groupBy(col(id))

@@ -390,11 +390,11 @@ object PdiQueries {
           ((col("o_custkey") + col("o_orderkey")) % 100).as("se_sc"))
       val melted = base.selectExpr("fold", "y",
         "stack(4, 'cnn', cnn_sc, 'rf', rf_sc, 'cat', cat_sc, 'se', se_sc) AS (model, sc)")
-      val ba = Metrics.balancedAccuracyBy(
-        melted.withColumn("pred", when(col("sc") >= 50, 1).otherwise(0)),
-        col("y"), col("pred"), Seq("model", "fold"))
-      val au = Metrics.aurocBy(melted, col("y"), col("sc"), Seq("model", "fold"))
-      ba.join(au, Seq("model", "fold"))
+      // ONE pass: BA + AUROC from the joint (model, fold, sc, y)
+      // distribution — separate balancedAccuracyBy + aurocBy calls would
+      // run the lineitem-agg + orders-join subtree once per metric
+      Metrics.evalSuite(melted, col("y"), col("sc"), threshold = 50.0,
+          groups = Seq("model", "fold"))
         .select(col("model"), col("fold"),
           round(col("balanced_accuracy"), 6).as("balanced_accuracy"),
           round(col("auroc"), 6).as("auroc"))

@@ -294,12 +294,45 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
-    // ---- MinHash-union sketch rollup: group-level signatures + cross-group
-    //      sketch Jaccard (xxhash-derived -> rows-only; union semantics
-    //      pinned by DedupSpec) --------------------------------------------
-    QueryDef.rowsOnly("q4e_minhash_union") { (s, d) =>
+    // ---- MinHash-union sketch rollup with a FULL oracle ---------------------
+    // Per-doc signatures use the engine-portable md5-derived shingle hash
+    // (16 hash functions = md5 of shingle + '#i'), rolled up per group
+    // through the MinHashUnion AGGREGATOR (elementwise min). The oracle
+    // exploits the union semantics themselves: the aggregator's elementwise
+    // min over per-doc sigs EQUALS a direct min over the group's pooled
+    // shingle hashes — DuckDB computes that directly, so the hash gate pins
+    // the aggregator's merge logic, the sketch-Jaccard estimator, and the
+    // hash portability in one query. (The xxhash64 signature path stays
+    // pinned by DedupSpec.)
+    QueryDef.sql("q4e_minhash_union",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |            for i in range(len(t) - 2)]) AS s
+        |  FROM toks),
+        |h AS (SELECT doc_id % 10 AS grp, j,
+        |        CAST('0x' || substr(md5(s || '#' || CAST(j AS VARCHAR)), 1, 15)
+        |          AS BIGINT) AS h
+        |      FROM sh, range(16) r(j)),
+        |gsig AS (SELECT grp, j, min(h) AS m FROM h GROUP BY grp, j)
+        |SELECT a.grp AS grp_a, b.grp AS grp_b,
+        |  round(avg(CASE WHEN a.m = b.m THEN 1.0 ELSE 0.0 END), 4) AS est_jaccard
+        |FROM gsig a JOIN gsig b ON a.j = b.j AND a.grp < b.grp
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16, 3)
+      // per-doc portable sigs: explode shingles once, 16 min-aggregates
+      // (one per hash function), assembled into the signature array
+      val sh = graft.operators.Par.spread(docs)
+        .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 3)).as("s"))
+      val mins = (0 until 16).map { j =>
+        min(conv(substring(md5(concat(col("s"), lit(s"#$j"))), 1, 15), 16, 10)
+          .cast("long")).as(s"__m$j")
+      }
+      val sigs = sh.groupBy(col("doc_id"))
+        .agg(mins.head, mins.tail: _*)
+        .select(col("doc_id").as("doc"),
+          array((0 until 16).map(j => col(s"__m$j")): _*).as("sig"))
         .withColumn("grp", col("doc") % 10)
       val grouped = sigs.groupBy("grp")
         .agg(Dedup.minhashUnion(col("sig"), 16).as("gsig"))

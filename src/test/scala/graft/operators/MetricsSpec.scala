@@ -102,4 +102,35 @@ class MetricsSpec extends SparkSpec {
     assert(rows(0).getInt(0) == 0 && math.abs(rows(0).getDouble(1) - 0.5) < 1e-12 && rows(0).getLong(2) == 2)
     assert(rows(1).getInt(0) == 1 && math.abs(rows(1).getDouble(1) - 1.0) < 1e-12 && rows(1).getLong(2) == 2)
   }
+
+  test("evalSuite == balancedAccuracyBy + aurocBy, bit-identically (grouped and global)") {
+    // deterministic mixed data: integer scores with ties, both classes per
+    // group, plus one degenerate all-positive group for the NULL path
+    val rows = (0 until 400).map { i =>
+      (s"g${i % 3}", i % 2, (i * 7 + i % 5) % 20)
+    } ++ Seq(("gsolo", 1, 3), ("gsolo", 1, 9))
+    val df = rows.toDF("g", "y", "sc")
+    val thr = 10.0
+    val suite = Metrics.evalSuite(df, col("y"), col("sc"), thr, Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+         (if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val ba = Metrics.balancedAccuracyBy(
+        df.withColumn("p", when(col("sc") >= thr, 1).otherwise(0)),
+        col("y"), col("p"), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val au = Metrics.aurocBy(df, col("y"), col("sc").cast("long"), Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(suite.keySet == ba.keySet)
+    suite.foreach { case (g, (sba, sau)) =>
+      assert(sba.contains(ba(g)), s"$g: suite BA $sba != ${ba(g)}")
+      assert(sau == au(g), s"$g: suite AUROC $sau != ${au(g)}")
+    }
+    assert(suite("gsolo")._2.isEmpty, "single-class group AUROC must be NULL")
+    // ungrouped path agrees with the grouped machinery's outputs too
+    val one = Metrics.evalSuite(df.filter(col("g") === "g1"), col("y"),
+      col("sc"), thr, Nil).collect()(0)
+    assert(one.getDouble(0) == ba("g1") && one.getDouble(1) == au("g1").get)
+  }
 }

@@ -36,6 +36,13 @@ class GroupedTopKSpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"no sort operator:\n$plan")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       s"one clustered shuffle:\n$plan")
+    // the map-side partial must sit BELOW the exchange (aggregate-style
+    // two-phase: shuffle volume is bounded by partition-local groups × k)
+    val iPartial = plan.indexOf("GroupedTopKPartial")
+    val iExchange = plan.indexOf("Exchange hashpartitioning")
+    assert(iPartial >= 0, s"partial phase must plan:\n$plan")
+    assert(iPartial > iExchange,
+      s"partial must be below the exchange (printed after it):\n$plan")
   }
 
   test("string order values survive UnsafeRow buffer reuse (copied into the heap)") {
