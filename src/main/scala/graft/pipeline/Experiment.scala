@@ -59,10 +59,12 @@ object Experiment {
         Seq(cfg.slideCol)),
       col(cfg.slideCol), col("score1"), col(cfg.labelCol),
       threshold = cfg.rollupThreshold, carry = Seq("fold", "set"))
-    val ba = Metrics.balancedAccuracyBy(slides, col("label"), col("pred"),
-      Seq("fold", "set"))
-    val au = Metrics.aurocBy(slides, col("label"), col("score"),
-      Seq("fold", "set"))
-    ba.join(au, Seq("fold", "set"))
+    // ONE pass over the scored slides: separate balancedAccuracyBy + aurocBy
+    // calls each re-execute the whole upstream pipeline (scoring stage,
+    // join, roll-up) — with a mapPartitions scorer in the DAG that doubled
+    // q36's cost. evalSuite's threshold pred (score >= t) is exactly
+    // rollup1's pred column, pinned by ExperimentSpec/the q36 oracle.
+    Metrics.evalSuite(slides, col("label"), col("score"),
+      threshold = cfg.rollupThreshold, groups = Seq("fold", "set"))
   }
 }
