@@ -234,7 +234,21 @@ object Dedup {
     * quadratic stage.
     */
   def simhashMd5Signatures(df: DataFrame, id: String, text: String,
-                           bits: Int = 60): DataFrame = {
+                           bits: Int = 60): DataFrame =
+    Par.spread(df.select(col(id).as("doc"), col(text).as("__t")))
+      .select(col("doc"),
+        graft.expressions.HashSketchExpressions.md5Simhash(
+          TextFunctions.tokens(col("__t")), bits).as("sh"))
+
+  /** The composable reference form of [[simhashMd5Signatures]] (explode →
+    * md5/conv → per-bit vote aggregation): shuffles every token hash and
+    * costs Janino a 60-aggregate compile, so the kernel is the production
+    * path — this form exists for the DedupSpec bit-equality pin (it IS the
+    * SQL the oracle runs, expressed in DataFrame ops).
+    */
+  private[graft] def simhashMd5SignaturesViaAgg(df: DataFrame, id: String,
+                                                text: String,
+                                                bits: Int = 60): DataFrame = {
     require(bits >= 1 && bits <= 60, s"bits must be in [1,60], got $bits")
     val toks = Par.spread(df.select(col(id).as("doc"), col(text).as("__t")))
       .select(col("doc"), explode(TextFunctions.tokens(col("__t"))).as("__tok"))

@@ -180,4 +180,42 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("Md5SimHash kernel == agg/SQL reference form, codegen == interpreted") {
+    // kernel vs the explode+vote-aggregation form (the literal DataFrame
+    // transcription of the DuckDB oracle SQL) on real docs + edge rows
+    val edgy = docs.unionByName(Seq(
+      (100L, ""),                      // one empty token after split
+      (101L, "x"),                     // single token
+      (102L, "a a a a a a a a")        // maximal repetition
+    ).toDF("doc_id", "text"))
+    val kernel = Dedup.simhashMd5Signatures(edgy, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val viaAgg = Dedup.simhashMd5SignaturesViaAgg(edgy, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(kernel == viaAgg, s"kernel $kernel != agg $viaAgg")
+    // interpreted eval parity (the gotcha VecDot hit): evaluate the
+    // expression outside codegen on literal token arrays and compare
+    val rows = edgy.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t")).collect()
+    rows.foreach { r =>
+      val toks = r.getSeq[String](1)
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+      val interp = graft.expressions.Md5SimHash(
+        org.apache.spark.sql.catalyst.expressions.Literal(arr,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)), 60)
+        .eval(null).asInstanceOf[Long]
+      assert(interp == kernel(r.getLong(0)),
+        s"doc ${r.getLong(0)}: interpreted $interp != codegen ${kernel(r.getLong(0))}")
+    }
+    // null array -> null, empty array -> 0
+    val nullOut = edgy.sparkSession.sql("SELECT 1").select(
+      graft.expressions.HashSketchExpressions.md5Simhash(
+        lit(null).cast("array<string>")).as("s"),
+      graft.expressions.HashSketchExpressions.md5Simhash(
+        array().cast("array<string>")).as("e")).collect()(0)
+    assert(nullOut.isNullAt(0) && nullOut.getLong(1) == 0L)
+  }
 }
