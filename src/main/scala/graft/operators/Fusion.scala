@@ -46,16 +46,26 @@ object Fusion {
                         thresholds: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val melted = models.map { case (name, p) =>
-      df.select(lit(name).as("model"), p.as("pred"), label.as("y"), conf.as("conf"))
-    }.reduce(_ unionByName _)
+    // melt via ONE generator pass (an N-way union of selects over df would
+    // re-execute df's upstream once per model), and compute BA + subset
+    // size from ONE aggregation to (v, model, y) granularity (separate
+    // ba/count branches would run the melt+fan-out twice — the same
+    // two-consumer defect Metrics.evalSuite exists for)
+    val melted = df
+      .select(label.as("y"), conf.as("conf"),
+        explode(array(models.map { case (name, p) =>
+          struct(lit(name).as("model"), p.as("pred"))
+        }: _*)).as("m"))
+      .select(col("m.model").as("model"), col("m.pred").as("pred"),
+        col("y"), col("conf"))
     val expanded = melted.crossJoin(broadcast(thresholds.toDF("v")))
       .filter(col("conf") <= col("v"))
-    val ba = Metrics.balancedAccuracyBy(expanded, col("y"), col("pred"),
-      Seq("v", "model"))
-    val n = expanded.groupBy(col("v"), col("model"))
-      .agg(count(lit(1)).as("n_uncertain"))
-    ba.join(n, Seq("v", "model"))
+    val perClass = expanded.groupBy(col("v"), col("model"), col("y"))
+      .agg(avg(when(col("pred") === col("y"), 1.0).otherwise(0.0)).as("__recall"),
+        count(lit(1)).as("__n"))
+    perClass.groupBy(col("v"), col("model"))
+      .agg(avg(col("__recall")).as("balanced_accuracy"),
+        sum(col("__n")).as("n_uncertain"))
   }
 
   def thresholdSweep(fusedInput: DataFrame, thresholds: Seq[Double],
