@@ -103,6 +103,45 @@ object Curate {
         (count(lit(1)).cast("double") / sum(col("__c"))).as("distinct_frac"))
   }
 
+  /** Fixed-budget overlapping document chunking: split each document's
+    * token stream into windows of `chunkTokens` tokens advancing by
+    * `chunkTokens - overlap` (the context-window preparation step every
+    * training/embedding pipeline runs before packing or indexing). Returns
+    * one row per chunk: `(id, chunk_id, chunk, n_tokens)` with `chunk_id`
+    * dense from 0 in document order and `chunk` the space-rejoined token
+    * window.
+    *
+    * Chunk count: 1 when the doc fits the budget, else
+    * `ceil((n - chunkTokens) / stride) + 1` — the final chunk may be
+    * shorter than the budget but every token is covered and consecutive
+    * chunks share exactly `overlap` tokens (except possibly the last).
+    *
+    * Scale shape: pure per-row generate — tokenize once, `sequence` +
+    * `explode` over the chunk index, `slice` per chunk. No shuffle, no
+    * window; parallelism is the scan's. The token array is materialized
+    * once per document and sliced per chunk (Tungsten array reuse), so
+    * cost is O(n + chunks × chunkTokens) per doc.
+    */
+  def chunkDocs(df: DataFrame, id: String, text: String,
+                chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunkTokens=$chunkTokens")
+    val stride = chunkTokens - overlap
+    val nChunks = when(col("__n") <= chunkTokens, lit(1L))
+      .otherwise(ceil((col("__n") - chunkTokens).cast("double") / stride).cast("long") + 1L)
+    df.select(col(id), TextFunctions.tokens(col(text)).as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .filter(col("__n") > 0)
+      .select(col(id), col("__t"), col("__n"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_id"))
+      .select(col(id), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("__t"), (col("chunk_id") * stride + 1L).cast("int"),
+            lit(chunkTokens))).as("chunk"),
+        least(lit(chunkTokens.toLong), col("__n") - col("chunk_id") * stride)
+          .as("n_tokens"))
+  }
+
   /** Greedy contiguous sequence packing: in `orderBy` order, assign docs to
     * packs so each pack holds ~`budget` tokens (a doc larger than the budget
     * gets its own pack). Deterministic: pack id = floor(exclusive running

@@ -30,6 +30,30 @@ object Dedup {
     df.join(keepers, Seq(id), "left_semi")
   }
 
+  /** Incremental exact dedup: drop rows of `batch` whose text already
+    * exists in `corpus` (the previously-ingested data), then exact-dedup
+    * within the batch itself — the shape of every production ingest loop,
+    * where re-deduplicating the full corpus per increment would be O(total)
+    * instead of O(batch).
+    *
+    * Scale shape: the corpus side collapses to DISTINCT 64-bit fingerprints
+    * before the join — 8 bytes per distinct historical document, no text
+    * shuffled — and the membership test is a left-anti equi-join. At 100 TB
+    * the fingerprint set is what you'd persist between ingests (bucketed by
+    * `__fp` so successive increments join shuffle-free against it).
+    */
+  def dropDupesAgainst(batch: DataFrame, corpus: DataFrame,
+                       id: String, text: String): DataFrame = {
+    val seen = corpus
+      .select(TextFunctions.fingerprint64(col(text)).as("__fp"))
+      .distinct()
+    val fresh = batch
+      .withColumn("__fp", TextFunctions.fingerprint64(col(text)))
+      .join(seen, Seq("__fp"), "left_anti")
+      .drop("__fp")
+    dropExactDupes(fresh, id, text)
+  }
+
   /** C4-style repeated-line removal: a line whose exact text occurs in at
     * least `minRepeats` DISTINCT documents is boilerplate (navigation,
     * cookie banners, license footers) and is dropped from every document;

@@ -651,6 +651,90 @@ object TextQueries {
           docs.where(col("doc_id") % 31 === 0).select(col("text")), "text", n = 8)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- JSONL interchange round-trip (contract oracle, q39-style): the
+    //      corpus is written to newline-delimited JSON and re-read with the
+    //      declared schema; every row must survive with every column intact,
+    //      so the oracle emits count(*) three times and the hash gate fails
+    //      iff the JSONL writer or reader loses or mangles anything --------
+    QueryDef.sql("q4r_jsonl_roundtrip",
+      """SELECT count(*) AS n_rows, count(*) AS n_text_agree,
+        |  count(*) AS n_meta_agree
+        |FROM documents""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_jsonl_roundtrip").toString
+      graft.sources.Sources.writeJsonl(docs, dir)
+      val back = graft.sources.Sources.readJsonl(s, dir, docs.schema)
+      val a = docs.select(col("doc_id"), col("text").as("t0"),
+        col("lang").as("l0"), col("source").as("s0"), col("n_chars").as("c0"))
+      val b = back.select(col("doc_id"), col("text").as("t1"),
+        col("lang").as("l1"), col("source").as("s1"), col("n_chars").as("c1"))
+      a.join(b, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("t0") === col("t1"), 1)).as("n_text_agree"),
+          count(when(col("l0") === col("l1") && col("s0") === col("s1") &&
+            col("c0") === col("c1"), 1)).as("n_meta_agree"))
+    },
+
+    // ---- incremental ingest dedup: new batch vs the already-ingested
+    //      corpus (cross-corpus anti-join on fingerprints) then within-batch
+    //      exact dedup — full oracle replays both stages on raw text -------
+    QueryDef.sql("q4t_incremental_dedup",
+      """WITH corpus AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+        |batch AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+        |fresh AS (SELECT * FROM batch b
+        |          WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY text)
+        |SELECT f.doc_id, f.lang, f.n_chars FROM fresh f
+        |JOIN keep USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.dropDupesAgainst(
+          docs.where(col("doc_id") % 3 === 0),
+          docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- compression-ratio quality signal (native DeflateRatio kernel).
+    //      DuckDB has no deflate, so this is a q15-style contract oracle:
+    //      every ratio must land in (0, 2], and every document of >= 200
+    //      chars must actually compress (ratio < 1) — the hash gate fails
+    //      if the kernel emits a single out-of-contract value ---------------
+    QueryDef.sql("q4u_compress_ratio",
+      """SELECT lang, count(*) AS n, count(*) AS n_in_bounds,
+        |  count(CASE WHEN n_chars >= 200 THEN 1 END) AS n_long,
+        |  count(CASE WHEN n_chars >= 200 THEN 1 END) AS n_long_compressed
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("r",
+          graft.expressions.TextSignalExpressions.deflateRatio(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("r") > 0 && col("r") <= 2, 1)).as("n_in_bounds"),
+          count(when(col("n_chars") >= 200, 1)).as("n_long"),
+          count(when(col("n_chars") >= 200 && col("r") < 1, 1))
+            .as("n_long_compressed"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- overlapping context-window chunking (full oracle: DuckDB replays
+    //      the window arithmetic and slicing over the same token arrays) ----
+    QueryDef.sql("q4v_doc_chunks",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok,
+        |             len(string_split(text, ' ')) AS n FROM documents),
+        |k AS (SELECT doc_id, tok, n,
+        |        unnest(range(CASE WHEN n <= 64 THEN 1
+        |          ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1 END)) AS chunk_id
+        |      FROM t WHERE n > 0)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(tok[(chunk_id*48 + 1):(chunk_id*48 + 64)], ' ') AS chunk,
+        |  least(64, n - chunk_id*48) AS n_tokens
+        |FROM k ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      Curate.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))
     }
   )
 }

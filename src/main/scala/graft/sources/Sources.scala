@@ -28,6 +28,22 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** JSONL (newline-delimited JSON) scan with a DECLARED schema — the
+    * interchange format of LLM training corpora (one document object per
+    * line). Schema-first matters doubly here: inference would scan the
+    * data once just to guess types (a full extra pass over 100 TB), and
+    * JSONL is line-splittable, so a declared schema keeps the read a
+    * single distributed pass with per-line parse parallelism.
+    * `columnNameOfCorruptRecord` rows surface as nulls rather than killing
+    * the scan — bad lines are data, not exceptions.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  /** JSONL sink: one JSON object per line, splittable on re-read. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** A3: recursive tile-file listing as a DataFrame of `(path, length)`.
     * `binaryFile` without selecting `content` reads only file status — no
     * byte I/O — and distributes the listing across executors.

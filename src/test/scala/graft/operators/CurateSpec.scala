@@ -100,4 +100,34 @@ class CurateSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(shard"),
       s"sharded packing must partition by shard:\n$plan")
   }
+
+  test("chunkDocs: short doc is one whole chunk, long doc covers every token") {
+    val words = (1 to 25).map(i => s"w$i")
+    val df = Seq((1L, "tiny doc"), (2L, words.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curate.chunkDocs(df, "doc_id", "text", chunkTokens = 10, overlap = 3)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk", "n_tokens")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out.filter(_._1 == 1L) == Seq((1L, 0L, "tiny doc", 2L)))
+    val chunks = out.filter(_._1 == 2L)
+    // 25 tokens, budget 10, stride 7 -> ceil((25-10)/7)+1 = 4 chunks
+    assert(chunks.map(_._2) == Seq(0L, 1L, 2L, 3L))
+    // stride coverage: chunk k starts at token k*7, consecutive chunks share
+    // exactly `overlap` tokens, and the union is the original token stream
+    chunks.foreach { case (_, k, c, n) =>
+      val toks = c.split(" ").toSeq
+      assert(toks == words.slice((k * 7).toInt, (k * 7).toInt + 10), s"chunk $k")
+      assert(n == toks.size)
+    }
+    assert(chunks.map(_._3.split(" ").toSeq).reduce((a, b) =>
+      a ++ b.drop(3)) == words, "de-overlapped concatenation must rebuild the doc")
+  }
+
+  test("chunkDocs is a pure generate: no shuffle in the plan") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Curate.chunkDocs(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
 }

@@ -218,4 +218,22 @@ class DedupSpec extends SparkSpec {
         array().cast("array<string>")).as("e")).collect()(0)
     assert(nullOut.isNullAt(0) && nullOut.getLong(1) == 0L)
   }
+
+  test("dropDupesAgainst: corpus membership + within-batch dedup, fingerprints only shuffle") {
+    val corpus = Seq((10L, "already ingested text one"),
+      (11L, "already ingested text two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "already ingested text one"),  // cross-corpus dup -> dropped
+      (21L, "brand new text"),
+      (22L, "brand new text"),             // within-batch dup of 21 -> dropped
+      (23L, "another new text")).toDF("doc_id", "text")
+    val kept = Dedup.dropDupesAgainst(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(21L, 23L))
+    // scale contract: the corpus side of the anti-join carries only the
+    // 8-byte fingerprint column, never the text
+    val plan = Dedup.dropDupesAgainst(batch, corpus, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected anti-join:\n$plan")
+  }
 }

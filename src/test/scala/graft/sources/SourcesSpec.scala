@@ -84,6 +84,22 @@ class SourcesSpec extends SparkSpec {
     assert(partsRead == 1)
   }
 
+  test("JSONL sink + schema'd scan round-trip, including newlines-in-text") {
+    val dir = fixtureDir("jsonl_roundtrip")
+    val df = Seq(
+      (1L, "line one\nline two", "en"),
+      (2L, "tabs\tand \"quotes\" survive", "de"),
+      (3L, null.asInstanceOf[String], "fr"))
+      .toDF("doc_id", "text", "lang")
+    Sources.writeJsonl(df, dir)
+    val back = Sources.readJsonl(spark, dir,
+      StructType.fromDDL("doc_id BIGINT, text STRING, lang STRING"))
+    assert(back.as[(Long, Option[String], String)].collect().toSet ==
+      Set((1L, Some("line one\nline two"), "en"),
+        (2L, Some("tabs\tand \"quotes\" survive"), "de"),
+        (3L, None, "fr")))
+  }
+
   test("withSlideId is a dense 0-based key in the given order") {
     val meta = Seq("b", "a", "c").toDF("slide_name")
     val ids = Sources.withSlideId(meta, col("slide_name"))
