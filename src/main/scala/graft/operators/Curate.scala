@@ -103,6 +103,33 @@ object Curate {
         (count(lit(1)).cast("double") / sum(col("__c"))).as("distinct_frac"))
   }
 
+  /** Top-k salient terms per document: rank a document's terms by in-doc
+    * frequency (tf), break ties rarest-in-corpus first (ascending document
+    * frequency df), then lexically. This is TF-IDF's ranking with a
+    * FLOAT-FREE key — within equal tf, ascending df IS descending idf for
+    * any monotone idf, and integer keys make the result bit-stable across
+    * engines and libm versions (a float tf·idf score can flip top-k
+    * membership on a 1-ulp `ln` difference). Emits `(id, term, tf,
+    * df_docs)`; callers wanting a score apply any idf(df) downstream.
+    *
+    * Scale shape: explode once per aggregate (tf by (doc, term), df by
+    * term — both map-side-partial hash aggregates over the same pruned
+    * scan), broadcast-or-shuffle join on term, then the bounded-heap
+    * [[graft.plans.GroupedTopK]] — O(terms log k), no window sort.
+    */
+  def salientTerms(df: DataFrame, id: String, text: String,
+                   k: Int = 3): DataFrame = {
+    val terms = Par.spread(df.select(col(id), col(text)))
+      .select(col(id), explode(TextFunctions.tokens(col(text))).as("term"))
+    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term"))
+      .agg(countDistinct(col(id)).as("df_docs"))
+    graft.plans.GroupedTopK.perGroup(
+        tf.join(dfreq, Seq("term")), Seq(col(id)),
+        struct((-col("tf")).as("ntf"), col("df_docs"), col("term")), k)
+      .select(col(id), col("term"), col("tf"), col("df_docs"))
+  }
+
   /** Fixed-budget overlapping document chunking: split each document's
     * token stream into windows of `chunkTokens` tokens advancing by
     * `chunkTokens - overlap` (the context-window preparation step every

@@ -139,18 +139,24 @@ object Dedup {
     * (id_a < id_b) pairs. Probability a pair with Jaccard j collides:
     * 1-(1-j^r)^b — tune r,b for the target threshold (~(1/b)^(1/r)).
     */
-  def minhashCandidates(df: DataFrame, id: String, text: String,
-                        bands: Int = 8, rowsPerBand: Int = 4,
-                        shingleN: Int = 3): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = minhashSignatures(df, id, text, numHashes, shingleN)
-    val banded = sig.select(col("doc"),
+  /** (doc, band, band-hash) keys — the LSH bucket table for one corpus. */
+  private def bandedKeys(df: DataFrame, id: String, text: String,
+                         bands: Int, rowsPerBand: Int,
+                         shingleN: Int): DataFrame = {
+    val sig = minhashSignatures(df, id, text, bands * rowsPerBand, shingleN)
+    sig.select(col("doc"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             xxhash64(concat_ws(",",
               slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
         }: _*)).as("bk"))
       .select(col("doc"), col("bk.band"), col("bk.bh"))
+  }
+
+  def minhashCandidates(df: DataFrame, id: String, text: String,
+                        bands: Int = 8, rowsPerBand: Int = 4,
+                        shingleN: Int = 3): DataFrame = {
+    val banded = bandedKeys(df, id, text, bands, rowsPerBand, shingleN)
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
         && col("a.doc") < col("b.doc"))
@@ -174,15 +180,22 @@ object Dedup {
     * re-shingle each pair at every copied site (measured ~8× per pair).
     */
   def verifyJaccard(candidates: DataFrame, docs: DataFrame, id: String,
-                    text: String, shingleN: Int = 3): DataFrame = {
-    val d = docs.select(col(id), col(text))
+                    text: String, shingleN: Int = 3): DataFrame =
+    verifyJaccardBetween(candidates, docs, docs, id, text, shingleN)
+
+  /** [[verifyJaccard]] generalized to pairs spanning two tables: `doc_a`
+    * resolves against `docsA`, `doc_b` against `docsB` (the cross-corpus
+    * case). Same single-consumption plan shape.
+    */
+  def verifyJaccardBetween(candidates: DataFrame, docsA: DataFrame,
+                           docsB: DataFrame, id: String, text: String,
+                           shingleN: Int = 3): DataFrame =
     candidates
-      .join(d.select(col(id).as("doc_a"), col(text).as("__ta")), Seq("doc_a"))
-      .join(d.select(col(id).as("doc_b"), col(text).as("__tb")), Seq("doc_b"))
+      .join(docsA.select(col(id).as("doc_a"), col(text).as("__ta")), Seq("doc_a"))
+      .join(docsB.select(col(id).as("doc_b"), col(text).as("__tb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         graft.expressions.WordShingles.shingleJaccard(
           col("__ta"), col("__tb"), shingleN).as("jaccard"))
-  }
 
   /** Full MinHash-LSH near-dup pipeline: block with banding, verify with
     * exact Jaccard, keep pairs at or above `threshold`.
@@ -215,6 +228,51 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(min(col("jaccard")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+  /** Cross-corpus near-dup pairs: batch docs vs an already-ingested corpus
+    * — the near-dup sibling of [[dropDupesAgainst]], and the incremental
+    * form of [[minhashNearDupes]]. Both sides are banded with the SAME LSH
+    * keys and candidates come from the batch×corpus band equi-join, so the
+    * pair work is |batch| bucket probes against the corpus, never a
+    * re-block of the whole corpus per ingest (at scale you'd persist the
+    * corpus band table, bucketed by (band, bh), and each increment joins
+    * against it shuffle-free). Returns verified `(doc_a ∈ batch,
+    * doc_b ∈ corpus, jaccard ≥ threshold)` pairs.
+    */
+  def nearDupesAgainst(batch: DataFrame, corpus: DataFrame, id: String,
+                       text: String, threshold: Double = 0.8,
+                       bands: Int = 8, rowsPerBand: Int = 4,
+                       shingleN: Int = 3): DataFrame = {
+    val a = bandedKeys(batch, id, text, bands, rowsPerBand, shingleN).as("a")
+    val b = bandedKeys(corpus, id, text, bands, rowsPerBand, shingleN).as("b")
+    val cands = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+      // same AQE-defeating spread as minhashNearDupes: verify cost is
+      // per-pair CPU, not bytes
+      .repartition(batch.sparkSession.sessionState.conf.numShufflePartitions)
+    verifyJaccardBetween(cands, batch, corpus, id, text, shingleN)
+      // pushdown barrier (see minhashNearDupes): keep the threshold filter
+      // off the verify join condition so the jaccard kernel runs once
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("jaccard")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Rows of `batch` with no near-dup in `corpus`: the incremental-ingest
+    * gate (within-batch near-dups are a separate concern — compose with
+    * [[dropNearDupes]] on the survivors when the batch itself may repeat).
+    */
+  def dropNearDupesAgainst(batch: DataFrame, corpus: DataFrame, id: String,
+                           text: String, threshold: Double = 0.8,
+                           bands: Int = 8, rowsPerBand: Int = 4,
+                           shingleN: Int = 3): DataFrame = {
+    val dupes = nearDupesAgainst(batch, corpus, id, text, threshold,
+        bands, rowsPerBand, shingleN)
+      .select(col("doc_a").as(id)).distinct()
+    batch.join(dupes, Seq(id), "left_anti")
+  }
 
   /** 64-bit SimHash over tokens: bit j of the result is the sign of
     * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Expression-level (per-bit

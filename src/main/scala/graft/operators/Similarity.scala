@@ -350,4 +350,31 @@ object Similarity {
       .agg(coalesce(sum(col("m") * (col("m") - 1)), lit(0L)).as("p"))
       .first().getLong(0) / 2
   }
+
+  /** Per-group embedding centroids: mean vector per `groupCol` (domain /
+    * cluster / label drift analysis over a corpus). One row per (group,
+    * dimension): `(group, pos, n, sum_micro, centroid)` where `sum_micro`
+    * is the EXACT integer sum of `floor(element × 10⁶)` and `centroid` is
+    * the fixed-point mean `sum_micro / n / 10⁶`.
+    *
+    * Why fixed-point alongside the obvious `avg`: float summation is
+    * order-dependent, so a distributed avg is not reproducible across
+    * partition layouts or engines — the integer sum is associative,
+    * retry-stable, and oracle-replayable (a double holds it exactly up to
+    * 2⁵³, i.e. ~9×10⁹ unit-scaled elements per group-dim).
+    *
+    * Scale shape: posexplode then ONE hash aggregate keyed (group, pos) —
+    * map-side partials collapse each partition to groups×dims rows before
+    * the shuffle, so shuffle volume is independent of corpus size.
+    */
+  def groupCentroids(df: DataFrame, groupCol: String,
+                     embCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        posexplode(col(embCol)).as(Seq("pos", "__e")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("__e").cast("double") * 1000000L).cast("long"))
+          .as("sum_micro"))
+      .withColumn("centroid",
+        col("sum_micro").cast("double") / col("n") / 1000000d)
 }

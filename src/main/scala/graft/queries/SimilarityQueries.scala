@@ -158,6 +158,25 @@ object SimilarityQueries {
           "vec_id", threshold = 0.15, planes = 0)
         .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- per-group embedding centroids (domain/cluster drift analysis).
+    //      The query emits the operator's EXACT fixed-point columns only
+    //      (integer sum of floor(e×10⁶) per (group, dim)) — float summation
+    //      is order-dependent across engines, the unit-scaled integer sum
+    //      is associative and replays bit-for-bit ------------------------
+    QueryDef.sql("q4y_group_centroids",
+      """SELECT label, u.pos AS pos, count(*) AS n,
+        |  CAST(sum(floor(u.e * 1000000)) AS BIGINT) AS sum_micro
+        |FROM (SELECT label,
+        |        unnest([{'pos': i - 1, 'e': CAST(embedding[i] AS DOUBLE)}
+        |                for i in range(1, len(embedding) + 1)]) AS u
+        |      FROM embeddings) x
+        |GROUP BY label, u.pos ORDER BY label, pos""".stripMargin) { (s, d) =>
+      Similarity.groupCentroids(Tables.embeddings(s, d), "label", "embedding")
+        .select(col("grp").as("label"), col("pos").cast("long").as("pos"),
+          col("n"), col("sum_micro"))
+        .orderBy(col("label"), col("pos"))
     }
   )
 }

@@ -719,6 +719,78 @@ object TextQueries {
         .orderBy(col("lang"))
     },
 
+    // ---- cross-corpus near-dup gate (incremental ingest): batch docs with
+    //      a near-dup already in the corpus are dropped, genuinely fresh
+    //      docs survive. Full oracle — DuckDB brute-forces exact jaccard
+    //      between batch and corpus via the shared-shingle equi-join; the
+    //      fixture construction mirrors q46, where banded recall is
+    //      measured exact at every sf, so green proves the LSH gate equals
+    //      the exact gate -------------------------------------------------
+    QueryDef.sql("q4w_neardup_against",
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' tail' AS text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    'fresh batch item ' || doc_id || ' entirely novel synthetic content'
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |shc AS (SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |                           for i in range(len(t) - 2)]) AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus) x) u),
+        |shb AS (SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |                           for i in range(len(t) - 2)]) AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM batch) x) u),
+        |nc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+        |nb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id),
+        |inter AS (
+        |  SELECT b.doc_id AS doc_b, c.doc_id AS doc_c, count(*) AS i
+        |  FROM shb b JOIN shc c ON b.s = c.s
+        |  GROUP BY b.doc_id, c.doc_id),
+        |dup AS (
+        |  SELECT DISTINCT doc_b FROM inter
+        |  JOIN nb ON nb.doc_id = doc_b JOIN nc ON nc.doc_id = doc_c
+        |  WHERE i / (nb.n + nc.n - i) >= 0.5)
+        |SELECT doc_id FROM batch
+        |WHERE doc_id NOT IN (SELECT doc_b FROM dup)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dupes = docs.where(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text"))
+      val fresh = docs.where(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(lit("fresh batch item "), col("doc_id"),
+            lit(" entirely novel synthetic content")).as("text"))
+      Dedup.dropNearDupesAgainst(dupes.unionByName(fresh), docs,
+          "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- top-k salient terms per doc (float-free TF-IDF ranking: tf desc,
+    //      then rarest-in-corpus df asc, then term — integer keys replay
+    //      exactly; a float tf*ln(N/df) could flip top-k membership on a
+    //      1-ulp libm difference between engines) ------------------------
+    QueryDef.sql("q4x_salient_terms",
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM terms GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df_docs
+        |          FROM terms GROUP BY term),
+        |r AS (SELECT doc_id, term, tf, df_docs,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY tf DESC, df_docs ASC, term ASC) AS rn
+        |      FROM tf JOIN dfreq USING (term))
+        |SELECT doc_id, term, tf, df_docs FROM r WHERE rn <= 3
+        |ORDER BY doc_id, tf DESC, df_docs, term""".stripMargin) { (s, d) =>
+      Curate.salientTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("tf").desc, col("df_docs"), col("term"))
+    },
+
     // ---- overlapping context-window chunking (full oracle: DuckDB replays
     //      the window arithmetic and slicing over the same token arrays) ----
     QueryDef.sql("q4v_doc_chunks",

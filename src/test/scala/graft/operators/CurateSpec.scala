@@ -124,6 +124,22 @@ class CurateSpec extends SparkSpec {
       a ++ b.drop(3)) == words, "de-overlapped concatenation must rebuild the doc")
   }
 
+  test("salientTerms ranks by tf, breaks ties rarest-first then lexically") {
+    val df = Seq(
+      (1L, "apple apple apple banana banana cherry shared shared"),
+      (2L, "shared words only appear here once each time"),
+      (3L, "banana cherry shared common common common")).toDF("doc_id", "text")
+    val out = Curate.salientTerms(df, "doc_id", "text", k = 2)
+      .select("doc_id", "term", "tf", "df_docs")
+      .as[(Long, String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (-t._3, t._4, t._2)).toSeq).toMap
+    // doc 1: apple tf=3 (df 1), banana tf=2 before shared tf=2 (df 1 < 3)
+    assert(out(1L).map(_._2) == Seq("apple", "banana"), s"got ${out(1L)}")
+    // doc 3: common tf=3, then banana/cherry/shared tf=1 — banana (df 2) and
+    // cherry (df 2) tie, banana wins lexically
+    assert(out(3L).map(_._2) == Seq("common", "banana"), s"got ${out(3L)}")
+  }
+
   test("chunkDocs is a pure generate: no shuffle in the plan") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = Curate.chunkDocs(df, "doc_id", "text")

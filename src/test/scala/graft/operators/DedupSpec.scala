@@ -219,6 +219,24 @@ class DedupSpec extends SparkSpec {
     assert(nullOut.isNullAt(0) && nullOut.getLong(1) == 0L)
   }
 
+  test("dropNearDupesAgainst: batch near-dups of corpus docs drop, fresh docs survive") {
+    val corpus = docs  // 5 docs incl. near-identical 1/2/3
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank extra"), // near-dup of corpus 1/2
+      (101L, "genuinely novel content speaking about entirely unrelated astronomy topics"),
+      (102L, "completely different text about spark query engines and shuffles")) // exact dup of corpus 4
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDupesAgainst(batch, corpus, "doc_id", "text",
+        threshold = 0.5, bands = 16, rowsPerBand = 2)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(101L), s"got ${kept.toSeq}")
+    val pairs = Dedup.nearDupesAgainst(batch, corpus, "doc_id", "text",
+        threshold = 0.5, bands = 16, rowsPerBand = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((102L, 4L)), s"exact cross-dup must verify: $pairs")
+    assert(!pairs.exists(_._1 == 101L), s"fresh doc must not pair: $pairs")
+  }
+
   test("dropDupesAgainst: corpus membership + within-batch dedup, fingerprints only shuffle") {
     val corpus = Seq((10L, "already ingested text one"),
       (11L, "already ingested text two")).toDF("doc_id", "text")

@@ -237,4 +237,21 @@ class SimilaritySpec extends SparkSpec {
       s"candidate growth must be ~linear under auto planes: " +
         s"$pSmall -> $pBig (ratio $ratio for ${big / small}x data)")
   }
+
+  test("groupCentroids: exact fixed-point sums, centroid = mean, layout-stable") {
+    val df = Seq(
+      ("a", Seq(1.0f, 0.5f)), ("a", Seq(0.0f, 0.5f)), ("b", Seq(-1.0f, 0.25f)))
+      .toDF("label", "embedding")
+    val out = Similarity.groupCentroids(df, "label", "embedding")
+      .select("grp", "pos", "n", "sum_micro", "centroid")
+      .as[(String, Int, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("a", 0, 2L, 1000000L, 0.5), ("a", 1, 2L, 1000000L, 0.5),
+      ("b", 0, 1L, -1000000L, -1.0), ("b", 1, 1L, 250000L, 0.25)), s"got $out")
+    // associativity: any partition layout sums to the same integers
+    val shuffled = Similarity.groupCentroids(df.repartition(5), "label", "embedding")
+      .select("grp", "pos", "n", "sum_micro", "centroid")
+      .as[(String, Int, Long, Long, Double)].collect().toSet
+    assert(shuffled == out)
+  }
 }
