@@ -116,6 +116,12 @@ object Scale10x {
     def repetitionShape(p: String): Long =                // q4n shape
       force(graft.operators.Curate.repetitionStats(
         spark.read.parquet(p), "doc_id", "text", n = 3))
+    def chunkShape(p: String): Long =                     // q4v shape
+      force(graft.operators.Curate.chunkDocs(
+        spark.read.parquet(p), "doc_id", "text", chunkTokens = 64, overlap = 16))
+    def salientShape(p: String): Long =                   // q4x shape
+      force(graft.operators.Curate.salientTerms(
+        spark.read.parquet(p), "doc_id", "text", k = 3))
     def multiEvalShape(liP: String, ordP: String): Long = { // q37 shape
       val cnn = spark.read.parquet(liP).groupBy(col("l_orderkey").as("k"))
         .agg((sum(col("l_quantity")).cast("long") % 100).as("cnn_sc"))
@@ -195,6 +201,28 @@ object Scale10x {
            |  max(n)::DOUBLE / sum(n) AS top_ngram_frac,
            |  count(*)::DOUBLE / sum(n) AS distinct_frac
            |FROM c GROUP BY doc_id""".stripMargin,
+      "doc_chunks" ->
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok,
+           |             len(string_split(text, ' ')) AS n FROM $docs),
+           |k AS (SELECT doc_id, tok, n,
+           |        unnest(range(CASE WHEN n <= 64 THEN 1
+           |          ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1 END)) AS chunk_id
+           |      FROM t WHERE n > 0)
+           |SELECT doc_id, chunk_id,
+           |  array_to_string(tok[(chunk_id*48 + 1):(chunk_id*48 + 64)], ' ') AS chunk,
+           |  least(64, n - chunk_id*48) AS n_tokens FROM k""".stripMargin,
+      "salient_terms" ->
+        s"""WITH terms AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM $docs),
+           |tf AS (SELECT doc_id, term, count(*) AS tf
+           |       FROM terms GROUP BY doc_id, term),
+           |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df_docs
+           |          FROM terms GROUP BY term),
+           |r AS (SELECT doc_id, term, tf, df_docs,
+           |        row_number() OVER (PARTITION BY doc_id
+           |          ORDER BY tf DESC, df_docs ASC, term ASC) AS rn
+           |      FROM tf JOIN dfreq USING (term))
+           |SELECT doc_id, term, tf, df_docs FROM r WHERE rn <= 3""".stripMargin,
       "neardup_lsh_e2e" ->
         s"""${pairSql(docs)}
            |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
@@ -250,7 +278,9 @@ object Scale10x {
       Probe("exact_dedup", () => exactDedupShape(docs1P), () => exactDedupShape(docs10P)),
       Probe("grouped_topk", () => topkShape(ord1P), () => topkShape(ord10P)),
       Probe("line_dedup", () => lineDedupShape(docs1P), () => lineDedupShape(docs10P)),
-      Probe("repetition_stats", () => repetitionShape(docs1P), () => repetitionShape(docs10P))) ++
+      Probe("repetition_stats", () => repetitionShape(docs1P), () => repetitionShape(docs10P)),
+      Probe("doc_chunks", () => chunkShape(docs1P), () => chunkShape(docs10P)),
+      Probe("salient_terms", () => salientShape(docs1P), () => salientShape(docs10P))) ++
       nearDupProbes :+
       Probe("multimodel_eval", () => multiEvalShape(li1P, ord1P),
         () => multiEvalShape(li10P, ord10P))
