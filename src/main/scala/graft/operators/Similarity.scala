@@ -377,4 +377,32 @@ object Similarity {
           .as("sum_micro"))
       .withColumn("centroid",
         col("sum_micro").cast("double") / col("n") / 1000000d)
+
+  /** Assign every vector to its nearest (max-cosine) group centroid —
+    * cluster assignment / domain-drift detection (which group does each
+    * doc's embedding actually sit closest to?). `centroids` is
+    * [[groupCentroids]] output (long format); it is collapsed to one
+    * array per group and BROADCAST — the corpus side stays a single scan
+    * with a per-row argmax over the (small, bounded) centroid set, zero
+    * corpus shuffle before the top-1. For centroid sets too large to
+    * broadcast, [[ivfTopK]] is the bucketed path.
+    *
+    * Cosines are rounded to 6 decimals BEFORE the argmax and ties break
+    * on ascending group — the centroid values are exact fixed-point means,
+    * so assignment is bit-reproducible across engines (pinned by the q4z
+    * oracle).
+    */
+  def nearestCentroid(df: DataFrame, id: String, embCol: String,
+                      centroids: DataFrame): DataFrame = {
+    val cent = centroids.groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("centroid")))),
+        x => x.getField("centroid")).as("cv"))
+    val scored = df.select(col(id), col(embCol).as("__e"))
+      .filter(norm(col(embCol)) > 0)
+      .crossJoin(broadcast(cent))
+      .select(col(id), col("grp").as("nearest"),
+        round(cosine(col("__e"), col("cv")), 6).as("cos"))
+    graft.plans.GroupedTopK.perGroup(scored, Seq(col(id)),
+      struct((-col("cos")).as("nc"), col("nearest")), k = 1)
+  }
 }

@@ -177,6 +177,39 @@ object SimilarityQueries {
         .select(col("grp").as("label"), col("pos").cast("long").as("pos"),
           col("n"), col("sum_micro"))
         .orderBy(col("label"), col("pos"))
+    },
+
+    // ---- nearest-centroid assignment confusion (drift detection: which
+    //      label's centroid does each embedding actually sit closest to).
+    //      Full oracle — centroids are exact fixed-point means, cosines are
+    //      rounded to 6 before the argmax, and ties break on ascending
+    //      group in both engines ------------------------------------------
+    QueryDef.sql("q4z_nearest_centroid",
+      """WITH c0 AS (
+        |  SELECT label, u.pos AS pos,
+        |    sum(floor(u.e * 1000000)) AS s, count(*) AS n
+        |  FROM (SELECT label,
+        |          unnest([{'pos': i - 1, 'e': CAST(embedding[i] AS DOUBLE)}
+        |                  for i in range(1, len(embedding) + 1)]) AS u
+        |        FROM embeddings) x
+        |  GROUP BY label, u.pos),
+        |cent AS (SELECT label AS cand, list(s / n / 1000000.0 ORDER BY pos) AS cv
+        |         FROM c0 GROUP BY label),
+        |a AS (SELECT e.vec_id, e.label, c.cand,
+        |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv),
+        |          6) AS cos
+        |      FROM embeddings e CROSS JOIN cent c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY cos DESC, cand) AS rn FROM a)
+        |SELECT label, cand AS nearest, count(*) AS n FROM r WHERE rn = 1
+        |GROUP BY label, cand ORDER BY label, nearest""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.groupCentroids(emb, "label", "embedding")
+      Similarity.nearestCentroid(emb, "vec_id", "embedding", cents)
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy(col("label"), col("nearest"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("nearest"))
     }
   )
 }

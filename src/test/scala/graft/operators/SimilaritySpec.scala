@@ -254,4 +254,19 @@ class SimilaritySpec extends SparkSpec {
       .as[(String, Int, Long, Long, Double)].collect().toSet
     assert(shuffled == out)
   }
+
+  test("nearestCentroid assigns each vector to its max-cosine centroid") {
+    val df = Seq(
+      (0L, "x", Seq(1.0f, 0.0f)), (1L, "x", Seq(0.9f, 0.1f)),
+      (2L, "y", Seq(0.0f, 1.0f)), (3L, "y", Seq(0.1f, 0.9f)),
+      (4L, "y", Seq(0.8f, 0.2f))  // labeled y, but sits in x's cluster
+    ).toDF("vec_id", "label", "embedding")
+    val cents = Similarity.groupCentroids(df, "label", "embedding")
+    val assigned = Similarity.nearestCentroid(df, "vec_id", "embedding", cents)
+      .select("vec_id", "nearest").as[(Long, String)].collect().toMap
+    assert(assigned(0L) == "x" && assigned(1L) == "x")
+    assert(assigned(2L) == "y" && assigned(3L) == "y")
+    assert(assigned(4L) == "x", s"drifted vector must cross over: $assigned")
+    assert(assigned.size == 5, "exactly one assignment per vector")
+  }
 }
