@@ -133,6 +133,19 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column =
     graft.expressions.WordShingles.shingles(text, n)
 
+  /** RE2-safe URL-domain pattern (no lookarounds — the exact same pattern
+    * runs in DuckDB for the oracle): capture group 1 is the authority up
+    * to the first `/` or space.
+    */
+  val urlDomainPattern = "https?://([^/ ]+)"
+
+  /** All URL domains mentioned in `text` (web-curation staple: domain
+    * blocklists, per-domain quality priors, source attribution). Pure
+    * codegen'd regexp extraction — scan speed, no shuffle.
+    */
+  def urlDomains(text: Column): Column =
+    regexp_extract_all(text, lit(urlDomainPattern), lit(1))
+
   /** Reference formulation of [[shingles]] from composable built-ins
     * (interpreted lambdas — slower; kept as the semantic oracle for the
     * native kernel's bit-equality spec).

@@ -358,6 +358,37 @@ object CoreQueries {
             / col("exact_orders") <= 0.05).as("hll_ok"),
           col("p50a").between(col("p45"), col("p55")).as("kll_ok"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ---- one-pass dataset profile (the first query anyone runs on an
+    //      unfamiliar table). Determinism-first metric set: counts exact,
+    //      min/max summation-free — replays bit-for-bit ------------------
+    QueryDef.sql("q54_profile",
+      """SELECT 'l_discount' AS col_name, count(l_discount) AS n,
+        |  count(*) - count(l_discount) AS n_null,
+        |  round(CAST(min(l_discount) AS DOUBLE), 6) AS min_v,
+        |  round(CAST(max(l_discount) AS DOUBLE), 6) AS max_v
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(l_extendedprice),
+        |  count(*) - count(l_extendedprice),
+        |  round(CAST(min(l_extendedprice) AS DOUBLE), 6),
+        |  round(CAST(max(l_extendedprice) AS DOUBLE), 6)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(l_quantity), count(*) - count(l_quantity),
+        |  round(CAST(min(l_quantity) AS DOUBLE), 6),
+        |  round(CAST(max(l_quantity) AS DOUBLE), 6)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_tax', count(l_tax), count(*) - count(l_tax),
+        |  round(CAST(min(l_tax) AS DOUBLE), 6),
+        |  round(CAST(max(l_tax) AS DOUBLE), 6)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      graft.operators.Profile.numeric(Tables.lineitem(s, d),
+          Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+        .orderBy(col("col_name"))
     }
   )
 }

@@ -791,6 +791,36 @@ object TextQueries {
         .orderBy(col("doc_id"), col("tf").desc, col("df_docs"), col("term"))
     },
 
+    // ---- per-domain URL stats (web-curation staple: domain blocklists,
+    //      per-domain quality priors). URLs are planted deterministically
+    //      so the extraction has real work; the RE2-safe pattern is shared
+    //      verbatim with the DuckDB oracle ---------------------------------
+    QueryDef.sql("q53_domain_stats",
+      """WITH d AS (
+        |  SELECT doc_id, text || ' see http://site' || (doc_id % 7) ||
+        |    '.example/page-' || (doc_id % 11) || ' now' AS text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |u AS (SELECT doc_id,
+        |        unnest(regexp_extract_all(text, 'https?://([^/ ]+)', 1)) AS domain
+        |      FROM d)
+        |SELECT domain, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM u GROUP BY domain ORDER BY domain""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val planted = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" see http://site"), col("doc_id") % 7,
+            lit(".example/page-"), col("doc_id") % 11, lit(" now")).as("text"))
+      planted.unionByName(
+          docs.where(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(TextFunctions.urlDomains(col("text"))).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("domain"))
+    },
+
     // ---- overlapping context-window chunking (full oracle: DuckDB replays
     //      the window arithmetic and slicing over the same token arrays) ----
     QueryDef.sql("q4v_doc_chunks",

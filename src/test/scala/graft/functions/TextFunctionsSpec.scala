@@ -134,4 +134,15 @@ class TextFunctionsSpec extends SparkSpec {
     val scores = df.select(TextFunctions.qualityScore(col("t"))).as[Double].collect()
     assert(scores(0) > scores(1))
   }
+
+  test("urlDomains extracts every authority, ignores bare words and paths") {
+    val out = Seq(
+      "see http://a.example/x and https://b.example/y/z plus http://a.example/w",
+      "no urls here just example.com words",
+      "trailing https://c.example").toDF("t")
+      .select(TextFunctions.urlDomains(col("t"))).as[Seq[String]].collect()
+    assert(out(0) == Seq("a.example", "b.example", "a.example"))
+    assert(out(1) == Seq.empty)
+    assert(out(2) == Seq("c.example"))
+  }
 }
