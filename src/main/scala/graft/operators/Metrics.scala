@@ -190,29 +190,47 @@ object Metrics {
       .select(gc :+ score.as("__s") :+ label.cast("long").as("__y"): _*)
       .groupBy(gc :+ col("__s") :+ col("__y"): _*)
       .agg(count(lit(1)).as("__jn"))
-    // BA from the joint distribution: recall per class = correct/total on
-    // exact integer counts (same rational value as balancedAccuracyBy's
-    // row-level avg, identical double after the one division)
-    val correct = when(
-      when(col("__s") >= threshold, 1L).otherwise(0L) === col("__y"),
-      col("__jn")).otherwise(0L)
-    val perClass = joint.groupBy(gc :+ col("__y"): _*)
-      .agg((sum(correct) / sum(col("__jn"))).as("__recall"))
-    val ba =
-      if (gc.isEmpty) perClass.agg(avg(col("__recall")).as("balanced_accuracy"))
-      else perClass.groupBy(gc: _*).agg(avg(col("__recall")).as("balanced_accuracy"))
-    // AUROC from the joint distribution: roll to per-score pos/n, then the
-    // shared rank tail. The window runs over the compact joint table (its
-    // size is value-bounded, not row-bounded), so even the ungrouped path
-    // needs no prefix-sum machinery here.
+    // ONE LINEAR DAG: joint -> per-score -> window -> final aggregate
+    // computing BOTH metrics. The earlier shape branched `joint` into a BA
+    // subtree and an AUROC subtree joined at the end — logically one pass,
+    // but physically the whole upstream pipeline (for q36: a mapPartitions
+    // scoring stage over every tile) was planned TWICE, and AQE stage
+    // reuse, not the plan, decided whether it RAN twice (measured: 2
+    // lineitem scans, 0 ReusedExchange in q36's executed plan). A linear
+    // chain cannot re-execute upstream by construction.
     val byScore = joint.groupBy(gc :+ col("__s"): _*)
       .agg(sum(when(col("__y") === 1L, col("__jn")).otherwise(0L)).as("__pos"),
         sum(col("__jn")).as("__n"))
+    // the window runs over the compact joint table (value-bounded, not
+    // row-bounded), so even the ungrouped path needs no prefix-sum machinery
     val w = (if (gc.isEmpty) Window.orderBy(col("__s"))
              else Window.partitionBy(gc: _*).orderBy(col("__s")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val au = aurocFromCum(byScore.withColumn("__cum", sum(col("__n")).over(w)), gc)
-    if (gc.isEmpty) ba.crossJoin(au) else ba.join(au, groups)
+    val ranked = byScore.withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("__avgRank", (col("__cum") * 2 - col("__n") + 1) / 2.0)
+    // BA terms from the same rows: recall1 = positives predicted 1
+    // (score >= t) over all positives; recall0 symmetric. Exact integer
+    // sums, one division each — bit-identical to balancedAccuracyBy's
+    // per-class avg (pinned by MetricsSpec/MetricsGoldenSpec); groups
+    // where a class is absent average over the present classes only.
+    val posTot = sum(col("__pos"))
+    val negTot = sum(col("__n") - col("__pos"))
+    val posGe = sum(when(col("__s") >= threshold, col("__pos")).otherwise(0L))
+    val negLt = sum(when(col("__s") < threshold, col("__n") - col("__pos"))
+      .otherwise(0L))
+    val r1 = when(posTot > 0, posGe.cast("double") / posTot)
+    val r0 = when(negTot > 0, negLt.cast("double") / negTot)
+    val baExpr = ((coalesce(r1, lit(0.0)) + coalesce(r0, lit(0.0))) /
+      (when(posTot > 0, 1).otherwise(0) + when(negTot > 0, 1).otherwise(0)))
+      .as("balanced_accuracy")
+    // same AUROC expression aurocFromCum builds, inlined into this
+    // aggregate; single-class groups emit NULL instead of dividing by zero
+    val denom = posTot * (sum(col("__n")) - posTot)
+    val aurocExpr = when(denom > 0,
+      (sum(col("__pos") * col("__avgRank")) - posTot * (posTot + 1) / 2.0)
+        / denom).as("auroc")
+    if (gc.isEmpty) ranked.agg(baExpr, aurocExpr)
+    else ranked.groupBy(gc: _*).agg(baExpr, aurocExpr)
   }
 
   /** mean ± std over folds/runs — `np.std` is population std (ddof=0), so

@@ -133,4 +133,20 @@ class MetricsSpec extends SparkSpec {
       col("sc"), thr, Nil).collect()(0)
     assert(one.getDouble(0) == ba("g1") && one.getDouble(1) == au("g1").get)
   }
+
+  test("evalSuite plans its input ONCE (linear DAG, no BA/AUROC branch join)") {
+    // an expensive upstream (here a mapInPandas-style object boundary via
+    // mapPartitions through the Dataset API) must appear exactly once in
+    // the executed plan — the branched shape planned it twice and left AQE
+    // stage reuse to decide whether it RAN twice
+    val base = spark.range(1000).selectExpr("id % 4 AS g", "id % 100 AS sc",
+      "CAST(id % 2 AS LONG) AS y")
+    val ds = base.as[(Long, Long, Long)]
+      .mapPartitions(it => it.map(identity))
+      .toDF("g", "sc", "y")
+    val plan = Metrics.evalSuite(ds, col("y"), col("sc"), 50.0, Seq("g"))
+      .queryExecution.executedPlan.toString
+    val scans = "MapPartitions".r.findAllIn(plan).length
+    assert(scans == 1, s"input planned $scans times:\n$plan")
+  }
 }
