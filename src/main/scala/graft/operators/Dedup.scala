@@ -54,6 +54,56 @@ object Dedup {
     dropExactDupes(fresh, id, text)
   }
 
+  /** [[dropDupesAgainst]] with a Bloom-filter pre-gate — the 100 TB ingest
+    * shape. The corpus's fingerprint set is summarized once into a Bloom
+    * filter (built distributed via `bloom_filter_agg`, shipped to every
+    * task as a one-row broadcast); batch rows the filter definitely does
+    * NOT contain (no false negatives) pass straight through with ZERO
+    * join, and only the ~fpp fraction of bloom-positives pay the exact
+    * fingerprint anti-join. At a trillion-doc corpus the anti-join's
+    * probe side shrinks from |batch| to |true dups| + fpp·|batch| while
+    * the result stays EXACTLY equal to [[dropDupesAgainst]] (pinned by
+    * DedupSpec equality).
+    *
+    * `expectedItems` sizes the filter (bits ≈ −n·ln(fpp)/ln²2 — ~9.6
+    * bits/doc at fpp 1%); pass the corpus's approximate distinct count.
+    */
+  def bloomDedupAgainst(batch: DataFrame, corpus: DataFrame,
+                        id: String, text: String,
+                        expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"need expectedItems > 0 and fpp in (0,1), got $expectedItems / $fpp")
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // BloomFilterAggregate/MightContain are Catalyst-internal (they power
+    // runtime join filters, not the SQL surface) — reached through the
+    // expression bridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graft.ColumnBridge
+    val fps = corpus.select(TextFunctions.fingerprint64(col(text)).as("__fp"))
+    val bloom = fps
+      .agg(ColumnBridge.column(
+        new BloomFilterAggregate(ColumnBridge.expression(col("__fp")),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+        .as("__bf"))
+    // might_contain requires its filter side to be a constant or scalar
+    // subquery (the runtime-filter contract) — ship the one-row aggregate
+    // as a scalar subquery, which Spark broadcasts to every task
+    val bloomSub = org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      bloom.queryExecution.analyzed)
+    val probed = batch
+      .withColumn("__fp", TextFunctions.fingerprint64(col(text)))
+      .withColumn("__maybe", ColumnBridge.column(BloomFilterMightContain(
+        bloomSub, ColumnBridge.expression(col("__fp")))))
+    val definiteFresh = probed.filter(!col("__maybe"))
+    val checked = probed.filter(col("__maybe"))
+      .join(fps.distinct(), Seq("__fp"), "left_anti")
+    dropExactDupes(
+      definiteFresh.unionByName(checked).drop("__maybe", "__fp"), id, text)
+  }
+
   /** C4-style repeated-line removal: a line whose exact text occurs in at
     * least `minRepeats` DISTINCT documents is boilerplate (navigation,
     * cookie banners, license footers) and is dropped from every document;

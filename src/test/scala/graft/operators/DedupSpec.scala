@@ -237,6 +237,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(_._1 == 101L), s"fresh doc must not pair: $pairs")
   }
 
+  test("bloomDedupAgainst == dropDupesAgainst exactly (bloom gate adds no drops)") {
+    val corpus = (1L to 200L).map(i => (i, s"corpus document number $i"))
+      .toDF("doc_id", "text")
+    val batch = ((1L to 50L).map(i => (1000 + i, s"corpus document number $i")) ++ // dups
+      (1L to 60L).map(i => (2000 + i, s"fresh batch document $i")) ++
+      Seq((3001L, "fresh batch document 1"))) // within-batch dup of 2001
+      .toDF("doc_id", "text")
+    val viaBloom = Dedup.bloomDedupAgainst(batch, corpus, "doc_id", "text",
+        expectedItems = 200L, fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    val exact = Dedup.dropDupesAgainst(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaBloom == exact, s"bloom path diverged: ${viaBloom.diff(exact)} / ${exact.diff(viaBloom)}")
+    assert(exact == (2001L to 2060L).toSet, s"got $exact")
+  }
+
   test("dropDupesAgainst: corpus membership + within-batch dedup, fingerprints only shuffle") {
     val corpus = Seq((10L, "already ingested text one"),
       (11L, "already ingested text two")).toDF("doc_id", "text")
