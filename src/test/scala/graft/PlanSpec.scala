@@ -88,4 +88,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"1-row query side must broadcast:\n$p")
   }
+
+  test("q54 profile: one scan, pruned to exactly the profiled columns") {
+    val p = plan("q54_profile")
+    assert("FileScan|Scan parquet".r.findAllIn(p).length == 1,
+      s"profile must be a single scan:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"),
+      s"profile must not read unprofiled columns:\n$read")
+  }
+
+  test("q4v chunking: zero exchanges — a pure generate over the scan") {
+    val p = plan("q4v_doc_chunks")
+    // the query's global orderBy adds the final range exchange for the
+    // deterministic oracle; the chunking itself must add none on top
+    val shuffles = "Exchange".r.findAllIn(p).length
+    assert(shuffles <= 1, s"chunking must not shuffle (1 allowed for orderBy):\n$p")
+  }
+
+  test("q4t incremental dedup: anti-join probes fingerprints, not text") {
+    val p = plan("q4t_incremental_dedup")
+    assert(p.contains("LeftAnti"), s"anti-join required:\n$p")
+    val anti = p.linesIterator.find(_.contains("LeftAnti")).getOrElse("")
+    assert(!anti.contains("text#"),
+      s"anti-join keys must be 64-bit fingerprints, not text:\n$anti")
+  }
 }

@@ -139,4 +139,33 @@ class PropertySpec extends SparkSpec {
       assert(bad == 0)
     }
   }
+
+  test("chunkDocs: every token covered, overlap exact, for random budgets") {
+    val caseGen = for {
+      nTokens <- Gen.choose(1, 300)
+      chunk <- Gen.choose(2, 80)
+      overlap <- Gen.choose(0, chunk - 1)
+    } yield (nTokens, chunk, overlap)
+    forSamples(caseGen, n = 6) { case (nTokens, chunk, overlap) =>
+      val words = (1 to nTokens).map(i => s"w$i")
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = Curate.chunkDocs(df, "doc_id", "text", chunk, overlap)
+        .orderBy("chunk_id")
+        .select("chunk_id", "chunk", "n_tokens")
+        .as[(Long, String, Long)].collect().toSeq
+      // dense ids, each chunk within budget, advertised size truthful
+      assert(chunks.map(_._1) == chunks.indices.map(_.toLong))
+      chunks.foreach { case (k, c, n) =>
+        val toks = c.split(" ").toSeq
+        assert(toks.size == n && n <= chunk, s"chunk $k size $n budget $chunk")
+        assert(toks == words.slice((k * (chunk - overlap)).toInt,
+          (k * (chunk - overlap)).toInt + chunk), s"chunk $k content")
+      }
+      // de-overlapped concatenation rebuilds the document exactly
+      val rebuilt = chunks.map(_._2.split(" ").toSeq)
+        .reduce((a, b) => a ++ b.drop(overlap))
+      assert(rebuilt == words,
+        s"coverage failed for n=$nTokens chunk=$chunk overlap=$overlap")
+    }
+  }
 }
