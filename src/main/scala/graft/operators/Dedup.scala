@@ -310,6 +310,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Persist a corpus's LSH band table as a BUCKETED catalog table — the
+    * amortization step for repeated incremental ingests. Banding the
+    * corpus costs one full scan; every subsequent [[nearDupesAgainstTable]]
+    * probe then joins against it with NO exchange on the corpus side
+    * (bucket-pruned parquet read straight into the join). Re-run after
+    * appending a batch to the corpus, or append the batch's own band rows.
+    */
+  def writeBandTable(corpus: DataFrame, id: String, text: String,
+                     table: String, buckets: Int = 32, bands: Int = 8,
+                     rowsPerBand: Int = 4, shingleN: Int = 3): Unit =
+    bandedKeys(corpus, id, text, bands, rowsPerBand, shingleN)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "bh")
+      .sortBy("bh")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** [[nearDupesAgainst]] probing a PERSISTED band table (from
+    * [[writeBandTable]]) instead of re-banding the corpus: only the batch
+    * is scanned and banded per ingest; the corpus side is a bucketed read
+    * with no shuffle. `corpus` supplies doc text for the verify stage
+    * only (joined by candidate id — prune it to (id, text)).
+    */
+  def nearDupesAgainstTable(batch: DataFrame, corpus: DataFrame,
+                            bandTable: String, id: String, text: String,
+                            threshold: Double = 0.8, bands: Int = 8,
+                            rowsPerBand: Int = 4,
+                            shingleN: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    val a = bandedKeys(batch, id, text, bands, rowsPerBand, shingleN).as("a")
+    val b = spark.table(bandTable).as("b")
+    val cands = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    verifyJaccardBetween(cands, batch, corpus, id, text, shingleN)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("jaccard")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Rows of `batch` with no near-dup in `corpus`: the incremental-ingest
     * gate (within-batch near-dups are a separate concern — compose with
     * [[dropNearDupes]] on the survivors when the batch itself may repeat).

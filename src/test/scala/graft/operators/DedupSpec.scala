@@ -253,6 +253,33 @@ class DedupSpec extends SparkSpec {
     assert(exact == (2001L to 2060L).toSet, s"got $exact")
   }
 
+  test("persisted band table: same pairs as live banding, no corpus-side exchange") {
+    val corpus = docs
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank extra"),
+      (101L, "genuinely novel content speaking about entirely unrelated astronomy topics"))
+      .toDF("doc_id", "text")
+    Dedup.writeBandTable(corpus, "doc_id", "text", "corpus_bands",
+      buckets = 4, bands = 16, rowsPerBand = 2)
+    try {
+      val viaTable = Dedup.nearDupesAgainstTable(batch, corpus, "corpus_bands",
+          "doc_id", "text", threshold = 0.5, bands = 16, rowsPerBand = 2)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val live = Dedup.nearDupesAgainst(batch, corpus, "doc_id", "text",
+          threshold = 0.5, bands = 16, rowsPerBand = 2)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(viaTable == live, s"table probe diverged: $viaTable vs $live")
+      // the corpus side of the candidate join must come straight off the
+      // bucketed files: no Exchange above the band-table scan
+      val plan = Dedup.nearDupesAgainstTable(batch, corpus, "corpus_bands",
+          "doc_id", "text", threshold = 0.5, bands = 16, rowsPerBand = 2)
+        .queryExecution.executedPlan.toString
+      val scanLine = plan.linesIterator.find(_.contains("corpus_bands")).getOrElse("")
+      assert(scanLine.contains("SelectedBucketsCount") || scanLine.contains("Bucketed: true") ||
+        plan.contains("Bucketed: true"), s"band table must read bucketed:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS corpus_bands")
+  }
+
   test("dropDupesAgainst: corpus membership + within-batch dedup, fingerprints only shuffle") {
     val corpus = Seq((10L, "already ingested text one"),
       (11L, "already ingested text two")).toDF("doc_id", "text")
