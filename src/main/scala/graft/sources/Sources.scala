@@ -118,4 +118,22 @@ object Sources {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)  // managed table under spark.sql.warehouse.dir
+
+  /** Size-controlled parquet sink: exactly `files` output files of ~equal
+    * row count, regardless of upstream partitioning. The two pathologies
+    * this prevents are both fatal at 100 TB: a small-files explosion (one
+    * file per upstream task × partition — metadata pressure that slows
+    * every later LIST + planning step) and giant single files (one
+    * straggler task writes forever, and a non-splittable consumer can't
+    * parallelize the read). Round-robin repartition gives near-uniform
+    * file sizes; `maxRecordsPerFile` caps any residual imbalance.
+    */
+  def writeSized(df: DataFrame, path: String, files: Int,
+                 maxRecordsPerFile: Long = 0L): Unit = {
+    require(files > 0, s"files must be positive, got $files")
+    val w = df.repartition(files).write.mode("overwrite")
+    (if (maxRecordsPerFile > 0)
+       w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(path)
+  }
 }

@@ -100,6 +100,22 @@ class SourcesSpec extends SparkSpec {
         (3L, None, "fr")))
   }
 
+  test("writeSized: exact file count from skewed input; maxRecordsPerFile splits") {
+    val dir = fixtureDir("sized_sink")
+    // skewed upstream: 1000 rows in one partition, 5 in another
+    val df = spark.range(1000).coalesce(1)
+      .union(spark.range(2000, 2005).coalesce(1))
+    Sources.writeSized(df.toDF("id"), dir, files = 4)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 4, s"expected 4 files, got $parquetFiles")
+    assert(spark.read.parquet(dir).count() == 1005)
+    // a records-per-file cap splits oversized partitions
+    Sources.writeSized(df.toDF("id"), dir, files = 1, maxRecordsPerFile = 300L)
+    assert(parquetFiles >= 4, s"cap must split the single partition: $parquetFiles")
+    assert(spark.read.parquet(dir).count() == 1005)
+  }
+
   test("withSlideId is a dense 0-based key in the given order") {
     val meta = Seq("b", "a", "c").toDF("slide_name")
     val ids = Sources.withSlideId(meta, col("slide_name"))
