@@ -116,6 +116,21 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1005)
   }
 
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    val dir = fixtureDir("evolving_corpus")
+    // generation 1 lacks the lang column added later — the normal life of
+    // a long-lived corpus; mergeSchema reads both without a rewrite
+    Seq((1L, "first doc")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/gen=1")
+    Seq((2L, "second doc", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(dir + "/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("doc_id", "gen", "lang", "text"))
+    val rows = merged.select("doc_id", "lang")
+      .as[(Long, Option[String])].collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).contains("en"))
+  }
+
   test("withSlideId is a dense 0-based key in the given order") {
     val meta = Seq("b", "a", "c").toDF("slide_name")
     val ids = Sources.withSlideId(meta, col("slide_name"))
