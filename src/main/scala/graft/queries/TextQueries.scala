@@ -821,6 +821,26 @@ object TextQueries {
         .orderBy(col("domain"))
     },
 
+    // ---- corpus heavy hitters via the Misra-Gries sketch. The oracle is
+    //      EXACT because k exceeds the test vocabulary (below capacity the
+    //      sketch never decrements and merge never trims — counts equal a
+    //      full GROUP BY, which DuckDB replays); HeavyHittersSpec pins the
+    //      approximation guarantees above capacity ------------------------
+    QueryDef.sql("q55_heavy_hitters",
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |c AS (SELECT term, count(*) AS n FROM t GROUP BY term)
+        |SELECT term, n FROM c ORDER BY n DESC, term LIMIT 25""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .agg(graft.functions.HeavyHitters.misraGries(col("term"), k = 1000000)
+          .as("hh"))
+        .select(explode(col("hh")).as(Seq("term", "n")))
+        .orderBy(col("n").desc, col("term"))
+        .limit(25)
+    },
+
     // ---- overlapping context-window chunking (full oracle: DuckDB replays
     //      the window arithmetic and slicing over the same token arrays) ----
     QueryDef.sql("q4v_doc_chunks",
