@@ -173,20 +173,87 @@ object Curate {
     * packs so each pack holds ~`budget` tokens (a doc larger than the budget
     * gets its own pack). Deterministic: pack id = floor(exclusive running
     * token total / budget) — the cumulative-sum phrasing that replays in
-    * ANSI SQL. The running window is per `shard` so no single task sees the
-    * whole corpus; shard by date/source at scale.
+    * ANSI SQL.
+    *
+    * With `shardCol` the running window is per shard (shard by date/source
+    * when pack boundaries may legally reset per shard). WITHOUT a shard the
+    * global running total is computed by a distributed prefix-sum — bucket
+    * by a monotone image of the ORDER KEY VALUE (min/max bounds + affine
+    * bucketing, the same discipline as [[Metrics.aurocBy]]'s continuous
+    * path), local exclusive cumsum per bucket, plus broadcast per-bucket
+    * offsets from the (≤ shuffle.partitions rows) totals table. The result
+    * is bit-identical to a global `Window.orderBy` — pack boundaries span
+    * buckets exactly — but no task ever sees the whole corpus. (An earlier
+    * revision defaulted to the unpartitioned global window: one task held
+    * the full corpus, the scale-killer this replaces.)
+    *
+    * Order keys must be numeric, date/timestamp, or string (strings bucket
+    * by their first 4 zero-padded UTF-8 bytes — monotone in Spark's binary
+    * collation); any other type requires an explicit `shardCol`.
     */
   def packSequences(df: DataFrame, tokenCol: String, orderBy: String,
                     budget: Long, shardCol: Option[String] = None): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
-    val w0 = shardCol match {
-      case Some(s) => Window.partitionBy(col(s)).orderBy(col(orderBy))
-      case None => Window.orderBy(col(orderBy))
+    shardCol match {
+      case Some(s) =>
+        val w = Window.partitionBy(col(s)).orderBy(col(orderBy))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        df.withColumn("__cum", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+          .withColumn("pack_id", (col("__cum") / budget).cast("long"))
+          .drop("__cum")
+      case None => packGlobal(df, tokenCol, orderBy, budget)
     }
-    val w = w0.rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__cum", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
-      .withColumn("pack_id", (col("__cum") / budget).cast("long"))
-      .drop("__cum")
+  }
+
+  /** The shard-free exact global prefix-sum behind [[packSequences]]. */
+  private def packGlobal(df: DataFrame, tokenCol: String, orderBy: String,
+                         budget: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    // monotone numeric image of the order key: equal keys map to equal
+    // images and key order is preserved, so affine bucketing on the image
+    // yields ORDER-CONTIGUOUS buckets (ties may share a bucket — harmless)
+    val okey: Column = df.schema(orderBy).dataType match {
+      case _: NumericType => col(orderBy).cast("double")
+      case DateType | TimestampType | TimestampNTZType =>
+        col(orderBy).cast("timestamp").cast("double")
+      case StringType =>
+        // first 4 bytes, NUL-padded (0x00 never reorders short strings):
+        // big-endian unsigned prefix value is monotone in binary order
+        conv(hex(substring(rpad(col(orderBy), 4, "\u0000").cast("binary"),
+          1, 4)), 16, 10).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"packSequences without shardCol needs a numeric/date/string order " +
+          s"key to shard the running total; `$orderBy` is $other — pass " +
+          "shardCol explicitly")
+    }
+    val bounds = df.agg(min(okey).as("__lo"), max(okey).as("__hi"))
+    val span = col("__hi") - col("__lo")
+    val parted = df.crossJoin(broadcast(bounds))
+      .withColumn("__bkt",
+        // null keys sort first under Spark's default ordering → bucket 0
+        when(okey.isNull || col("__lo").isNull || !(span > 0.0), lit(0))
+          .otherwise(least(lit(p - 1),
+            floor((okey - col("__lo")) / span * p).cast("int"))))
+      .drop("__lo", "__hi")
+    // per-bucket totals → exclusive offsets via a TRIANGULAR self-join of
+    // the ≤ p-row totals table (O(p²) pairs, hash-aggregated in parallel) —
+    // window-free, so the plan contains no single-partition stage at all
+    val totals = parted.groupBy(col("__bkt"))
+      .agg(sum(coalesce(col(tokenCol), lit(0L))).as("__bt"))
+    val offsets = totals.select(col("__bkt"))
+      .join(totals.select(col("__bkt").as("__q"), col("__bt")),
+        col("__q") < col("__bkt"), "left")
+      .groupBy(col("__bkt"))
+      .agg(coalesce(sum(col("__bt")), lit(0L)).as("__off"))
+    val wLoc = Window.partitionBy(col("__bkt")).orderBy(col(orderBy))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("__cumLoc", coalesce(sum(col(tokenCol)).over(wLoc), lit(0L)))
+      .join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("pack_id",
+        ((col("__cumLoc") + col("__off")) / budget).cast("long"))
+      .drop("__bkt", "__cumLoc", "__off")
   }
 
   /** Materialized training sequences: run [[packSequences]] then collapse

@@ -319,13 +319,22 @@ object Dedup {
     */
   def writeBandTable(corpus: DataFrame, id: String, text: String,
                      table: String, buckets: Int = 32, bands: Int = 8,
-                     rowsPerBand: Int = 4, shingleN: Int = 3): Unit =
+                     rowsPerBand: Int = 4, shingleN: Int = 3): Unit = {
     bandedKeys(corpus, id, text, bands, rowsPerBand, shingleN)
       .write.mode("overwrite")
       .bucketBy(buckets, "bh")
       .sortBy("bh")
       .format("parquet")
       .saveAsTable(table)
+    // record the LSH geometry the band rows were built with — a probe with
+    // different (bands, rowsPerBand, shingleN) computes different band keys
+    // and the equi-join would just return fewer matches with no error, so
+    // [[nearDupesAgainstTable]] requires these to match before probing
+    corpus.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES (" +
+        s"'graft.bands'='$bands','graft.rowsPerBand'='$rowsPerBand'," +
+        s"'graft.shingleN'='$shingleN')")
+  }
 
   /** [[nearDupesAgainst]] probing a PERSISTED band table (from
     * [[writeBandTable]]) instead of re-banding the corpus: only the batch
@@ -339,6 +348,22 @@ object Dedup {
                             rowsPerBand: Int = 4,
                             shingleN: Int = 3): DataFrame = {
     val spark = batch.sparkSession
+    // refuse to probe with a different LSH geometry than the table was
+    // written with (recorded by [[writeBandTable]] as table properties):
+    // mismatched keys silently miss near-dups, they don't error
+    val props = spark.sql(s"SHOW TBLPROPERTIES $bandTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def requireMatch(key: String, passed: Int): Unit =
+      props.get("graft." + key).foreach { written =>
+        require(written == passed.toString,
+          s"band table $bandTable was written with $key=$written but probed " +
+            s"with $key=$passed — band keys would not match and near-dups " +
+            "would be silently missed; re-band the corpus or pass the " +
+            "written parameters")
+      }
+    requireMatch("bands", bands)
+    requireMatch("rowsPerBand", rowsPerBand)
+    requireMatch("shingleN", shingleN)
     val a = bandedKeys(batch, id, text, bands, rowsPerBand, shingleN).as("a")
     val b = spark.table(bandTable).as("b")
     val cands = a.join(b,

@@ -71,72 +71,64 @@ object Metrics {
     val byScore = df.select(gc :+ score.as("__s") :+ label.cast("long").as("__y"): _*)
       .groupBy(gc :+ col("__s"): _*)
       .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__n"))
-    val cummed =
-      if (gc.isEmpty) {
-        val scoreType = df.select(score.as("__s")).schema.head.dataType
-        val integral = scoreType match {
-          case org.apache.spark.sql.types.ByteType |
-               org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.LongType |
-               org.apache.spark.sql.types.BooleanType => true
-          case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
-          case _ => false
-        }
-        if (integral) {
-          // Integer-typed scores: the distinct-score table is bounded by the
-          // value range (score bins, class counts, quantized scores), so the
-          // simple global cumsum over it is cheap — skip the prefix-sum
-          // machinery and its ~4 extra stages. Callers with integer-VALUED
-          // double scores can cast to long to opt in.
-          val w = Window.orderBy(col("__s"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          byScore.withColumn("__cum", sum(col("__n")).over(w))
-        } else {
-          // Continuous scores: an unpartitioned Window.orderBy(__s) would
-          // funnel the whole distinct-score table (= |rows| when scores are
-          // all-distinct) through ONE task — a scale-killer. Instead: bucket
-          // by score VALUE (min/max bounds + affine bucketing — monotone in
-          // __s, so bucket order = score order), local cumulative sums per
-          // bucket, and add per-bucket prefix offsets computed from the
-          // (≤ shuffle.partitions rows) totals table — the classic
-          // distributed prefix-sum with no single-partition stage over the
-          // score table (pinned by MetricsSpec's plan assertion). The bucket
-          // id is DERIVED FROM THE DATA, not spark_partition_id(), so every
-          // branch that consumes it computes identical ids even if exchange
-          // reuse is disabled or the planner stops deduplicating the
-          // repartition subtree.
-          val p = byScore.sparkSession.sessionState.conf.numShufflePartitions
-          val bounds = byScore.agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"))
-          val span = col("__hi").cast("double") - col("__lo").cast("double")
-          val parted = byScore.crossJoin(broadcast(bounds))
-            .withColumn("__pid",
-              when(col("__s").isNull || !(span > 0.0), lit(0))
-                .otherwise(least(lit(p - 1),
-                  floor((col("__s").cast("double") - col("__lo").cast("double"))
-                    / span * p).cast("int"))))
-            .drop("__lo", "__hi")
-          val wOff = Window.orderBy(col("__pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)
-          val offsets = parted.groupBy(col("__pid"))
-            .agg(sum(col("__n")).as("__pt"))
-            .withColumn("__off", coalesce(sum(col("__pt")).over(wOff), lit(0L)))
-            .select(col("__pid"), col("__off"))
-          val wLoc = Window.partitionBy(col("__pid")).orderBy(col("__s"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          parted.withColumn("__cumLoc", sum(col("__n")).over(wLoc))
-            .join(broadcast(offsets), Seq("__pid"))
-            .withColumn("__cum", col("__cumLoc") + col("__off"))
-        }
-      } else {
-        // Grouped: the window partitions by the groups, so each group ranks
-        // independently and in parallel — already scale-safe.
-        val w = Window.partitionBy(gc: _*).orderBy(col("__s"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        byScore.withColumn("__cum", sum(col("__n")).over(w))
-      }
-    aurocFromCum(cummed, gc)
+    aurocFromCum(cumOverScores(byScore, gc), gc)
   }
+
+  /** Inclusive cumulative count over the per-(groups, score) table, in
+    * score order — the shared ranking step of [[aurocBy]] and
+    * [[evalSuite]].
+    *
+    * Grouped: the window partitions by the groups, so each group ranks
+    * independently and in parallel — already scale-safe.
+    *
+    * Ungrouped: an unpartitioned `Window.orderBy(__s)` would funnel the
+    * whole distinct-score table (= |rows| when scores are all-distinct)
+    * through ONE task — a scale-killer, and the accidental-global-window
+    * shape PlanSpec forbids suite-wide. Instead the classic distributed
+    * prefix-sum: bucket by score VALUE (min/max bounds + affine bucketing —
+    * monotone in `__s`, so bucket order = score order), local cumulative
+    * sums per bucket, plus per-bucket prefix offsets. The bucket id is
+    * DERIVED FROM THE DATA, not `spark_partition_id()`, so every branch
+    * that consumes it computes identical ids even if exchange reuse is
+    * disabled or the planner stops deduplicating the repartition subtree.
+    * The offsets come from a TRIANGULAR self-join of the (≤
+    * shuffle.partitions rows) bucket-totals table — window-free, so no
+    * single-partition stage exists anywhere in the plan (pinned by
+    * MetricsSpec and the suite-wide PlanSpec window pin).
+    */
+  private[graft] def cumOverScores(byScore: DataFrame,
+                                   gc: Seq[Column]): DataFrame =
+    if (gc.nonEmpty) {
+      val w = Window.partitionBy(gc: _*).orderBy(col("__s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byScore.withColumn("__cum", sum(col("__n")).over(w))
+    } else {
+      val p = byScore.sparkSession.sessionState.conf.numShufflePartitions
+      val bounds = byScore.agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"))
+      val span = col("__hi").cast("double") - col("__lo").cast("double")
+      val parted = byScore.crossJoin(broadcast(bounds))
+        .withColumn("__pid",
+          when(col("__s").isNull || !(span > 0.0), lit(0))
+            .otherwise(least(lit(p - 1),
+              floor((col("__s").cast("double") - col("__lo").cast("double"))
+                / span * p).cast("int"))))
+        .drop("__lo", "__hi")
+      val totals = parted.groupBy(col("__pid"))
+        .agg(sum(col("__n")).as("__pt"))
+      // exclusive prefix offsets via triangular join: O(p²) pairs over a
+      // ≤ p-row table — cheaper than any single-partition window stage,
+      // and hash-aggregated in parallel
+      val offsets = totals.select(col("__pid"))
+        .join(totals.select(col("__pid").as("__q"), col("__pt")),
+          col("__q") < col("__pid"), "left")
+        .groupBy(col("__pid"))
+        .agg(coalesce(sum(col("__pt")), lit(0L)).as("__off"))
+      val wLoc = Window.partitionBy(col("__pid")).orderBy(col("__s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      parted.withColumn("__cumLoc", sum(col("__n")).over(wLoc))
+        .join(broadcast(offsets), Seq("__pid"))
+        .withColumn("__cum", col("__cumLoc") + col("__off"))
+    }
 
   /** The rank→U-statistic tail shared by [[aurocBy]] and [[evalSuite]]:
     * takes the per-(groups, score) table with its cumulative count and
@@ -201,12 +193,9 @@ object Metrics {
     val byScore = joint.groupBy(gc :+ col("__s"): _*)
       .agg(sum(when(col("__y") === 1L, col("__jn")).otherwise(0L)).as("__pos"),
         sum(col("__jn")).as("__n"))
-    // the window runs over the compact joint table (value-bounded, not
-    // row-bounded), so even the ungrouped path needs no prefix-sum machinery
-    val w = (if (gc.isEmpty) Window.orderBy(col("__s"))
-             else Window.partitionBy(gc: _*).orderBy(col("__s")))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = byScore.withColumn("__cum", sum(col("__n")).over(w))
+    // same ranking machinery as aurocBy: grouped → per-group window;
+    // ungrouped → value-bucketed distributed prefix-sum (no global window)
+    val ranked = cumOverScores(byScore, gc)
       .withColumn("__avgRank", (col("__cum") * 2 - col("__n") + 1) / 2.0)
     // BA terms from the same rows: recall1 = positives predicted 1
     // (score >= t) over all positives; recall0 symmetric. Exact integer
@@ -216,8 +205,12 @@ object Metrics {
     val posTot = sum(col("__pos"))
     val negTot = sum(col("__n") - col("__pos"))
     val posGe = sum(when(col("__s") >= threshold, col("__pos")).otherwise(0L))
-    val negLt = sum(when(col("__s") < threshold, col("__n") - col("__pos"))
-      .otherwise(0L))
+    // negatives counted correct are those NOT predicted 1 — phrased as the
+    // negation of the posGe predicate (not `__s < t`) so a NULL score falls
+    // through to predicted-0, matching balancedAccuracyBy's
+    // `when(s >= t, 1).otherwise(0)` on NULL scores
+    val negLt = sum(when(col("__s") >= threshold, 0L)
+      .otherwise(col("__n") - col("__pos")))
     val r1 = when(posTot > 0, posGe.cast("double") / posTot)
     val r0 = when(negTot > 0, negLt.cast("double") / negTot)
     val baExpr = ((coalesce(r1, lit(0.0)) + coalesce(r0, lit(0.0))) /

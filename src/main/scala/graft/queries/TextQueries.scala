@@ -663,8 +663,12 @@ object TextQueries {
         |  count(*) AS n_meta_agree
         |FROM documents""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_jsonl_roundtrip").toString
+      // deterministic per-sf path, overwritten on every run (writeJsonl is
+      // mode=overwrite) — a fresh createTempDirectory per plan construction
+      // leaked a full corpus copy into /tmp on every warmup/bench/verify
+      val dir = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft_jsonl_roundtrip_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
       graft.sources.Sources.writeJsonl(docs, dir)
       val back = graft.sources.Sources.readJsonl(s, dir, docs.schema)
       val a = docs.select(col("doc_id"), col("text").as("t0"),
@@ -699,9 +703,13 @@ object TextQueries {
 
     // ---- compression-ratio quality signal (native DeflateRatio kernel).
     //      DuckDB has no deflate, so this is a q15-style contract oracle:
-    //      every ratio must land in (0, 2], and every document of >= 200
-    //      chars must actually compress (ratio < 1) — the hash gate fails
-    //      if the kernel emits a single out-of-contract value ---------------
+    //      every ratio must land in (0, 2] — except documents under 8 chars,
+    //      where deflate's fixed per-stream overhead (~3 bytes of block
+    //      header + EOB even for a 1-char input) legitimately pushes the
+    //      ratio to 1.5–3.0, so the upper bound is gated on n_chars >= 8
+    //      (mirroring how the < 1 check is gated on n_chars >= 200) — and
+    //      every document of >= 200 chars must actually compress (ratio < 1).
+    //      The hash gate fails if the kernel emits an out-of-contract value --
     QueryDef.sql("q4u_compress_ratio",
       """SELECT lang, count(*) AS n, count(*) AS n_in_bounds,
         |  count(CASE WHEN n_chars >= 200 THEN 1 END) AS n_long,
@@ -712,7 +720,8 @@ object TextQueries {
           graft.expressions.TextSignalExpressions.deflateRatio(col("text")))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"),
-          count(when(col("r") > 0 && col("r") <= 2, 1)).as("n_in_bounds"),
+          count(when(col("r") > 0 &&
+            (col("n_chars") < 8 || col("r") <= 2), 1)).as("n_in_bounds"),
           count(when(col("n_chars") >= 200, 1)).as("n_long"),
           count(when(col("n_chars") >= 200 && col("r") < 1, 1))
             .as("n_long_compressed"))
@@ -725,7 +734,15 @@ object TextQueries {
     //      between batch and corpus via the shared-shingle equi-join; the
     //      fixture construction mirrors q46, where banded recall is
     //      measured exact at every sf, so green proves the LSH gate equals
-    //      the exact gate -------------------------------------------------
+    //      the exact gate.
+    //      FIXTURE INVARIANT: the dup pairs this fixture constructs
+    //      (corpus doc + ' tail') have Jaccard near 1, where the 8-band ×
+    //      4-row collision probability is ~1. A pair whose true Jaccard sat
+    //      just above the 0.5 threshold would collide with only ~40%
+    //      probability — the exact-equality oracle holds BECAUSE the
+    //      fixture keeps dup pairs deep in the banding's high-recall
+    //      region. If you edit the fixture, keep constructed dup pairs at
+    //      Jaccard >= 0.8 or the gate can fail with no code bug. ------------
     QueryDef.sql("q4w_neardup_against",
       """WITH corpus AS (SELECT doc_id, text FROM documents),
         |batch AS (

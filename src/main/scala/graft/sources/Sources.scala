@@ -81,8 +81,13 @@ object Sources {
       s"withSlideId is a metadata-only operator (single-task ordering " +
         s"window): got $n rows > maxRows=$maxRows — key large tables by " +
         s"xxhash64 of their natural key instead")
-    meta.withColumn("slide_id",
-      row_number().over(Window.orderBy(orderBy)) - 1)
+    // constant partition key: the deliberate (guarded, metadata-sized)
+    // single-partition ordering is explicit in the plan rather than an
+    // accidental global window
+    meta.withColumn("__c0", lit(0))
+      .withColumn("slide_id",
+        row_number().over(Window.partitionBy(col("__c0")).orderBy(orderBy)) - 1)
+      .drop("__c0")
   }
 
   /** C1: tile -> metadata lookup as a broadcast hash join (metadata is a

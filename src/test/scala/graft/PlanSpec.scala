@@ -106,6 +106,31 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 1, s"chunking must not shuffle (1 allowed for orderBy):\n$p")
   }
 
+  test("no registered query plans an unpartitioned window") {
+    // The scale-killer class this pin forbids: a Window with an EMPTY
+    // partition spec funnels its whole input through one task. Every
+    // deliberate bounded single-partition pass in the engine (metadata
+    // slide ids, ≤shuffle.partitions offset tables, value-bounded metric
+    // cumsums) partitions by a constant column instead, so an empty spec
+    // can only mean an accidental global window — in ANY registered query.
+    import org.apache.spark.sql.catalyst.plans.logical
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.optimizedPlan
+        plan.collect {
+          case w: logical.Window if w.partitionSpec.isEmpty => name
+        }
+    }
+    assert(offenders.isEmpty,
+      s"queries with unpartitioned windows: ${offenders.distinct.mkString(", ")}")
+  }
+
+  test("q4h packing: running total is the bucketed distributed prefix-sum") {
+    val p = plan("q4h_seq_packing")
+    assert(p.contains("__bkt"),
+      s"packing must bucket the running total by the order-key value:\n$p")
+  }
+
   test("q4t incremental dedup: anti-join probes fingerprints, not text") {
     val p = plan("q4t_incremental_dedup")
     assert(p.contains("LeftAnti"), s"anti-join required:\n$p")
