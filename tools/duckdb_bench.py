@@ -4,14 +4,27 @@ same parquet tables the Spark bench reads, so BENCH_r{N}.json carries both
 engines' numbers and the "within 2x of baseline" criterion is computable
 from the committed artifact alone.
 
+Measurement discipline (kept symmetric with the Spark side of the bench):
+  * per-query sequential latency = best of GRAFT_RUNS (default 2) runs —
+    run 1 warms catalogs/page cache, run 2 is steady state;
+  * suite throughput = wall-clock of the whole query set executed by
+    GRAFT_STREAMS (default 8) concurrent streams pulling from one queue,
+    longest-query-first (classic makespan heuristic). DuckDB cursors share
+    the connection's catalog and the GIL is released during execution, so
+    streams genuinely overlap.
+
 Usage: duckdb_bench.py <sf_dir> <oracle_sql.json>
-Prints ONE JSON object {query_name: seconds} on stdout (and nothing else).
-Queries that fail time out as -1.0.
+Prints ONE JSON object {query_name: seconds, ...} on stdout with two
+reserved keys: "_wall_concurrent" (suite throughput wall seconds) and
+"_concurrency" (stream count). Queries that fail time as -1.0 and are
+excluded from the concurrent pass.
 """
 import glob
 import json
 import os
+import queue
 import sys
+import threading
 import time
 
 import duckdb
@@ -19,6 +32,8 @@ import duckdb
 
 def main() -> None:
     sf_dir, oracle_path = sys.argv[1], sys.argv[2]
+    runs = max(1, int(os.environ.get("GRAFT_RUNS", "2")))
+    streams = max(1, int(os.environ.get("GRAFT_STREAMS", "8")))
     with open(oracle_path) as f:
         sqls = json.load(f)
     con = duckdb.connect()
@@ -30,11 +45,41 @@ def main() -> None:
     out = {}
     for name in sorted(sqls):
         try:
-            t0 = time.perf_counter()
-            con.execute(sqls[name]).fetchall()
-            out[name] = time.perf_counter() - t0
+            times = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                con.execute(sqls[name]).fetchall()
+                times.append(time.perf_counter() - t0)
+            out[name] = min(times)
         except Exception:
             out[name] = -1.0
+
+    # throughput pass: longest-first queue drained by N streams
+    ok = [n for n in sqls if out.get(n, -1.0) >= 0]
+    q = queue.Queue()
+    for name in sorted(ok, key=lambda n: -out[n]):
+        q.put(name)
+
+    def worker() -> None:
+        cur = con.cursor()
+        while True:
+            try:
+                name = q.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                cur.execute(sqls[name]).fetchall()
+            except Exception:
+                pass
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker) for _ in range(streams)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    out["_wall_concurrent"] = time.perf_counter() - t0
+    out["_concurrency"] = float(streams)
     print(json.dumps(out))
 
 
