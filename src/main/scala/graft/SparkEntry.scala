@@ -14,7 +14,8 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ PdiQueries.defs ++ PipelineQueries.defs ++
-      TextQueries.defs ++ SimilarityQueries.defs ++ EventQueries.defs
+      TextQueries.defs ++ SimilarityQueries.defs ++ FusionQueries.defs ++
+      EventQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the TPC-H Q3-shaped join+agg+top-k (CoreQueries q03).
