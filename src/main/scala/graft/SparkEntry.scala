@@ -33,4 +33,12 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     allDefs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Static oracles plus the data-dir-dependent ones (e.g. q34's fitted
+    * forest replayed as CASE expressions) — what Verify/Bench actually
+    * dump for the DuckDB compare.
+    */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
+    oracleSql ++ allDefs.flatMap(q =>
+      q.dynamicOracle.map(f => q.name -> f(spark, dir)))
 }

@@ -23,7 +23,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), JsonDump.oracleSqlJson)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      JsonDump.oracleSqlJson(spark, sfDir))
     spark.stop()
   }
 }
@@ -46,7 +47,13 @@ object JsonDump {
     case c => c.toString
   } + "\""
 
-  /** The oracle-SQL map as a JSON object. */
-  def oracleSqlJson: String = SparkEntry.oracleSql
-    .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+  /** The static oracle-SQL map as a JSON object (unit-test surface). */
+  def oracleSqlJson: String = toJson(SparkEntry.oracleSql)
+
+  /** Static + data-dir-dependent oracles — what Verify/Bench dump. */
+  def oracleSqlJson(spark: SparkSession, dir: String): String =
+    toJson(SparkEntry.oracleSqlFor(spark, dir))
+
+  private def toJson(m: Map[String, String]): String =
+    m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
 }

@@ -87,6 +87,59 @@ object MetaClassifier {
     } finally { cached.unpersist(); vCached.unpersist() }
   }
 
+  /** Export a fitted binary-classification forest as replayable SQL: the
+    * returned (voteExpr0, voteExpr1, predExpr, scoreExpr) reference the
+    * given feature column names and reproduce MLlib's scoring EXACTLY —
+    * bit-for-bit, not approximately — in any engine with IEEE doubles:
+    *
+    *   - per tree, `predictRaw` walks to a leaf and adds
+    *     `classCounts(i) / total` to the vote for class i; the export
+    *     renders that leaf quotient as a shortest-repr double literal
+    *     (round-trips to the identical double) inside a nested
+    *     `CASE WHEN feature <= threshold` matching `ContinuousSplit`
+    *     semantics;
+    *   - votes sum across trees in tree order (left-associative chain —
+    *     the same fold order as `predictRaw`'s loop);
+    *   - `prediction = argmax(votes)` with ties to class 0
+    *     (`CASE WHEN v1 > v0 THEN 1 ELSE 0`), and
+    *     `score1 = v1 / (v0 + v1)` exactly as
+    *     `normalizeToProbabilitiesInPlace` divides by the vote sum.
+    *
+    * This closes the classic MLlib-vs-anything verification gap for
+    * SCORING: the fit stays engine-specific, but the fitted model's
+    * decision function is replayed by the DuckDB oracle (q34).
+    * VERDICT r5 item 4.
+    */
+  def forestSql(model: RandomForestClassificationModel,
+                featureCols: Seq[String]): ForestSql = {
+    require(model.numClasses == 2,
+      s"binary forests only, got ${model.numClasses} classes")
+    import org.apache.spark.ml.graft.TreeBridge
+    import TreeBridge.{ExportedBranch, ExportedLeaf, ExportedNode}
+    def nodeSql(n: ExportedNode, cls: Int): String = n match {
+      case ExportedLeaf(counts) =>
+        val total = counts.sum // same sequential sum as predictRaw's
+        val p = if (total == 0.0) 0.0 else counts(cls) / total
+        p.toString
+      case ExportedBranch(f, t, l, r) =>
+        s"(CASE WHEN ${featureCols(f)} <= $t THEN ${nodeSql(l, cls)} " +
+          s"ELSE ${nodeSql(r, cls)} END)"
+    }
+    def votes(cls: Int): String = model.trees
+      .map(t => nodeSql(TreeBridge.export(t.rootNode), cls))
+      .reduceLeft((a, b) => s"$a + $b")
+    val (v0, v1) = (s"(${votes(0)})", s"(${votes(1)})")
+    ForestSql(v0, v1,
+      pred = s"(CASE WHEN $v1 > $v0 THEN 1 ELSE 0 END)",
+      score1 = s"($v1 / ($v0 + $v1))")
+  }
+
+  /** SQL fragments from [[forestSql]]; `pred`/`score1` are self-contained
+    * expressions over the feature columns.
+    */
+  final case class ForestSql(votes0: String, votes1: String,
+                             pred: String, score1: String)
+
   /** Per-fold train/eval (the H5 protocol): for each fold id, train on the
     * `train` set rows of that fold and report val + test balanced accuracy.
     * Returns one row per fold: (fold, ba_val, ba_test).

@@ -89,12 +89,31 @@ object PipelineQueries {
         .orderBy(col("slide_name"))
     },
 
-    // ---- H5: RF metadata classifier (model output is not SQL-replayable ->
-    //      rows-only; learnability + determinism pinned by MetaClassifierSpec)
-    // One scoring pass + ONE grouped balanced-accuracy aggregation over all
-    // three sets (was three per-set score+collect jobs), on the session-
-    // memoized H5 model (see h5Model).
-    QueryDef.rowsOnly("q34_rf_classifier") { (s, d) =>
+    // ---- H5: RF metadata classifier — SCORING now carries a FULL oracle:
+    // the fitted forest is exported as nested CASE expressions
+    // (MetaClassifier.forestSql — bit-exact replay of MLlib's leaf-vote
+    // arithmetic), embedded in a DYNAMIC oracle generated against the
+    // fitted model for the active data dir. The fit itself stays
+    // engine-specific (MLlib ≠ sklearn ≠ anything), but once fitted, its
+    // decision function is engine-independent and DuckDB replays the whole
+    // evaluation: features → folds → forest prediction → grouped balanced
+    // accuracy. One scoring pass on the session-memoized H5 model.
+    QueryDef.dynamicSql("q34_rf_classifier") { (s, d) =>
+      val f = MetaClassifier.forestSql(h5Model(s, d), h5Feats)
+      s"""WITH f AS (
+         |  SELECT c_acctbal AS bal, CAST(c_nationkey % 5 AS DOUBLE) AS cat,
+         |    CASE WHEN c_acctbal > 4500 THEN 1 ELSE 0 END AS y,
+         |    (row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) - 1) % 5 AS fold
+         |  FROM customer),
+         |s AS (SELECT *, CASE WHEN fold < 1 THEN 'val' WHEN fold < 3 THEN 'test'
+         |                     ELSE 'train' END AS st FROM f),
+         |p AS (SELECT st, y, ${f.pred} AS pred FROM s),
+         |r AS (SELECT st, y,
+         |        avg(CASE WHEN pred = y THEN 1.0 ELSE 0.0 END) AS rec
+         |      FROM p GROUP BY st, y)
+         |SELECT st AS "set", round(avg(rec), 4) AS ba
+         |FROM r GROUP BY st ORDER BY "set"""".stripMargin
+    } { (s, d) =>
       val scored = MetaClassifier.score(h5Model(s, d), h5Folded(s, d), h5Feats)
       graft.operators.Metrics.balancedAccuracyBy(scored,
           col("label").cast("int"), col("prediction").cast("int"), Seq("set"))

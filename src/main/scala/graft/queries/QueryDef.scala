@@ -13,11 +13,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** Oracle SQL that can only be produced AGAINST a concrete data dir —
+      * e.g. q34's forest replay, generated from the model fitted on that
+      * dir's tables. Verify/Bench evaluate it when dumping oracle_sql.json;
+      * the static `oracle` stays None for such queries.
+      */
+    dynamicOracle: Option[(SparkSession, String) => String] = None)
 
 object QueryDef {
   def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, Some(oracle))
+  def dynamicSql(name: String)(oracle: (SparkSession, String) => String)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None, Some(oracle))
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
 }

@@ -64,6 +64,24 @@ class MetaClassifierSpec extends SparkSpec {
     assert(ba > 0.9, s"best grid BA=$ba with $cfg")
   }
 
+  test("forestSql replays MLlib scoring bit-for-bit (prediction AND score1)") {
+    // the q34 oracle's foundation: the exported CASE expressions must
+    // reproduce model.transform EXACTLY — evaluated here through Spark's
+    // own SQL engine on rows the trees actually split on
+    val m = MetaClassifier.fit(meta, Seq("age", "noise"), "label",
+      MetaClassifier.Config(numTrees = 21, maxDepth = 5))
+    val f = MetaClassifier.forestSql(m, Seq("age", "noise"))
+    val viaModel = MetaClassifier.score(m, meta, Seq("age", "noise"))
+      .select(col("id"), col("prediction").cast("int").as("p"), col("score1"))
+    val viaSql = meta.selectExpr("id", s"${f.pred} AS p2", s"${f.score1} AS s2")
+    val joined = viaModel.join(viaSql, "id")
+    assert(joined.filter(col("p") =!= col("p2")).count() == 0,
+      "exported predictions must match the model")
+    // BIT equality on the probability, not approximate
+    assert(joined.filter(col("score1") =!= col("s2")).count() == 0,
+      "exported score1 must match probability[1] bit-for-bit")
+  }
+
   test("perFoldEval returns one row per fold with val/test BA") {
     val folded = meta
       .withColumn("fold", (col("id") % 2).cast("int"))
