@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   * partition-parallel batch iteration, metadata extraction, frame-sample
   * fan-out. IMAGE decode is real ([[decodeImages]]: `javax.imageio` over the
   * binary payload, exercised end-to-end by the [[synthesizePng]] →
-  * [[decodeImages]] round trip in q52 and MultimodalSpec). Audio/video
-  * codecs remain stubbed ([[fakeDecode]] derives deterministic pseudo
-  * metadata — this container has no av libraries); swapping in a real one
-  * changes only the marked function body.
+  * [[decodeImages]] round trip in q52 and MultimodalSpec). AUDIO decode is
+  * real ([[decodeAudio]]: `javax.sound.sampled` WAV/PCM parsing with exact
+  * integer sample statistics, exercised by the [[synthesizeWav]] →
+  * [[decodeAudio]] round trip in q5e and MultimodalSpec). VIDEO remains
+  * stubbed ([[fakeDecode]] derives deterministic pseudo metadata — this
+  * container ships no video codec); swapping in a real one changes only
+  * the marked function body.
   */
 object Multimodal {
 
@@ -42,8 +45,9 @@ object Multimodal {
                           width: Int, height: Int, channels: Int,
                           content_hash: Long)
 
-  /** ===== STUB: replace with a real decoder =====
-    * Deterministic fake of image decoding: header fields derived from the
+  /** ===== STUB (VIDEO only — images use [[decodeImages]], audio
+    * [[decodeAudio]]): replace with a real decoder =====
+    * Deterministic fake of codec decoding: header fields derived from the
     * byte length and first bytes. A real implementation would decode the
     * codec header here (the function signature and per-partition batch shape
     * stay the same). Runs as `mapPartitions` over typed rows — the
@@ -139,6 +143,118 @@ object Multimodal {
             javax.imageio.ImageIO.write(img, "png", bos)
             (mid, bos.toByteArray, "image/png")
           case (mid, _, _) => (mid, null: Array[Byte], "image/png")
+        }
+      }
+      .toDF("media_id", "content", "media_type")
+  }
+
+  /** Decoded-audio record: format fields + EXACT integer sample statistics
+    * (peak = max |sample|, sum of |sample|, strict sign-flip zero
+    * crossings) — integers so a SQL oracle can replay them bit-for-bit;
+    * nulls when the payload is not decodable audio (corrupt input is data,
+    * not an exception).
+    */
+  case class DecodedAudio(media_id: Long, media_type: String, n_bytes: Long,
+                          sample_rate: Option[Int], channels: Option[Int],
+                          bits: Option[Int], n_samples: Option[Long],
+                          peak: Option[Long], sum_abs: Option[Long],
+                          zero_crossings: Option[Long])
+
+  /** REAL audio decode over the binary `content` column via
+    * `javax.sound.sampled` (WAV/AIFF/AU — the JDK's built-in parsers; no
+    * native codec needed for PCM). Same `mapPartitions` iterator shape as
+    * [[decodeImages]]: one decoder per partition, rows streamed through.
+    * Supports 16-bit PCM (signed, either endianness); anything the JDK
+    * can't parse — or non-16-bit formats — yields null fields.
+    *
+    * Zero crossings use the strict sign-product rule
+    * (`s[k-1]·s[k] < 0`): exact-integer, order-insensitive to encode
+    * details, and replayable in ANSI SQL via a lag window.
+    */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"), col("media_type"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, mediaType) =>
+          val n = if (bytes == null) 0 else bytes.length
+          val none = DecodedAudio(id, mediaType, n.toLong,
+            None, None, None, None, None, None, None)
+          if (n == 0) none
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.BufferedInputStream(
+                new java.io.ByteArrayInputStream(bytes)))
+            try {
+              val fmt = ais.getFormat
+              val isPcm16 = fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16
+              if (!isPcm16) none
+              else {
+                val data = ais.readAllBytes()
+                val big = fmt.isBigEndian
+                val ch = fmt.getChannels
+                val nSamp = data.length / 2
+                var peak = 0L; var sumAbs = 0L; var zc = 0L
+                var prev = 0; var i = 0
+                while (i + 1 < data.length) {
+                  val s =
+                    if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort.toInt
+                    else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toInt
+                  val a = math.abs(s.toLong)
+                  if (a > peak) peak = a
+                  sumAbs += a
+                  if (i >= 2 && prev * s < 0) zc += 1
+                  prev = s
+                  i += 2
+                }
+                DecodedAudio(id, mediaType, n.toLong,
+                  Some(fmt.getSampleRate.toInt), Some(ch), Some(16),
+                  Some(nSamp.toLong), Some(peak), Some(sumAbs), Some(zc))
+              }
+            } finally ais.close()
+          } catch { case _: Exception => none }
+        }
+      }
+      .toDF()
+  }
+
+  /** Deterministic mono 16-bit PCM WAV synthesis (pure-JVM header + sample
+    * writer): sample k of media `id` is `((id·31 + k·17) mod 201) − 100` —
+    * small exact integers a SQL oracle regenerates with the same
+    * arithmetic. The inverse fixture for [[decodeAudio]] (the
+    * [[synthesizePng]] pattern applied to audio); WAV PCM is lossless, so
+    * the decoded statistics are EXACTLY the formula's. Null/negative
+    * sample counts yield a null payload row.
+    */
+  def synthesizeWav(df: DataFrame, id: String, nSamples: String,
+                    sampleRate: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(nSamples).cast("int"))
+      .as[(Long, Option[Int])]
+      .mapPartitions { rows =>
+        rows.map {
+          case (mid, Some(n)) if n > 0 =>
+            val dataLen = n * 2
+            val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+              .put("WAVE".getBytes("US-ASCII"))
+              .put("fmt ".getBytes("US-ASCII")).putInt(16)
+              .putShort(1).putShort(1) // PCM, mono
+              .putInt(sampleRate).putInt(sampleRate * 2)
+              .putShort(2).putShort(16) // block align, bits
+              .put("data".getBytes("US-ASCII")).putInt(dataLen)
+            var k = 0
+            while (k < n) {
+              buf.putShort((((mid * 31 + k * 17) % 201) - 100).toShort)
+              k += 1
+            }
+            (mid, buf.array(), "audio/wav")
+          case (mid, _) => (mid, null: Array[Byte], "audio/wav")
         }
       }
       .toDF("media_id", "content", "media_type")

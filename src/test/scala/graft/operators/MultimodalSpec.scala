@@ -27,6 +27,35 @@ class MultimodalSpec extends SparkSpec {
     assert(a.map(_.getAs[Long]("content_hash")).distinct.length == 3)
   }
 
+  test("synthesizeWav -> decodeAudio round-trips exact PCM statistics") {
+    val base = Seq((10L, 100), (11L, 3), (12L, 1)).toDF("id", "n")
+    val decoded = Multimodal.decodeAudio(
+        Multimodal.synthesizeWav(base, "id", "n"))
+      .orderBy("media_id").collect()
+    // hand-check media 11 (n=3): samples k=0,1,2 of ((11*31 + 17k) % 201) - 100
+    val s = (0 until 3).map(k => ((11 * 31 + k * 17) % 201) - 100)
+    val r11 = decoded(1)
+    assert(r11.getAs[Long]("n_samples") == 3L)
+    assert(r11.getAs[Long]("peak") == s.map(math.abs).max.toLong)
+    assert(r11.getAs[Long]("sum_abs") == s.map(math.abs).sum.toLong)
+    assert(r11.getAs[Long]("zero_crossings") ==
+      s.sliding(2).count(p => p.head * p(1) < 0).toLong)
+    assert(decoded.forall(r => r.getAs[Int]("sample_rate") == 8000 &&
+      r.getAs[Int]("channels") == 1 && r.getAs[Int]("bits") == 16))
+    assert(decoded(0).getAs[Long]("n_samples") == 100L)
+  }
+
+  test("decodeAudio yields null fields on corrupt payloads (data, not exceptions)") {
+    val junk = Seq((1L, "this is not a wav file"), (2L, ""))
+      .toDF("id", "payload")
+    val decoded = Multimodal.decodeAudio(
+        Multimodal.asMedia(junk, "id", "payload", "audio/wav"))
+      .orderBy("media_id").collect()
+    assert(decoded.length == 2)
+    assert(decoded.forall(r => r.isNullAt(r.fieldIndex("sample_rate")) &&
+      r.isNullAt(r.fieldIndex("n_samples"))))
+  }
+
   test("decodeImages really decodes: PNG and JPEG round-trip via javax.imageio") {
     // build one PNG and one JPEG in-memory with known dimensions
     def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
