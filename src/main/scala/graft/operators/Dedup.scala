@@ -319,13 +319,17 @@ object Dedup {
     */
   def writeBandTable(corpus: DataFrame, id: String, text: String,
                      table: String, buckets: Int = 32, bands: Int = 8,
-                     rowsPerBand: Int = 4, shingleN: Int = 3): Unit = {
-    bandedKeys(corpus, id, text, bands, rowsPerBand, shingleN)
+                     rowsPerBand: Int = 4, shingleN: Int = 3,
+                     path: Option[String] = None): Unit = {
+    // `path` makes the table EXTERNAL at that location — use it when the
+    // catalog is in-memory but the filesystem persists across sessions
+    // (a stale managed-table directory would otherwise refuse recreation)
+    val w0 = bandedKeys(corpus, id, text, bands, rowsPerBand, shingleN)
       .write.mode("overwrite")
       .bucketBy(buckets, "bh")
       .sortBy("bh")
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w0)(w0.option("path", _)).saveAsTable(table)
     // record the LSH geometry the band rows were built with — a probe with
     // different (bands, rowsPerBand, shingleN) computes different band keys
     // and the equi-join would just return fewer matches with no error, so
@@ -469,10 +473,23 @@ object Dedup {
     * id reachable through near-dup edges). Converges in O(component
     * diameter) rounds — near-dup components are shallow (dupes of dupes),
     * so a handful of rounds suffices; lineage is truncated per round with
-    * `localCheckpoint` so the plan doesn't grow unboundedly at scale.
+    * an eager checkpoint so the plan doesn't grow unboundedly at scale.
     * Returns `(doc, cluster)` for every doc appearing in a pair.
+    *
+    * Fault tolerance: when the session has a checkpoint dir configured
+    * (`spark.sparkContext.setCheckpointDir`), rounds checkpoint RELIABLY
+    * to it — executor loss mid-propagation (dynamic allocation, spot
+    * kills) costs one recompute from storage, not the job. Without one,
+    * rounds fall back to `localCheckpoint` (executor-local blocks,
+    * eager): fine on a static cluster / local mode, but losing an
+    * executor loses its label blocks mid-iteration — on preemptible
+    * fleets, set a checkpoint dir.
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    // lineage truncation for one propagation round: reliable when possible
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // pairs is consumed once per edge direction and once per propagation
     // round - persist the (tiny) pair list so its producing pipeline (often
     // a full LSH block+verify) runs exactly once
@@ -490,7 +507,7 @@ object Dedup {
       .agg(min(col("src")).as("__nmin"))
       .select(col("dst").as("doc"),
         least(col("dst"), col("__nmin")).as("cluster"))
-      .localCheckpoint(true)
+    labels = truncate(labels)
     var changed = 1L
     var iter = 1
     while (changed > 0 && iter < maxIters) {
@@ -499,14 +516,13 @@ object Dedup {
         .groupBy(col("dst").as("doc"))
         .agg(min(col("c")).as("nmin"))
       // change detection rides along as a 0/1 column computed in the SAME
-      // pass that materializes the round (localCheckpoint is eager), so the
-      // convergence check is a sum over the just-cached tiny label table —
-      // not a second labels×edges join job per round
-      val next = labels.join(neighborMin, Seq("doc"), "left")
+      // pass that materializes the round (the checkpoint is eager), so the
+      // convergence check is a sum over the just-materialized tiny label
+      // table — not a second labels×edges join job per round
+      val next = truncate(labels.join(neighborMin, Seq("doc"), "left")
         .select(col("doc"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
-          when(col("nmin") < col("cluster"), 1L).otherwise(0L).as("__chg"))
-        .localCheckpoint(true)
+          when(col("nmin") < col("cluster"), 1L).otherwise(0L).as("__chg")))
       changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).first().getLong(0)
       labels = next.drop("__chg")
       iter += 1

@@ -429,6 +429,48 @@ object TextQueries {
         .orderBy(col("media_id"))
     },
 
+    // ---- REAL audio decode (javax.sound WAV/PCM) with a FULL oracle --------
+    // synthesizeWav writes real RIFF/PCM16 files whose samples follow an
+    // integer formula; decodeAudio parses them back through the JDK's audio
+    // stack and emits exact integer statistics. WAV PCM is lossless, so the
+    // oracle regenerates every sample with the same arithmetic and the
+    // decoded format fields + peak/sum|s|/zero-crossings hash-match.
+    // Closes the audio half of SURVEY §2 A4's multimodal claim (video stays
+    // a documented stub — no codec in this container).
+    QueryDef.sql("q5e_audio_decode",
+      """WITH b AS (SELECT doc_id, 50 + doc_id % 100 AS n
+        |           FROM documents WHERE doc_id % 10 = 4),
+        |s AS (SELECT doc_id, unnest(range(n)) AS k FROM b),
+        |v AS (SELECT doc_id, k,
+        |        ((doc_id * 31 + k * 17) % 201) - 100 AS v FROM s),
+        |z AS (SELECT doc_id, v,
+        |        CASE WHEN v * lag(v) OVER (PARTITION BY doc_id ORDER BY k) < 0
+        |             THEN 1 ELSE 0 END AS c FROM v),
+        |a AS (SELECT doc_id, count(*) AS n_samples, max(abs(v)) AS peak,
+        |        sum(abs(v)) AS sum_abs, sum(c) AS zero_crossings
+        |      FROM z GROUP BY doc_id)
+        |SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+        |  CAST(n_samples AS BIGINT) AS n_samples, CAST(peak AS BIGINT) AS peak,
+        |  CAST(sum_abs AS BIGINT) AS sum_abs,
+        |  CAST(zero_crossings AS BIGINT) AS zero_crossings
+        |FROM a ORDER BY media_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).where(col("doc_id") % 10 === 4)
+        .select(col("doc_id"),
+          (lit(50) + col("doc_id") % 100).cast("int").as("n"))
+      val media = Multimodal.synthesizeWav(base, "doc_id", "n")
+      Multimodal.decodeAudio(media)
+        .select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits").cast("long").as("bits"),
+          col("n_samples").cast("long").as("n_samples"),
+          col("peak").cast("long").as("peak"),
+          col("sum_abs").cast("long").as("sum_abs"),
+          col("zero_crossings").cast("long").as("zero_crossings"))
+        .orderBy(col("media_id"))
+    },
+
     // ---- connected-components clustering with an EXACT oracle ---------------
     // The near-dup cluster machinery (min-label propagation) replayed on a
     // pair list DuckDB can reproduce exactly: all-pairs n-gram Jaccard on a
@@ -783,6 +825,73 @@ object TextQueries {
             lit(" entirely novel synthetic content")).as("text"))
       Dedup.dropNearDupesAgainst(dupes.unionByName(fresh), docs,
           "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q4w's incremental gate through the PERSISTED band table --------
+    // The production amortization shape: the corpus is banded ONCE into a
+    // bucketed catalog table (writeBandTable — done lazily here, once per
+    // (session, sf), outside the steady-state path); every subsequent
+    // ingest probe joins the batch's band keys against the bucketed read
+    // with NO exchange on the corpus side (plan-pinned in DedupSpec).
+    // Same fixture and exact all-pairs oracle as q4w — the persisted probe
+    // must find exactly the dups the live banding finds. (Shares q4w's
+    // fixture invariant: dup pairs are near-1 Jaccard, comfortably above
+    // the r=4,b=8 banding's high-recall region.)
+    QueryDef.sql("q5f_bandtable_probe",
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' tail' AS text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    'fresh batch item ' || doc_id || ' entirely novel synthetic content'
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |shc AS (SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |                           for i in range(len(t) - 2)]) AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus) x) u),
+        |shb AS (SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |                           for i in range(len(t) - 2)]) AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM batch) x) u),
+        |nc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+        |nb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id),
+        |inter AS (
+        |  SELECT b.doc_id AS doc_b, c.doc_id AS doc_c, count(*) AS i
+        |  FROM shb b JOIN shc c ON b.s = c.s
+        |  GROUP BY b.doc_id, c.doc_id),
+        |dup AS (
+        |  SELECT DISTINCT doc_b FROM inter
+        |  JOIN nb ON nb.doc_id = doc_b JOIN nc ON nc.doc_id = doc_c
+        |  WHERE i / (nb.n + nc.n - i) >= 0.5)
+        |SELECT doc_id FROM batch
+        |WHERE doc_id NOT IN (SELECT doc_b FROM dup)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // one band table per sf dir; rebuilt at most once per session.
+      // External at a deterministic tmp path (overwritten, never
+      // accumulated): the in-memory catalog forgets tables across JVMs
+      // while the filesystem remembers them — a managed table would
+      // refuse recreation over its stale directory.
+      val tag = "sf" + d.replaceAll("[^0-9]", "").takeRight(8)
+      val table = s"graft_bands_$tag"
+      if (!s.catalog.tableExists(table))
+        Dedup.writeBandTable(docs, "doc_id", "text", table,
+          path = Some(s"${sys.props("java.io.tmpdir")}/graft_bands_$tag"))
+      val dupes = docs.where(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text"))
+      val fresh = docs.where(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(lit("fresh batch item "), col("doc_id"),
+            lit(" entirely novel synthetic content")).as("text"))
+      val batch = dupes.unionByName(fresh)
+      val dupIds = Dedup.nearDupesAgainstTable(batch, docs, table,
+          "doc_id", "text", threshold = 0.5)
+        .select(col("doc_a").as("doc_id")).distinct()
+      batch.join(dupIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     },

@@ -140,6 +140,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs -> packSequences composition conserves tokens end-to-end") {
+    // the training-data shape: chunk a corpus, then pack chunks into
+    // ~budget-token sequences. Invariants over a (chunk, overlap, budget)
+    // grid: every chunk lands in exactly one pack; per-pack token sums add
+    // up to the chunk total, which equals the corpus token total plus the
+    // overlap duplication (nChunks-1 per doc); and every row obeys the
+    // greedy floor(exclusive-cum/budget) law (ids start at 0, are
+    // monotone in pack order, and may legally skip when one oversized
+    // chunk spans several budget units).
+    val caseGen = for {
+      nDocs <- Gen.choose(1, 8)
+      chunk <- Gen.choose(2, 40)
+      overlap <- Gen.choose(0, chunk - 1)
+      budget <- Gen.choose(1L, 150L)
+    } yield (nDocs, chunk, overlap, budget)
+    forSamples(caseGen, n = 6) { case (nDocs, chunk, overlap, budget) =>
+      val docs = (1 to nDocs).map { d =>
+        val n = (d * 37) % 90 + 1            // deterministic varied lengths
+        (d.toLong, (1 to n).map(i => s"d${d}w$i").mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val chunks = Curate.chunkDocs(df, "doc_id", "text", chunk, overlap)
+        .withColumn("__ord", col("doc_id") * 1000 + col("chunk_id"))
+      val packed = Curate.packSequences(chunks, "n_tokens", "__ord", budget)
+        .select("doc_id", "chunk_id", "n_tokens", "pack_id", "__ord")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._5)
+      assert(packed.length ==
+        chunks.count().toInt, "packing must not drop or duplicate chunks")
+      // token conservation: chunk totals = corpus totals + overlap dup
+      val chunkTotal = packed.map(_._3).sum
+      val stride = chunk - overlap
+      val expected = docs.map { case (_, text) =>
+        val n = text.split(" ").length.toLong
+        val nChunks = if (n <= chunk) 1L
+                      else ((n - chunk) + stride - 1) / stride + 1L
+        n + (nChunks - 1) * overlap
+      }.sum
+      assert(chunkTotal == expected,
+        s"token conservation: chunks $chunkTotal != docs+overlap $expected")
+      // the greedy prefix-sum law (also forces start-at-0 and monotonicity)
+      var cum = 0L
+      packed.foreach { case (_, _, n, pid, _) =>
+        assert(pid == cum / budget,
+          s"pack id law broken at cum=$cum budget=$budget: got $pid")
+        cum += n
+      }
+    }
+  }
+
   test("chunkDocs: every token covered, overlap exact, for random budgets") {
     val caseGen = for {
       nTokens <- Gen.choose(1, 300)

@@ -142,6 +142,24 @@ class DedupSpec extends SparkSpec {
       s"chain 1-2-3 must collapse to one cluster, got $clusters")
   }
 
+  test("nearDupClusters reliable-checkpoint path (checkpoint dir set) matches") {
+    // with a checkpoint dir configured, rounds checkpoint reliably to it
+    // (executor-loss-safe) instead of localCheckpoint; labels must be
+    // identical. The dir stays set for the remainder of the shared-session
+    // JVM — semantics are unchanged for any later caller, only durability.
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // the reliable path really wrote round snapshots to the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "expected reliable checkpoint files under the dir")
+  }
+
   test("dropNearDupes keeps one doc per near-dup cluster plus all singletons") {
     val kept = Dedup.dropNearDupes(docs, "doc_id", "text", threshold = 0.5)
       .select("doc_id").as[Long].collect().sorted.toSeq

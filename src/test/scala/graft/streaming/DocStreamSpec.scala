@@ -42,6 +42,42 @@ class DocStreamSpec extends SparkSpec {
     assert(kept.toSeq == Seq(21L, 23L, 26L), s"got ${kept.toSeq}")
   }
 
+  test("checkpoint recovery: kill/restart mid-stream drops nothing, dups nothing") {
+    // exactly-once across a crash: parquet sink + real checkpoint dir,
+    // stop the query between micro-batches, restart from the SAME
+    // checkpoint, and require (a) the within-stream dedup STATE survived
+    // (a post-restart re-send still drops) and (b) the final keeper set
+    // equals the batch gate run over everything — no loss, no dups.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-docrec").toString
+    val in = MemoryStream[Doc]
+    def start() = DocStream.dedupedIngest(in.toDF(), corpus)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    val batch1 = Seq(
+      Doc(20L, t(1), "already ingested text one"), // corpus dup -> drop
+      Doc(21L, t(2), "brand new text"),
+      Doc(22L, t(3), "another new text"))
+    val batch2 = Seq(
+      Doc(23L, t(5), "brand new text"),            // re-send ACROSS restart
+      Doc(24L, t(6), "already ingested text two"), // corpus dup -> drop
+      Doc(25L, t(7), "post-restart fresh text"))
+    val q1 = start()
+    try { in.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()                               // recover from checkpoint
+    try { in.addData(batch2: _*); q2.processAllAvailable() } finally q2.stop()
+    val survived = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survived == survived.distinct, s"duplicated rows after recovery: $survived")
+    val batched = Dedup.dropDupesAgainst(
+        (batch1 ++ batch2).toDF().drop("ts"), corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survived == batched,
+      s"recovered stream $survived != batch gate $batched")
+  }
+
   test("stream gate matches the batch gate's keeper set on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val batch = Seq(
