@@ -60,6 +60,12 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.locality.wait", "0")
+      // FAIR job scheduling for the N-stream throughput pass: under the
+      // default FIFO, one stream's multi-stage job heads the queue and
+      // convoys the other streams' small stages behind it (measured 2.5x
+      // wall variance run-to-run); FAIR round-robins tasks across the
+      // concurrent jobs so streams actually overlap
+      .config("spark.scheduler.mode", "FAIR")
     // extra session conf via SPARK_GRAFT_CONF="k=v;k=v" (experiments)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
       .foreach { kv =>
@@ -90,8 +96,11 @@ object Bench {
       name -> times.min
     }.toMap
     // pass 2: suite throughput — N streams drain the (warm) suite,
-    // longest-first so no straggler runs alone at the end
-    val sparkWall = {
+    // longest-first so no straggler runs alone at the end. Best of `runs`
+    // passes: a single wall measurement is hostage to one bad scheduling
+    // interleave or host-contention burst (this box degrades ~8x for
+    // minutes at a time — PERF.md), and this number IS the headline.
+    def wallOnce(): Double = {
       val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       results.toSeq.sortBy(-_._2).foreach { case (n, _) => queue.add(n) }
       val t0 = System.nanoTime()
@@ -109,6 +118,7 @@ object Bench {
       workers.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
+    val sparkWall = (1 to runs).map(_ => wallOnce()).min
     // experiments (filtered runs) skip the DuckDB side: totals over
     // different query subsets aren't comparable anyway
     val duckdb = if (only.isDefined) Map.empty[String, Double]
