@@ -43,17 +43,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
-    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "8").toInt.max(1)
+    // 12 streams packs the suite tighter than 8 under FAIR (wall/seq 0.24
+    // vs 0.28 measured same-window); 16 regresses (state-heavy queries
+    // contend for cores)
+    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "12").toInt.max(1)
     // optional comma-separated name-prefix filter for config experiments
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     // shuffle partitions sized for the BENCH data (~600k-row tables), not
-    // the core count: measured at sf0.1, 8 partitions beats 32 on both
-    // sequential total (31.6s vs 49.3s) and 8-stream wall (9.5s vs 21.1s) —
-    // per-stage cost at toy scale is tasks × launch overhead, and even the
-    // CPU-bound verify stages finish faster with 4-8 fatter tasks. At
-    // cluster scale partitions are sized by data; this is the same sizing
-    // discipline applied to a small input.
-    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
+    // the core count: per-stage cost at toy scale is tasks × launch
+    // overhead, and even CPU-bound verify stages finish faster with a few
+    // fat tasks. Measured 8-stream FAIR walls at sf0.1: 32 parts 21.1s,
+    // 8 parts 15.1s, 4 parts 10.7s, 2 parts 15.3s (too little in-stage
+    // parallelism once streams contend) — 4 is the knee. At cluster scale
+    // partitions are sized by data; this is the same sizing discipline
+    // applied to a small input.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufParts)
