@@ -1,8 +1,10 @@
 package graft.streaming
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming document ingest — the streaming face of the batch ingest gate
   * (`Dedup.dropDupesAgainst`): documents arrive continuously, exact
@@ -44,5 +46,53 @@ object DocStream {
       .filter(col("__seen").isNull)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp", "__seen")
+  }
+
+  /** Streaming NEAR-dup ingest gate — the LSH face of [[dedupedIngest]]:
+    * documents arrive continuously and are dropped when they are a
+    * near-duplicate (shingle-Jaccard ≥ threshold) of the historical
+    * corpus.
+    *
+    * Shape: `foreachBatch`. The LSH probe is a multi-stage plan
+    * (band-key blocking join → candidate distinct → verify-kernel
+    * aggregate → anti-join) that Structured Streaming's incremental
+    * planner cannot express in append mode, so each micro-batch runs the
+    * BATCH probe against the PERSISTED bucketed band table
+    * ([[graft.operators.Dedup.nearDupesAgainstTable]]): only the
+    * micro-batch is scanned and banded, the corpus side is a bucket-local
+    * parquet read with no exchange and NO streaming state — state is the
+    * band table, not the state store, so the gate's memory is independent
+    * of stream length and corpus size.
+    *
+    * Recovery: each micro-batch overwrites its own `batch=<id>`
+    * partition directory under `sinkPath`, so a batch replayed after a
+    * crash rewrites the same files instead of appending duplicates —
+    * idempotent exactly-once without sink transactions. Read the gate's
+    * output with `spark.read.parquet(sinkPath)` (partition discovery
+    * strips the batch= level into a column).
+    *
+    * `corpus` supplies candidate text for the verify stage only (prune
+    * it to (id, text)); `bandTable` must have been written by
+    * [[graft.operators.Dedup.writeBandTable]] with the SAME
+    * bands/rowsPerBand/shingleN (enforced via its table properties).
+    */
+  def nearDedupedIngest(docs: DataFrame, corpus: DataFrame,
+                        bandTable: String, id: String, textCol: String,
+                        sinkPath: String, checkpointDir: String,
+                        threshold: Double = 0.8, bands: Int = 8,
+                        rowsPerBand: Int = 4,
+                        shingleN: Int = 3): StreamingQuery = {
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val b = batch.toDF()
+        val dupes = Dedup.nearDupesAgainstTable(b, corpus, bandTable,
+            id, textCol, threshold, bands, rowsPerBand, shingleN)
+          .select(col("doc_a").as(id)).distinct()
+        b.join(dupes, Seq(id), "left_anti")
+          .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
   }
 }

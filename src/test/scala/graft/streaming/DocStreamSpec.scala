@@ -78,6 +78,44 @@ class DocStreamSpec extends SparkSpec {
       s"recovered stream $survived != batch gate $batched")
   }
 
+  test("streaming NEAR-dup gate: LSH probe per micro-batch equals the batch gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-neargate").toString
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "completely different historical document about particle physics and gauge theory"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeBandTable(corpus, "doc_id", "text",
+      "near_gate_bands", buckets = 4, bands = 16, rowsPerBand = 2,
+      path = Some(s"$dir/bands"))
+    try {
+      val b1 = Seq(
+        Doc(20L, t(1), "the quick brown fox jumps over the lazy dog near the river bank today extra"),
+        Doc(21L, t(2), "genuinely novel streaming content about astronomy and telescopes"))
+      val b2 = Seq(
+        Doc(22L, t(3), "completely different historical document about particle physics and gauge theory plus"),
+        Doc(23L, t(4), "another genuinely fresh document mentioning entirely new things"))
+      val in = MemoryStream[Doc]
+      val q = DocStream.nearDedupedIngest(in.toDF(), corpus,
+        "near_gate_bands", "doc_id", "text",
+        s"$dir/out", s"$dir/ckpt", threshold = 0.5,
+        bands = 16, rowsPerBand = 2)
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val batched = graft.operators.Dedup.dropNearDupesAgainst(
+          (b1 ++ b2).toDF().drop("ts"), corpus, "doc_id", "text",
+          threshold = 0.5, bands = 16, rowsPerBand = 2)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed == batched,
+        s"stream near-gate $streamed != batch near-gate $batched")
+      assert(streamed == Seq(21L, 23L), s"near-dups must drop, got $streamed")
+    } finally spark.sql("DROP TABLE IF EXISTS near_gate_bands")
+  }
+
   test("stream gate matches the batch gate's keeper set on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val batch = Seq(
