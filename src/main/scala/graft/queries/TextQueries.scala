@@ -896,6 +896,63 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- the STREAMING near-dup gate, oracle-pinned (q6a pattern) -------
+    // The q4w/q5f batch fixture replayed through DocStream's foreachBatch
+    // LSH gate in 2 micro-batches against the same persisted band table:
+    // each micro-batch is independently probed (no cross-batch state), so
+    // the union of survivors must equal the batch gate — the SAME exact
+    // all-pairs Jaccard oracle hash-checks the streaming path.
+    QueryDef.sql("q6b_stream_neardup",
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' tail' AS text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    'fresh batch item ' || doc_id || ' entirely novel synthetic content'
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |shc AS (SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |                           for i in range(len(t) - 2)]) AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus) x) u),
+        |shb AS (SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |                           for i in range(len(t) - 2)]) AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM batch) x) u),
+        |nc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+        |nb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id),
+        |inter AS (
+        |  SELECT b.doc_id AS doc_b, c.doc_id AS doc_c, count(*) AS i
+        |  FROM shb b JOIN shc c ON b.s = c.s
+        |  GROUP BY b.doc_id, c.doc_id),
+        |dup AS (
+        |  SELECT DISTINCT doc_b FROM inter
+        |  JOIN nb ON nb.doc_id = doc_b JOIN nc ON nc.doc_id = doc_c
+        |  WHERE i / (nb.n + nc.n - i) >= 0.5)
+        |SELECT doc_id FROM batch
+        |WHERE doc_id NOT IN (SELECT doc_b FROM dup)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val tag = "sf" + d.replaceAll("[^0-9]", "").takeRight(8)
+      val table = s"graft_bands_$tag"
+      if (!s.catalog.tableExists(table))
+        Dedup.writeBandTable(docs, "doc_id", "text", table,
+          path = Some(s"${sys.props("java.io.tmpdir")}/graft_bands_$tag"))
+      val dupes = docs.where(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text"))
+      val fresh = docs.where(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(lit("fresh batch item "), col("doc_id"),
+            lit(" entirely novel synthetic content")).as("text"))
+      graft.streaming.DocStream.replayNearDedupedIngest(
+          dupes.unionByName(fresh), docs, table, "doc_id", "text",
+          s"${sys.props("java.io.tmpdir")}/graft_neargate_$tag",
+          nBatches = 2, threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- top-k salient terms per doc (float-free TF-IDF ranking: tf desc,
     //      then rarest-in-corpus df asc, then term — integer keys replay
     //      exactly; a float tf*ln(N/df) could flip top-k membership on a

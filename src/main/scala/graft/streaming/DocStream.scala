@@ -72,7 +72,9 @@ object DocStream {
     * strips the batch= level into a column).
     *
     * `corpus` supplies candidate text for the verify stage only (prune
-    * it to (id, text)); `bandTable` must have been written by
+    * it to (id, text), with the SAME `id`/`textCol` column names as the
+    * stream — the verify join reads both sides by name); `bandTable`
+    * must have been written by
     * [[graft.operators.Dedup.writeBandTable]] with the SAME
     * bands/rowsPerBand/shingleN (enforced via its table properties).
     */
@@ -94,5 +96,62 @@ object DocStream {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+  }
+
+  private case class GateDoc(gate_doc_id: Long, gate_text: String)
+
+  /** Bounded replay of [[nearDedupedIngest]] for verification: collects
+    * `docs` (BOUNDED input only by construction — MemoryStream takes local
+    * data; the production path is the same transform over `readStream`
+    * with no collect), splits it into `nBatches` micro-batches by id hash,
+    * streams them through the gate, and returns the surviving rows read
+    * back from the sink. Each micro-batch is independently probed against
+    * the static band table (the gate holds no cross-batch state), so the
+    * result equals the batch gate over all rows regardless of batching —
+    * which is exactly the property an oracle can pin.
+    *
+    * `workDir` is reused deterministically (sink + checkpoint overwritten
+    * per replay, never accumulated).
+    */
+  def replayNearDedupedIngest(docs: DataFrame, corpus: DataFrame,
+                              bandTable: String, id: String, textCol: String,
+                              workDir: String, nBatches: Int = 2,
+                              threshold: Double = 0.8, bands: Int = 8,
+                              rowsPerBand: Int = 4,
+                              shingleN: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    require(nBatches >= 1, s"need at least one batch, got $nBatches")
+    val rows = docs
+      .select(col(id).cast("long").as("gate_doc_id"),
+        col(textCol).as("gate_text"))
+      .as[GateDoc].collect()
+    val root = java.nio.file.Paths.get(workDir)
+    // fresh sink + checkpoint per replay: a stale checkpoint would try to
+    // resume offsets that this new MemoryStream never had
+    def clear(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.delete(f); () })
+    clear(root)
+    val in = MemoryStream[GateDoc]
+    // the probe's verify stage reads batch and corpus by the SAME column
+    // names (as [[nearDedupedIngest]] requires of its caller)
+    val gateCorpus = corpus.select(col(id).as("gate_doc_id"),
+      col(textCol).as("gate_text"))
+    val q = nearDedupedIngest(in.toDF(), gateCorpus, bandTable,
+      "gate_doc_id", "gate_text", s"$workDir/out", s"$workDir/ckpt",
+      threshold, bands, rowsPerBand, shingleN)
+    try {
+      (0 until nBatches).foreach { b =>
+        val batch = rows.filter(r =>
+          math.floorMod(r.gate_doc_id, nBatches.toLong) == b.toLong)
+        if (batch.nonEmpty) { in.addData(batch.toSeq: _*); q.processAllAvailable() }
+      }
+    } finally q.stop()
+    spark.read.parquet(s"$workDir/out")
+      .select(col("gate_doc_id").as(id), col("gate_text").as(textCol))
   }
 }
