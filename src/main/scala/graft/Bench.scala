@@ -9,10 +9,14 @@ import org.apache.spark.sql.SparkSession
   *      runs; run 1 warms Janino codegen / broadcast builds / page cache,
   *      run 2 is the steady state a repeated production query sees (DuckDB
   *      side: GRAFT_RUNS, same default);
-  *   2. suite throughput — wall-clock of the whole (warm) query set drained
-  *      by SPARK_GRAFT_STREAMS (default 8) concurrent streams from one
-  *      longest-first queue (DuckDB side: GRAFT_STREAMS threads over
-  *      cursors of one connection, same queue order).
+  *   2. suite throughput — best-of-runs wall-clock of the whole (warm)
+  *      query set drained by SPARK_GRAFT_STREAMS (default 12) concurrent
+  *      streams from one longest-first queue, one FAIR scheduler pool per
+  *      stream. The DuckDB side runs the same queue at ITS OWN
+  *      measured-best concurrency (GRAFT_DUCK_STREAMS cursor threads over
+  *      a GRAFT_DUCK_THREADS global pool — see tools/duckdb_bench.py for
+  *      the sweep); stream counts are deliberately NOT symmetric, best
+  *      mode vs best mode is.
   *
   * The headline `value`/`duckdb_total` pair is the THROUGHPUT wall — the
   * TPC-H-throughput-style metric. Rationale, measured at sf0.1: ~60 of the
@@ -108,8 +112,14 @@ object Bench {
       val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       results.toSeq.sortBy(-_._2).foreach { case (n, _) => queue.add(n) }
       val t0 = System.nanoTime()
-      val workers = (1 to streams).map { _ =>
+      val workers = (1 to streams).map { i =>
         new Thread(() => {
+          // one scheduler pool PER STREAM: FAIR mode is fair ACROSS pools,
+          // but jobs inside a single pool (all jobs, if none is assigned —
+          // they land in 'default') run FIFO, which would re-create the
+          // convoy this pass exists to avoid. Pools need no XML config;
+          // unknown names get default weight/minShare, FAIR between them.
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"stream$i")
           var name = queue.poll()
           while (name != null) {
             try selected(name)(spark, sfDir).count()
@@ -126,7 +136,7 @@ object Bench {
     // experiments (filtered runs) skip the DuckDB side: totals over
     // different query subsets aren't comparable anyway
     val duckdb = if (only.isDefined) Map.empty[String, Double]
-                 else duckdbBaseline(spark, sfDir, runs, streams)
+                 else duckdbBaseline(spark, sfDir, runs)
     writeDetail(results, sparkWall, duckdb, streams, sfDir)
     println(emitLine(results, sparkWall, duckdb, streams, sfDir))
     spark.stop()
@@ -193,16 +203,18 @@ object Bench {
     * oracle-backed query, or empty when python3/duckdb is unavailable (the
     * Spark numbers still print).
     */
-  private def duckdbBaseline(spark: SparkSession, sfDir: String, runs: Int,
-                             streams: Int): Map[String, Double] = try {
+  private def duckdbBaseline(spark: SparkSession, sfDir: String,
+                             runs: Int): Map[String, Double] = try {
     val tmp = java.nio.file.Files.createTempFile("graft_oracle_sql", ".json")
     java.nio.file.Files.writeString(tmp, JsonDump.oracleSqlJson(spark, sfDir))
     val script = new java.io.File("tools/duckdb_bench.py")
     if (!script.isFile) return Map.empty
     import scala.sys.process._
+    // only GRAFT_RUNS is shared; DuckDB's stream/pool counts are its own
+    // (GRAFT_DUCK_STREAMS/GRAFT_DUCK_THREADS env pass straight through)
     val out = Process(
       Seq("python3", script.getPath, sfDir, tmp.toString), None,
-      "GRAFT_RUNS" -> runs.toString, "GRAFT_STREAMS" -> streams.toString).!!.trim
+      "GRAFT_RUNS" -> runs.toString).!!.trim
     parseFlatJson(out)
   } catch { case _: Throwable => Map.empty }
 

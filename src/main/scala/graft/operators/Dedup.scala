@@ -483,7 +483,12 @@ object Dedup {
     * rounds fall back to `localCheckpoint` (executor-local blocks,
     * eager): fine on a static cluster / local mode, but losing an
     * executor loses its label blocks mid-iteration — on preemptible
-    * fleets, set a checkpoint dir.
+    * fleets, set a checkpoint dir. Reliable checkpoints leave one
+    * snapshot per round on storage until context shutdown; long-lived
+    * services calling this repeatedly should start the context with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so the
+    * ContextCleaner deletes each round's files once its RDD is dropped
+    * (references are released every round below).
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined

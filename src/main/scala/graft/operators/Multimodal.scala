@@ -167,9 +167,11 @@ object Multimodal {
     * Supports 16-bit PCM (signed, either endianness); anything the JDK
     * can't parse — or non-16-bit formats — yields null fields.
     *
-    * Zero crossings use the strict sign-product rule
-    * (`s[k-1]·s[k] < 0`): exact-integer, order-insensitive to encode
-    * details, and replayable in ANSI SQL via a lag window.
+    * Statistics: `n_samples` counts ALL samples (frames × channels);
+    * `peak`/`sum_abs` are channel-agnostic. Zero crossings use the strict
+    * sign-product rule (`s[k-1]·s[k] < 0`) along CHANNEL 0 only —
+    * interleaved multi-channel samples would compare L[k] against R[k] —
+    * exact-integer and replayable in ANSI SQL via a lag window.
     */
   def decodeAudio(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -197,6 +199,11 @@ object Multimodal {
                 val big = fmt.isBigEndian
                 val ch = fmt.getChannels
                 val nSamp = data.length / 2
+                // peak and sum|s| are channel-agnostic; zero crossings are
+                // only meaningful along ONE channel's waveform — interleaved
+                // samples would compare L[k] against R[k] — so they walk
+                // channel 0 with a frame stride (stride 1 for mono)
+                val frameStep = 2 * ch
                 var peak = 0L; var sumAbs = 0L; var zc = 0L
                 var prev = 0; var i = 0
                 while (i + 1 < data.length) {
@@ -206,8 +213,10 @@ object Multimodal {
                   val a = math.abs(s.toLong)
                   if (a > peak) peak = a
                   sumAbs += a
-                  if (i >= 2 && prev * s < 0) zc += 1
-                  prev = s
+                  if (i % frameStep == 0) { // channel-0 sample
+                    if (i >= frameStep && prev * s < 0) zc += 1
+                    prev = s
+                  }
                   i += 2
                 }
                 DecodedAudio(id, mediaType, n.toLong,

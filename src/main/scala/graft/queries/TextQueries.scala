@@ -12,6 +12,78 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** The exact all-pairs batch-vs-corpus Jaccard oracle shared VERBATIM by
+    * q4w (live banding), q5f (persisted band table) and q6b (streaming
+    * gate): all three must gate the same fixture identically, and a
+    * fixture edit that reached only one of them would silently pin
+    * different query sets. Fixture invariant (q4w note): dup pairs are
+    * near-1 Jaccard, comfortably above the r=4,b=8 banding's high-recall
+    * region.
+    */
+  private val nearGateOracleSql: String =
+    """WITH corpus AS (SELECT doc_id, text FROM documents),
+      |batch AS (
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' tail' AS text
+      |  FROM documents WHERE doc_id % 25 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    'fresh batch item ' || doc_id || ' entirely novel synthetic content'
+      |  FROM documents WHERE doc_id % 40 = 0),
+      |shc AS (SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |                           for i in range(len(t) - 2)]) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus) x) u),
+      |shb AS (SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |                           for i in range(len(t) - 2)]) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM batch) x) u),
+      |nc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+      |nb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id),
+      |inter AS (
+      |  SELECT b.doc_id AS doc_b, c.doc_id AS doc_c, count(*) AS i
+      |  FROM shb b JOIN shc c ON b.s = c.s
+      |  GROUP BY b.doc_id, c.doc_id),
+      |dup AS (
+      |  SELECT DISTINCT doc_b FROM inter
+      |  JOIN nb ON nb.doc_id = doc_b JOIN nc ON nc.doc_id = doc_c
+      |  WHERE i / (nb.n + nc.n - i) >= 0.5)
+      |SELECT doc_id FROM batch
+      |WHERE doc_id NOT IN (SELECT doc_b FROM dup)
+      |ORDER BY doc_id""".stripMargin
+
+  /** The Spark-side twin of [[nearGateOracleSql]]'s `batch` CTE. */
+  private def nearGateBatch(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dupes = docs.where(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val fresh = docs.where(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat(lit("fresh batch item "), col("doc_id"),
+          lit(" entirely novel synthetic content")).as("text"))
+    dupes.unionByName(fresh)
+  }
+
+  /** Band table for the persisted-probe queries: one per sf dir, built at
+    * most once per session, EXTERNAL at a deterministic tmp path
+    * (overwritten, never accumulated — the in-memory catalog forgets
+    * tables across JVMs while the filesystem remembers them, and a
+    * managed table would refuse recreation over its stale directory).
+    * Returns the table name.
+    */
+  private def ensureBandTable(s: org.apache.spark.sql.SparkSession,
+                              d: String): String = {
+    val tag = "sf" + d.replaceAll("[^0-9]", "").takeRight(8)
+    val table = s"graft_bands_$tag"
+    if (!s.catalog.tableExists(table))
+      Dedup.writeBandTable(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", table,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bands_$tag"))
+    table
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token statistics --------------------------------------------------
@@ -785,45 +857,9 @@ object TextQueries {
     //      fixture keeps dup pairs deep in the banding's high-recall
     //      region. If you edit the fixture, keep constructed dup pairs at
     //      Jaccard >= 0.8 or the gate can fail with no code bug. ------------
-    QueryDef.sql("q4w_neardup_against",
-      """WITH corpus AS (SELECT doc_id, text FROM documents),
-        |batch AS (
-        |  SELECT doc_id + 1000000 AS doc_id, text || ' tail' AS text
-        |  FROM documents WHERE doc_id % 25 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000,
-        |    'fresh batch item ' || doc_id || ' entirely novel synthetic content'
-        |  FROM documents WHERE doc_id % 40 = 0),
-        |shc AS (SELECT DISTINCT doc_id, s FROM (
-        |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-        |                           for i in range(len(t) - 2)]) AS s
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus) x) u),
-        |shb AS (SELECT DISTINCT doc_id, s FROM (
-        |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-        |                           for i in range(len(t) - 2)]) AS s
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM batch) x) u),
-        |nc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-        |nb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id),
-        |inter AS (
-        |  SELECT b.doc_id AS doc_b, c.doc_id AS doc_c, count(*) AS i
-        |  FROM shb b JOIN shc c ON b.s = c.s
-        |  GROUP BY b.doc_id, c.doc_id),
-        |dup AS (
-        |  SELECT DISTINCT doc_b FROM inter
-        |  JOIN nb ON nb.doc_id = doc_b JOIN nc ON nc.doc_id = doc_c
-        |  WHERE i / (nb.n + nc.n - i) >= 0.5)
-        |SELECT doc_id FROM batch
-        |WHERE doc_id NOT IN (SELECT doc_b FROM dup)
-        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    QueryDef.sql("q4w_neardup_against", nearGateOracleSql) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val dupes = docs.where(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" tail")).as("text"))
-      val fresh = docs.where(col("doc_id") % 40 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          concat(lit("fresh batch item "), col("doc_id"),
-            lit(" entirely novel synthetic content")).as("text"))
-      Dedup.dropNearDupesAgainst(dupes.unionByName(fresh), docs,
+      Dedup.dropNearDupesAgainst(nearGateBatch(s, d), docs,
           "doc_id", "text", threshold = 0.5)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
@@ -839,55 +875,10 @@ object TextQueries {
     // must find exactly the dups the live banding finds. (Shares q4w's
     // fixture invariant: dup pairs are near-1 Jaccard, comfortably above
     // the r=4,b=8 banding's high-recall region.)
-    QueryDef.sql("q5f_bandtable_probe",
-      """WITH corpus AS (SELECT doc_id, text FROM documents),
-        |batch AS (
-        |  SELECT doc_id + 1000000 AS doc_id, text || ' tail' AS text
-        |  FROM documents WHERE doc_id % 25 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000,
-        |    'fresh batch item ' || doc_id || ' entirely novel synthetic content'
-        |  FROM documents WHERE doc_id % 40 = 0),
-        |shc AS (SELECT DISTINCT doc_id, s FROM (
-        |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-        |                           for i in range(len(t) - 2)]) AS s
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus) x) u),
-        |shb AS (SELECT DISTINCT doc_id, s FROM (
-        |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-        |                           for i in range(len(t) - 2)]) AS s
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM batch) x) u),
-        |nc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-        |nb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id),
-        |inter AS (
-        |  SELECT b.doc_id AS doc_b, c.doc_id AS doc_c, count(*) AS i
-        |  FROM shb b JOIN shc c ON b.s = c.s
-        |  GROUP BY b.doc_id, c.doc_id),
-        |dup AS (
-        |  SELECT DISTINCT doc_b FROM inter
-        |  JOIN nb ON nb.doc_id = doc_b JOIN nc ON nc.doc_id = doc_c
-        |  WHERE i / (nb.n + nc.n - i) >= 0.5)
-        |SELECT doc_id FROM batch
-        |WHERE doc_id NOT IN (SELECT doc_b FROM dup)
-        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    QueryDef.sql("q5f_bandtable_probe", nearGateOracleSql) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      // one band table per sf dir; rebuilt at most once per session.
-      // External at a deterministic tmp path (overwritten, never
-      // accumulated): the in-memory catalog forgets tables across JVMs
-      // while the filesystem remembers them — a managed table would
-      // refuse recreation over its stale directory.
-      val tag = "sf" + d.replaceAll("[^0-9]", "").takeRight(8)
-      val table = s"graft_bands_$tag"
-      if (!s.catalog.tableExists(table))
-        Dedup.writeBandTable(docs, "doc_id", "text", table,
-          path = Some(s"${sys.props("java.io.tmpdir")}/graft_bands_$tag"))
-      val dupes = docs.where(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" tail")).as("text"))
-      val fresh = docs.where(col("doc_id") % 40 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          concat(lit("fresh batch item "), col("doc_id"),
-            lit(" entirely novel synthetic content")).as("text"))
-      val batch = dupes.unionByName(fresh)
+      val table = ensureBandTable(s, d)
+      val batch = nearGateBatch(s, d)
       val dupIds = Dedup.nearDupesAgainstTable(batch, docs, table,
           "doc_id", "text", threshold = 0.5)
         .select(col("doc_a").as("doc_id")).distinct()
@@ -902,51 +893,12 @@ object TextQueries {
     // each micro-batch is independently probed (no cross-batch state), so
     // the union of survivors must equal the batch gate — the SAME exact
     // all-pairs Jaccard oracle hash-checks the streaming path.
-    QueryDef.sql("q6b_stream_neardup",
-      """WITH corpus AS (SELECT doc_id, text FROM documents),
-        |batch AS (
-        |  SELECT doc_id + 1000000 AS doc_id, text || ' tail' AS text
-        |  FROM documents WHERE doc_id % 25 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000,
-        |    'fresh batch item ' || doc_id || ' entirely novel synthetic content'
-        |  FROM documents WHERE doc_id % 40 = 0),
-        |shc AS (SELECT DISTINCT doc_id, s FROM (
-        |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-        |                           for i in range(len(t) - 2)]) AS s
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus) x) u),
-        |shb AS (SELECT DISTINCT doc_id, s FROM (
-        |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-        |                           for i in range(len(t) - 2)]) AS s
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM batch) x) u),
-        |nc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-        |nb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id),
-        |inter AS (
-        |  SELECT b.doc_id AS doc_b, c.doc_id AS doc_c, count(*) AS i
-        |  FROM shb b JOIN shc c ON b.s = c.s
-        |  GROUP BY b.doc_id, c.doc_id),
-        |dup AS (
-        |  SELECT DISTINCT doc_b FROM inter
-        |  JOIN nb ON nb.doc_id = doc_b JOIN nc ON nc.doc_id = doc_c
-        |  WHERE i / (nb.n + nc.n - i) >= 0.5)
-        |SELECT doc_id FROM batch
-        |WHERE doc_id NOT IN (SELECT doc_b FROM dup)
-        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    QueryDef.sql("q6b_stream_neardup", nearGateOracleSql) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val table = ensureBandTable(s, d)
       val tag = "sf" + d.replaceAll("[^0-9]", "").takeRight(8)
-      val table = s"graft_bands_$tag"
-      if (!s.catalog.tableExists(table))
-        Dedup.writeBandTable(docs, "doc_id", "text", table,
-          path = Some(s"${sys.props("java.io.tmpdir")}/graft_bands_$tag"))
-      val dupes = docs.where(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" tail")).as("text"))
-      val fresh = docs.where(col("doc_id") % 40 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          concat(lit("fresh batch item "), col("doc_id"),
-            lit(" entirely novel synthetic content")).as("text"))
       graft.streaming.DocStream.replayNearDedupedIngest(
-          dupes.unionByName(fresh), docs, table, "doc_id", "text",
+          nearGateBatch(s, d), docs, table, "doc_id", "text",
           s"${sys.props("java.io.tmpdir")}/graft_neargate_$tag",
           nBatches = 2, threshold = 0.5)
         .select(col("doc_id"))

@@ -128,6 +128,9 @@ object DocStream {
       .select(col(id).cast("long").as("gate_doc_id"),
         col(textCol).as("gate_text"))
       .as[GateDoc].collect()
+    if (rows.isEmpty) // no batch ever writes the sink — don't read a void path
+      return spark.emptyDataset[GateDoc].toDF()
+        .select(col("gate_doc_id").as(id), col("gate_text").as(textCol))
     val root = java.nio.file.Paths.get(workDir)
     // fresh sink + checkpoint per replay: a stale checkpoint would try to
     // resume offsets that this new MemoryStream never had

@@ -45,6 +45,32 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded(0).getAs[Long]("n_samples") == 100L)
   }
 
+  test("decodeAudio stereo: crossings walk channel 0, peak/sum are channel-agnostic") {
+    // hand-built 16-bit stereo WAV: L = [100, -100, 100], R = [-50,-50,-50].
+    // channel-0 crossings = 2; a naive interleaved walk would count 3.
+    val l = Array[Short](100, -100, 100); val r = Array[Short](-50, -50, -50)
+    val dataLen = 12
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2)        // PCM, stereo
+      .putInt(8000).putInt(8000 * 4)  // rate, byte rate
+      .putShort(4).putShort(16)       // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until 3).foreach { k => buf.putShort(l(k)); buf.putShort(r(k)) }
+    val media = Seq((7L, buf.array(), "audio/wav"))
+      .toDF("media_id", "content", "media_type")
+    val row = Multimodal.decodeAudio(media).collect()(0)
+    assert(row.getAs[Int]("channels") == 2)
+    assert(row.getAs[Long]("n_samples") == 6L)
+    assert(row.getAs[Long]("peak") == 100L)
+    assert(row.getAs[Long]("sum_abs") == 450L)
+    assert(row.getAs[Long]("zero_crossings") == 2L,
+      s"channel-0 crossings expected 2, got ${row.getAs[Long]("zero_crossings")}")
+  }
+
   test("decodeAudio yields null fields on corrupt payloads (data, not exceptions)") {
     val junk = Seq((1L, "this is not a wav file"), (2L, ""))
       .toDF("id", "payload")
