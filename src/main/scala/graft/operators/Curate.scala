@@ -209,7 +209,6 @@ object Curate {
   private def packGlobal(df: DataFrame, tokenCol: String, orderBy: String,
                          budget: Long): DataFrame = {
     import org.apache.spark.sql.types._
-    val p = df.sparkSession.sessionState.conf.numShufflePartitions
     // monotone numeric image of the order key: equal keys map to equal
     // images and key order is preserved, so affine bucketing on the image
     // yields ORDER-CONTIGUOUS buckets (ties may share a bucket — harmless)
@@ -227,33 +226,14 @@ object Curate {
           s"key to shard the running total; `$orderBy` is $other — pass " +
           "shardCol explicitly")
     }
-    val bounds = df.agg(min(okey).as("__lo"), max(okey).as("__hi"))
-    val span = col("__hi") - col("__lo")
-    val parted = df.crossJoin(broadcast(bounds))
-      .withColumn("__bkt",
-        // null keys sort first under Spark's default ordering → bucket 0
-        when(okey.isNull || col("__lo").isNull || !(span > 0.0), lit(0))
-          .otherwise(least(lit(p - 1),
-            floor((okey - col("__lo")) / span * p).cast("int"))))
-      .drop("__lo", "__hi")
-    // per-bucket totals → exclusive offsets via a TRIANGULAR self-join of
-    // the ≤ p-row totals table (O(p²) pairs, hash-aggregated in parallel) —
-    // window-free, so the plan contains no single-partition stage at all
-    val totals = parted.groupBy(col("__bkt"))
-      .agg(sum(coalesce(col(tokenCol), lit(0L))).as("__bt"))
-    val offsets = totals.select(col("__bkt"))
-      .join(totals.select(col("__bkt").as("__q"), col("__bt")),
-        col("__q") < col("__bkt"), "left")
-      .groupBy(col("__bkt"))
-      .agg(coalesce(sum(col("__bt")), lit(0L)).as("__off"))
-    val wLoc = Window.partitionBy(col("__bkt")).orderBy(col(orderBy))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    parted
-      .withColumn("__cumLoc", coalesce(sum(col(tokenCol)).over(wLoc), lit(0L)))
-      .join(broadcast(offsets), Seq("__bkt"))
+    // inclusive distributed cumsum ([[PrefixSum]] — the same machinery as
+    // Metrics.cumOverScores' ungrouped path), then exclusive-at-this-row
+    // by subtracting the row's own tokens (exact: long arithmetic)
+    val v = coalesce(col(tokenCol), lit(0L))
+    PrefixSum.inclusiveCum(df, v, col(orderBy), okey, "__cumInc")
       .withColumn("pack_id",
-        ((col("__cumLoc") + col("__off")) / budget).cast("long"))
-      .drop("__bkt", "__cumLoc", "__off")
+        ((col("__cumInc") - v) / budget).cast("long"))
+      .drop("__cumInc")
   }
 
   /** Materialized training sequences: run [[packSequences]] then collapse

@@ -103,31 +103,7 @@ object Metrics {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       byScore.withColumn("__cum", sum(col("__n")).over(w))
     } else {
-      val p = byScore.sparkSession.sessionState.conf.numShufflePartitions
-      val bounds = byScore.agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"))
-      val span = col("__hi").cast("double") - col("__lo").cast("double")
-      val parted = byScore.crossJoin(broadcast(bounds))
-        .withColumn("__pid",
-          when(col("__s").isNull || !(span > 0.0), lit(0))
-            .otherwise(least(lit(p - 1),
-              floor((col("__s").cast("double") - col("__lo").cast("double"))
-                / span * p).cast("int"))))
-        .drop("__lo", "__hi")
-      val totals = parted.groupBy(col("__pid"))
-        .agg(sum(col("__n")).as("__pt"))
-      // exclusive prefix offsets via triangular join: O(p²) pairs over a
-      // ≤ p-row table — cheaper than any single-partition window stage,
-      // and hash-aggregated in parallel
-      val offsets = totals.select(col("__pid"))
-        .join(totals.select(col("__pid").as("__q"), col("__pt")),
-          col("__q") < col("__pid"), "left")
-        .groupBy(col("__pid"))
-        .agg(coalesce(sum(col("__pt")), lit(0L)).as("__off"))
-      val wLoc = Window.partitionBy(col("__pid")).orderBy(col("__s"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      parted.withColumn("__cumLoc", sum(col("__n")).over(wLoc))
-        .join(broadcast(offsets), Seq("__pid"))
-        .withColumn("__cum", col("__cumLoc") + col("__off"))
+      PrefixSum.inclusiveCum(byScore, col("__n"), col("__s"), col("__s"), "__cum")
     }
 
   /** The rank→U-statistic tail shared by [[aurocBy]] and [[evalSuite]]:

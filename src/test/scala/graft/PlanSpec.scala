@@ -127,8 +127,9 @@ class PlanSpec extends SparkSpec {
 
   test("q4h packing: running total is the bucketed distributed prefix-sum") {
     val p = plan("q4h_seq_packing")
-    assert(p.contains("__bkt"),
-      s"packing must bucket the running total by the order-key value:\n$p")
+    assert(p.contains("__psBkt"),
+      s"packing must bucket the running total by the order-key value " +
+        s"(PrefixSum's bucket column):\n$p")
   }
 
   test("q4t incremental dedup: anti-join probes fingerprints, not text") {
