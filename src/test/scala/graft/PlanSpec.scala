@@ -132,6 +132,14 @@ class PlanSpec extends SparkSpec {
         s"(PrefixSum's bucket column):\n$p")
   }
 
+  test("q5f band-table probe: the corpus side reads bucketed, no exchange above it") {
+    val p = plan("q5f_bandtable_probe")
+    val scanLine = p.linesIterator.find(_.contains("graft_bands")).getOrElse("")
+    assert(scanLine.nonEmpty, s"expected a band-table scan in the plan:\n$p")
+    assert(p.contains("Bucketed: true") || scanLine.contains("SelectedBucketsCount"),
+      s"the persisted band side must be a bucketed read (no shuffle to join):\n$p")
+  }
+
   test("q4t incremental dedup: anti-join probes fingerprints, not text") {
     val p = plan("q4t_incremental_dedup")
     assert(p.contains("LeftAnti"), s"anti-join required:\n$p")

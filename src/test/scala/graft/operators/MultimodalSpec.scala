@@ -45,6 +45,26 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded(0).getAs[Long]("n_samples") == 100L)
   }
 
+  test("synthesizeWav -> decodeAudio property: formula stats hold over an id/size grid") {
+    // the q5e contract on a broader grid than the oracle fixture: for every
+    // (id, n) the decoded integer stats equal the generator formula's
+    val cases = for (id <- Seq(0L, 1L, 7L, 63L, 200L, 999L); n <- Seq(1, 2, 13, 257))
+      yield (id * 131 + n, n) // spread ids so no two cases collide
+    val decoded = Multimodal.decodeAudio(
+        Multimodal.synthesizeWav(cases.toDF("id", "n"), "id", "n"))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    cases.foreach { case (id, n) =>
+      val s = (0 until n).map(k => (((id * 31 + k * 17) % 201) - 100).toInt)
+      val r = decoded(id)
+      assert(r.getAs[Long]("n_samples") == n.toLong, s"n_samples id=$id")
+      assert(r.getAs[Long]("peak") == s.map(math.abs).max.toLong, s"peak id=$id")
+      assert(r.getAs[Long]("sum_abs") == s.map(math.abs).map(_.toLong).sum, s"sum id=$id")
+      assert(r.getAs[Long]("zero_crossings") ==
+        s.sliding(2).count(p => p.length == 2 && p.head * p(1) < 0).toLong,
+        s"zc id=$id n=$n")
+    }
+  }
+
   test("decodeAudio stereo: crossings walk channel 0, peak/sum are channel-agnostic") {
     // hand-built 16-bit stereo WAV: L = [100, -100, 100], R = [-50,-50,-50].
     // channel-0 crossings = 2; a naive interleaved walk would count 3.
