@@ -137,7 +137,8 @@ object Bench {
     // different query subsets aren't comparable anyway
     val duckdb = if (only.isDefined) Map.empty[String, Double]
                  else duckdbBaseline(spark, sfDir, runs)
-    writeDetail(results, sparkWall, duckdb, streams, sfDir)
+    // experiments must not clobber the committed full-suite artifact
+    if (only.isEmpty) writeDetail(results, sparkWall, duckdb, streams, sfDir)
     println(emitLine(results, sparkWall, duckdb, streams, sfDir))
     spark.stop()
   }
