@@ -144,9 +144,11 @@ object Bench {
   }
 
   /** DuckDB's reserved keys (emitted by tools/duckdb_bench.py alongside the
-    * per-query map): suite-throughput wall and stream count.
+    * per-query map): suite-throughput wall, stream count, and the host-noise
+    * canary timings taken before and after the baseline passes.
     */
-  private val ReservedDuck = Set("_wall_concurrent", "_concurrency")
+  private val ReservedDuck =
+    Set("_wall_concurrent", "_concurrency", "_canary", "_canary_end")
 
   /** The one driver-facing JSON line. Keys are shortened to the query-id
     * prefix (`q4f_drop_neardupes` → `q4f` — unique across the suite, pinned
@@ -177,10 +179,21 @@ object Bench {
     // their Spark twins stay in the spark totals — surface the count so a
     // non-zero value flags that the totals cover different query sets
     val dFailed = dq.values.count(_ < 0)
+    // experiment runs (SPARK_GRAFT_ONLY) skip the baseline entirely: emit
+    // -1 totals plus an explicit marker so a consumer can't mistake the
+    // skipped baseline for a measured 0-second one
+    val duckPart =
+      if (dq.isEmpty)
+        s""""duckdb_total":-1.0,"duckdb_seq":-1.0,"duckdb_skipped":true,"""
+      else s""""duckdb_total":${r3(dWall)},"duckdb_seq":${r3(dSeqTotal)},"""
+    // host-noise canary: the WORSE of the before/after DuckDB canary runs
+    // (sf0.1 lineitem aggregate; ~0.03s on a quiet host, >=0.2s degraded) —
+    // the artifact self-documents whether its window was quiet
+    val canary = math.max(duckdb.getOrElse("_canary", -1.0),
+      duckdb.getOrElse("_canary_end", -1.0))
     s"""{"metric":"total","value":${r3(sparkBest)},"unit":"sec","streams":$streams,""" +
-      s""""queries":$qs,"spark_seq":${r3(seqTotal)},""" +
-      s""""duckdb_total":${r3(dWall)},"duckdb_seq":${r3(dSeqTotal)},""" +
-      s""""duckdb_failed":$dFailed,"sf":"$sfDir"}"""
+      s""""queries":$qs,"spark_seq":${r3(seqTotal)},""" + duckPart +
+      s""""duckdb_failed":$dFailed,"canary":${r3(canary)},"sf":"$sfDir"}"""
   }
 
   /** Full-precision, full-name, two-engine per-query detail — everything
@@ -197,6 +210,8 @@ object Bench {
         s"""{"spark":${obj(results)},"spark_wall_concurrent":$sparkWall,""" +
           s""""streams":$streams,"duckdb":${obj(duckdb -- ReservedDuck)},""" +
           s""""duckdb_wall_concurrent":${duckdb.getOrElse("_wall_concurrent", -1.0)},""" +
+          s""""canary":${duckdb.getOrElse("_canary", -1.0)},""" +
+          s""""canary_end":${duckdb.getOrElse("_canary_end", -1.0)},""" +
           s""""sf":"$sfDir"}""" + "\n")
     } catch { case _: Throwable => } // detail is best-effort; the line is the contract
 

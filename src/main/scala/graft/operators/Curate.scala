@@ -188,8 +188,11 @@ object Curate {
     * the full corpus, the scale-killer this replaces.)
     *
     * Order keys must be numeric, date/timestamp, or string (strings bucket
-    * by their first 4 zero-padded UTF-8 bytes — monotone in Spark's binary
-    * collation); any other type requires an explicit `shardCol`.
+    * by the 8 bytes FOLLOWING the corpus-wide common key prefix — computed
+    * from the min/max key inside [[PrefixSum]] — so shared-prefix key
+    * shapes like URLs ("https://www."…) or ISO timestamps ("2026-08-"…)
+    * still spread across buckets); any other type requires an explicit
+    * `shardCol`.
     */
   def packSequences(df: DataFrame, tokenCol: String, orderBy: String,
                     budget: Long, shardCol: Option[String] = None): DataFrame = {
@@ -217,10 +220,11 @@ object Curate {
       case DateType | TimestampType | TimestampNTZType =>
         col(orderBy).cast("timestamp").cast("double")
       case StringType =>
-        // first 4 bytes, NUL-padded (0x00 never reorders short strings):
-        // big-endian unsigned prefix value is monotone in binary order
-        conv(hex(substring(rpad(col(orderBy), 4, "\u0000").cast("binary"),
-          1, 4)), 16, 10).cast("double")
+        // handed to PrefixSum as-is: it strips the corpus-wide common
+        // prefix (derived from the min/max key) before bucketing on the
+        // next 8 bytes, so URL/timestamp-shaped keys with a long shared
+        // head don't all collapse into bucket 0
+        col(orderBy)
       case other => throw new IllegalArgumentException(
         s"packSequences without shardCol needs a numeric/date/string order " +
           s"key to shard the running total; `$orderBy` is $other — pass " +

@@ -358,12 +358,23 @@ object Dedup {
     val props = spark.sql(s"SHOW TBLPROPERTIES $bandTable").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     def requireMatch(key: String, passed: Int): Unit =
-      props.get("graft." + key).foreach { written =>
-        require(written == passed.toString,
-          s"band table $bandTable was written with $key=$written but probed " +
-            s"with $key=$passed — band keys would not match and near-dups " +
-            "would be silently missed; re-band the corpus or pass the " +
-            "written parameters")
+      props.get("graft." + key) match {
+        case Some(written) =>
+          require(written == passed.toString,
+            s"band table $bandTable was written with $key=$written but probed " +
+              s"with $key=$passed — band keys would not match and near-dups " +
+              "would be silently missed; re-band the corpus or pass the " +
+              "written parameters")
+        case None =>
+          // a table without the geometry properties (written before they
+          // existed, or by other tooling) is probed on faith — exactly the
+          // silent-miss failure mode the guard exists to catch. Warn loudly
+          // instead of trusting it silently; rebanding records the props.
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"band table $bandTable has no 'graft.$key' table property" +
+              s" — cannot verify it was banded with $key=$passed; near-dups" +
+              " are silently missed if the geometry differs. Re-band the" +
+              " corpus with writeBandTable to record the geometry.")
       }
     requireMatch("bands", bands)
     requireMatch("rowsPerBand", rowsPerBand)

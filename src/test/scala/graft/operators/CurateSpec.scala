@@ -89,6 +89,32 @@ class CurateSpec extends SparkSpec {
       (1L, 2L, 1200L, "ccc|ddd")), s"got ${out.toSeq}")
   }
 
+  test("packSequences string keys sharing a long prefix spread buckets and match the global window") {
+    // URL- and timestamp-shaped keys share a prefix longer than any fixed
+    // byte-prefix image: the adaptive common-prefix strip in PrefixSum must
+    // (a) keep packing bit-identical to a global window and (b) NOT
+    // degenerate every row into one bucket (the r6 ADVICE failure mode)
+    for (keyOf <- Seq(
+        (i: Int) => f"https://www.site$i%04d.example/page",
+        (i: Int) => f"2026-08-13T07:${i / 60}%02d:${i % 60}%02d")) {
+      val df = (1 to 400).map(i => (keyOf(i), (i % 90 + 10).toLong))
+        .toDF("k", "n_tokens")
+      val packs = Curate.packSequences(df, "n_tokens", "k", budget = 300L)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ref = df.withColumn("pack_ref",
+        (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / 300L).cast("long"))
+      val mismatches = packs
+        .join(ref.select(col("k"), col("pack_ref")), Seq("k"))
+        .filter(col("pack_id") =!= col("pack_ref")).count()
+      assert(mismatches == 0, s"${keyOf(1)}: $mismatches rows off the global window")
+      val nBuckets = PrefixSum.bucketed(df, col("k"))
+        .select(countDistinct(col("__psBkt"))).as[Long].head()
+      assert(nBuckets > 1,
+        s"${keyOf(1)}-shaped keys degenerated to $nBuckets bucket(s)")
+    }
+  }
+
   test("packSequences shards the running window (no global sort when sharded)") {
     val df = Seq((1L, "a", 40L), (2L, "a", 80L), (3L, "b", 40L))
       .toDF("doc_id", "shard", "n_tokens")

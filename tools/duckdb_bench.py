@@ -56,7 +56,26 @@ def main() -> None:
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{p}')"
         )
+
+    # host-noise canary (PERF.md discipline): a warm lineitem aggregate runs
+    # ~0.03s on a quiet host and >=0.2s when the box is degraded. Measured
+    # before the per-query pass and again after the throughput pass so the
+    # emitted artifact self-documents whether its window was quiet.
+    def canary() -> float:
+        sql = ("SELECT l_returnflag, sum(l_extendedprice) FROM lineitem "
+               "GROUP BY 1")
+        times = []
+        for _ in range(3):  # first run warms the page cache; best-of is the
+            t0 = time.perf_counter()  # host's capability, not its worst burst
+            con.execute(sql).fetchall()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
     out = {}
+    try:
+        out["_canary"] = canary()
+    except Exception:
+        out["_canary"] = -1.0
     for name in sorted(sqls):
         try:
             times = []
@@ -100,6 +119,10 @@ def main() -> None:
         walls.append(time.perf_counter() - t0)
     out["_wall_concurrent"] = min(walls)
     out["_concurrency"] = float(streams)
+    try:
+        out["_canary_end"] = canary()
+    except Exception:
+        out["_canary_end"] = -1.0
     print(json.dumps(out))
 
 
