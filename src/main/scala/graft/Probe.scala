@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch phase-timing probe for the bench serial tail (not part of the
+  * driver contract; run by hand, see PERF.md).
+  */
+object Probe {
+  private def t[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.names.foreach { tb =>
+      try Tables.load(spark, d, tb).limit(1).collect() catch { case _: Throwable => } }
+
+    if (sys.env.get("SPARK_GRAFT_PROBE_AGG").contains("1")) {
+      val p = "/tmp/graft_scale10x/li100"
+      def force(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(count(lit(1)), sum(pmod(xxhash64(df.columns.map(col): _*),
+          lit(1000000007L)))).collect()(0).getLong(0)
+      spark.read.parquet(p).count()
+      (1 to 3).foreach { r =>
+        t(s"agg baseline strings r$r") {
+          force(spark.read.parquet(p)
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum(col("l_quantity")).as("sq"), sum(col("l_extendedprice")).as("sp"),
+              avg(col("l_discount")).as("ad"), count(lit(1)).as("n")))
+        }
+        t(s"agg hashed+decode   r$r") {
+          val base = spark.read.parquet(p)
+          val agg = base
+            .groupBy(xxhash64(col("l_returnflag"), col("l_linestatus")).as("__k"))
+            .agg(sum(col("l_quantity")).as("sq"), sum(col("l_extendedprice")).as("sp"),
+              avg(col("l_discount")).as("ad"), count(lit(1)).as("n"))
+          val decode = base
+            .groupBy(col("l_returnflag"), col("l_linestatus")).agg(count(lit(1)).as("__d"))
+            .select(xxhash64(col("l_returnflag"), col("l_linestatus")).as("__k"),
+              col("l_returnflag"), col("l_linestatus"))
+          force(agg.join(broadcast(decode), Seq("__k"))
+            .select(col("l_returnflag"), col("l_linestatus"),
+              col("sq"), col("sp"), col("ad"), col("n")))
+        }
+        t(s"agg long-key only   r$r") {
+          force(spark.read.parquet(p)
+            .groupBy(xxhash64(col("l_returnflag"), col("l_linestatus")).as("__k"))
+            .agg(sum(col("l_quantity")).as("sq"), sum(col("l_extendedprice")).as("sp"),
+              avg(col("l_discount")).as("ad"), count(lit(1)).as("n")))
+        }
+        t(s"agg sums only       r$r") {
+          force(spark.read.parquet(p)
+            .agg(sum(col("l_quantity")).as("sq"), sum(col("l_extendedprice")).as("sp"),
+              avg(col("l_discount")).as("ad"), count(lit(1)).as("n")))
+        }
+      }
+      spark.stop(); return
+    }
+
+    (1 to 2).foreach { round =>
+      println(s"== round $round ==")
+      // ---- q6a phases ----
+      t("q6a full") { SparkEntry.queries("q6a_stream_sessions")(spark, d).count() }
+      val events = Tables.events(spark, d)
+      val rows = t("q6a collect") {
+        events.select(col("user_id").cast("long").as("user_id"), col("ts"),
+          col("value").cast("double").as("value")).collect()
+      }
+      println(s"[probe] q6a events rows=${rows.length}")
+
+      // ---- q6b phases ----
+      t("q6b full") { SparkEntry.queries("q6b_stream_neardup")(spark, d).count() }
+      t("q4w batch gate (same probe)") { SparkEntry.queries("q4w_neardup_against")(spark, d).count() }
+      t("q5f table probe") { SparkEntry.queries("q5f_bandtable_probe")(spark, d).count() }
+
+      // ---- q4f / q4j ----
+      t("q4f full") { SparkEntry.queries("q4f_drop_neardupes")(spark, d).count() }
+      t("q4j full") { SparkEntry.queries("q4j_cluster_exact")(spark, d).count() }
+
+      // ---- q36 ----
+      t("q36 full") { SparkEntry.queries("q36_pipeline_e2e")(spark, d).count() }
+    }
+    spark.stop()
+  }
+}

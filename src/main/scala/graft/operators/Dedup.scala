@@ -314,8 +314,9 @@ object Dedup {
     * amortization step for repeated incremental ingests. Banding the
     * corpus costs one full scan; every subsequent [[nearDupesAgainstTable]]
     * probe then joins against it with NO exchange on the corpus side
-    * (bucket-pruned parquet read straight into the join). Re-run after
-    * appending a batch to the corpus, or append the batch's own band rows.
+    * (bucket-pruned parquet read straight into the join). After appending
+    * a batch to the corpus, [[appendBandTable]] bands just the batch into
+    * the same table — steady-state ingest never re-bands the corpus.
     */
   def writeBandTable(corpus: DataFrame, id: String, text: String,
                      table: String, buckets: Int = 32, bands: Int = 8,
@@ -340,21 +341,51 @@ object Dedup {
         s"'graft.shingleN'='$shingleN')")
   }
 
+  /** Incremental corpus append for a persisted band table: band ONLY the
+    * new batch (with the geometry recorded in the table's properties — a
+    * table without them refuses, the silent-miss rule) and append its band
+    * rows to the bucketed table, so steady-state ingest never re-bands the
+    * historical corpus. `insertInto` honors the table's bucket spec
+    * (rows hash into the same `bh` buckets the original write used), so
+    * subsequent [[nearDupesAgainstTable]] probes stay bucket-local and
+    * exchange-free on the corpus side. Equal to a from-scratch
+    * [[writeBandTable]] over the unioned corpus (pinned by DedupSpec).
+    */
+  def appendBandTable(batch: DataFrame, id: String, text: String,
+                      table: String): Unit = {
+    val spark = batch.sparkSession
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def geom(key: String): Int = props.get("graft." + key) match {
+      case Some(v) => v.toInt
+      case None => throw new IllegalArgumentException(
+        s"band table $table has no 'graft.$key' property — cannot append " +
+          "with an unknown LSH geometry (mismatched band keys silently miss " +
+          "near-dups). Re-band the corpus with writeBandTable, which records " +
+          "the geometry.")
+    }
+    val (bands, rowsPerBand, shingleN) =
+      (geom("bands"), geom("rowsPerBand"), geom("shingleN"))
+    bandedKeys(batch, id, text, bands, rowsPerBand, shingleN)
+      .write.mode("append").insertInto(table)
+  }
+
   /** [[nearDupesAgainst]] probing a PERSISTED band table (from
     * [[writeBandTable]]) instead of re-banding the corpus: only the batch
     * is scanned and banded per ingest; the corpus side is a bucketed read
     * with no shuffle. `corpus` supplies doc text for the verify stage
     * only (joined by candidate id — prune it to (id, text)).
     */
-  def nearDupesAgainstTable(batch: DataFrame, corpus: DataFrame,
-                            bandTable: String, id: String, text: String,
-                            threshold: Double = 0.8, bands: Int = 8,
-                            rowsPerBand: Int = 4,
-                            shingleN: Int = 3): DataFrame = {
-    val spark = batch.sparkSession
-    // refuse to probe with a different LSH geometry than the table was
-    // written with (recorded by [[writeBandTable]] as table properties):
-    // mismatched keys silently miss near-dups, they don't error
+  /** Refuse to probe `bandTable` with a different LSH geometry than it was
+    * written with (recorded by [[writeBandTable]] as table properties):
+    * mismatched keys silently miss near-dups, they don't error. Called once
+    * per probe by [[nearDupesAgainstTable]] — or once per STREAM by
+    * [[graft.streaming.DocStream]], which then probes each micro-batch
+    * without re-reading the catalog.
+    */
+  private[graft] def checkBandGeometry(spark: org.apache.spark.sql.SparkSession,
+                                       bandTable: String, bands: Int,
+                                       rowsPerBand: Int, shingleN: Int): Unit = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $bandTable").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     def requireMatch(key: String, passed: Int): Unit =
@@ -379,6 +410,28 @@ object Dedup {
     requireMatch("bands", bands)
     requireMatch("rowsPerBand", rowsPerBand)
     requireMatch("shingleN", shingleN)
+  }
+
+  def nearDupesAgainstTable(batch: DataFrame, corpus: DataFrame,
+                            bandTable: String, id: String, text: String,
+                            threshold: Double = 0.8, bands: Int = 8,
+                            rowsPerBand: Int = 4,
+                            shingleN: Int = 3): DataFrame = {
+    checkBandGeometry(batch.sparkSession, bandTable, bands, rowsPerBand, shingleN)
+    nearDupesAgainstTableUnchecked(batch, corpus, bandTable, id, text,
+      threshold, bands, rowsPerBand, shingleN)
+  }
+
+  /** [[nearDupesAgainstTable]] minus the geometry check — for callers that
+    * have already run [[checkBandGeometry]] once for many probes (the
+    * streaming gate checks once at stream start, not per micro-batch).
+    */
+  private[graft] def nearDupesAgainstTableUnchecked(
+      batch: DataFrame, corpus: DataFrame,
+      bandTable: String, id: String, text: String,
+      threshold: Double, bands: Int,
+      rowsPerBand: Int, shingleN: Int): DataFrame = {
+    val spark = batch.sparkSession
     val a = bandedKeys(batch, id, text, bands, rowsPerBand, shingleN).as("a")
     val b = spark.table(bandTable).as("b")
     val cands = a.join(b,

@@ -84,10 +84,15 @@ object DocStream {
                         threshold: Double = 0.8, bands: Int = 8,
                         rowsPerBand: Int = 4,
                         shingleN: Int = 3): StreamingQuery = {
+    // geometry guard ONCE at stream start (a mismatched band table refuses
+    // here, before any batch commits); micro-batches then probe without
+    // re-reading the catalog per trigger
+    Dedup.checkBandGeometry(docs.sparkSession, bandTable,
+      bands, rowsPerBand, shingleN)
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val b = batch.toDF()
-        val dupes = Dedup.nearDupesAgainstTable(b, corpus, bandTable,
+        val dupes = Dedup.nearDupesAgainstTableUnchecked(b, corpus, bandTable,
             id, textCol, threshold, bands, rowsPerBand, shingleN)
           .select(col("doc_a").as(id)).distinct()
         b.join(dupes, Seq(id), "left_anti")
@@ -98,7 +103,10 @@ object DocStream {
       .start()
   }
 
-  private case class GateDoc(gate_doc_id: Long, gate_text: String)
+  // NOT private: a private case class makes the generated encoder
+  // projection fail Janino compilation ("Private member cannot be
+  // accessed") and silently fall back to interpreted mode on every replay
+  case class GateDoc(gate_doc_id: Long, gate_text: String)
 
   /** Bounded replay of [[nearDedupedIngest]] for verification: collects
     * `docs` (BOUNDED input only by construction — MemoryStream takes local

@@ -298,6 +298,60 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS corpus_bands")
   }
 
+  test("appendBandTable == rebuild: appended table probes identically, stays bucketed") {
+    val corpusA = docs
+    val corpusB = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog near the river bank appended"),
+      (201L, "appended corpus text about deep sea creatures and their luminescence"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank extra"),
+      (101L, "genuinely novel content speaking about entirely unrelated astronomy topics"))
+      .toDF("doc_id", "text")
+    Dedup.writeBandTable(corpusA, "doc_id", "text", "bands_inc",
+      buckets = 4, bands = 16, rowsPerBand = 2)
+    Dedup.writeBandTable(corpusA.unionByName(corpusB), "doc_id", "text",
+      "bands_full", buckets = 4, bands = 16, rowsPerBand = 2)
+    try {
+      Dedup.appendBandTable(corpusB, "doc_id", "text", "bands_inc")
+      // identical band ROWS (not just probe results): append == rebuild
+      val inc = spark.table("bands_inc")
+        .select("doc", "band", "bh").as[(Long, Int, Long)].collect().toSet
+      val full = spark.table("bands_full")
+        .select("doc", "band", "bh").as[(Long, Int, Long)].collect().toSet
+      assert(inc == full, s"appended band rows diverge from rebuild")
+      val unioned = corpusA.unionByName(corpusB)
+      val viaInc = Dedup.nearDupesAgainstTable(batch, unioned, "bands_inc",
+          "doc_id", "text", threshold = 0.5, bands = 16, rowsPerBand = 2)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val viaFull = Dedup.nearDupesAgainstTable(batch, unioned, "bands_full",
+          "doc_id", "text", threshold = 0.5, bands = 16, rowsPerBand = 2)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(viaInc == viaFull && viaInc.nonEmpty,
+        s"append probe diverged: $viaInc vs $viaFull")
+      // the appended table still reads bucketed (bucket-local probes)
+      val plan = Dedup.nearDupesAgainstTable(batch, unioned, "bands_inc",
+          "doc_id", "text", threshold = 0.5, bands = 16, rowsPerBand = 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true") || plan.contains("SelectedBucketsCount"),
+        s"appended band table must still read bucketed:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bands_inc")
+      spark.sql("DROP TABLE IF EXISTS bands_full")
+    }
+  }
+
+  test("appendBandTable refuses a table without recorded geometry") {
+    Seq((1L, 7L, 42L)).toDF("doc", "band", "bh")
+      .write.mode("overwrite").saveAsTable("bands_nogeom")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.appendBandTable(docs, "doc_id", "text", "bands_nogeom")
+      }
+      assert(e.getMessage.contains("graft.bands"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS bands_nogeom")
+  }
+
   test("dropDupesAgainst: corpus membership + within-batch dedup, fingerprints only shuffle") {
     val corpus = Seq((10L, "already ingested text one"),
       (11L, "already ingested text two")).toDF("doc_id", "text")
