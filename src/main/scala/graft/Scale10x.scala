@@ -34,7 +34,18 @@ object Scale10x {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
-    val outPath = if (args.nonEmpty) args(0) else s"BENCH_${copies}x.json"
+    // probe-name-prefix filter for config experiments (Bench discipline):
+    // filtered runs write to /tmp by default so they never clobber the
+    // committed full-suite artifact
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val outPath =
+      if (args.nonEmpty) args(0)
+      else if (only.isDefined) s"/tmp/SCALE_EXP_${copies}x.json"
+      else s"BENCH_${copies}x.json"
+    // reuse already-written scale copies across experiment iterations (the
+    // 100x build writes ~6 GB; rebuilding it per probe run measures the
+    // build, not the probe)
+    val reuse = sys.env.get("SPARK_GRAFT_REUSE").contains("1")
     val work = "/tmp/graft_scale10x"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,7 +68,8 @@ object Scale10x {
 
     def write(df: DataFrame, name: String): String = {
       val p = s"$work/$name"
-      df.repartition(32).write.mode("overwrite").parquet(p)
+      if (!(reuse && new java.io.File(s"$p/_SUCCESS").isFile))
+        df.repartition(32).write.mode("overwrite").parquet(p)
       p
     }
     def scaled(df: DataFrame, idCols: Seq[String], copies: Int,
@@ -272,7 +284,7 @@ object Scale10x {
       Probe("neardup_lsh_e2e", () => nearDupShape(docs1P), () => nearDupShape(docs10P)),
       Probe("neardup_clusters", () => clusterShape(docs1P), () => clusterShape(docs10P)))
     else Seq.empty
-    val probes = Seq(
+    val allProbes = Seq(
       Probe("agg_6m_rows", () => aggShape(li1P), () => aggShape(li10P)),
       Probe("minhash_signatures", () => sigShape(docs1P), () => sigShape(docs10P)),
       Probe("exact_dedup", () => exactDedupShape(docs1P), () => exactDedupShape(docs10P)),
@@ -284,6 +296,7 @@ object Scale10x {
       nearDupProbes :+
       Probe("multimodel_eval", () => multiEvalShape(li1P, ord1P),
         () => multiEvalShape(li10P, ord10P))
+    val probes = allProbes.filter(p => only.forall(_.exists(p.name.startsWith)))
 
     val results = probes.map { p =>
       // warm best-of-2 on BOTH sides, same discipline as the DuckDB twins:

@@ -112,20 +112,48 @@ object Curate {
     * membership on a 1-ulp `ln` difference). Emits `(id, term, tf,
     * df_docs)`; callers wanting a score apply any idf(df) downstream.
     *
-    * Scale shape: explode once per aggregate (tf by (doc, term), df by
-    * term — both map-side-partial hash aggregates over the same pruned
-    * scan), broadcast-or-shuffle join on term, then the bounded-heap
-    * [[graft.plans.GroupedTopK]] — O(terms log k), no window sort.
+    * Scale shape: ranking needs term IDENTITY only, so terms hash to
+    * 64-bit ids right after the explode and every aggregate, shuffle, and
+    * heap runs over fixed-width integer keys — the q4m/q4n fingerprint
+    * discipline applied to this operator's own tf/df tables (grouping 64-bit
+    * ids keeps the hash-aggregate on the primitive fast path and off the
+    * 10⁸-string-key allocation storm the first version exhibited at 100×;
+    * an xxhash64 collision between two terms of one document is vanishingly
+    * rare and deterministic if it ever occurs). One explode feeds the
+    * (doc, term-id) tf aggregate; df derives from tf (count of tf rows per
+    * id — no second distinct over the corpus). Term TEXT joins back in two
+    * bounded steps: a per-doc kth-rank threshold over integer keys (the
+    * bounded-heap [[graft.plans.GroupedTopK]]) admits only the ≤ k +
+    * boundary-tie candidate rows, and only THOSE get text restored (vocab
+    * semi-joined to candidate ids) before the exact lexical tie-break —
+    * O(terms log k) with strings touching ~k rows per doc, no window sort.
     */
   def salientTerms(df: DataFrame, id: String, text: String,
                    k: Int = 3): DataFrame = {
     val terms = Par.spread(df.select(col(id), col(text)))
       .select(col(id), explode(TextFunctions.tokens(col(text))).as("term"))
-    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = terms.groupBy(col("term"))
-      .agg(countDistinct(col(id)).as("df_docs"))
+    val tf = terms.select(col(id), xxhash64(col("term")).as("__tid"))
+      .groupBy(col(id), col("__tid")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("__tid")).agg(count(lit(1)).as("df_docs"))
+    val ranked = tf.join(dfreq, Seq("__tid"))
+    def rankKey = struct((-col("tf")).as("ntf"), col("df_docs"))
+    // the kth-best (tf desc, df asc) VALUE per doc — well-defined whatever
+    // tied rows the heap kept, because max-of-kept is the kth smallest key
+    // counting multiplicity
+    val kth = graft.plans.GroupedTopK.perGroup(ranked, Seq(col(id)), rankKey, k)
+      .groupBy(col(id)).agg(max(rankKey).as("__kth"))
+    // candidates: every row at-or-better than the threshold — k plus
+    // boundary ties, so the string-exact tie-break below sees a bounded set
+    val cands = ranked.join(kth, Seq(id)).filter(rankKey <= col("__kth"))
+    // text restore for candidate term ids only: the semi-join filters the
+    // re-exploded terms BEFORE the distinct, so the vocab aggregate holds
+    // candidate terms, not the corpus vocabulary
+    val vocab = terms.select(xxhash64(col("term")).as("__tid"), col("term"))
+      .join(broadcast(cands.select(col("__tid")).distinct()),
+        Seq("__tid"), "left_semi")
+      .distinct()
     graft.plans.GroupedTopK.perGroup(
-        tf.join(dfreq, Seq("term")), Seq(col(id)),
+        cands.join(vocab, Seq("__tid")), Seq(col(id)),
         struct((-col("tf")).as("ntf"), col("df_docs"), col("term")), k)
       .select(col(id), col("term"), col("tf"), col("df_docs"))
   }
