@@ -126,6 +126,35 @@ object PdiQueries {
         .orderBy(col("fold"))
     },
 
+    // ---- D1 variant: order-1 iterative stratification (functions_v2.py:78-81)
+    // The public Sechidis greedy for disjoint strata with deterministic
+    // tie-breaks collapses to a closed form (see
+    // StratifiedFolds.assignIterative's proof sketch): order strata
+    // rarest-first (ties by key), samples by id within stratum; the i-th
+    // unit overall lands in fold i mod k. The oracle replays exactly that
+    // via the same triangular-offset construction in SQL — a FULL hash
+    // oracle over the greedy's assignment, not just its invariants.
+    QueryDef.sql("q56_iterative_strat",
+      """WITH sz AS (
+        |  SELECT c_mktsegment, count(*) AS m FROM customer GROUP BY 1),
+        |off AS (
+        |  SELECT x.c_mktsegment, coalesce(sum(y.m), 0) AS off
+        |  FROM sz x LEFT JOIN sz y
+        |    ON y.m < x.m OR (y.m = x.m AND y.c_mktsegment < x.c_mktsegment)
+        |  GROUP BY x.c_mktsegment),
+        |r AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) - 1 AS rk
+        |  FROM customer)
+        |SELECT r.c_custkey, CAST((off + rk) % 5 AS INT) AS fold
+        |FROM r JOIN off ON r.c_mktsegment = off.c_mktsegment
+        |ORDER BY r.c_custkey""".stripMargin) { (s, d) =>
+      StratifiedFolds.assignIterative(
+          Tables.customer(s, d), Seq(col("c_mktsegment")), 5, col("c_custkey"))
+        .select(col("c_custkey"), col("fold"))
+        .orderBy(col("c_custkey"))
+    },
+
     // ---- D3: seeded per-group sampling (dataset_classes_v1.py:44-51) ------
     // Engine-independent pseudo-random order (Knuth multiplicative hash) so
     // the oracle reproduces the sample exactly.
