@@ -14,10 +14,13 @@ import org.apache.spark.sql.types._
   * [[decodeImages]] round trip in q52 and MultimodalSpec). AUDIO decode is
   * real ([[decodeAudio]]: `javax.sound.sampled` WAV/PCM parsing with exact
   * integer sample statistics, exercised by the [[synthesizeWav]] →
-  * [[decodeAudio]] round trip in q5e and MultimodalSpec). VIDEO remains
-  * stubbed ([[fakeDecode]] derives deterministic pseudo metadata — this
-  * container ships no video codec); swapping in a real one changes only
-  * the marked function body.
+  * [[decodeAudio]] round trip in q5e and MultimodalSpec). VIDEO header
+  * decode is real ([[decodeVideo]]: pure-JVM MP4 box walk + RIFF/AVI chunk
+  * walk via [[VideoHeaders]] — dimensions, codec fourcc, frame count,
+  * duration; exercised by the [[synthesizeVideo]] → [[decodeVideo]] round
+  * trip in q5g/q50/q51 and MultimodalSpec). Frame-PIXEL decode needs a
+  * native codec this container doesn't ship and stays out of scope —
+  * header metadata is what a curation pipeline filters and plans on.
   */
 object Multimodal {
 
@@ -40,39 +43,85 @@ object Multimodal {
       col(payload).cast("binary").as("content"),
       lit(mediaType).as("media_type"))
 
-  /** Decoded-media record (the post-decode schema contract). */
-  case class DecodedMedia(media_id: Long, media_type: String, n_bytes: Long,
-                          width: Int, height: Int, channels: Int,
-                          content_hash: Long)
-
-  /** ===== STUB (VIDEO only — images use [[decodeImages]], audio
-    * [[decodeAudio]]): replace with a real decoder =====
-    * Deterministic fake of codec decoding: header fields derived from the
-    * byte length and first bytes. A real implementation would decode the
-    * codec header here (the function signature and per-partition batch shape
-    * stay the same). Runs as `mapPartitions` over typed rows — the
-    * distributed iterator shape a vectorized/native decode stage uses.
+  /** Decoded-video record: container/codec identification + header
+    * metadata, nulls when the payload is not a parseable video container
+    * (corrupt input is data, not an exception).
     */
-  def fakeDecode(media: DataFrame): DataFrame = {
+  case class DecodedVideo(media_id: Long, media_type: String, n_bytes: Long,
+                          container: Option[String], codec: Option[String],
+                          width: Option[Int], height: Option[Int],
+                          n_frames: Option[Long], duration_ms: Option[Long])
+
+  /** REAL video container-header parse, pure JVM — no codec library, no
+    * frame decode (frame PIXELS need a native codec this container doesn't
+    * ship; header metadata — the part a data pipeline filters and plans
+    * on — does not). Two container formats:
+    *
+    *  - **MP4 / ISO BMFF**: a generic box walk (size+fourcc framing,
+    *    64-bit largesize and to-end-of-file sizes handled) descending into
+    *    `moov/trak/mdia/minf/stbl`; `mvhd` (v0/v1) yields
+    *    timescale+duration, `tkhd` (v0/v1) the track's 16.16 fixed-point
+    *    width/height, `stsd` the first sample-entry fourcc (the codec),
+    *    `stts` the frame count (sum of sample counts).
+    *  - **RIFF / AVI**: a chunk walk (fourcc + little-endian size,
+    *    word-aligned) descending into `LIST`s; `avih` yields
+    *    width/height/total-frames/µs-per-frame, the `vids` `strh` the
+    *    codec fourcc.
+    *
+    * Same `mapPartitions` iterator shape as [[decodeImages]] /
+    * [[decodeAudio]]: one parser per partition, rows streamed through,
+    * corrupt payloads yield null fields.
+    */
+  def decodeVideo(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("content"), col("media_type"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
-        // a real decoder would drain `rows` in fixed-size batches through
-        // native code; the iterator contract is identical
         rows.map { case (id, bytes, mediaType) =>
           val n = if (bytes == null) 0 else bytes.length
-          val b0 = if (n > 0) bytes(0) & 0xff else 0
-          val width = 64 + (n % 192)          // STUB: fake header parse
-          val height = 64 + ((n * 7 + b0) % 192)
-          var h = 1125899906842597L           // deterministic FNV-ish hash
-          var i = 0
-          while (i < n) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
-          DecodedMedia(id, mediaType, n.toLong, width, height, 3, h)
+          val none = DecodedVideo(id, mediaType, n.toLong,
+            None, None, None, None, None, None)
+          if (n < 12) none
+          else try {
+            VideoHeaders.parseMp4(bytes)
+              .orElse(VideoHeaders.parseAvi(bytes))
+              .map(m => DecodedVideo(id, mediaType, n.toLong,
+                Some(m.container), m.codec, m.width, m.height,
+                m.nFrames, m.durationMs))
+              .getOrElse(none)
+          } catch { case _: Exception => none }
         }
       }
       .toDF()
+  }
+
+  /** Deterministic minimal-but-structurally-valid video container
+    * synthesis (the [[synthesizePng]]/[[synthesizeWav]] pattern for
+    * video): even ids get an MP4 (`ftyp` + `moov{mvhd, trak{tkhd,
+    * mdia{minf{stbl{stsd(avc1), stts}}}}}`), odd ids a RIFF/AVI
+    * (`hdrl{avih, strl{strh(vids/mjpg)}}`). Header fields derive from the
+    * id alone, so a SQL oracle predicts every decoded column:
+    * width = 16·(id mod 20 + 4), height = 16·((7·id) mod 15 + 4),
+    * n_frames = id mod 240 + 24, 25 fps → duration_ms = 40·n_frames.
+    */
+  def synthesizeVideo(df: DataFrame, id: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { mid =>
+          val w = (16 * (Math.floorMod(mid, 20L) + 4)).toInt
+          val h = (16 * (Math.floorMod(7 * mid, 15L) + 4)).toInt
+          val frames = Math.floorMod(mid, 240L).toInt + 24
+          if (mid % 2 == 0)
+            (mid, VideoHeaders.writeMp4(w, h, frames, frameMs = 40), "video/mp4")
+          else
+            (mid, VideoHeaders.writeAvi(w, h, frames, usPerFrame = 40000),
+              "video/x-msvideo")
+        }
+      }
+      .toDF("media_id", "content", "media_type")
   }
 
   /** Decoded-image record: dimensions are null when the payload is not a
@@ -86,7 +135,7 @@ object Multimodal {
   /** REAL image decode over the binary `content` column via `javax.imageio`
     * (JPEG/PNG/GIF/BMP — the JDK's built-in codecs; the reference decodes
     * every tile with PIL `Image.open`, dataset_classes_v1.py:61). Same
-    * `mapPartitions` iterator shape as [[fakeDecode]]: one decoder per
+    * `mapPartitions` iterator shape as [[decodeVideo]]: one decoder per
     * partition, rows streamed through it, no driver involvement. Corrupt or
     * non-image payloads yield null dimensions instead of failing the task.
     */

@@ -458,18 +458,19 @@ object TextQueries {
     },
 
     // ---- multimodal: patch-grid generator fan-out ---------------------------
-    // Exercises the real explode-generator path (decode -> patchGrid); the
-    // oracle replays the fake-header math and the grid cardinality.
+    // Exercises the real explode-generator path over REAL video headers
+    // (synthesizeVideo -> decodeVideo -> patchGrid); the oracle replays the
+    // synthesis dimension formulas and the grid cardinality. Dimensions are
+    // container-independent: w = 16(id%20+4), h = 16((7id)%15+4), so
+    // ceil(w/32) = (id%20+5)//2 and ceil(h/32) = ((7id)%15+5)//2.
     QueryDef.sql("q51_patch_grid",
       """SELECT doc_id AS media_id,
-        |  CAST(ceil((64 + octet_length(text::BLOB) % 192) / 32.0) *
-        |       ceil((64 + (octet_length(text::BLOB) * 7 + ascii(substring(text, 1, 1))) % 192) / 32.0)
-        |    AS BIGINT) AS n_patches,
-        |  CAST(ceil((64 + octet_length(text::BLOB) % 192) / 32.0) - 1 AS INT) AS max_px,
-        |  CAST(ceil((64 + (octet_length(text::BLOB) * 7 + ascii(substring(text, 1, 1))) % 192) / 32.0) - 1 AS INT) AS max_py
+        |  CAST((((doc_id % 20) + 5) // 2) * ((((doc_id * 7) % 15) + 5) // 2) AS BIGINT) AS n_patches,
+        |  CAST(((doc_id % 20) + 5) // 2 - 1 AS INT) AS max_px,
+        |  CAST((((doc_id * 7) % 15) + 5) // 2 - 1 AS INT) AS max_py
         |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
-      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
-      Multimodal.patchGrid(Multimodal.fakeDecode(media), patch = 32)
+      val media = Multimodal.synthesizeVideo(Tables.documents(s, d), "doc_id")
+      Multimodal.patchGrid(Multimodal.decodeVideo(media), patch = 32)
         .groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_patches"),
           max(col("px")).as("max_px"), max(col("py")).as("max_py"))
@@ -609,27 +610,46 @@ object TextQueries {
         .orderBy(col("doc"))
     },
 
-    // ---- multimodal: binary payload + metadata plumbing ---------------------
-    // Runs the real mapPartitions stub path (Multimodal.fakeDecode); the
-    // oracle replays the deterministic fake-header math in SQL.
+    // ---- multimodal: video frame-sampling plan ------------------------------
+    // Real video headers through the metadata-driven frame sampler
+    // (synthesizeVideo -> decodeVideo -> sampleFrames stride 10); the
+    // oracle replays the frame-count formula n_frames = id%240 + 24
+    // (container-independent) and the stride arithmetic.
     QueryDef.sql("q50_multimodal_meta",
       """SELECT doc_id AS media_id,
-        |  octet_length(text::BLOB) AS n_bytes,
-        |  64 + octet_length(text::BLOB) % 192 AS width,
-        |  64 + (octet_length(text::BLOB) * 7 + ascii(substring(text, 1, 1))) % 192 AS height,
-        |  CAST(floor((64 + octet_length(text::BLOB) % 192 + 31) / 32.0)
-        |    * floor((64 + (octet_length(text::BLOB) * 7 + ascii(substring(text, 1, 1))) % 192 + 31) / 32.0)
-        |    AS BIGINT) AS n_patches
+        |  CAST((doc_id % 240) + 24 AS BIGINT) AS n_frames,
+        |  CAST(((doc_id % 240) + 23) // 10 + 1 AS BIGINT) AS n_sampled,
+        |  CAST((((doc_id % 240) + 23) // 10) * 10 AS BIGINT) AS max_idx
         |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
-      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
-      val decoded = Multimodal.fakeDecode(media)
-      decoded.select(
-          col("media_id"),
-          col("n_bytes"),
-          col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          (floor((col("width") + 31) / 32.0) * floor((col("height") + 31) / 32.0))
-            .cast("long").as("n_patches"))
+      val media = Multimodal.synthesizeVideo(Tables.documents(s, d), "doc_id")
+      val decoded = Multimodal.decodeVideo(media)
+      Multimodal.sampleFrames(decoded, col("n_frames"), stride = 10)
+        .groupBy(col("media_id"))
+        .agg(max(col("n_frames")).as("n_frames"),
+          count(lit(1)).as("n_sampled"),
+          max(col("frame_idx")).as("max_idx"))
+        .orderBy(col("media_id"))
+    },
+
+    // ---- multimodal: REAL video container decode round trip -----------------
+    // synthesizeVideo writes minimal-but-valid MP4 (even ids) and RIFF/AVI
+    // (odd ids) headers; decodeVideo parses them back with the pure-JVM box
+    // and chunk walkers. Every decoded field is predicted by the synthesis
+    // formulas, so the oracle is FULL-hash (the q5e audio pattern applied
+    // to video).
+    QueryDef.sql("q5g_video_meta",
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'mjpg' END AS codec,
+        |  CAST(16 * ((doc_id % 20) + 4) AS INT) AS width,
+        |  CAST(16 * (((doc_id * 7) % 15) + 4) AS INT) AS height,
+        |  CAST((doc_id % 240) + 24 AS BIGINT) AS n_frames,
+        |  CAST(40 * ((doc_id % 240) + 24) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      Multimodal.decodeVideo(
+          Multimodal.synthesizeVideo(Tables.documents(s, d), "doc_id"))
+        .select(col("media_id"), col("container"), col("codec"),
+          col("width"), col("height"), col("n_frames"), col("duration_ms"))
         .orderBy(col("media_id"))
     },
 
