@@ -75,4 +75,38 @@ object TileScorer {
     override def scorePartition(tiles: Iterator[Tile]): Iterator[TileScore] =
       tiles.map(t => TileScore(t.slide_name, value))
   }
+
+  /** A REAL fusion head behind the scorer contract: decodes the payload
+    * into the CAT model's image-feature vector, derives the metadata
+    * vector from the slide key, and scores the tile with
+    * [[graft.ml.FusionModels.Head.catLogits]] (the `FusionNet` concat
+    * architecture, mymodels.py:97-131, fixture weights). The emitted score
+    * is `floor(scale · (logit1 − logit0))` — INTEGER-VALUED by
+    * construction, so downstream per-slide averages are exact in any
+    * summation order and the whole pipeline stays oracle-replayable
+    * (query q5h). Feature derivations (replayed by the q5h SQL):
+    * `img[j] = ((v + j) mod 47 − 23)/16` over the payload long v;
+    * `meta = ((c mod 7)/8, (c mod 5)/8, c mod 2)` over the numeric slide
+    * key c.
+    */
+  final case class FusionCatScorer(scale: Double = 1024.0) extends TileScorer {
+    override def scorePartition(tiles: Iterator[Tile]): Iterator[TileScore] = {
+      // per-partition init: weights materialize once here, like a real
+      // model load
+      val fix = graft.ml.FusionModels.Fixture
+      val buf = java.nio.ByteBuffer.allocate(8)
+      tiles.map { t =>
+        val v =
+          if (t.payload != null && t.payload.length >= 8) {
+            buf.clear(); buf.put(t.payload, 0, 8); buf.flip(); buf.getLong()
+          } else 0L
+        val img = Array.tabulate(fix.ImgDim)(j =>
+          (java.lang.Math.floorMod(v + j, 47L) - 23L) / 16.0)
+        val c = try t.slide_name.toLong catch { case _: NumberFormatException => 0L }
+        val meta = Array((c % 7L) / 8.0, (c % 5L) / 8.0, (c % 2L).toDouble)
+        val lg = graft.ml.FusionModels.Head.catLogits(img, meta)
+        TileScore(t.slide_name, math.floor((lg(1) - lg(0)) * scale))
+      }
+    }
+  }
 }

@@ -251,6 +251,111 @@ object FusionQueries {
           round(col("balanced_accuracy"), 6).as("balanced_accuracy"),
           col("n_uncertain"))
         .orderBy(col("v"), col("model"))
+    },
+
+    // ---- the H6 pipeline scored by a REAL fusion head -----------------------
+    // q36's end-to-end experiment DAG with TileScorer.FusionCatScorer as
+    // the model: each tile's payload decodes to the CAT head's 64-dim
+    // image vector, the slide key to the metadata vector, and score1 is
+    // the integer-valued floor(1024·(logit1−logit0)) — so per-slide
+    // averages are summation-order-exact and the WHOLE pipeline (ingest →
+    // impute → folds → fusion-head scoring → roll-up → BA/AUROC) carries a
+    // full hash oracle. The oracle regenerates the identical logit chains
+    // from the same Scala weight fixtures (left-associative, dyadic
+    // weights — the q5a bit-exactness argument, per tile).
+    QueryDef.sql("q5h_fusion_pipeline", {
+      val m = Seq("CAST(o_custkey % 7 AS DOUBLE)/8.0",
+        "CAST(o_custkey % 5 AS DOUBLE)/8.0", "CAST(o_custkey % 2 AS DOUBLE)")
+      val h = affineSql(Fixture.metaL1, m)
+        .zipWithIndex.map { case (e, i) => s"$e AS h$i" }.mkString(",\n  ")
+      val mf = affineSql(Fixture.metaL2, (0 until 5).map(i => s"h$i"))
+        .zipWithIndex.map { case (e, i) => s"$e AS mf$i" }.mkString(",\n  ")
+      def logit(c: Int): String = (0 until 3).foldLeft(
+        chainSql(Fixture.catB(c), (0 until Fixture.ImgDim).map { j =>
+          s"${d2s(Fixture.catImgW(c)(j))}*(CAST((v + $j) % 47 - 23 AS DOUBLE)/16.0)"
+        })) { (acc, j) => s"$acc + ${d2s(Fixture.catMetaW(c)(j))}*mf$j" }
+      s"""WITH m0 AS (
+         |  SELECT CAST(c_custkey AS VARCHAR) AS slide_name,
+         |    CAST(c_custkey % 2 AS INT) AS label,
+         |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS age,
+         |    CASE WHEN c_custkey % 5 = 0 THEN NULL
+         |         ELSE CAST(c_nationkey % 2 AS INT) END AS gender,
+         |    CASE WHEN c_nationkey < 12 THEN 0 ELSE 1 END AS lab
+         |  FROM customer),
+         |imp AS (
+         |  SELECT slide_name, label, lab,
+         |    coalesce(age, (SELECT avg(age) FROM m0)) AS age,
+         |    coalesce(gender, (SELECT gender FROM m0 WHERE gender IS NOT NULL
+         |                      GROUP BY gender ORDER BY count(*) DESC, gender
+         |                      LIMIT 1)) AS gender
+         |  FROM m0),
+         |fld AS (
+         |  SELECT *, CAST((row_number() OVER (PARTITION BY label, lab
+         |    ORDER BY slide_name) - 1) % 5 AS INT) AS fold FROM imp),
+         |st AS (SELECT *, CASE WHEN fold < 1 THEN 'val' WHEN fold < 3 THEN 'test'
+         |                      ELSE 'train' END AS s FROM fld),
+         |t0 AS (SELECT CAST(o_custkey AS VARCHAR) AS slide_name, o_custkey,
+         |         l_partkey AS v
+         |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |       WHERE l_orderkey % 3 = 0),
+         |th AS (SELECT *, $h FROM t0),
+         |tf AS (SELECT *, $mf FROM th),
+         |ts AS (SELECT slide_name,
+         |         floor(((${logit(1)}) - (${logit(0)})) * 1024.0) AS score1
+         |       FROM tf),
+         |sl AS (SELECT t.slide_name, avg(t.score1) AS score, max(m.label) AS label,
+         |         max(m.fold) AS fold, max(m.s) AS s
+         |       FROM ts t JOIN st m ON t.slide_name = m.slide_name
+         |       GROUP BY t.slide_name),
+         |sp AS (SELECT *, CASE WHEN score >= 0 THEN 1 ELSE 0 END AS pred FROM sl),
+         |ba AS (SELECT fold, s, avg(rec) AS balanced_accuracy FROM (
+         |         SELECT fold, s, label,
+         |           avg(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END) AS rec
+         |         FROM sp GROUP BY fold, s, label) GROUP BY fold, s),
+         |g AS (SELECT fold, s, score, sum(label) AS pos, count(*) AS n
+         |      FROM sp GROUP BY 1, 2, 3),
+         |rk AS (SELECT *, sum(n) OVER (PARTITION BY fold, s ORDER BY score
+         |         ROWS UNBOUNDED PRECEDING) AS cum FROM g),
+         |au AS (SELECT fold, s,
+         |         (sum(pos*((2.0*cum - n + 1)/2)) - sum(pos)*(sum(pos)+1)/2.0)
+         |           / (sum(pos)*(sum(n)-sum(pos))) AS auroc
+         |       FROM rk GROUP BY 1, 2)
+         |SELECT ba.fold, ba.s AS "set",
+         |  round(ba.balanced_accuracy, 6) AS balanced_accuracy,
+         |  round(au.auroc, 6) AS auroc
+         |FROM ba JOIN au ON ba.fold = au.fold AND ba.s = au.s
+         |ORDER BY ba.fold""".stripMargin
+    }) { (s, d) =>
+      import graft.pipeline.{Experiment, TileScorer}
+      import graft.pipeline.TileScorer.tileEnc
+      val cust = Tables.customer(s, d)
+      def mk(df: DataFrame) = df.select(
+        col("c_custkey").cast("string").as("slide_name"),
+        (col("c_custkey") % 2).cast("int").as("label"),
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal")).as("age"),
+        when(col("c_custkey") % 5 === 0, lit(null))
+          .otherwise((col("c_nationkey") % 2).cast("int")).as("gender"))
+      val cfg = Experiment.Config(catCols = Seq("gender"), rollupThreshold = 0.0)
+      val meta = Experiment.ingest(Seq(
+        mk(cust.where(col("c_nationkey") < 12)),
+        mk(cust.where(col("c_nationkey") >= 12))))
+      val prepared = Experiment.prepare(meta, cfg)
+      // a deterministic 1/3 tile subset keeps this second q36-shaped DAG
+      // from dominating the suite wall; the oracle applies the same cut
+      val tiles = Tables.lineitem(s, d)
+        .where(col("l_orderkey") % 3 === 0)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("string").as("slide_name"),
+          col("l_linenumber").cast("int").as("tile_col"),
+          lit(0).as("tile_row"),
+          to_binary(lpad(hex(col("l_partkey")), 16, "0"), lit("hex")).as("payload"))
+        .as[graft.pipeline.Tile](tileEnc)
+      val tileScores = TileScorer.score(tiles, TileScorer.FusionCatScorer())
+      Experiment.evaluate(prepared, tileScores, cfg)
+        .select(col("fold"), col("set"),
+          round(col("balanced_accuracy"), 6).as("balanced_accuracy"),
+          round(col("auroc"), 6).as("auroc"))
+        .orderBy(col("fold"))
     }
   )
 }
