@@ -29,6 +29,32 @@ object Probe {
     Tables.names.foreach { tb =>
       try Tables.load(spark, d, tb).limit(1).collect() catch { case _: Throwable => } }
 
+    if (sys.env.get("SPARK_GRAFT_PROBE_SALIENT").contains("1")) {
+      val out = graft.operators.Curate.salientTerms(
+        Tables.documents(spark, d), "doc_id", "text", k = 3)
+      val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+      val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet()
+            tasks.addAndGet(sc.stageInfo.numTasks)
+          }
+        })
+      for (aqe <- Seq("true", "false"); r <- 1 to 2) {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        stages.set(0); tasks.set(0)
+        t(s"salient aqe=$aqe r$r") {
+          graft.operators.Curate.salientTerms(
+            Tables.documents(spark, d), "doc_id", "text", k = 3).count()
+        }
+        Thread.sleep(500)
+        println(s"[probe] aqe=$aqe r$r stages=${stages.get} tasks=${tasks.get}")
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.get("SPARK_GRAFT_PROBE_AGG").contains("1")) {
       val p = "/tmp/graft_scale10x/li100"
       def force(df: org.apache.spark.sql.DataFrame): Long =
