@@ -5,7 +5,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.types.PhysicalDataType
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -71,31 +70,40 @@ case class GroupedTopKExec(k: Int, groupExprs: Seq[Expression],
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupLocal, childOutput)
       val rowProj = UnsafeProjection.create(childOutput, childOutput)
-      val boundOrder = org.apache.spark.sql.catalyst.expressions.BindReferences
-        .bindReference(orderLocal, childOutput)
-      val ord = PhysicalDataType.ordering(orderLocal.dataType)
-        .asInstanceOf[Ordering[Any]]
+      // the order VALUE is evaluated by a codegen'd projection into a
+      // reused one-column UnsafeRow and compared by a codegen'd ordering —
+      // the interpreted (boundOrder.eval + PhysicalDataType.ordering)
+      // formulation allocated a boxed value per INPUT row and did boxed
+      // per-field struct compares, which dominated the partial pass at the
+      // 100x probe (15M rows through the heap filter)
+      val orderProj = UnsafeProjection.create(Seq(orderLocal), childOutput)
+      val cmp = org.apache.spark.sql.catalyst.expressions.codegen
+        .GenerateOrdering.generate(Seq(
+          org.apache.spark.sql.catalyst.expressions.SortOrder(
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              0, orderLocal.dataType, orderLocal.nullable),
+            org.apache.spark.sql.catalyst.expressions.Ascending)))
       // max-heap of size k per group: head = current worst of the kept k
-      val heapOrd = new java.util.Comparator[(Any, UnsafeRow)] {
-        override def compare(a: (Any, UnsafeRow), b: (Any, UnsafeRow)): Int =
-          ord.compare(b._1, a._1)
+      val heapOrd = new java.util.Comparator[(UnsafeRow, UnsafeRow)] {
+        override def compare(a: (UnsafeRow, UnsafeRow),
+                             b: (UnsafeRow, UnsafeRow)): Int =
+          cmp.compare(b._1, a._1)
       }
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(Any, UnsafeRow)]]()
+      val heaps =
+        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(UnsafeRow, UnsafeRow)]]()
       iter.foreach { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[(Any, UnsafeRow)](kLocal + 1, heapOrd)
+          heap = new java.util.PriorityQueue[(UnsafeRow, UnsafeRow)](kLocal + 1, heapOrd)
           heaps.put(key.copy(), heap)
         }
-        val v = boundOrder.eval(row)
-        // copy buffer-backed order values (UTF8String / struct / array point
-        // into the reused UnsafeRow) before they outlive this iteration
+        val v = orderProj(row) // reused buffer — copy only on accept
         if (heap.size() < kLocal) {
-          heap.add((InternalRow.copyValue(v), rowProj(row).copy()))
-        } else if (ord.compare(v, heap.peek()._1) < 0) {
+          heap.add((v.copy(), rowProj(row).copy()))
+        } else if (cmp.compare(v, heap.peek()._1) < 0) {
           heap.poll()
-          heap.add((InternalRow.copyValue(v), rowProj(row).copy()))
+          heap.add((v.copy(), rowProj(row).copy()))
         }
       }
       import scala.jdk.CollectionConverters._
