@@ -341,6 +341,58 @@ object Dedup {
         s"'graft.shingleN'='$shingleN')")
   }
 
+  /** Persist a corpus's DISTINCT text fingerprints as a BUCKETED catalog
+    * table — the exact-dup sibling of [[writeBandTable]], and the
+    * materialized form of the fingerprint set [[dropDupesAgainst]] derives
+    * per call. 8 bytes per distinct historical document, bucketed+sorted by
+    * `__fp`, so every subsequent [[dropDupesAgainstTable]] probe anti-joins
+    * against it with NO exchange on the corpus side, and each
+    * [[appendFingerprintTable]] increment writes only the batch's new
+    * fingerprints.
+    */
+  def writeFingerprintTable(corpus: DataFrame, text: String, table: String,
+                            buckets: Int = 32,
+                            path: Option[String] = None): Unit = {
+    val w0 = corpus
+      .select(TextFunctions.fingerprint64(col(text)).as("__fp"))
+      .distinct()
+      .write.mode("overwrite")
+      .bucketBy(buckets, "__fp")
+      .sortBy("__fp")
+      .format("parquet")
+    path.fold(w0)(w0.option("path", _)).saveAsTable(table)
+  }
+
+  /** Append a batch's NEW fingerprints to a persisted fingerprint table:
+    * the batch's distinct fps anti-join the table first (bucket-local read,
+    * no corpus-side exchange), so the table stays duplicate-free and each
+    * increment writes O(new docs), never a corpus rewrite. `insertInto`
+    * honors the table's bucket spec.
+    */
+  def appendFingerprintTable(batch: DataFrame, text: String,
+                             table: String): Unit = {
+    val spark = batch.sparkSession
+    batch.select(TextFunctions.fingerprint64(col(text)).as("__fp"))
+      .distinct()
+      .join(spark.table(table), Seq("__fp"), "left_anti")
+      .write.mode("append").insertInto(table)
+  }
+
+  /** [[dropDupesAgainst]] probing a PERSISTED fingerprint table instead of
+    * re-fingerprinting the corpus: drop batch rows whose text fingerprint
+    * already exists in the table, then exact-dedup within the batch. The
+    * corpus side is a bucketed 8-byte-column read straight into the
+    * anti-join — per-ingest cost is O(batch), independent of corpus size.
+    */
+  def dropDupesAgainstTable(batch: DataFrame, fpTable: String,
+                            id: String, text: String): DataFrame = {
+    val fresh = batch
+      .withColumn("__fp", TextFunctions.fingerprint64(col(text)))
+      .join(batch.sparkSession.table(fpTable), Seq("__fp"), "left_anti")
+      .drop("__fp")
+    dropExactDupes(fresh, id, text)
+  }
+
   /** Incremental corpus append for a persisted band table: band ONLY the
     * new batch (with the geometry recorded in the table's properties — a
     * table without them refuses, the silent-miss rule) and append its band

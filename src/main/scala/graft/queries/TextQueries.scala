@@ -51,6 +51,35 @@ object TextQueries {
       |WHERE doc_id NOT IN (SELECT doc_b FROM dup)
       |ORDER BY doc_id""".stripMargin
 
+  /** One exact-dup ingest-gate oracle, shared by q4t (live corpus probe)
+    * and q5i (persisted bucketed fingerprint-table probe): green on both
+    * proves the table path computes the identical gate.
+    */
+  private val exactGateOracleSql =
+    """WITH corpus AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+      |batch AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+      |fresh AS (SELECT * FROM batch b
+      |          WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY text)
+      |SELECT f.doc_id, f.lang, f.n_chars FROM fresh f
+      |JOIN keep USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Fingerprint table for the persisted exact-dup gate (q5i): one per sf
+    * dir, built at most once per session over the q4t fixture corpus,
+    * EXTERNAL at a deterministic tmp path (the [[ensureBandTable]]
+    * discipline). Returns the table name.
+    */
+  private def ensureFpTable(s: org.apache.spark.sql.SparkSession,
+                            d: String): String = {
+    val tag = "sf" + d.replaceAll("[^0-9]", "").takeRight(8)
+    val table = s"graft_fps_$tag"
+    if (!s.catalog.tableExists(table))
+      Dedup.writeFingerprintTable(
+        Tables.documents(s, d).where(col("doc_id") % 3 =!= 0), "text", table,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_fps_$tag"))
+    table
+  }
+
   /** The Spark-side twin of [[nearGateOracleSql]]'s `batch` CTE. */
   private def nearGateBatch(s: org.apache.spark.sql.SparkSession,
                             d: String): org.apache.spark.sql.DataFrame = {
@@ -819,18 +848,25 @@ object TextQueries {
     // ---- incremental ingest dedup: new batch vs the already-ingested
     //      corpus (cross-corpus anti-join on fingerprints) then within-batch
     //      exact dedup — full oracle replays both stages on raw text -------
-    QueryDef.sql("q4t_incremental_dedup",
-      """WITH corpus AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
-        |batch AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
-        |fresh AS (SELECT * FROM batch b
-        |          WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)),
-        |keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY text)
-        |SELECT f.doc_id, f.lang, f.n_chars FROM fresh f
-        |JOIN keep USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    QueryDef.sql("q4t_incremental_dedup", exactGateOracleSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       Dedup.dropDupesAgainst(
           docs.where(col("doc_id") % 3 === 0),
           docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- the SAME exact-dup gate probing the PERSISTED bucketed
+    //      fingerprint table (the q5f pattern applied to exact dedup):
+    //      only the batch is fingerprinted per ingest; the corpus side is
+    //      a bucketed 8-byte-column read with no exchange. Shares q4t's
+    //      oracle — green proves table probe == live corpus probe. --------
+    QueryDef.sql("q5i_fptable_dedup", exactGateOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.dropDupesAgainstTable(
+          docs.where(col("doc_id") % 3 === 0), ensureFpTable(s, d),
+          "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     },

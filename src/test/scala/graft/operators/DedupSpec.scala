@@ -341,6 +341,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint table: probe == live gate, append == rebuild, bucketed read") {
+    val corpusA = Seq((10L, "already ingested text one"),
+      (11L, "already ingested text two")).toDF("doc_id", "text")
+    val corpusB = Seq((12L, "later ingested text three")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "already ingested text one"),   // dup of corpus A -> dropped
+      (21L, "later ingested text three"),   // dup of corpus B -> dropped
+      (22L, "brand new text"),
+      (23L, "brand new text"),              // within-batch dup of 22 -> dropped
+      (24L, "another new text")).toDF("doc_id", "text")
+    Dedup.writeFingerprintTable(corpusA, "text", "fps_inc", buckets = 4)
+    Dedup.writeFingerprintTable(corpusA.unionByName(corpusB), "text",
+      "fps_full", buckets = 4)
+    try {
+      Dedup.appendFingerprintTable(corpusB, "text", "fps_inc")
+      // append == rebuild down to the stored fingerprint set (and appending
+      // an already-seen corpus adds NOTHING — the table stays dup-free)
+      Dedup.appendFingerprintTable(corpusA, "text", "fps_inc")
+      val inc = spark.table("fps_inc").as[Long].collect().sorted.toSeq
+      val full = spark.table("fps_full").as[Long].collect().sorted.toSeq
+      assert(inc == full, "appended fp table diverges from rebuild")
+      val viaTable = Dedup.dropDupesAgainstTable(batch, "fps_inc", "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val live = Dedup.dropDupesAgainst(batch,
+          corpusA.unionByName(corpusB), "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(viaTable == live && viaTable == Seq(22L, 24L),
+        s"table gate diverged: $viaTable vs $live")
+      // the corpus side reads bucketed, straight into the anti-join
+      val plan = Dedup.dropDupesAgainstTable(batch, "fps_inc", "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true") || plan.contains("SelectedBucketsCount"),
+        s"fp table must read bucketed:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fps_inc")
+      spark.sql("DROP TABLE IF EXISTS fps_full")
+    }
+  }
+
   test("appendBandTable refuses a table without recorded geometry") {
     Seq((1L, 7L, 42L)).toDF("doc", "band", "bh")
       .write.mode("overwrite").saveAsTable("bands_nogeom")
