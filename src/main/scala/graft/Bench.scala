@@ -47,10 +47,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
-    // 12 streams packs the suite tighter than 8 under FAIR (wall/seq 0.24
-    // vs 0.28 measured same-window); 16 regresses (state-heavy queries
-    // contend for cores)
-    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "12").toInt.max(1)
+    // stream-count knee moves with suite size: 12 beat 8 and 16 on the
+    // 94-query round-6 suite; at 101 queries (round 7, with two extra
+    // ~1.7s serial pipelines) 16 packs tighter than 12 or 20 (measured
+    // same-window walls 5.71 / 6.89 / 6.02) — re-sweep when the suite
+    // grows again
+    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "16").toInt.max(1)
     // optional comma-separated name-prefix filter for config experiments
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     // shuffle partitions sized for the BENCH data (~600k-row tables), not
