@@ -380,6 +380,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("steady-state ingest loop: gate -> append survivors -> re-ingest drops everything") {
+    // the production loop the persisted tables exist for: exact gate (fp
+    // table) -> near gate (band table) -> append the survivors' state.
+    // Ingesting the SAME batch again must then drop every row — its
+    // survivors are now corpus members of both tables.
+    val corpus = docs
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank side"), // near dup
+      (102L, "genuinely novel content about deep sea bioluminescence research"),
+      (103L, "another novel document on ancient mediterranean trade routes"))
+      .toDF("doc_id", "text")
+    Dedup.writeFingerprintTable(corpus, "text", "loop_fps", buckets = 4)
+    Dedup.writeBandTable(corpus, "doc_id", "text", "loop_bands",
+      buckets = 4, bands = 16, rowsPerBand = 2)
+    try {
+      def gate(b: org.apache.spark.sql.DataFrame) = {
+        val exactFresh = Dedup.dropDupesAgainstTable(b, "loop_fps", "doc_id", "text")
+        val nearDups = Dedup.nearDupesAgainstTable(exactFresh, corpus,
+            "loop_bands", "doc_id", "text", threshold = 0.5,
+            bands = 16, rowsPerBand = 2)
+          .select(col("doc_a").as("doc_id")).distinct()
+        exactFresh.join(nearDups, Seq("doc_id"), "left_anti")
+      }
+      val survivors = gate(batch)
+      assert(survivors.select("doc_id").as[Long].collect().sorted.toSeq
+        == Seq(102L, 103L), "first ingest keeps only the novel docs")
+      Dedup.appendFingerprintTable(survivors, "text", "loop_fps")
+      Dedup.appendBandTable(survivors, "doc_id", "text", "loop_bands")
+      // second ingest of the identical batch: the exact gate now drops the
+      // previous survivors too (their fingerprints were appended)
+      assert(gate(batch).count() == 0, "re-ingesting the same batch must drop all")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS loop_fps")
+      spark.sql("DROP TABLE IF EXISTS loop_bands")
+    }
+  }
+
   test("appendBandTable refuses a table without recorded geometry") {
     Seq((1L, 7L, 42L)).toDF("doc", "band", "bh")
       .write.mode("overwrite").saveAsTable("bands_nogeom")
