@@ -119,6 +119,7 @@ object Probe {
 
       // ---- q36 ----
       t("q36 full") { SparkEntry.queries("q36_pipeline_e2e")(spark, d).count() }
+      t("q6c full") { SparkEntry.queries("q6c_stream_selfmaintain")(spark, d).count() }
     }
     spark.stop()
   }

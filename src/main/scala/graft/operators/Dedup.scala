@@ -418,8 +418,17 @@ object Dedup {
     }
     val (bands, rowsPerBand, shingleN) =
       (geom("bands"), geom("rowsPerBand"), geom("shingleN"))
-    bandedKeys(batch, id, text, bands, rowsPerBand, shingleN)
-      .write.mode("append").insertInto(table)
+    // doc-level anti-join makes the append IDEMPOTENT: a crash-replayed
+    // ingest batch re-appends nothing (the streaming gate depends on this),
+    // and re-appending an already-banded corpus is a no-op — checked with a
+    // count so the no-op case skips the bucketed write job entirely
+    val existing = spark.table(table).select(col("doc")).distinct()
+    val fresh = bandedKeys(batch, id, text, bands, rowsPerBand, shingleN)
+      .join(existing, Seq("doc"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (fresh.count() > 0) fresh.write.mode("append").insertInto(table)
+    } finally { fresh.unpersist(); () }
   }
 
   /** [[nearDupesAgainst]] probing a PERSISTED band table (from

@@ -51,6 +51,73 @@ object TextQueries {
       |WHERE doc_id NOT IN (SELECT doc_b FROM dup)
       |ORDER BY doc_id""".stripMargin
 
+  /** The planted cross-batch near-dup pair for q6c: 3000000 (even → replay
+    * batch 0, novel vs the corpus, survives round 0) and 3000001 (odd →
+    * batch 1, a near-dup of 3000000 — ~0.92 shingle Jaccard, deep in the
+    * r=4,b=8 high-recall region). The pair discriminates the
+    * self-maintaining gate from the static one: only a gate whose state
+    * GREW by batch 0's survivors drops 3000001.
+    */
+  private val plantedX: String =
+    "planted quantum chemistry document describing catalytic surface " +
+      "reactions at scale with spectroscopic measurements and simulation " +
+      "pipelines across many compute nodes for materials discovery work"
+
+  /** One round of the exact all-pairs gate as suffixed CTEs: `surv$tag` =
+    * rows of `$batchCte` with no text within shingle-Jaccard >= 0.5 of
+    * `$corpusCte` — the [[nearGateOracleSql]] machinery parameterized so
+    * q6c can chain TWO rounds (round 1's corpus = corpus ∪ surv0).
+    */
+  private def gateRoundCtes(tag: String, corpusCte: String,
+                            batchCte: String): String =
+    s"""sh${tag}c AS (SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |                           for i in range(len(t) - 2)]) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $corpusCte) x) u),
+       |sh${tag}b AS (SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |                           for i in range(len(t) - 2)]) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $batchCte) x) u),
+       |n${tag}c AS (SELECT doc_id, count(*) AS n FROM sh${tag}c GROUP BY doc_id),
+       |n${tag}b AS (SELECT doc_id, count(*) AS n FROM sh${tag}b GROUP BY doc_id),
+       |inter$tag AS (
+       |  SELECT b.doc_id AS doc_b, c.doc_id AS doc_c, count(*) AS i
+       |  FROM sh${tag}b b JOIN sh${tag}c c ON b.s = c.s
+       |  GROUP BY b.doc_id, c.doc_id),
+       |dup$tag AS (
+       |  SELECT DISTINCT doc_b FROM inter$tag
+       |  JOIN n${tag}b nb ON nb.doc_id = doc_b
+       |  JOIN n${tag}c nc ON nc.doc_id = doc_c
+       |  WHERE i / (nb.n + nc.n - i) >= 0.5),
+       |surv$tag AS (SELECT doc_id, text FROM $batchCte
+       |             WHERE doc_id NOT IN (SELECT doc_b FROM dup$tag))""".stripMargin
+
+  /** Two sequential gate rounds — the exact semantics of the
+    * self-maintaining streaming gate's 2-batch replay: batch 0 (even ids)
+    * gates against the corpus, batch 1 (odd ids) against corpus ∪ batch
+    * 0's survivors.
+    */
+  private def selfMaintainOracleSql: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |batch AS (
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' tail' AS text
+       |  FROM documents WHERE doc_id % 25 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |    'fresh batch item ' || doc_id || ' entirely novel synthetic content'
+       |  FROM documents WHERE doc_id % 40 = 0
+       |  UNION ALL SELECT 3000000, '$plantedX'
+       |  UNION ALL SELECT 3000001, '$plantedX extra tail'),
+       |b0 AS (SELECT * FROM batch WHERE doc_id % 2 = 0),
+       |b1 AS (SELECT * FROM batch WHERE doc_id % 2 = 1),
+       |${gateRoundCtes("0", "corpus", "b0")},
+       |corpus1 AS (SELECT doc_id, text FROM corpus
+       |            UNION ALL SELECT doc_id, text FROM surv0),
+       |${gateRoundCtes("1", "corpus1", "b1")}
+       |SELECT doc_id FROM surv0
+       |UNION ALL SELECT doc_id FROM surv1
+       |ORDER BY doc_id""".stripMargin
+
   /** One exact-dup ingest-gate oracle, shared by q4t (live corpus probe)
     * and q5i (persisted bucketed fingerprint-table probe): green on both
     * proves the table path computes the identical gate.
@@ -956,6 +1023,42 @@ object TextQueries {
       graft.streaming.DocStream.replayNearDedupedIngest(
           nearGateBatch(s, d), docs, table, "doc_id", "text",
           s"${sys.props("java.io.tmpdir")}/graft_neargate_$tag",
+          nBatches = 2, threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- the SELF-MAINTAINING streaming gate (q6b's production sibling):
+    // each micro-batch's survivors extend the gate's state, so batch 1
+    // near-dups of batch 0 SURVIVORS drop too — pinned by the planted
+    // 3000000/3000001 pair, which only a state-growing gate separates.
+    // The oracle chains two exact all-pairs gate rounds (round 1's corpus
+    // includes round 0's survivors). The band table is REBUILT per run
+    // because the replay appends to it.
+    QueryDef.sql("q6c_stream_selfmaintain", selfMaintainOracleSql) { (s, d) =>
+      import s.implicits._
+      // a 1/5 corpus slice keeps this two-probe streaming replay off the
+      // suite wall's critical path; the dupe-class batch ids (doc_id % 25)
+      // stay inside the slice (25 is a multiple of 5), so the fixture's
+      // gate semantics are unchanged
+      val docs = Tables.documents(s, d)
+        .where(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
+      val tag = "sf" + d.replaceAll("[^0-9]", "").takeRight(8)
+      // built ONCE per session (ensureBandTable discipline): the replay
+      // appends survivor bands, and replaying the same batch over the
+      // GROWN table is exact — the gate compares against strictly prior
+      // state, so the batch's own earlier appends are excluded
+      // (DocStreamSpec pins this replay-over-grown-state equality)
+      val table = s"graft_bands_selfm_$tag"
+      if (!s.catalog.tableExists(table))
+        Dedup.writeBandTable(docs, "doc_id", "text", table,
+          path = Some(s"${sys.props("java.io.tmpdir")}/graft_bands_selfm_$tag"))
+      val batch = nearGateBatch(s, d).unionByName(
+        Seq((3000000L, plantedX), (3000001L, plantedX + " extra tail"))
+          .toDF("doc_id", "text"))
+      graft.streaming.DocStream.replaySelfMaintainingIngest(
+          batch, docs, table, "doc_id", "text",
+          s"${sys.props("java.io.tmpdir")}/graft_selfm_$tag",
           nBatches = 2, threshold = 0.5)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))

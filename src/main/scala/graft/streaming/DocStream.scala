@@ -103,6 +103,62 @@ object DocStream {
       .start()
   }
 
+  /** SELF-MAINTAINING variant of [[nearDedupedIngest]]: each micro-batch
+    * gates against the historical corpus PLUS every earlier stream batch's
+    * survivors, then appends its own survivors' band rows to the table —
+    * the steady-state production loop where the stream IS the corpus's
+    * growth. Mechanics per batch:
+    *
+    *   1. verify-text side = `corpus` ∪ the sink's previously written
+    *      survivor partitions (the sink doubles as the appended corpus);
+    *      the band table already carries their band rows from step 3.
+    *   2. the LSH probe excludes pairs whose corpus-side doc is in the
+    *      CURRENT micro-batch — a batch compares against strictly PRIOR
+    *      state, which also makes crash-replay exact: a replayed batch
+    *      whose bands were already appended would otherwise match itself.
+    *   3. survivors overwrite their own `batch=<id>` partition (idempotent
+    *      sink) and append their band rows ([[graft.operators.Dedup.appendBandTable]]
+    *      is doc-level idempotent, so a replayed append is a no-op).
+    *
+    * Within-batch near-dups still pass (same contract as the static gate);
+    * split batches at the granularity you want deduped. NOTE: the band
+    * table grows with the stream — unlike [[nearDedupedIngest]] it is
+    * state, but storage-resident and bucket-local, never state-store state.
+    */
+  def selfMaintainingNearDedupedIngest(docs: DataFrame, corpus: DataFrame,
+                                       bandTable: String, id: String,
+                                       textCol: String, sinkPath: String,
+                                       checkpointDir: String,
+                                       threshold: Double = 0.8, bands: Int = 8,
+                                       rowsPerBand: Int = 4,
+                                       shingleN: Int = 3): StreamingQuery = {
+    Dedup.checkBandGeometry(docs.sparkSession, bandTable,
+      bands, rowsPerBand, shingleN)
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val prior =
+          try spark.read.parquet(sinkPath).select(col(id), col(textCol))
+          catch { case _: Exception => // first batch: no sink yet
+            corpus.select(col(id), col(textCol)).limit(0) }
+        val corpusNow = corpus.select(col(id), col(textCol)).unionByName(prior)
+        val dupes = Dedup.nearDupesAgainstTableUnchecked(b, corpusNow,
+            bandTable, id, textCol, threshold, bands, rowsPerBand, shingleN)
+          // strictly-prior comparison: drop pairs whose corpus-side doc is
+          // in THIS batch (see scaladoc point 2)
+          .join(b.select(col(id).as("doc_b")), Seq("doc_b"), "left_anti")
+          .select(col("doc_a").as(id)).distinct()
+        val surv = b.join(dupes, Seq(id), "left_anti")
+        surv.write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+        Dedup.appendBandTable(
+          spark.read.parquet(s"$sinkPath/batch=$batchId"), id, textCol, bandTable)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   // NOT private: a private case class makes the generated encoder
   // projection fail Janino compilation ("Private member cannot be
   // accessed") and silently fall back to interpreted mode on every replay
@@ -126,7 +182,36 @@ object DocStream {
                               workDir: String, nBatches: Int = 2,
                               threshold: Double = 0.8, bands: Int = 8,
                               rowsPerBand: Int = 4,
-                              shingleN: Int = 3): DataFrame = {
+                              shingleN: Int = 3): DataFrame =
+    replayGate(docs, corpus, id, textCol, workDir, nBatches) {
+      (in, gateCorpus, sink, ckpt) =>
+        nearDedupedIngest(in, gateCorpus, bandTable,
+          "gate_doc_id", "gate_text", sink, ckpt,
+          threshold, bands, rowsPerBand, shingleN)
+    }
+
+  /** Bounded replay of [[selfMaintainingNearDedupedIngest]] — same harness
+    * as [[replayNearDedupedIngest]]; the caller provides a band table that
+    * this replay will APPEND survivor bands to (pass a per-replay rebuilt
+    * table, not a shared fixture).
+    */
+  def replaySelfMaintainingIngest(docs: DataFrame, corpus: DataFrame,
+                                  bandTable: String, id: String,
+                                  textCol: String, workDir: String,
+                                  nBatches: Int = 2, threshold: Double = 0.8,
+                                  bands: Int = 8, rowsPerBand: Int = 4,
+                                  shingleN: Int = 3): DataFrame =
+    replayGate(docs, corpus, id, textCol, workDir, nBatches) {
+      (in, gateCorpus, sink, ckpt) =>
+        selfMaintainingNearDedupedIngest(in, gateCorpus, bandTable,
+          "gate_doc_id", "gate_text", sink, ckpt,
+          threshold, bands, rowsPerBand, shingleN)
+    }
+
+  /** The shared bounded-replay harness behind the two gate replays. */
+  private def replayGate(docs: DataFrame, corpus: DataFrame, id: String,
+                         textCol: String, workDir: String, nBatches: Int)(
+      start: (DataFrame, DataFrame, String, String) => StreamingQuery): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -152,9 +237,7 @@ object DocStream {
     // names (as [[nearDedupedIngest]] requires of its caller)
     val gateCorpus = corpus.select(col(id).as("gate_doc_id"),
       col(textCol).as("gate_text"))
-    val q = nearDedupedIngest(in.toDF(), gateCorpus, bandTable,
-      "gate_doc_id", "gate_text", s"$workDir/out", s"$workDir/ckpt",
-      threshold, bands, rowsPerBand, shingleN)
+    val q = start(in.toDF(), gateCorpus, s"$workDir/out", s"$workDir/ckpt")
     try {
       (0 until nBatches).foreach { b =>
         val batch = rows.filter(r =>

@@ -116,6 +116,53 @@ class DocStreamSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS near_gate_bands")
   }
 
+  test("self-maintaining gate drops cross-batch near-dups the static gate passes") {
+    val nearCorpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val novel = "a planted novel document describing underwater cave systems " +
+      "and the slow formation of limestone structures over geological time"
+    // even id -> replay batch 0 (novel, survives); odd id -> batch 1
+    // (near-dup of the batch-0 SURVIVOR — only a state-growing gate drops it)
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today extra"),
+      (200L, novel),
+      (201L, novel + " appended tail"))
+      .toDF("doc_id", "text")
+    def freshTable(name: String): String = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      Dedup.writeBandTable(nearCorpus, "doc_id", "text", name,
+        buckets = 4, bands = 16, rowsPerBand = 2)
+      name
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft-selfm").toString
+    try {
+      val static = DocStream.replayNearDedupedIngest(batch, nearCorpus,
+          freshTable("selfm_static"), "doc_id", "text", s"$work/static",
+          nBatches = 2, threshold = 0.5, bands = 16, rowsPerBand = 2)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(static == Seq(200L, 201L),
+        s"static gate keeps both planted docs, got $static")
+      val selfm = DocStream.replaySelfMaintainingIngest(batch, nearCorpus,
+          freshTable("selfm_grow"), "doc_id", "text", s"$work/grow",
+          nBatches = 2, threshold = 0.5, bands = 16, rowsPerBand = 2)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(selfm == Seq(200L),
+        s"self-maintaining gate must drop the cross-batch near-dup, got $selfm")
+      // replaying over the ALREADY-GROWN table is exact: the batch
+      // compares against strictly prior state, so its own appended bands
+      // (same ids) are excluded and the result is unchanged
+      val again = DocStream.replaySelfMaintainingIngest(batch, nearCorpus,
+          "selfm_grow", "doc_id", "text", s"$work/grow",
+          nBatches = 2, threshold = 0.5, bands = 16, rowsPerBand = 2)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(again == selfm, s"replay over grown state diverged: $again")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS selfm_static")
+      spark.sql("DROP TABLE IF EXISTS selfm_grow")
+    }
+  }
+
   test("stream gate matches the batch gate's keeper set on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val batch = Seq(
