@@ -51,6 +51,24 @@ object TextQueries {
       |WHERE doc_id NOT IN (SELECT doc_b FROM dup)
       |ORDER BY doc_id""".stripMargin
 
+  /** Memoized per-sf-dir fastText-style classifier fit (lang == 'en' over
+    * hashed token buckets): the q57 query AND its dynamic oracle must see
+    * the SAME fitted coefficients within a session, exactly like q34's
+    * forest cache.
+    */
+  private val qmodelCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.ml.classification.LogisticRegressionModel]
+  private val QmBuckets = 64
+  private def ensureQualityModel(s: org.apache.spark.sql.SparkSession,
+                                 d: String): org.apache.spark.ml.classification.LogisticRegressionModel =
+    qmodelCache.getOrElseUpdate(d, {
+      val train = Tables.documents(s, d)
+        .where(col("doc_id") % 10 < 8)
+        .select(col("text"),
+          (col("lang") === "en").cast("double").as("y"))
+      graft.ml.TextClassifier.fit(train, "text", "y", k = QmBuckets)
+    })
+
   /** The planted cross-batch near-dup pair for q6c: 3000000 (even → replay
     * batch 0, novel vs the corpus, survives round 0) and 3000001 (odd →
     * batch 1, a near-dup of 3000000 — ~0.92 shingle Jaccard, deep in the
@@ -1061,6 +1079,42 @@ object TextQueries {
           s"${sys.props("java.io.tmpdir")}/graft_selfm_$tag",
           nBatches = 2, threshold = 0.5)
         .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- learned corpus-filter classifier (fastText-style: logistic
+    // regression over hashed bag-of-tokens buckets — the public linear
+    // architecture behind trained language/quality filters). Fit is
+    // Spark ML (train slice, doc_id%10 < 8); SCORING of the holdout is
+    // replayed EXACTLY by the dynamic oracle: engine-portable md5 token
+    // buckets (the q47 hash discipline) + the fitted coefficients as the
+    // identical left-associative chain — the q34 export pattern applied
+    // to a linear text model. pred = margin >= 0 (exact sigmoid>=0.5). ---
+    QueryDef.dynamicSql("q57_quality_classifier") { (s, d) =>
+      val m = ensureQualityModel(s, d)
+      // f_j MUST be DOUBLE: DuckDB parses the coefficient literals as
+      // DECIMAL, and DECIMAL * BIGINT stays in decimal arithmetic — only a
+      // DOUBLE operand promotes the whole chain to IEEE doubles and makes
+      // it bit-identical to the Spark side (measured: 1-ulp margin drift
+      // with BIGINT features)
+      val feats = (0 until QmBuckets).map(j =>
+        s"CAST(sum(CASE WHEN bk = $j THEN 1 ELSE 0 END) AS DOUBLE) AS f$j")
+        .mkString(",\n  ")
+      s"""WITH hold AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM hold),
+         |b AS (SELECT doc_id,
+         |        CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $QmBuckets AS bk
+         |      FROM toks),
+         |f AS (SELECT doc_id, $feats FROM b GROUP BY doc_id),
+         |m AS (SELECT doc_id, ${graft.ml.TextClassifier.marginSql(m)} AS margin FROM f)
+         |SELECT doc_id, CASE WHEN margin >= 0 THEN 1 ELSE 0 END AS pred, margin
+         |FROM m ORDER BY doc_id""".stripMargin
+    } { (s, d) =>
+      val model = ensureQualityModel(s, d)
+      graft.ml.TextClassifier.score(model,
+          Tables.documents(s, d).where(col("doc_id") % 10 >= 8),
+          "text", k = QmBuckets)
+        .select(col("doc_id"), col("pred"), col("margin"))
         .orderBy(col("doc_id"))
     },
 

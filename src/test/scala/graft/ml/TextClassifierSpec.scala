@@ -1,0 +1,73 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two toy "languages" with disjoint vocabularies — linearly separable
+  // from hashed token counts
+  private def corpus = {
+    val en = Seq("the cat sat on the mat", "a dog ran over the hill",
+      "the bird flew above the trees", "cats and dogs play in the garden",
+      "the sun rises over the quiet town")
+    val xx = Seq("zorp blick frum glorp nix", "blick nix zorp frum wex",
+      "glorp wex nix blick zorp", "frum zorp wex glorp blick",
+      "nix frum blick wex glorp")
+    (en.zipWithIndex.map { case (t, i) => (i.toLong, t, 1.0) } ++
+      xx.zipWithIndex.map { case (t, i) => (100L + i, t, 0.0) })
+      .toDF("doc_id", "text", "y")
+  }
+
+  test("hashedFeatures: counts sum to token count, buckets engine-portable") {
+    val k = 16
+    val f = TextClassifier.hashedFeatures(corpus, "text", k)
+    val sums = f.select(
+      (0 until k).map(j => col(s"f$j")).reduce(_ + _).as("total"),
+      size(split(col("text"), " ")).cast("double").as("n"))
+    assert(sums.filter(col("total") =!= col("n")).count() == 0,
+      "bucket counts must partition the token stream")
+    // hand-check one token against the portable formula
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("the".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bucket = (java.lang.Long.parseLong(h.take(15), 16) % k).toInt
+    val row = TextClassifier.hashedFeatures(
+        Seq((1L, "the")).toDF("doc_id", "text"), "text", k)
+      .select(col(s"f$bucket")).as[Double].head()
+    assert(row == 1.0, s"token 'the' must land in md5 bucket $bucket")
+  }
+
+  test("fit separates disjoint vocabularies; margin chain matches driver fold") {
+    val k = 32
+    val m = TextClassifier.fit(corpus, "text", "y", k = k)
+    val scored = TextClassifier.score(m, corpus, "text", k)
+    val acc = scored.filter(col("pred") === col("y").cast("int")).count()
+    assert(acc == 10, s"disjoint vocabularies must separate, got $acc/10")
+    // the Column margin equals the same left-associative fold on the driver
+    val c = m.coefficients.toArray
+    scored.select((col("margin") +: (0 until k).map(j => col(s"f$j"))): _*)
+      .collect().foreach { r =>
+        var ref = m.intercept
+        (0 until k).foreach(j => ref += c(j) * r.getDouble(1 + j))
+        assert(ref == r.getDouble(0), "margin chain must be bit-identical")
+      }
+  }
+
+  test("refit in the same session is bit-identical (dynamic-oracle precondition)") {
+    val a = TextClassifier.fit(corpus, "text", "y", k = 32)
+    val b = TextClassifier.fit(corpus, "text", "y", k = 32)
+    assert(a.intercept == b.intercept &&
+      a.coefficients.toArray.sameElements(b.coefficients.toArray),
+      "coalesce(1) fit must make refits deterministic")
+  }
+
+  test("marginSql forces DOUBLE-parsing literals (no bare 17-digit decimals)") {
+    val m = TextClassifier.fit(corpus, "text", "y", k = 8)
+    val sql = TextClassifier.marginSql(m)
+    // every numeric literal must carry an exponent so DuckDB parses it as
+    // DOUBLE, not DECIMAL (decimal->double conversion double-rounds)
+    val bare = "(?<![\\w.eE+-])\\d+\\.\\d{2,}(?![\\deE])".r.findFirstIn(sql)
+    assert(bare.isEmpty, s"bare decimal literal would parse as DECIMAL: $bare")
+  }
+}
