@@ -83,28 +83,73 @@ object Bench {
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JVM/codegen/session init and one scan per table, so
-    // the first measured query doesn't absorb ~5s of cold-start
-    try {
-      spark.range(1000000).selectExpr("sum(id)").collect()
-      Tables.names.foreach { t =>
-        try Tables.load(spark, sfDir, t).limit(1).collect()
-        catch { case _: Throwable => }
-      }
-      SparkEntry.entry(spark).collect()
-    } catch { case _: Throwable => }
+    // phase walls (warmup/seq/each wall pass) + host canaries AROUND the
+    // Spark passes: the DuckDB-side canary certifies only DuckDB's window,
+    // which runs minutes after the Spark wall — a contention burst during
+    // the Spark pass was invisible in the round-7 artifact. All recorded in
+    // BENCH_DETAIL.json so a slow committed wall is attributable.
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def phase[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      phases(name) = (System.nanoTime() - t0) / 1e9
+      r
+    }
+    /** One warm DuckDB canary aggregate via python3 (~quiet <= 0.03 s,
+      * degraded >= 0.2 s — tools/bench_gate.md); -1 if python/duckdb absent.
+      */
+    def hostCanary(): Double = try {
+      import scala.sys.process._
+      Seq("python3", "-c",
+        s"""import duckdb, time
+           |c = duckdb.connect()
+           |c.execute("select l_returnflag, sum(l_quantity) from read_parquet('$sfDir/lineitem.parquet') group by 1").fetchall()
+           |t0 = time.perf_counter()
+           |c.execute("select l_returnflag, sum(l_extendedprice) from read_parquet('$sfDir/lineitem.parquet') group by 1").fetchall()
+           |print(time.perf_counter() - t0)""".stripMargin).!!.trim.toDouble
+    } catch { case _: Throwable => -1.0 }
+    // untimed warmup: JVM/codegen/session init, one scan per table, and one
+    // tiny streaming round-trip (MemoryStream -> foreachBatch -> stop) so
+    // the first measured streaming replay doesn't absorb the streaming
+    // engine's class-load/codegen cold-start
+    phase("warmup") {
+      try {
+        spark.range(1000000).selectExpr("sum(id)").collect()
+        Tables.names.foreach { t =>
+          try Tables.load(spark, sfDir, t).limit(1).collect()
+          catch { case _: Throwable => }
+        }
+        SparkEntry.entry(spark).collect()
+        import spark.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val in = MemoryStream[Long]
+        val q = in.toDF().writeStream
+          .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) => { b.count(); () })
+          .option("checkpointLocation",
+            s"${sys.props("java.io.tmpdir")}/graft_bench_warm_ckpt_${System.nanoTime()}")
+          .start()
+        in.addData(1L, 2L, 3L)
+        q.processAllAvailable()
+        q.stop()
+      } catch { case _: Throwable => }
+    }
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
+    phases("canary_pre_seq") = hostCanary()
     // pass 1: sequential per-query latency, best of `runs`
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
-    }.toMap
+    val results = phase("seq") {
+      selected.map { case (name, fn) =>
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
+      }.toMap
+    }
     // pass 2: suite throughput — N streams drain the (warm) suite,
     // longest-first so no straggler runs alone at the end. Best of `runs`
     // passes: a single wall measurement is hostage to one bad scheduling
@@ -134,14 +179,23 @@ object Bench {
       workers.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
-    val sparkWall = (1 to runs).map(_ => wallOnce()).min
+    // the wall IS the headline and a single pass is hostage to one bad
+    // interleave or contention burst — take best of SPARK_GRAFT_WALL_RUNS
+    // (default 3) and record every pass so the artifact shows the spread
+    val wallRuns = sys.env.getOrElse("SPARK_GRAFT_WALL_RUNS", "3").toInt.max(1)
+    phases("canary_pre_wall") = hostCanary()
+    val walls = (1 to wallRuns).map { i => phase(s"wall$i")(wallOnce()) }
+    phases("canary_post_wall") = hostCanary()
+    val sparkWall = walls.min
     // experiments (filtered runs) skip the DuckDB side: totals over
     // different query subsets aren't comparable anyway
     val duckdb = if (only.isDefined) Map.empty[String, Double]
-                 else duckdbBaseline(spark, sfDir, runs)
+                 else phase("duckdb")(duckdbBaseline(spark, sfDir, runs))
     // experiments must not clobber the committed full-suite artifact
-    if (only.isEmpty) writeDetail(results, sparkWall, duckdb, streams, sfDir)
-    println(emitLine(results, sparkWall, duckdb, streams, sfDir))
+    if (only.isEmpty)
+      writeDetail(results, sparkWall, duckdb, streams, sfDir, phases.toMap)
+    println(emitLine(results, sparkWall, duckdb, streams, sfDir,
+      phases.toMap))
     spark.stop()
   }
 
@@ -163,7 +217,8 @@ object Bench {
     */
   private[graft] def emitLine(results: Map[String, Double], sparkWall: Double,
                               duckdb: Map[String, Double], streams: Int,
-                              sfDir: String): String = {
+                              sfDir: String,
+                              phases: Map[String, Double] = Map.empty): String = {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
@@ -193,9 +248,16 @@ object Bench {
     // the artifact self-documents whether its window was quiet
     val canary = math.max(duckdb.getOrElse("_canary", -1.0),
       duckdb.getOrElse("_canary_end", -1.0))
+    // the SPARK pass's own window certificate (worse of the canaries taken
+    // immediately before and after the wall passes) — the DuckDB-side
+    // canary above runs minutes later and can miss a burst that inflated
+    // the Spark wall. Full phase walls are in BENCH_DETAIL.json.
+    val canarySpark = math.max(phases.getOrElse("canary_pre_wall", -1.0),
+      phases.getOrElse("canary_post_wall", -1.0))
     s"""{"metric":"total","value":${r3(sparkBest)},"unit":"sec","streams":$streams,""" +
       s""""queries":$qs,"spark_seq":${r3(seqTotal)},""" + duckPart +
-      s""""duckdb_failed":$dFailed,"canary":${r3(canary)},"sf":"$sfDir"}"""
+      s""""duckdb_failed":$dFailed,"canary":${r3(canary)},""" +
+      s""""canary_spark":${r3(canarySpark)},"sf":"$sfDir"}"""
   }
 
   /** Full-precision, full-name, two-engine per-query detail — everything
@@ -203,7 +265,8 @@ object Bench {
     */
   private def writeDetail(results: Map[String, Double], sparkWall: Double,
                           duckdb: Map[String, Double], streams: Int,
-                          sfDir: String): Unit =
+                          sfDir: String,
+                          phases: Map[String, Double] = Map.empty): Unit =
     try {
       def obj(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -214,6 +277,7 @@ object Bench {
           s""""duckdb_wall_concurrent":${duckdb.getOrElse("_wall_concurrent", -1.0)},""" +
           s""""canary":${duckdb.getOrElse("_canary", -1.0)},""" +
           s""""canary_end":${duckdb.getOrElse("_canary_end", -1.0)},""" +
+          s""""phases":${obj(phases)},""" +
           s""""sf":"$sfDir"}""" + "\n")
     } catch { case _: Throwable => } // detail is best-effort; the line is the contract
 

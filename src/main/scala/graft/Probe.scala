@@ -97,6 +97,42 @@ object Probe {
       spark.stop(); return
     }
 
+    if (sys.env.get("SPARK_GRAFT_PROBE_STREAM").contains("1")) {
+      // per-micro-batch durationMs breakdown for the three streaming
+      // replays: separates the streaming ENGINE's trigger overhead
+      // (offset/commit logs, planning) from addBatch (the foreachBatch
+      // body = the actual gate work)
+      val progress = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit =
+            progress.add(s"batch=${e.progress.batchId} rows=${e.progress.numInputRows} durationMs=${e.progress.durationMs}")
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        })
+      val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+      val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet()
+            tasks.addAndGet(sc.stageInfo.numTasks)
+            ()
+          }
+        })
+      for (q <- Seq("q6a_stream_sessions", "q6b_stream_neardup",
+                    "q6c_stream_selfmaintain"); r <- 1 to 2) {
+        progress.clear(); stages.set(0); tasks.set(0)
+        t(s"$q r$r") { SparkEntry.queries(q)(spark, d).count() }
+        Thread.sleep(500)
+        println(s"[probe]   stages=${stages.get} tasks=${tasks.get}")
+        progress.forEach(p => println(s"[probe]   $p"))
+      }
+      spark.stop(); return
+    }
+
     (1 to 2).foreach { round =>
       println(s"== round $round ==")
       // ---- q6a phases ----

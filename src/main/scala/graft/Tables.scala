@@ -27,18 +27,42 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** events.parquet carries TIMESTAMP(NANOS) — which Spark's parquet reader
-    * rejects outright — so the loader reads `ts` as a raw INT64 via schema
-    * override and derives both a microsecond-truncated `TimestampType` column
-    * (`ts`, matching what DuckDB sees when it reads the same file) and the
-    * epoch-micros long (`ts_us`, the arithmetic-friendly form).
+  /** events.parquet's `ts` column has shipped in two physical forms across
+    * testdata generations: TIMESTAMP(MICROS), which Spark reads natively,
+    * and TIMESTAMP(NANOS), which Spark's parquet reader rejects outright
+    * and must be read as a raw INT64 via schema override. Detect by
+    * attempting native schema resolution, then normalize either form to
+    * the same surface: a microsecond `TimestampType` `ts` (matching what
+    * DuckDB sees when it reads the same file) plus the epoch-micros long
+    * `ts_us` (the arithmetic-friendly form).
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    s.read
-      .schema(StructType.fromDDL(
-        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"))
-      .parquet(s"$d/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns DIV 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    // TIMESTAMP(MICROS) infers as TimestampNTZType (isAdjustedToUTC=false);
+    // schema resolution for TIMESTAMP(NANOS) throws
+    val nativeTs =
+      try {
+        val t = s.read.parquet(path).schema("ts").dataType
+        t == org.apache.spark.sql.types.TimestampType ||
+          t == org.apache.spark.sql.types.TimestampNTZType
+      } catch { case _: Exception => false }
+    if (nativeTs)
+      // explicit TimestampType schema: the stored int64 micros land in the
+      // column verbatim (no session-timezone shift), so unix_micros(ts)
+      // equals DuckDB's epoch_us(ts) over the same file
+      s.read
+        .schema(StructType.fromDDL(
+          "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"))
+        .parquet(path)
+        .withColumn("ts_us", unix_micros(col("ts")))
+    else
+      s.read
+        .schema(StructType.fromDDL(
+          "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"))
+        .parquet(path)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts_us", expr("ts_ns DIV 1000"))
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .drop("ts_ns")
+  }
 }

@@ -189,6 +189,15 @@ object Dedup {
     * (id_a < id_b) pairs. Probability a pair with Jaccard j collides:
     * 1-(1-j^r)^b — tune r,b for the target threshold (~(1/b)^(1/r)).
     */
+  /** [[bandedKeys]] for the streaming gate, which derives a micro-batch's
+    * band rows once and feeds the same frame to [[probeBandTable]] and
+    * [[appendBandRows]].
+    */
+  private[graft] def bandedBatchKeys(df: DataFrame, id: String, text: String,
+                                     bands: Int, rowsPerBand: Int,
+                                     shingleN: Int): DataFrame =
+    bandedKeys(df, id, text, bands, rowsPerBand, shingleN)
+
   /** (doc, band, band-hash) keys — the LSH bucket table for one corpus. */
   private def bandedKeys(df: DataFrame, id: String, text: String,
                          bands: Int, rowsPerBand: Int,
@@ -298,10 +307,15 @@ object Dedup {
     val cands = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
-      // same AQE-defeating spread as minhashNearDupes: verify cost is
-      // per-pair CPU, not bytes
-      .repartition(batch.sparkSession.sessionState.conf.numShufflePartitions)
+      // ONE keyed exchange does double duty: dropDuplicates lands on an
+      // already-(doc_a,doc_b)-hash-partitioned child so the dedup aggregate
+      // adds no exchange of its own, and a user repartition is exempt from
+      // AQE coalescing, keeping the per-pair-CPU verify stage spread (the
+      // earlier distinct().repartition(n) shape paid two exchanges for the
+      // same result)
+      .repartition(batch.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
     verifyJaccardBetween(cands, batch, corpus, id, text, shingleN)
       // pushdown barrier (see minhashNearDupes): keep the threshold filter
       // off the verify join condition so the jaccard kernel runs once
@@ -418,13 +432,27 @@ object Dedup {
     }
     val (bands, rowsPerBand, shingleN) =
       (geom("bands"), geom("rowsPerBand"), geom("shingleN"))
+    appendBandRows(
+      bandedKeys(batch, id, text, bands, rowsPerBand, shingleN), table)
+  }
+
+  /** The write half of [[appendBandTable]], for callers that already hold
+    * the batch's band rows with the table's verified geometry (the
+    * streaming gate checks geometry once per stream and bands each batch
+    * once for both the probe and the append — re-deriving either per
+    * micro-batch would pay a catalog read plus a second shingle+minhash
+    * pass per trigger).
+    */
+  private[graft] def appendBandRows(bandRows: DataFrame, table: String): Unit = {
+    val spark = bandRows.sparkSession
     // doc-level anti-join makes the append IDEMPOTENT: a crash-replayed
     // ingest batch re-appends nothing (the streaming gate depends on this),
     // and re-appending an already-banded corpus is a no-op — checked with a
-    // count so the no-op case skips the bucketed write job entirely
-    val existing = spark.table(table).select(col("doc")).distinct()
-    val fresh = bandedKeys(batch, id, text, bands, rowsPerBand, shingleN)
-      .join(existing, Seq("doc"), "left_anti")
+    // count so the no-op case skips the bucketed write job entirely. No
+    // distinct on the table side: anti-join semantics ignore duplicate
+    // matches, so deduping the probe side is a pure extra shuffle.
+    val fresh = bandRows
+      .join(spark.table(table).select(col("doc")), Seq("doc"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (fresh.count() > 0) fresh.write.mode("append").insertInto(table)
@@ -491,15 +519,40 @@ object Dedup {
       batch: DataFrame, corpus: DataFrame,
       bandTable: String, id: String, text: String,
       threshold: Double, bands: Int,
-      rowsPerBand: Int, shingleN: Int): DataFrame = {
+      rowsPerBand: Int, shingleN: Int): DataFrame =
+    probeBandTable(bandedKeys(batch, id, text, bands, rowsPerBand, shingleN),
+      batch, corpus, bandTable, id, text, threshold, shingleN)
+
+  /** [[nearDupesAgainstTableUnchecked]] with the batch's band rows supplied
+    * by the caller — the streaming gate bands each micro-batch once and
+    * feeds the same rows to this probe and to [[appendBandRows]].
+    *
+    * `excludeCorpusDocs`: drop candidate pairs whose corpus-side doc is in
+    * the given frame BEFORE the verify stage — the self-maintaining gate's
+    * strictly-prior rule. Filtering at the candidate level (not on the
+    * verified pairs) keeps the jaccard kernel off pairs that are discarded
+    * anyway; on a crash replay, where the batch's own bands are already in
+    * the table, that is every self-match.
+    */
+  private[graft] def probeBandTable(
+      batchBands: DataFrame, batch: DataFrame, corpus: DataFrame,
+      bandTable: String, id: String, text: String,
+      threshold: Double, shingleN: Int,
+      excludeCorpusDocs: Option[DataFrame] = None): DataFrame = {
     val spark = batch.sparkSession
-    val a = bandedKeys(batch, id, text, bands, rowsPerBand, shingleN).as("a")
+    val a = batchBands.as("a")
     val b = spark.table(bandTable).as("b")
-    val cands = a.join(b,
+    val raw = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val cands = excludeCorpusDocs
+      .fold(raw)(ex => raw.join(ex.select(col(id).as("doc_b")),
+        Seq("doc_b"), "left_anti"))
+      // one keyed exchange for dedup + AQE-exempt spread (see
+      // [[nearDupesAgainst]])
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
     verifyJaccardBetween(cands, batch, corpus, id, text, shingleN)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(min(col("jaccard")).as("jaccard"))

@@ -319,19 +319,36 @@ object CoreQueries {
     },
 
     // ---- E: sketch aggregates, the 100TB substitutes for exact distinct /
-    //      percentile (HLL++ / KLL values are engine-specific -> rows-only;
-    //      error bounds vs exact pinned by the check below against the same
-    //      session's exact aggregates) --------------------------------------
-    QueryDef.rowsOnly("q14_approx_agg") { (s, d) =>
+    //      percentile. HLL++/KLL values are engine-specific, so the oracle
+    //      is a CONTRACT (the q15 pattern): exact aggregates hash-compared
+    //      plus literal TRUE per bound, failing iff a sketch leaves its
+    //      contract. q14 pins the DEFAULT-rsd HLL (3-sigma of rsd=0.05)
+    //      and the multi-quantile approx_percentile battery (monotone
+    //      p25<=p50<=p75, each inside a +-5-percentile exact window);
+    //      q15 pins the tuned rsd=0.02 HLL and the single-quantile p50 ----
+    QueryDef.sql("q14_approx_agg",
+      """SELECT l_returnflag, count(*) AS n,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  true AS hll_default_ok, true AS p_monotone,
+        |  true AS p25_ok, true AS p75_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
       li.groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+          count(lit(1)).as("n"),
           countDistinct(col("l_orderkey")).as("exact_orders"),
-          round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("approx_p50"))
-        .withColumn("rel_err",
-          round(abs(col("approx_orders") - col("exact_orders"))
-            / col("exact_orders"), 4))
+          approx_count_distinct(col("l_orderkey")).as("hll_d"),
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+            .as("ap"),
+          expr("percentile(l_extendedprice, array(0.20, 0.30, 0.70, 0.80))")
+            .as("ep"))
+        .select(col("l_returnflag"), col("n"), col("exact_orders"),
+          (abs(col("hll_d") - col("exact_orders"))
+            / col("exact_orders") <= 0.15).as("hll_default_ok"),
+          (col("ap")(0) <= col("ap")(1) && col("ap")(1) <= col("ap")(2))
+            .as("p_monotone"),
+          col("ap")(0).between(col("ep")(0), col("ep")(1)).as("p25_ok"),
+          col("ap")(2).between(col("ep")(2), col("ep")(3)).as("p75_ok"))
         .orderBy(col("l_returnflag"))
     },
 

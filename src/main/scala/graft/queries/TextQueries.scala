@@ -161,6 +161,9 @@ object TextQueries {
     if (!s.catalog.tableExists(table))
       Dedup.writeFingerprintTable(
         Tables.documents(s, d).where(col("doc_id") % 3 =!= 0), "text", table,
+        // buckets sized for the fixture corpus (thousands of docs): every
+        // probe scans all buckets, so task count = bucket count per scan
+        buckets = 8,
         path = Some(s"${sys.props("java.io.tmpdir")}/graft_fps_$tag"))
     table
   }
@@ -194,6 +197,8 @@ object TextQueries {
       Dedup.writeBandTable(
         Tables.documents(s, d).select(col("doc_id"), col("text")),
         "doc_id", "text", table,
+        // fixture-sized bucket count (see ensureFpTable)
+        buckets = 8,
         path = Some(s"${sys.props("java.io.tmpdir")}/graft_bands_$tag"))
     table
   }
@@ -1070,6 +1075,8 @@ object TextQueries {
       val table = s"graft_bands_selfm_$tag"
       if (!s.catalog.tableExists(table))
         Dedup.writeBandTable(docs, "doc_id", "text", table,
+          // fixture-sized bucket count (see ensureFpTable)
+          buckets = 8,
           path = Some(s"${sys.props("java.io.tmpdir")}/graft_bands_selfm_$tag"))
       val batch = nearGateBatch(s, d).unionByName(
         Seq((3000000L, plantedX), (3000001L, plantedX + " extra tail"))

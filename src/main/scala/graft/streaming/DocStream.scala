@@ -94,7 +94,9 @@ object DocStream {
         val b = batch.toDF()
         val dupes = Dedup.nearDupesAgainstTableUnchecked(b, corpus, bandTable,
             id, textCol, threshold, bands, rowsPerBand, shingleN)
-          .select(col("doc_a").as(id)).distinct()
+          // no distinct: the anti-join ignores duplicate matches, so
+          // deduping the dupe-id list would be a pure extra exchange
+          .select(col("doc_a").as(id))
         b.join(dupes, Seq(id), "left_anti")
           .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
         ()
@@ -143,25 +145,54 @@ object DocStream {
                                        shingleN: Int = 3): StreamingQuery = {
     Dedup.checkBandGeometry(docs.sparkSession, bandTable,
       bands, rowsPerBand, shingleN)
+    // prior survivors, carried across triggers as a lazy union of
+    // single-partition sink reads instead of re-listing and re-reading the
+    // sink's O(N-batches) partitions every trigger. Lineage is parquet
+    // scans only (never a previous micro-batch's source plan, which would
+    // not be legal to hold across triggers), and after a crash the cache
+    // is empty and the full sink read rebuilds it — exactly the recovery
+    // contract.
+    var priorCache: Option[DataFrame] = None
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.toDF()
-        val prior =
+        val prior = priorCache.getOrElse {
           try spark.read.parquet(sinkPath).select(col(id), col(textCol))
           catch { case _: Exception => // first batch: no sink yet
             corpus.select(col(id), col(textCol)).limit(0) }
+        }
         val corpusNow = corpus.select(col(id), col(textCol)).unionByName(prior)
-        val dupes = Dedup.nearDupesAgainstTableUnchecked(b, corpusNow,
-            bandTable, id, textCol, threshold, bands, rowsPerBand, shingleN)
-          // strictly-prior comparison: drop pairs whose corpus-side doc is
-          // in THIS batch (see scaladoc point 2)
-          .join(b.select(col(id).as("doc_b")), Seq("doc_b"), "left_anti")
-          .select(col("doc_a").as(id)).distinct()
+        // one band-key frame serves both the probe and the append — no
+        // catalog geometry read and no sink parquet round-trip per trigger
+        val bBands = Dedup.bandedBatchKeys(b, id, textCol,
+          bands, rowsPerBand, shingleN)
+        val dupes = Dedup.probeBandTable(bBands, b, corpusNow, bandTable,
+            id, textCol, threshold, shingleN,
+            // strictly-prior comparison: candidate pairs whose corpus-side
+            // doc is in THIS batch never reach the verify kernel (see
+            // scaladoc point 2)
+            excludeCorpusDocs = Some(b.select(col(id))))
+          // no distinct: the anti-join below ignores duplicate matches, so
+          // deduping the dupe-id list would be a pure extra exchange
+          .select(col("doc_a").as(id))
+        // persist so the sink write and the band append share ONE probe
+        // execution (unpersisted before the trigger returns; the frame
+        // never outlives its micro-batch)
         val surv = b.join(dupes, Seq(id), "left_anti")
-        surv.write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
-        Dedup.appendBandTable(
-          spark.read.parquet(s"$sinkPath/batch=$batchId"), id, textCol, bandTable)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          surv.write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+          Dedup.appendBandRows(
+            bBands.join(surv.select(col(id).as("doc")), Seq("doc"), "left_semi"),
+            bandTable)
+        } finally { surv.unpersist(); () }
+        // carry forward THIS batch's survivors as the one new partition
+        // just written — a lazy single-directory read, evaluated (if at
+        // all) by the next trigger's verify stage
+        priorCache = Some(prior.unionByName(
+          spark.read.parquet(s"$sinkPath/batch=$batchId")
+            .select(col(id), col(textCol))))
         ()
       }
       .option("checkpointLocation", checkpointDir)
