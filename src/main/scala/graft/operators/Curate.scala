@@ -130,6 +130,24 @@ object Curate {
     */
   def salientTerms(df: DataFrame, id: String, text: String,
                    k: Int = 3): DataFrame = {
+    // row-count-adaptive cutover: the 64-bit-id indirection below pays for
+    // itself only when the corpus vocabulary is large enough that string
+    // hash-agg keys dominate (measured at the 100x probe: 28.5 -> 8.2 s);
+    // under ~SmallCorpusDocs the extra fingerprint/join stages just hit the
+    // scheduling floor (sf0.1: 0.5 -> 1.2 s). The probe is a bounded count
+    // — it reads at most SmallCorpusDocs+1 rows, a scalar dispatch read,
+    // never a corpus census.
+    if (df.limit(SmallCorpusDocs + 1).count() <= SmallCorpusDocs)
+      salientTermsDirect(df, id, text, k)
+    else salientTermsHashed(df, id, text, k)
+  }
+
+  /** The corpus-scale salientTerms path (see [[salientTerms]] scaladoc for
+    * the id-indirection rationale). Package-visible so the spec can pin
+    * path equivalence against [[salientTermsDirect]] on one fixture.
+    */
+  private[graft] def salientTermsHashed(df: DataFrame, id: String,
+                                        text: String, k: Int): DataFrame = {
     val terms = Par.spread(df.select(col(id), col(text)))
       .select(col(id), explode(TextFunctions.tokens(col(text))).as("term"))
     val tf = terms.select(col(id), xxhash64(col("term")).as("__tid"))
@@ -154,6 +172,27 @@ object Curate {
       .distinct()
     graft.plans.GroupedTopK.perGroup(
         cands.join(vocab, Seq("__tid")), Seq(col(id)),
+        struct((-col("tf")).as("ntf"), col("df_docs"), col("term")), k)
+      .select(col(id), col("term"), col("tf"), col("df_docs"))
+  }
+
+  /** Corpora below this row count take [[salientTermsDirect]]. */
+  private val SmallCorpusDocs = 50000
+
+  /** The small-corpus salientTerms path: identical ranking (tf desc, df
+    * asc, term asc — the bounded heap's struct order IS the full
+    * tie-break), directly over term strings in one tf pass + one df pass +
+    * one heap. Exactly the plan the id path reduces to when the vocabulary
+    * is too small for string keys to matter.
+    */
+  private[graft] def salientTermsDirect(df: DataFrame, id: String, text: String,
+                                        k: Int): DataFrame = {
+    val terms = Par.spread(df.select(col(id), col(text)))
+      .select(col(id), explode(TextFunctions.tokens(col(text))).as("term"))
+    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    graft.plans.GroupedTopK.perGroup(
+        tf.join(dfreq, Seq("term")), Seq(col(id)),
         struct((-col("tf")).as("ntf"), col("df_docs"), col("term")), k)
       .select(col(id), col("term"), col("tf"), col("df_docs"))
   }

@@ -164,62 +164,77 @@ object Similarity {
               queries: DataFrame, queryId: String,
               k: Int, nCentroids: Int = 16, nProbe: Int = 4,
               seed: Long = 42L, fitSampleCap: Int = 0): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
 
     val c = corpus.select(col(corpusId).as("__cid"), col("embedding").as("__ce"))
-      .withColumn("__fv", array_to_vector(col("__ce").cast("array<double>")))
-    // The coarse quantizer only needs a representative sample: KMeans
-    // iterates over its input once per iteration, so fitting on the full
-    // corpus is O(iters × |corpus|) — the scale-killer at 100 TB. Fit on a
-    // bounded sample, then assign the FULL corpus in the single transform
-    // below. Cell assignment — and therefore search results — is exact for
-    // whatever centroids come out; the sample only moves centroid positions
+    // The coarse quantizer only needs a representative sample: iterating
+    // Lloyd over the full corpus is O(iters × |corpus|) — the scale-killer
+    // at 100 TB. Instead the bounded sample is COLLECTED (cap rows ≈ 1 MB,
+    // a documented bounded read, like FAISS training an IVF quantizer
+    // in-process on 30-256 points/centroid) and Lloyd runs DRIVER-LOCAL:
+    // the fit costs ONE Spark job (the sample scan) instead of an
+    // init + per-iteration job cascade, which dominated this operator's
+    // latency (~15 scheduler round-trips for 4000 sample rows). Cell
+    // assignment — and therefore search results — is exact for whatever
+    // centroids come out; the sample only moves centroid positions
     // (recall is tuned by nProbe, pinned by RecallSpec/SimilaritySpec).
-    // cap 0 = auto: ~200 sample points per centroid is ample for a coarse
-    // quantizer (FAISS trains IVF on 30-256 points/centroid).
+    // cap 0 = auto: ~200 sample points per centroid is ample.
     // Sampling is COUNT-FREE (no extra driver-side scan job): a seeded
     // per-partition RESERVOIR of ceil(cap/numPartitions) rows — one pass
-    // over the features column, UNBIASED within each partition (a plain
+    // over the embedding column, UNBIASED within each partition (a plain
     // first-N take would over-represent the head of sorted/clustered
     // layouts and collapse the centroids onto one data region), spanning
-    // all partitions, with a global limit trimming the remainder.
+    // all partitions, with a driver-side trim to cap.
     val cap = if (fitSampleCap > 0) fitSampleCap
               else math.max(200 * nCentroids, 4000)
-    val fvOnly = c.select(col("__fv"))
-    val parts = math.max(1, fvOnly.rdd.getNumPartitions)
+    val ceOnly = c.select(col("__ce").cast("array<double>"))
+    val parts = math.max(1, ceOnly.rdd.getNumPartitions)
     val perPart = ((cap + parts - 1) / parts).toInt
     val seedLocal = seed
-    val sampled = fvOnly.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val sample: Array[Array[Double]] = ceOnly.rdd.mapPartitionsWithIndex { (pid, it) =>
       val rnd = new java.util.Random(seedLocal * 1315423911L + pid)
-      val buf = new Array[org.apache.spark.sql.Row](perPart)
+      val buf = new Array[Array[Double]](perPart)
       var n = 0L
       it.foreach { row =>
-        if (n < perPart) buf(n.toInt) = row
+        val v = row.getSeq[Double](0).toArray
+        if (n < perPart) buf(n.toInt) = v
         else {
           val j = (rnd.nextDouble() * (n + 1)).toLong
-          if (j < perPart) buf(j.toInt) = row
+          if (j < perPart) buf(j.toInt) = v
         }
         n += 1
       }
       buf.iterator.take(math.min(n, perPart.toLong).toInt)
+    }.collect().take(cap)
+    if (sample.isEmpty) // empty corpus: empty result with the right schema
+      return queries.select(col(queryId)).limit(0)
+        .crossJoin(corpus.select(col(corpusId)).limit(0))
+        .withColumn("cos", lit(0.0))
+    val centers = localLloyd(sample, nCentroids, seed, iters = 20)
+    // per-row nearest-centroid assignment as a pure codegen'd expression
+    // chain over centroid LITERALS — no per-row UDF, no nCentroids× row
+    // blowup, no shuffle: cell = argmin_i (|c_i|² − 2·e·c_i), ties to the
+    // lowest cell id
+    val dists = centers.zipWithIndex.map { case (ctr, i) =>
+      val c2 = ctr.map(x => x * x).sum
+      (lit(c2) - lit(2.0) * dot(col("__ce").cast("array<double>"),
+        typedlit(ctr.toSeq))).as(s"__d$i")
     }
-    val fitInput = spark.createDataFrame(sampled, fvOnly.schema).limit(cap)
-    // a COARSE quantizer doesn't need convergence, just reasonable cell
-    // boundaries: 8 Lloyd iterations (vs the MLlib default 20) halves the
-    // iterative job count — recall at fixed nProbe is unchanged within
-    // RecallSpec's bounds, and exhaustive-probe results (q4d's oracle) are
-    // exact for ANY centroid set
-    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(8)
-      .setFeaturesCol("__fv").setPredictionCol("__cell").fit(fitInput)
-    val assigned = model.transform(c)
-      .select(col("__cid"), col("__ce"), col("__cell"), norm(col("__ce")).as("__cn"))
-      .filter(col("__cn") > 0) // cosine undefined; ANSI division would raise
+    val assigned = {
+      val withD = c.select(col("__cid") +: col("__ce") +: dists: _*)
+      val dCols = centers.indices.map(i => col(s"__d$i"))
+      val minD = least(dCols: _*)
+      val cell = centers.indices.foldRight(lit(-1)) { (i, acc) =>
+        when(col(s"__d$i") === minD, lit(i)).otherwise(acc)
+      }
+      withD.select(col("__cid"), col("__ce"),
+          cell.as("__cell"), norm(col("__ce")).as("__cn"))
+        .filter(col("__cn") > 0) // cosine undefined; ANSI division would raise
+    }
 
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq
+    val centroids = centers.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq
       .toDF("__cell", "__centroid")
 
     // probe assignment: rank centroids per query by L2 distance, keep the
@@ -246,6 +261,80 @@ object Similarity {
     graft.plans.GroupedTopK.perGroup(scored, Seq(col("__qid")),
         struct(-col("cos"), col("__cid")), k)
       .select(col("__qid").as(queryId), col("__cid").as(corpusId), col("cos"))
+  }
+
+  /** Driver-local Lloyd over a bounded in-memory sample: seeded k-means++
+    * init, `iters` assignment/update rounds, empty clusters keep their
+    * previous center. Fully deterministic for a given (sample, seed) —
+    * pure JVM arithmetic, no engine RNG. A coarse quantizer needs
+    * boundaries, not convergence; 20 rounds over ≤~4000 points is
+    * microseconds-scale next to one Spark job.
+    */
+  private[graft] def localLloyd(sample: Array[Array[Double]], k: Int,
+                                seed: Long, iters: Int): Array[Array[Double]] = {
+    val n = sample.length
+    val dim = sample(0).length
+    val kEff = math.min(k, n)
+    val rnd = new java.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < dim) { val t = a(j) - b(j); s += t * t; j += 1 }
+      s
+    }
+    // k-means++ seeding: spread initial centers ~proportional to distance²
+    val centers = new Array[Array[Double]](kEff)
+    centers(0) = sample(rnd.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var ci = 1
+    while (ci < kEff) {
+      var i = 0
+      while (i < n) {
+        val d = d2(sample(i), centers(ci - 1))
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+      val total = minD.sum
+      var pick = rnd.nextDouble() * total
+      var idx = 0
+      while (idx < n - 1 && pick > minD(idx)) { pick -= minD(idx); idx += 1 }
+      centers(ci) = sample(idx).clone()
+      ci += 1
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var bestC = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < kEff) {
+          val d = d2(sample(i), centers(c))
+          if (d < bestD) { bestD = d; bestC = c }
+          c += 1
+        }
+        assign(i) = bestC
+        i += 1
+      }
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Int](kEff)
+      i = 0
+      while (i < n) {
+        val c = assign(i); counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += sample(i)(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < kEff) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { sums(c)(j) /= counts(c); j += 1 }
+          centers(c) = sums(c)
+        } // empty cluster: keep the previous center
+        c += 1
+      }
+      it += 1
+    }
+    centers
   }
 
   /** Embedding near-duplicate pairs: banded SRP-LSH blocking + exact cosine

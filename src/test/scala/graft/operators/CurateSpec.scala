@@ -166,6 +166,23 @@ class CurateSpec extends SparkSpec {
     assert(out(3L).map(_._2) == Seq("common", "banana"), s"got ${out(3L)}")
   }
 
+  test("salientTerms small and corpus-scale paths agree row-for-row") {
+    // the adaptive cutover picks the direct string path for small corpora;
+    // this pins that the 64-bit-id indirection path computes the identical
+    // result (same ranking, same boundary ties) on the same fixture
+    val df = Seq(
+      (1L, "apple apple apple banana banana cherry shared shared"),
+      (2L, "shared words only appear here once each time"),
+      (3L, "banana cherry shared common common common"),
+      (4L, "tie tie alpha beta"),
+      (5L, "tie tie beta alpha")).toDF("doc_id", "text")
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.select("doc_id", "term", "tf", "df_docs")
+        .as[(Long, String, Long, Long)].collect().sortBy(identity).toSeq
+    assert(canon(Curate.salientTermsDirect(df, "doc_id", "text", 2)) ==
+      canon(Curate.salientTermsHashed(df, "doc_id", "text", 2)))
+  }
+
   test("chunkDocs is a pure generate: no shuffle in the plan") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = Curate.chunkDocs(df, "doc_id", "text")
