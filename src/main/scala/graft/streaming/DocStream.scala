@@ -127,14 +127,16 @@ object DocStream {
     * table grows with the stream — unlike [[nearDedupedIngest]] it is
     * state, but storage-resident and bucket-local, never state-store state.
     *
-    * Long-stream scale note: step 1 re-lists the sink's `batch=*`
-    * partitions every trigger, so a stream of N micro-batches pays an
-    * O(N)-directory listing per batch. At production stream lengths,
-    * periodically compact the sink (rewrite the accumulated partitions
-    * into one corpus increment and swap it into `corpus`) — the gate's
-    * correctness only needs "corpus ∪ prior survivors", not the
-    * partitioned layout. The band-table side has no such growth cost
-    * (appends are bucket-local files behind one catalog table).
+    * Long-stream scale note: within a run, prior survivors are carried as
+    * a lazy union of single-partition sink reads (one new directory per
+    * trigger — no O(N-batches) re-listing); the FULL sink read happens only
+    * on crash restart. The union plan still grows by one scan per batch,
+    * so at production stream lengths periodically compact the sink
+    * (rewrite the accumulated partitions into one corpus increment and
+    * swap it into `corpus`) — the gate's correctness only needs
+    * "corpus ∪ prior survivors", not the partitioned layout. The
+    * band-table side has no such growth cost (appends are bucket-local
+    * files behind one catalog table).
     */
   def selfMaintainingNearDedupedIngest(docs: DataFrame, corpus: DataFrame,
                                        bandTable: String, id: String,

@@ -231,20 +231,18 @@ class EventStreamSpec extends SparkSpec {
 
   test("file-source streaming over the real events parquet equals batch") {
     // the realistic ingest: readStream over a parquet directory, with the
-    // same ns->us schema override Tables.events uses for the batch path
+    // same explicit-TimestampType schema Tables.events uses for the
+    // micros-form batch path (stored int64 micros land verbatim)
     val dir = java.nio.file.Paths.get("target", "tmp", "stream_events")
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val ddl = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-    def normalize(df: org.apache.spark.sql.DataFrame) = df
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
-    val streamIn = normalize(spark.readStream
+    val ddl = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    val streamIn = spark.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-      .parquet(dir.toString))
+      .parquet(dir.toString)
     val q = EventStream.tumblingTypeCounts(streamIn, "1 hour", "1 minute")
       .writeStream.format("memory").queryName("es_file_sink")
       .outputMode("complete").start()
@@ -253,9 +251,9 @@ class EventStreamSpec extends SparkSpec {
       .select("win_start", "event_type", "n").as[(Timestamp, String, Long)]
       .collect().toSet
     val batch = EventStream.tumblingTypeCounts(
-        normalize(spark.read.schema(
+        spark.read.schema(
           org.apache.spark.sql.types.StructType.fromDDL(ddl))
-          .parquet(dir.toString)), "1 hour", "1 minute")
+          .parquet(dir.toString), "1 hour", "1 minute")
       .select("win_start", "event_type", "n").as[(Timestamp, String, Long)]
       .collect().toSet
     assert(streamed == batch)
