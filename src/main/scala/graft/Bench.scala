@@ -47,12 +47,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
-    // stream-count knee moves with suite size: 12 beat 8 and 16 on the
-    // 94-query round-6 suite; at 101 queries (round 7, with two extra
-    // ~1.7s serial pipelines) 16 packs tighter than 12 or 20 (measured
-    // same-window walls 5.71 / 6.89 / 6.02) — re-sweep when the suite
+    // stream-count knee moves with suite size and tail shape: 12 beat 8/16
+    // at 94 queries (r6), 16 beat 12/20 at 101 (r7); after round 8 slimmed
+    // the streaming-replay tail, 20 beats 16 and 24 on the 103-query suite
+    // (same-window walls 7.51 / 6.65 / 7.53) — re-sweep when the suite
     // grows again
-    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "16").toInt.max(1)
+    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "20").toInt.max(1)
     // optional comma-separated name-prefix filter for config experiments
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     // shuffle partitions sized for the BENCH data (~600k-row tables), not
