@@ -335,4 +335,33 @@ object Curate {
               struct(col(orderBy), coalesce(col(textCol), lit("")).as(textCol)))),
             x => x.getField(textCol))).as("text"))
   }
+
+  /** Corpus snapshot diff — dataset-version comparison, the audit every
+    * pipeline runs between two crawls/releases: classify each document id
+    * as `added` (only in `newDf`), `removed` (only in `oldDf`), or
+    * `changed` (present in both with different text); unchanged documents
+    * are not emitted.
+    *
+    * Scale shape: both sides collapse to `(id, 64-bit text fingerprint)`
+    * before a single full-outer equi-join on id — 16 bytes per document
+    * through the shuffle, never text (the exact-dedup fingerprint
+    * discipline; an xxhash64 collision between two REVISIONS of one
+    * document would mask that change — vanishingly rare and deterministic).
+    * At 100 TB both sides would be bucketed by id on storage, making the
+    * join exchange-free.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, id: String,
+                   text: String): DataFrame = {
+    val a = oldDf.select(col(id),
+      TextFunctions.fingerprint64(col(text)).as("__fa"))
+    val b = newDf.select(col(id),
+      TextFunctions.fingerprint64(col(text)).as("__fb"))
+    a.join(b, Seq(id), "full_outer")
+      .withColumn("status",
+        when(col("__fa").isNull, lit("added"))
+          .when(col("__fb").isNull, lit("removed"))
+          .when(col("__fa") =!= col("__fb"), lit("changed")))
+      .filter(col("status").isNotNull) // unchanged rows drop out
+      .select(col(id), col("status"))
+  }
 }

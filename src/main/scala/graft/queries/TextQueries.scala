@@ -1125,6 +1125,33 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- corpus snapshot diff (dataset-version audit): added / removed /
+    //      changed docs between two derived snapshots of the documents
+    //      table. Spark compares 64-bit text fingerprints through one
+    //      full-outer join; the oracle compares the texts themselves —
+    //      green proves the fingerprint form computes the identical diff --
+    QueryDef.sql("q58_snapshot_diff",
+      """WITH olds AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+        |news AS (SELECT doc_id,
+        |           CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END AS text
+        |         FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text <> n.text THEN 'changed' END AS status
+        |FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+        |WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val olds = docs.where(col("doc_id") % 11 =!= 0)
+      val news = docs.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.Curate.snapshotDiff(olds, news, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- top-k salient terms per doc (float-free TF-IDF ranking: tf desc,
     //      then rarest-in-corpus df asc, then term — integer keys replay
     //      exactly; a float tf*ln(N/df) could flip top-k membership on a

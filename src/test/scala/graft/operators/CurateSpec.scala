@@ -183,6 +183,14 @@ class CurateSpec extends SparkSpec {
       canon(Curate.salientTermsHashed(df, "doc_id", "text", 2)))
   }
 
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val olds = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val news = Seq((2L, "beta"), (3L, "gamma v2"), (4L, "delta")).toDF("doc_id", "text")
+    val out = Curate.snapshotDiff(olds, news, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "removed"), (3L, "changed"), (4L, "added")))
+  }
+
   test("chunkDocs is a pure generate: no shuffle in the plan") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = Curate.chunkDocs(df, "doc_id", "text")
