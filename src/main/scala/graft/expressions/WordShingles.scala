@@ -72,6 +72,31 @@ object WordShinglesKernel {
   def computeAll(text: UTF8String, n: Int): ArrayData =
     new GenericArrayData(windowGrams(text, n))
 
+  /** Gopher repetition signals in ONE pass: total gram occurrences, the
+    * top gram's occurrence fraction, and the distinct fraction — a local
+    * gram→count map per document instead of explode + two hash
+    * aggregations. Counts key on gram TEXT (UTF8String equality), which
+    * matches the SQL-oracle semantics even in the (vanishing) case where
+    * the old 64-bit-fingerprint aggregation would collide two grams.
+    * Arithmetic mirrors the aggregate form exactly: integer counts, one
+    * double division each.
+    */
+  def repetitionStats(text: UTF8String,
+                      n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val grams = windowGrams(text, n)
+    val counts = new java.util.HashMap[UTF8String, Int](grams.length * 2)
+    var maxC = 0
+    var i = 0
+    while (i < grams.length) {
+      val c = counts.merge(grams(i).asInstanceOf[UTF8String], 1, Integer.sum)
+      if (c > maxC) maxC = c
+      i += 1
+    }
+    val total = grams.length.toLong
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, maxC.toDouble / total, counts.size.toDouble / total))
+  }
+
   /** Fused shingle-set Jaccard: |A∩B| / (|A|+|B|-|A∩B|) in ONE pass over
     * both texts — bit-identical to
     * `size(array_intersect(sh_a, sh_b)) / (size(sh_a)+size(sh_b)-inter)`
@@ -128,6 +153,43 @@ object WordShingles {
   def shingleJaccard(a: Column, b: Column, n: Int): Column =
     ColumnBridge.column(
       ShingleJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b), n))
+
+  def repetitionStats(text: Column, n: Int): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text), n))
+}
+
+/** Per-document Gopher repetition signals as one fused scalar kernel —
+  * struct(n_grams, top_ngram_frac, distinct_frac) in a single pass over
+  * the text ([[WordShinglesKernel.repetitionStats]]). Replaces an
+  * explode + two-level hash aggregation: at corpus scale that shape
+  * shuffled (id, 8-byte gram hash) pairs twice; this is a pure projection
+  * inside whole-stage codegen with ZERO shuffle — per-document state is a
+  * local gram→count map bounded by document length.
+  */
+case class RepetitionStats(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats requires STRING and n > 0, got ${child.dataType.simpleString} / $n")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("top_ngram_frac", DoubleType, nullable = false),
+    StructField("distinct_frac", DoubleType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    WordShinglesKernel.repetitionStats(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = WordShinglesKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $kernel.repetitionStats($a, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
 }
 
 /** All word n-grams with duplicates — [[WordShinglesKernel.computeAll]]. */

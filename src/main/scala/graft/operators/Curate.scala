@@ -77,31 +77,26 @@ object Curate {
   /** Gopher-style repetition signals per document: total n-gram occurrences,
     * the fraction of occurrences taken by the single most frequent n-gram
     * (`top_ngram_frac` — high = looped/boilerplate text), and the distinct
-    * fraction (`distinct_frac` — low = repetitive). One explode of the
-    * native non-distinct [[graft.expressions.WordNgrams]] kernel + a
-    * two-level hash aggregation; nothing quadratic, no window.
+    * fraction (`distinct_frac` — low = repetitive).
+    *
+    * All three signals aggregate strictly WITHIN one document, so the whole
+    * computation is a single fused scalar kernel
+    * ([[graft.expressions.RepetitionStats]]): one pass per text with a
+    * local gram→count map, a pure projection with ZERO shuffle. The
+    * earlier explode + two-level hash aggregation (even with grams hashed
+    * to 64 bits first) shuffled every gram of the corpus twice for
+    * per-document answers.
     */
   def repetitionStats(df: DataFrame, id: String, text: String,
-                      n: Int = 3): DataFrame = {
-    // the counts only need gram IDENTITY, never gram text: hash each gram
-    // to 64 bits BEFORE the aggregation so the shuffle carries (id, 8
-    // bytes) instead of (id, n-word string) — ~5× fewer shuffle bytes at
-    // corpus scale, same counts (an xxhash64 collision within one
-    // document's gram set is vanishingly rare, and deterministic if it
-    // ever occurs — the same discipline line dedup applies via
-    // fingerprint64)
-    val perGram = Par.spread(df.select(col(id), col(text)))
+                      n: Int = 3): DataFrame =
+    // no Par.spread: as with chunkDocs, a pure projection inherits the
+    // scan's parallelism — an exchange would be the plan's ONLY shuffle
+    df.select(col(id), col(text))
       .select(col(id),
-        explode(graft.expressions.WordShingles.ngrams(col(text), n)).as("__gt"))
-      .select(col(id), xxhash64(col("__gt")).as("__g"))
-      .groupBy(col(id), col("__g"))
-      .agg(count(lit(1)).as("__c"))
-    perGram.groupBy(col(id))
-      .agg(
-        sum(col("__c")).as("n_grams"),
-        (max(col("__c")).cast("double") / sum(col("__c"))).as("top_ngram_frac"),
-        (count(lit(1)).cast("double") / sum(col("__c"))).as("distinct_frac"))
-  }
+        graft.expressions.WordShingles.repetitionStats(col(text), n).as("__r"))
+      .select(col(id), col("__r.n_grams").as("n_grams"),
+        col("__r.top_ngram_frac").as("top_ngram_frac"),
+        col("__r.distinct_frac").as("distinct_frac"))
 
   /** Top-k salient terms per document: rank a document's terms by in-doc
     * frequency (tf), break ties rarest-in-corpus first (ascending document

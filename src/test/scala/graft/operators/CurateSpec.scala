@@ -191,6 +191,14 @@ class CurateSpec extends SparkSpec {
     assert(out == Set((1L, "removed"), (3L, "changed"), (4L, "added")))
   }
 
+  test("repetitionStats is a pure projection: no shuffle in the plan") {
+    val df = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val plan = Curate.repetitionStats(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetition signals are per-document and must not shuffle:\n$plan")
+  }
+
   test("chunkDocs is a pure generate: no shuffle in the plan") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = Curate.chunkDocs(df, "doc_id", "text")
