@@ -97,6 +97,30 @@ object WordShinglesKernel {
       Array[Any](total, maxC.toDouble / total, counts.size.toDouble / total))
   }
 
+  /** Per-document term frequencies in one pass: `array<struct(term, tf)>`
+    * with first-occurrence order (deterministic) — the local-map form of
+    * `explode(tokens) → groupBy(doc, term) → count`, whose exchange
+    * shuffles every token INSTANCE of the corpus for per-document counts.
+    * Tokenization is [[tokenize]] — byte-identical to
+    * `split(trim(text), "\\s+")`.
+    */
+  def termCounts(text: UTF8String): ArrayData = {
+    val toks = tokenize(text)
+    val counts = new java.util.LinkedHashMap[UTF8String, Int](toks.length * 2)
+    var i = 0
+    while (i < toks.length) { counts.merge(toks(i), 1, Integer.sum); i += 1 }
+    val out = new Array[AnyRef](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue.toLong))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fused shingle-set Jaccard: |A∩B| / (|A|+|B|-|A∩B|) in ONE pass over
     * both texts — bit-identical to
     * `size(array_intersect(sh_a, sh_b)) / (size(sh_a)+size(sh_b)-inter)`
@@ -156,6 +180,40 @@ object WordShingles {
 
   def repetitionStats(text: Column, n: Int): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text), n))
+
+  def termCounts(text: Column): Column =
+    ColumnBridge.column(TermCounts(ColumnBridge.expression(text)))
+}
+
+/** Per-document term frequencies as one fused kernel
+  * ([[WordShinglesKernel.termCounts]]): `array<struct(term, tf)>` per text.
+  * Lets salient-terms build its tf table as a zero-shuffle
+  * projection+explode instead of shuffling every token instance of the
+  * corpus through a (doc, term) hash aggregation.
+  */
+case class TermCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"term_counts requires STRING, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    WordShinglesKernel.termCounts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = WordShinglesKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $kernel.termCounts($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
 }
 
 /** Per-document Gopher repetition signals as one fused scalar kernel —

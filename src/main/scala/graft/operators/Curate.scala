@@ -143,10 +143,16 @@ object Curate {
     */
   private[graft] def salientTermsHashed(df: DataFrame, id: String,
                                         text: String, k: Int): DataFrame = {
-    val terms = Par.spread(df.select(col(id), col(text)))
-      .select(col(id), explode(TextFunctions.tokens(col(text))).as("term"))
-    val tf = terms.select(col(id), xxhash64(col("term")).as("__tid"))
-      .groupBy(col(id), col("__tid")).agg(count(lit(1)).as("tf"))
+    // per-doc tf via the fused TermCounts kernel: the tf table is a pure
+    // projection+explode (counts computed in a local map per document),
+    // where the explode(tokens)+groupBy(doc,term) form shuffled every
+    // token INSTANCE of the corpus for per-document counts — the corpus
+    // pays its first exchange only at the cross-document df aggregate
+    val perDoc = Par.spread(df.select(col(id), col(text)))
+      .select(col(id),
+        explode(graft.expressions.WordShingles.termCounts(col(text))).as("__tc"))
+    val tf = perDoc.select(col(id),
+      xxhash64(col("__tc.term")).as("__tid"), col("__tc.tf").as("tf"))
     val dfreq = tf.groupBy(col("__tid")).agg(count(lit(1)).as("df_docs"))
     val ranked = tf.join(dfreq, Seq("__tid"))
     def rankKey = struct((-col("tf")).as("ntf"), col("df_docs"))
@@ -161,7 +167,8 @@ object Curate {
     // text restore for candidate term ids only: the semi-join filters the
     // re-exploded terms BEFORE the distinct, so the vocab aggregate holds
     // candidate terms, not the corpus vocabulary
-    val vocab = terms.select(xxhash64(col("term")).as("__tid"), col("term"))
+    val vocab = perDoc
+      .select(xxhash64(col("__tc.term")).as("__tid"), col("__tc.term").as("term"))
       .join(broadcast(cands.select(col("__tid")).distinct()),
         Seq("__tid"), "left_semi")
       .distinct()
@@ -182,9 +189,12 @@ object Curate {
     */
   private[graft] def salientTermsDirect(df: DataFrame, id: String, text: String,
                                         k: Int): DataFrame = {
-    val terms = Par.spread(df.select(col(id), col(text)))
-      .select(col(id), explode(TextFunctions.tokens(col(text))).as("term"))
-    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    // same fused per-doc tf kernel as the hashed path (no (doc, term)
+    // counting exchange), minus the id indirection
+    val tf = Par.spread(df.select(col(id), col(text)))
+      .select(col(id),
+        explode(graft.expressions.WordShingles.termCounts(col(text))).as("__tc"))
+      .select(col(id), col("__tc.term").as("term"), col("__tc.tf").as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
     graft.plans.GroupedTopK.perGroup(
         tf.join(dfreq, Seq("term")), Seq(col(id)),
