@@ -68,46 +68,52 @@ case class GroupedTopKExec(k: Int, groupExprs: Seq[Expression],
     val groupLocal = groupExprs
     val orderLocal = order
     child.execute().mapPartitions { iter =>
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, BindReferences, CreateNamedStruct, SortOrder}
       val keyProj = UnsafeProjection.create(groupLocal, childOutput)
       val rowProj = UnsafeProjection.create(childOutput, childOutput)
-      // the order VALUE is evaluated by a codegen'd projection into a
-      // reused one-column UnsafeRow and compared by a codegen'd ordering —
-      // the interpreted (boundOrder.eval + PhysicalDataType.ordering)
-      // formulation allocated a boxed value per INPUT row and did boxed
-      // per-field struct compares, which dominated the partial pass at the
-      // 100x probe (15M rows through the heap filter)
-      val orderProj = UnsafeProjection.create(Seq(orderLocal), childOutput)
+      // the order is compared DIRECTLY between rows by a codegen'd
+      // lexicographic ordering over the order expression's fields — a
+      // struct() order decomposes into per-field SortOrders (identical
+      // lexicographic + nulls-first semantics), so the hot loop does NO
+      // order-value projection, no struct allocation, and no per-accept
+      // order copy: per input row it is key-project, map lookup, and one
+      // field-wise compare against the heap head. (The prior shape
+      // projected the order value into a one-column UnsafeRow per row —
+      // itself a rework of the boxed interpreted compare that dominated
+      // the 100x partial pass.)
+      val fieldOrders = orderLocal match {
+        case s: CreateNamedStruct => s.valExprs.map(e => SortOrder(e, Ascending))
+        case o => Seq(SortOrder(o, Ascending))
+      }
       val cmp = org.apache.spark.sql.catalyst.expressions.codegen
-        .GenerateOrdering.generate(Seq(
-          org.apache.spark.sql.catalyst.expressions.SortOrder(
-            org.apache.spark.sql.catalyst.expressions.BoundReference(
-              0, orderLocal.dataType, orderLocal.nullable),
-            org.apache.spark.sql.catalyst.expressions.Ascending)))
-      // max-heap of size k per group: head = current worst of the kept k
-      val heapOrd = new java.util.Comparator[(UnsafeRow, UnsafeRow)] {
-        override def compare(a: (UnsafeRow, UnsafeRow),
-                             b: (UnsafeRow, UnsafeRow)): Int =
-          cmp.compare(b._1, a._1)
+        .GenerateOrdering.generate(fieldOrders.map(so =>
+          so.copy(child = BindReferences.bindReference(so.child, childOutput))))
+      // max-heap of size k per group: head = current worst of the kept k.
+      // Entries are the projected row copies; the ordering expressions
+      // evaluate identically on them because rowProj preserves the child
+      // schema.
+      val heapOrd = new java.util.Comparator[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int =
+          cmp.compare(b, a)
       }
       val heaps =
-        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(UnsafeRow, UnsafeRow)]]()
+        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
       iter.foreach { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[(UnsafeRow, UnsafeRow)](kLocal + 1, heapOrd)
+          heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, heapOrd)
           heaps.put(key.copy(), heap)
         }
-        val v = orderProj(row) // reused buffer — copy only on accept
         if (heap.size() < kLocal) {
-          heap.add((v.copy(), rowProj(row).copy()))
-        } else if (cmp.compare(v, heap.peek()._1) < 0) {
+          heap.add(rowProj(row).copy())
+        } else if (cmp.compare(row, heap.peek()) < 0) {
           heap.poll()
-          heap.add((v.copy(), rowProj(row).copy()))
+          heap.add(rowProj(row).copy())
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap(_.iterator().asScala.map(_._2))
+      heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
     }
   }
 
