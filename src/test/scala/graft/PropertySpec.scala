@@ -217,4 +217,44 @@ class PropertySpec extends SparkSpec {
         s"coverage failed for n=$nTokens chunk=$chunk overlap=$overlap")
     }
   }
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 30)
+    words <- Gen.listOfN(n,
+      Gen.oneOf("a", "bb", "ccc", "a", "dd", "e", "bb"))
+  } yield words.mkString(" ")
+
+  test("TermCounts kernel equals the explode+groupBy aggregate form") {
+    forSamples(Gen.listOfN(4, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val kernel = df.select(col("doc_id"),
+          explode(graft.expressions.WordShingles.termCounts(col("text"))).as("tc"))
+        .select(col("doc_id"), col("tc.term"), col("tc.tf"))
+        .as[(Long, String, Long)].collect().toSet
+      val agg = df.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(kernel == agg, s"texts=$texts")
+    }
+  }
+
+  test("RepetitionStats kernel equals the two-level aggregate form") {
+    forSamples(Gen.listOfN(4, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val kernel = Curate.repetitionStats(df, "doc_id", "text", n = 2)
+        .as[(Long, Long, Double, Double)].collect().toSet
+      val grams = df.select(col("doc_id"),
+        explode(graft.expressions.WordShingles.ngrams(col("text"), 2)).as("g"))
+      val agg = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_grams"),
+          (max(col("c")).cast("double") / sum(col("c"))).as("top_ngram_frac"),
+          (count(lit(1)).cast("double") / sum(col("c"))).as("distinct_frac"))
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(kernel == agg, s"texts=$texts")
+    }
+  }
 }
