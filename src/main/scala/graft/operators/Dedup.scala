@@ -224,13 +224,22 @@ object Dedup {
 
   def minhashCandidates(df: DataFrame, id: String, text: String,
                         bands: Int = 8, rowsPerBand: Int = 4,
-                        shingleN: Int = 3): DataFrame = {
+                        shingleN: Int = 3): DataFrame =
+    minhashCandidatesRaw(df, id, text, bands, rowsPerBand, shingleN)
+      .distinct()
+
+  /** [[minhashCandidates]] WITHOUT the distinct — for callers that fold
+    * the dedup into their own keyed exchange ([[minhashNearDupes]] pairs
+    * it with the AQE-exempt verify spread, one exchange doing both jobs).
+    */
+  private def minhashCandidatesRaw(df: DataFrame, id: String, text: String,
+                                   bands: Int, rowsPerBand: Int,
+                                   shingleN: Int): DataFrame = {
     val banded = bandedKeys(df, id, text, bands, rowsPerBand, shingleN)
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
         && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
   }
 
   /** Exact Jaccard similarity over word n-gram shingle sets for given
@@ -280,13 +289,17 @@ object Dedup {
                        threshold: Double = 0.8, bands: Int = 8,
                        rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame =
     verifyJaccard(
-        // explicit round-robin repartition: the candidate table is BYTES-tiny
-        // (two ids per row), so AQE's coalescing would funnel the verify
-        // stage - whose cost is per-pair CPU (the jaccard kernel), not bytes
-        // - into one or two tasks. A user repartition is exempt from AQE
-        // coalescing and also spreads pair-count skew.
-        minhashCandidates(df, id, text, bands, rowsPerBand, shingleN)
-          .repartition(df.sparkSession.sessionState.conf.numShufflePartitions),
+        // ONE keyed exchange does candidate dedup AND the verify spread:
+        // dropDuplicates lands on the already-(doc_a,doc_b)-partitioned
+        // child (no exchange of its own), and a user repartition is exempt
+        // from AQE's byte-based coalescing, which would otherwise funnel
+        // the per-pair-CPU verify stage into one or two tasks. (The
+        // earlier distinct().repartition(n) shape paid two exchanges of
+        // the pair table for the same result.)
+        minhashCandidatesRaw(df, id, text, bands, rowsPerBand, shingleN)
+          .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+            col("doc_a"), col("doc_b"))
+          .dropDuplicates("doc_a", "doc_b"),
         df, id, text, shingleN)
       // no-op aggregate (candidate pairs are already distinct) acting as a
       // pushdown BARRIER: without it the optimizer folds the threshold into
