@@ -592,7 +592,10 @@ object Dedup {
                            shingleN: Int = 3): DataFrame = {
     val dupes = nearDupesAgainst(batch, corpus, id, text, threshold,
         bands, rowsPerBand, shingleN)
-      .select(col("doc_a").as(id)).distinct()
+      // no distinct: the anti-join ignores duplicate matches, so deduping
+      // the dupe-id list would be a pure extra exchange (the streaming
+      // gates' discipline)
+      .select(col("doc_a").as(id))
     batch.join(dupes, Seq(id), "left_anti")
   }
 
