@@ -269,4 +269,31 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned(4L) == "x", s"drifted vector must cross over: $assigned")
     assert(assigned.size == 5, "exactly one assignment per vector")
   }
+
+  test("localLloyd: k > n clamps, identical points collapse, deterministic") {
+    // k greater than the sample: effective k = n, every point is a center
+    val tiny = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val c1 = Similarity.localLloyd(tiny, k = 5, seed = 42L, iters = 5)
+    assert(c1.length == 2)
+    assert(c1.map(_.toSeq).toSet == tiny.map(_.toSeq).toSet)
+    // identical points: one cluster takes all, others keep their init
+    // position (empty clusters must not NaN out)
+    val same = Array.fill(4)(Array(1.0, 2.0))
+    val c2 = Similarity.localLloyd(same, k = 2, seed = 7L, iters = 5)
+    assert(c2.forall(_.forall(v => !v.isNaN)))
+    assert(c2.exists(_.sameElements(Array(1.0, 2.0))))
+    // same sample + seed => bit-identical centers (the oracle-replay
+    // contract: quantizer output may not drift between Verify reruns)
+    val pts = Array.tabulate(50)(i => Array((i % 7).toDouble, (i % 3).toDouble))
+    val a = Similarity.localLloyd(pts, k = 4, seed = 42L, iters = 20)
+    val b = Similarity.localLloyd(pts, k = 4, seed = 42L, iters = 20)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+    // two well-separated blobs recover their means
+    val blobs = Array.tabulate(20)(i =>
+      if (i < 10) Array(0.0 + i * 0.01, 0.0) else Array(100.0 + i * 0.01, 0.0))
+    val c3 = Similarity.localLloyd(blobs, k = 2, seed = 1L, iters = 20)
+      .sortBy(_.head)
+    assert(math.abs(c3(0)(0) - 0.045) < 0.1 && math.abs(c3(1)(0) - 100.145) < 0.2,
+      s"blob means off: ${c3.map(_.toSeq).toSeq}")
+  }
 }
