@@ -114,6 +114,16 @@ object TextFunctions {
       regexp_replace(text, emailPattern, emailToken),
       phonePattern, phoneToken)
 
+  /** Dedup-grade normalization (the C4/RefinedWeb step before
+    * fingerprinting): casefold, collapse every non-letter/digit run to one
+    * space, trim. RE2-safe pattern shared verbatim with the SQL oracle.
+    * Compose with [[fingerprint64]] (or feed a normalized column to the
+    * exact-dedup operators) to collapse case/punctuation/whitespace
+    * variants that byte-exact dedup misses.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^\\p{L}0-9]+", " "))
+
   /** 64-bit document fingerprint (xxhash64 of the full text) — exact-dup
     * key at 8 bytes/doc.
     */

@@ -1152,6 +1152,35 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- normalized exact dedup: casefold/punct/whitespace variants
+    //      collapse to one keeper (the C4/RefinedWeb normalize-then-
+    //      fingerprint step). Fixture plants an UPPER(text)||'!!' variant
+    //      per selected doc under a higher id; only normalization-aware
+    //      dedup drops them, and min-id keeps the original. Both engines
+    //      run the same RE2-safe normalization verbatim. ------------------
+    QueryDef.sql("q59_normalized_dedup",
+      """WITH b AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, upper(text) || '!!'
+        |  FROM documents WHERE doc_id % 31 = 0),
+        |n AS (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '[^\p{L}0-9]+', ' ', 'g')) AS norm
+        |      FROM b),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY norm)
+        |SELECT doc_id FROM keep ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+        .where(col("doc_id") % 31 === 0).select(col("doc_id"), col("text"))
+      val b = base.unionByName(base.select(
+        (col("doc_id") + 5000000L).as("doc_id"),
+        concat(upper(col("text")), lit("!!")).as("text")))
+      Dedup.dropExactDupes(
+          b.withColumn("__norm", TextFunctions.normalizeForDedup(col("text"))),
+          "doc_id", "__norm")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- top-k salient terms per doc (float-free TF-IDF ranking: tf desc,
     //      then rarest-in-corpus df asc, then term — integer keys replay
     //      exactly; a float tf*ln(N/df) could flip top-k membership on a

@@ -126,6 +126,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("normalizeForDedup collapses case/punct/whitespace variants only") {
+    val out = Seq(
+      "Hello,  World!", "hello world", "HELLO--WORLD?!",
+      " hello \tworld\n", "hello worlds").toDF("t")
+      .select(TextFunctions.normalizeForDedup(col("t"))).as[String].collect()
+    assert(out(0) == "hello world" && out.take(4).toSet.size == 1,
+      s"variants must normalize identically: ${out.toSeq}")
+    assert(out(4) == "hello worlds", "distinct content must stay distinct")
+  }
+
   test("qualityScore rewards normal prose over degenerate text") {
     val df = Seq(
       "The quick brown fox jumps over the lazy dog near the quiet river bank today",
