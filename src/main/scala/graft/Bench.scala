@@ -190,10 +190,11 @@ object Bench {
     // experiments (filtered runs) skip the DuckDB side: totals over
     // different query subsets aren't comparable anyway
     val duckdb = if (only.isDefined) Map.empty[String, Double]
-                 else phase("duckdb")(duckdbBaseline(spark, sfDir, runs))
+                 else phase("duckdb")(duckdbBaseline(spark, sfDir, runs, wallRuns))
     // experiments must not clobber the committed full-suite artifact
     if (only.isEmpty)
-      writeDetail(results, sparkWall, duckdb, streams, sfDir, phases.toMap)
+      writeDetail(results, sparkWall, duckdb, streams, sfDir, phases.toMap,
+        wallRuns)
     println(emitLine(results, sparkWall, duckdb, streams, sfDir,
       phases.toMap))
     spark.stop()
@@ -204,7 +205,8 @@ object Bench {
     * canary timings taken before and after the baseline passes.
     */
   private val ReservedDuck =
-    Set("_wall_concurrent", "_concurrency", "_canary", "_canary_end")
+    Set("_wall_concurrent", "_concurrency", "_wall_runs", "_canary",
+      "_canary_end")
 
   /** The one driver-facing JSON line. Keys are shortened to the query-id
     * prefix (`q4f_drop_neardupes` → `q4f` — unique across the suite, pinned
@@ -266,14 +268,17 @@ object Bench {
   private def writeDetail(results: Map[String, Double], sparkWall: Double,
                           duckdb: Map[String, Double], streams: Int,
                           sfDir: String,
-                          phases: Map[String, Double] = Map.empty): Unit =
+                          phases: Map[String, Double] = Map.empty,
+                          wallRuns: Int = 1): Unit =
     try {
       def obj(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
         s"""{"spark":${obj(results)},"spark_wall_concurrent":$sparkWall,""" +
-          s""""streams":$streams,"duckdb":${obj(duckdb -- ReservedDuck)},""" +
+          s""""streams":$streams,"wall_runs_spark":$wallRuns,""" +
+          s""""wall_runs_duckdb":${duckdb.getOrElse("_wall_runs", -1.0)},""" +
+          s""""duckdb":${obj(duckdb -- ReservedDuck)},""" +
           s""""duckdb_wall_concurrent":${duckdb.getOrElse("_wall_concurrent", -1.0)},""" +
           s""""canary":${duckdb.getOrElse("_canary", -1.0)},""" +
           s""""canary_end":${duckdb.getOrElse("_canary_end", -1.0)},""" +
@@ -286,17 +291,21 @@ object Bench {
     * Spark numbers still print).
     */
   private def duckdbBaseline(spark: SparkSession, sfDir: String,
-                             runs: Int): Map[String, Double] = try {
+                             runs: Int, wallRuns: Int): Map[String, Double] = try {
     val tmp = java.nio.file.Files.createTempFile("graft_oracle_sql", ".json")
     java.nio.file.Files.writeString(tmp, JsonDump.oracleSqlJson(spark, sfDir))
     val script = new java.io.File("tools/duckdb_bench.py")
     if (!script.isFile) return Map.empty
     import scala.sys.process._
-    // only GRAFT_RUNS is shared; DuckDB's stream/pool counts are its own
-    // (GRAFT_DUCK_STREAMS/GRAFT_DUCK_THREADS env pass straight through)
+    // GRAFT_RUNS (per-query passes) and GRAFT_WALL_RUNS (throughput-wall
+    // passes) are shared so both engines take best-of over the SAME sample
+    // counts — asymmetric sampling would bias the headline ratio (ADVICE
+    // r8). DuckDB's stream/pool counts stay its own
+    // (GRAFT_DUCK_STREAMS/GRAFT_DUCK_THREADS env pass straight through).
     val out = Process(
       Seq("python3", script.getPath, sfDir, tmp.toString), None,
-      "GRAFT_RUNS" -> runs.toString).!!.trim
+      "GRAFT_RUNS" -> runs.toString,
+      "GRAFT_WALL_RUNS" -> wallRuns.toString).!!.trim
     parseFlatJson(out)
   } catch { case _: Throwable => Map.empty }
 

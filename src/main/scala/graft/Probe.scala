@@ -122,7 +122,7 @@ object Probe {
             ()
           }
         })
-      for (q <- Seq("q6a_stream_sessions", "q6b_stream_neardup",
+      for (q <- Seq("q6a_stream_sessions_s5", "q6b_stream_neardup",
                     "q6c_stream_selfmaintain"); r <- 1 to 2) {
         progress.clear(); stages.set(0); tasks.set(0)
         t(s"$q r$r") { SparkEntry.queries(q)(spark, d).count() }
@@ -136,7 +136,7 @@ object Probe {
     (1 to 2).foreach { round =>
       println(s"== round $round ==")
       // ---- q6a phases ----
-      t("q6a full") { SparkEntry.queries("q6a_stream_sessions")(spark, d).count() }
+      t("q6a full") { SparkEntry.queries("q6a_stream_sessions_s5")(spark, d).count() }
       val events = Tables.events(spark, d)
       val rows = t("q6a collect") {
         events.select(col("user_id").cast("long").as("user_id"), col("ts"),

@@ -124,16 +124,24 @@ object Curate {
     * O(terms log k) with strings touching ~k rows per doc, no window sort.
     */
   def salientTerms(df: DataFrame, id: String, text: String,
-                   k: Int = 3): DataFrame = {
+                   k: Int = 3, sizeHint: Option[Long] = None): DataFrame = {
     // row-count-adaptive cutover: the 64-bit-id indirection below pays for
     // itself only when the corpus vocabulary is large enough that string
     // hash-agg keys dominate (measured at the 100x probe: 28.5 -> 8.2 s);
     // under ~SmallCorpusDocs the extra fingerprint/join stages just hit the
-    // scheduling floor (sf0.1: 0.5 -> 1.2 s). The probe is a bounded count
-    // — it reads at most SmallCorpusDocs+1 rows, a scalar dispatch read,
-    // never a corpus census.
-    if (df.limit(SmallCorpusDocs + 1).count() <= SmallCorpusDocs)
-      salientTermsDirect(df, id, text, k)
+    // scheduling floor (sf0.1: 0.5 -> 1.2 s). Dispatch order: the caller's
+    // `sizeHint` (no job — the contract for expensive derived/uncached or
+    // streaming inputs); Catalyst's optimized-plan row statistics when the
+    // plan reports an exact count (no job); else a bounded limit-count
+    // probe — at most SmallCorpusDocs+1 rows, a scalar dispatch read,
+    // never a corpus census, but it IS an eager job at composition time,
+    // so callers with costly lineage should pass the hint. A wrong hint
+    // only costs performance: CurateSpec pins the two paths row-equal.
+    val rows: Long = sizeHint.getOrElse {
+      df.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong)
+        .getOrElse(df.limit(SmallCorpusDocs + 1).count())
+    }
+    if (rows <= SmallCorpusDocs) salientTermsDirect(df, id, text, k)
     else salientTermsHashed(df, id, text, k)
   }
 

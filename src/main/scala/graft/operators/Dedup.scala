@@ -25,6 +25,15 @@ object Dedup {
 
   /** Rows of `df` minus exact duplicates (keeps the min-id row per text).
     *
+    * Contract: emits EXACTLY ONE row per distinct text — the row whose
+    * `id` is minimal within its fingerprint group. Deterministic when ids
+    * are unique per row (the normal case); with duplicate ids inside one
+    * text group, `min_by` keeps an arbitrary row among the id-ties. (The
+    * pre-r8 keeper-id semi-join formulation instead kept EVERY row sharing
+    * the keeper id — one-row-per-fingerprint is the intended dedup
+    * semantics and is what the q44/q5i oracles pin.) Requires distinct
+    * column names (the row is rebuilt via struct field access by name).
+    *
     * One-pass shape: `min_by(struct(row), id)` per text fingerprint — a
     * single scan and a single shuffle, with map-side partial min_by
     * reducing each partition to at most one candidate row per distinct
@@ -35,9 +44,18 @@ object Dedup {
     */
   def dropExactDupes(df: DataFrame, id: String, text: String): DataFrame = {
     val cols = df.columns
-    df.groupBy(TextFunctions.fingerprint64(col(text)).as("__fp"))
-      .agg(min_by(struct(cols.map(col): _*), col(id)).as("__r"))
-      .select(cols.map(c => col("__r").getField(c).as(c)): _*)
+    require(cols.distinct.length == cols.length,
+      s"dropExactDupes needs distinct column names, got ${cols.mkString(",")}")
+    // internal names uniquified against the input so a user column that
+    // happens to be named __fp/__r can't collide with the rebuild
+    def fresh(base: String): String = Iterator.from(0)
+      .map(i => if (i == 0) base else base + i)
+      .find(n => !cols.contains(n)).get
+    val fp = fresh("__fp")
+    val r = fresh("__r")
+    df.groupBy(TextFunctions.fingerprint64(col(text)).as(fp))
+      .agg(min_by(struct(cols.map(col): _*), col(id)).as(r))
+      .select(cols.map(c => col(r).getField(c).as(c)): _*)
   }
 
   /** Incremental exact dedup: drop rows of `batch` whose text already

@@ -90,7 +90,10 @@ object EventQueries {
     // summation order. A 1/5 user slice keeps this collect+replay harness
     // off the suite wall's critical path (the q6c slicing discipline);
     // sessionization is per-user, so the slice changes no session's shape.
-    QueryDef.sql("q6a_stream_sessions",
+    // The `_s5` suffix names the slice so round-over-round walls are never
+    // compared across different workloads (ADVICE r8): the pre-r8
+    // full-population timings belong to the unsuffixed name.
+    QueryDef.sql("q6a_stream_sessions_s5",
       """WITH o AS (
         |  SELECT user_id, value, epoch_us(ts) AS tus,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))

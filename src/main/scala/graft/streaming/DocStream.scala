@@ -21,6 +21,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object DocStream {
 
+  /** Every this-many triggers, [[selfMaintainingNearDedupedIngest]]'s
+    * prior-survivor cache collapses its lazy per-partition union into one
+    * whole-sink scan, bounding plan growth on long streams.
+    */
+  private val PriorRelistEvery = 16
+
   /** `docs` is a STREAMING DataFrame with `tsCol` event time and `textCol`;
     * `corpus` is a static DataFrame of already-ingested documents. Emits
     * the surviving stream rows (original columns).
@@ -191,10 +197,23 @@ object DocStream {
         } finally { surv.unpersist(); () }
         // carry forward THIS batch's survivors as the one new partition
         // just written — a lazy single-directory read, evaluated (if at
-        // all) by the next trigger's verify stage
-        priorCache = Some(prior.unionByName(
-          spark.read.parquet(s"$sinkPath/batch=$batchId")
-            .select(col(id), col(textCol))))
+        // all) by the next trigger's verify stage. Two growth/robustness
+        // guards (ADVICE r8): a zero-survivor batch may emit NO
+        // schema-bearing parquet file (overwrite of an all-empty frame),
+        // so a failed read falls back to the previous prior — exactly
+        // correct, since a read with nothing to read means nothing
+        // survived; and every PriorRelistEvery triggers the accumulated
+        // per-partition union collapses into ONE whole-sink scan, so the
+        // analysis plan stays O(K) scans instead of O(N-batches) (the
+        // sink re-list cost is paid once per K triggers, not per trigger).
+        priorCache = Some(
+          if ((batchId + 1) % PriorRelistEvery == 0)
+            spark.read.parquet(sinkPath).select(col(id), col(textCol))
+          else
+            try prior.unionByName(
+              spark.read.parquet(s"$sinkPath/batch=$batchId")
+                .select(col(id), col(textCol)))
+            catch { case _: Exception => prior })
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -19,10 +19,11 @@ engine runs the suite at ITS OWN measured-best concurrency):
     uncapped 8 streams x all cores (13.5s) or sequential (7.9s) at sf0.1.
 
 Usage: duckdb_bench.py <sf_dir> <oracle_sql.json>
-Prints ONE JSON object {query_name: seconds, ...} on stdout with two
-reserved keys: "_wall_concurrent" (suite throughput wall seconds) and
-"_concurrency" (stream count). Queries that fail time as -1.0 and are
-excluded from the concurrent pass.
+Prints ONE JSON object {query_name: seconds, ...} on stdout with reserved
+keys: "_wall_concurrent" (suite throughput wall seconds), "_concurrency"
+(stream count), "_wall_runs" (wall pass count, mirrored from the Spark
+side), and "_canary"/"_canary_end" (host-noise probes). Queries that fail
+time as -1.0 and are excluded from the concurrent pass.
 """
 import glob
 import json
@@ -38,6 +39,11 @@ import duckdb
 def main() -> None:
     sf_dir, oracle_path = sys.argv[1], sys.argv[2]
     runs = max(1, int(os.environ.get("GRAFT_RUNS", "2")))
+    # wall passes must match the Spark side's SPARK_GRAFT_WALL_RUNS: taking
+    # best-of-N over a DIFFERENT N per engine would bias the headline ratio
+    # toward whichever engine sampled more (ADVICE r8). The caller passes
+    # its own wall count through; default stays symmetric with `runs`.
+    wall_runs = max(1, int(os.environ.get("GRAFT_WALL_RUNS", str(runs))))
     # DuckDB's own best concurrency differs from Spark's: each query is
     # already intra-parallel, so many streams thrash (8 streams: 11.2s
     # wall vs 7.3s sequential at sf0.1). Measured sweep over
@@ -104,10 +110,10 @@ def main() -> None:
             except Exception:
                 pass
 
-    # best-of-`runs` walls, symmetric with the Spark side: one wall is
+    # best-of-`wall_runs` walls, symmetric with the Spark side: one wall is
     # hostage to a single bad interleave or host-contention burst
     walls = []
-    for _ in range(runs):
+    for _ in range(wall_runs):
         for name in sorted(ok, key=lambda n: -out[n]):
             q.put(name)
         t0 = time.perf_counter()
@@ -119,6 +125,7 @@ def main() -> None:
         walls.append(time.perf_counter() - t0)
     out["_wall_concurrent"] = min(walls)
     out["_concurrency"] = float(streams)
+    out["_wall_runs"] = float(wall_runs)
     try:
         out["_canary_end"] = canary()
     except Exception:
