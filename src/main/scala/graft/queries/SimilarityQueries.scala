@@ -94,16 +94,75 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
     },
 
-    // ---- LSH-bucketed ANN (xxhash64-derived hyperplanes: not SQL-replayable
-    //      -> rows-only; recall vs brute force pinned by SimilaritySpec) -----
-    QueryDef.rowsOnly("q4a_embedding_lsh") { (s, d) =>
+    // ---- LSH-bucketed ANN at its APPROXIMATE radius, pinned by a q15-style
+    // contract against the exhaustive-probe exact twin (the q4k machinery).
+    // The bucket membership itself is not SQL-replayable (xxhash64-derived
+    // hyperplanes), so the oracle hashes what IS exact — per-query exact
+    // top-5 count and best cosine (DuckDB replays both, the q4k trick) —
+    // plus literal TRUE per contract bound, failing iff the approximate
+    // path leaves its contract:
+    //   * n_approx_ok — radius-1 probing returned 1..k candidates per query;
+    //   * approx_cos_ok — every approximate result's cosine is bounded by
+    //     the exact best (the LSH candidates are a SUBSET of the corpus
+    //     scored by the same kernel, so a violation means a scoring bug);
+    //   * recall_ok — total exact-top-5 hits across the 5 queries >= 3 of
+    //     25. Chance level for 5-of-~500 corpus picks is ~0.06 hits per
+    //     query; measured totals on the seed-pinned testdata are 8 (sf0.001),
+    //     5 (sf0.01), 8 (sf0.1) — deterministic (hyperplanes are seeded, no
+    //     engine RNG), so >= 3 holds at every SF with margin while still
+    //     failing any regression that breaks bucket probing.
+    // The `_contract` rename marks the workload change from the pre-r9
+    // rows-only listing query (r8 walls are not comparable).
+    QueryDef.sql("q4a_lsh_recall_contract",
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |p AS (
+        |  SELECT q.query_id, b.vec_id,
+        |    list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |                           CAST(q.qe AS DOUBLE[])) AS c
+        |  FROM embeddings b, q
+        |  WHERE b.vec_id >= 5),
+        |r AS (SELECT query_id, vec_id, c,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY c DESC, vec_id) AS rn
+        |      FROM p)
+        |SELECT query_id, count(*) AS n_exact, round(max(c), 4) AS best_cos,
+        |  true AS n_approx_ok, true AS approx_cos_ok, true AS recall_ok
+        |FROM r WHERE rn <= 5
+        |GROUP BY query_id ORDER BY query_id""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.lshTopK(emb.where(col("vec_id") >= 5), "vec_id",
-          queries, "query_id", k = 5, planes = 6)
-        .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
-        .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
+      val corpus = emb.where(col("vec_id") >= 5)
+      val approx = Similarity.lshTopK(corpus, "vec_id", queries, "query_id",
+        k = 5, planes = 6)
+      val exact = Similarity.lshTopK(corpus, "vec_id", queries, "query_id",
+        k = 5, planes = 6, probeHamming = 6)
+      val ex = exact.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"), max(col("cos")).as("best_raw"))
+      val ap = approx.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_approx"), max(col("cos")).as("amax"))
+      val hits = approx
+        .join(exact.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      // corpus-level recall scalar: one tiny aggregate, broadcast to the 5
+      // per-query rows
+      val totalHits = hits.agg(
+        coalesce(sum(col("hits")), lit(0L)).as("total_hits"))
+      ex.join(ap, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .na.fill(0L, Seq("n_approx", "hits"))
+        .crossJoin(broadcast(totalHits))
+        .select(col("query_id"), col("n_exact"),
+          round(col("best_raw"), 4).as("best_cos"),
+          (col("n_approx") >= 1 && col("n_approx") <= 5).as("n_approx_ok"),
+          // vacuously true when a query returned no approx rows — that
+          // case is already failed by n_approx_ok
+          coalesce(col("amax") <= col("best_raw"), lit(true))
+            .as("approx_cos_ok"),
+          (col("total_hits") >= 3).as("recall_ok"))
+        .orderBy(col("query_id"))
     },
 
     // ---- SRP-LSH at exhaustive probe radius --------------------------------
