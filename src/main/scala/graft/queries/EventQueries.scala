@@ -228,6 +228,41 @@ object EventQueries {
         .orderBy(col("win_id"))
     },
 
+    // ---- skew tools: salted two-phase agg + salted broadcast join ----------
+    // event_type is the suite's hot-key workload (5 values over the whole
+    // table, ~20% of rows each): Skew.saltedSumCount spreads each hot key
+    // over 16 (key, salt) reducers before merging partials, and
+    // Skew.saltedBroadcastJoin replicates the 5-row per-type stats dim 16x
+    // so the fact-side probe of a hot key spreads over 16 tasks. The
+    // salted plans must be EXACTLY the unsalted answer — which is what the
+    // oracle replays (plain GROUP BY + join). All compared values are
+    // integers (exact cents; above-average test is the cross-multiplied
+    // integer form cents*n > sum_cents) so the hash is
+    // summation-order-independent.
+    QueryDef.sql("q5j_salted_skew",
+      """WITH t AS (SELECT event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |s AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |        count(*) AS n FROM t GROUP BY event_type)
+        |SELECT t.event_type, s.n, s.sum_cents,
+        |  count(*) FILTER (WHERE t.cents * s.n > s.sum_cents) AS n_above
+        |FROM t JOIN s USING (event_type)
+        |GROUP BY t.event_type, s.n, s.sum_cents
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val stats = graft.operators.Skew.saltedSumCount(
+        ev, col("event_type"), col("cents"))
+      val dim = stats.select(col("key").as("event_type"),
+        col("sum_value").as("sum_cents"), col("n"))
+      graft.operators.Skew.saltedBroadcastJoin(ev, dim, "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("sum_cents")).as("sum_cents"),
+          count(when(col("cents") * col("n") > col("sum_cents"), 1))
+            .as("n_above"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- JSON property extraction ------------------------------------------
     QueryDef.sql("q66_props_json",
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
