@@ -55,6 +55,49 @@ object Probe {
       spark.stop(); return
     }
 
+    if (sys.env.get("SPARK_GRAFT_PROBE_ASOF").contains("1")) {
+      // phase-time the union-trick asof join on the 10x events copy (run
+      // Scale10x first with SPARK_GRAFT_REUSE=1 so /tmp/graft_scale10x/ev10
+      // exists); isolates exchange+sort vs window vs payload-projection cost
+      val p = "/tmp/graft_scale10x/ev10"
+      val e = spark.read.parquet(p)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("tus"), col("event_id"), col("value"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us").as("tus"), col("value").as("view_value"))
+      def cnt(df: org.apache.spark.sql.DataFrame): Long = df.agg(count(lit(1)),
+        sum(pmod(xxhash64(df.columns.map(col): _*), lit(1000000007L))))
+        .collect()(0).getLong(0)
+      for (r <- 1 to 2) {
+        t(s"asof full r$r") { cnt(graft.operators.Events.asofJoin(
+          clicks, views, "user_id", "tus", Seq("tus", "view_value"))) }
+        t(s"scan both sides r$r") { cnt(clicks.unionByName(
+          views.select(col("user_id"), col("tus"),
+            lit(null).cast("long").as("event_id"), col("view_value").as("value")))) }
+        t(s"exchange+sort only r$r") {
+          import org.apache.spark.sql.expressions.Window
+          val u = clicks.unionByName(views.select(col("user_id"), col("tus"),
+            lit(null).cast("long").as("event_id"), col("view_value").as("value")))
+          cnt(u.withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("tus")))))
+        }
+        t(s"window last scalar r$r") {
+          import org.apache.spark.sql.expressions.Window
+          val u = clicks.withColumn("vv", lit(null).cast("double"))
+            .withColumn("side", lit(1))
+            .unionByName(views.select(col("user_id"), col("tus"),
+              lit(null).cast("long").as("event_id"),
+              lit(null).cast("double").as("value"), col("view_value").as("vv"),
+              lit(0).as("side")))
+          val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("side"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+          cnt(u.withColumn("lv", last(col("vv"), ignoreNulls = true).over(w))
+            .filter(col("side") === 1))
+        }
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.get("SPARK_GRAFT_PROBE_AGG").contains("1")) {
       val p = "/tmp/graft_scale10x/li100"
       def force(df: org.apache.spark.sql.DataFrame): Long =

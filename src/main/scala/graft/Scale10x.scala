@@ -90,6 +90,36 @@ object Scale10x {
     val li10P = write(scaled(li, Seq("l_orderkey"), copies, None), s"li$copies")
     val ord1P = write(orders, "ord1")
     val ord10P = write(scaled(orders, Seq("o_orderkey"), copies, None), s"ord$copies")
+    // events scale HORIZONTALLY: id-shifted copies add users (per-user event
+    // counts and the time range stay constant), so the keyed-window and
+    // keyed-join probes below grow in partition COUNT, not partition size —
+    // exactly the 100 TB growth mode the operators claim to handle
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+    val ev1P = write(ev, "ev1")
+    val evNP = write(scaled(ev, Seq("event_id", "user_id"), copies, None), s"ev$copies")
+    // the incremental-gate batch: 500 docs derived from the 1x corpus and
+    // IDENTICAL at both scales (ids moved to a disjoint range) — half are
+    // planted near-dups of corpus docs (one appended token, J >= 0.89 on the
+    // shortest 10-token doc, inside the b=8/r=4 banding's high-recall
+    // region), half fresh md5-token texts that match nothing. Survivor set
+    // is therefore scale-invariant: the fresh half survives, the dup half
+    // drops (at Nx its matches multiply — the copymark copies are near-dups
+    // of the same source — but dropped is dropped).
+    val gateBatchP = write(docs.where(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 900000000L).as("doc_id"),
+      when(col("doc_id") % 20 === 0, concat(col("text"), lit(" gateprobetail")))
+        .otherwise(concat_ws(" ", (0 until 48).map(i => substring(
+          md5(concat(col("doc_id").cast("string"), lit(s"-$i"))), 1, 8)): _*))
+        .as("text")), "gatebatch")
+    // the re-probe batch: a second disjoint slice for the post-append
+    // steady-state measurement (same construction, different ids)
+    val gateBatch2P = write(docs.where(col("doc_id") % 10 === 5).select(
+      (col("doc_id") + 950000000L).as("doc_id"),
+      when(col("doc_id") % 20 === 5, concat(col("text"), lit(" gateprobetail")))
+        .otherwise(concat_ws(" ", (0 until 48).map(i => substring(
+          md5(concat(col("doc_id").cast("string"), lit(s"+$i"))), 1, 8)): _*))
+        .as("text")), "gatebatch2")
 
     // warmup: session/codegen init so op timings don't absorb cold-start
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -153,6 +183,86 @@ object Scale10x {
         melted, col("y"), col("sc"), threshold = 50.0, Seq("model", "fold")))
     }
 
+    def sessionShape(p: String): Long =                   // q62 shape
+      force(graft.operators.Events.sessionStats(
+        spark.read.parquet(p), gapUs = 1800000000L))
+    def asofShape(p: String): Long = {                    // q68 shape
+      val e = spark.read.parquet(p)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("tus"), col("event_id"), col("value"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us").as("tus"), col("value").as("view_value"))
+      force(graft.operators.Events.asofJoin(clicks, views, "user_id", "tus",
+        rightCols = Seq("tus", "view_value")))
+    }
+    def rangeShape(p: String): Long = {                   // q69 shape
+      val intervals = spark.range(30).select(
+        (unix_micros(to_timestamp(lit("2024-01-01 02:00:00")))
+          + col("id") * 86400L * 1000000L).as("s_us"),
+        (unix_micros(to_timestamp(lit("2024-01-01 02:00:00")))
+          + col("id") * 86400L * 1000000L + 90L * 60 * 1000000L).as("e_us"),
+        col("id").as("win_id"))
+      force(graft.operators.Events.rangeJoin(spark.read.parquet(p), "ts_us",
+          intervals, "s_us", "e_us", bucketUs = 90L * 60 * 1000000)
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users")))
+    }
+
+    // ---- the incremental near-dup gate (writeBandTable →
+    // nearDupesAgainstTable → appendBandTable), the steady-state ingest
+    // centerpiece: band the corpus ONCE into a bucketed table, then each
+    // batch probes it bucket-locally (no corpus-side exchange) and appends
+    // its survivors' band rows. gate_table_build = the amortized one-time
+    // cost; gate_probe = the per-batch steady-state cost (the number that
+    // must NOT grow like the corpus); gate_append = the survivor-band
+    // append; gate_reprobe = a second batch against the GROWN table.
+    // Probes pass excludeCorpusDocs = the batch's own ids, so a re-probe
+    // after append is exact (the self-maintaining gate's crash-replay
+    // rule) and warm best-of-2 timing is well-defined.
+    import graft.operators.Dedup
+    def gateTable(docsP: String, name: String): String = {
+      val t = s"graft_scale_bands_$name"
+      Dedup.writeBandTable(spark.read.parquet(docsP), "doc_id", "text", t,
+        buckets = 32, path = Some(s"$work/bands_$name"))
+      t
+    }
+    def gateProbeShape(docsP: String, table: String, batchP: String): Long = {
+      val batch = spark.read.parquet(batchP)
+      val dupes = Dedup.probeBandTable(
+          Dedup.bandedBatchKeys(batch, "doc_id", "text", 8, 4, 3),
+          batch, spark.read.parquet(docsP), table, "doc_id", "text",
+          threshold = 0.5, shingleN = 3,
+          excludeCorpusDocs = Some(batch.select(col("doc_id"))))
+        .select(col("doc_a").as("doc_id"))
+      force(batch.join(dupes, Seq("doc_id"), "left_anti"))
+    }
+    def gateAppend(docsP: String, table: String, batchP: String): Unit = {
+      val batch = spark.read.parquet(batchP)
+      val dupes = Dedup.probeBandTable(
+          Dedup.bandedBatchKeys(batch, "doc_id", "text", 8, 4, 3),
+          batch, spark.read.parquet(docsP), table, "doc_id", "text",
+          threshold = 0.5, shingleN = 3,
+          excludeCorpusDocs = Some(batch.select(col("doc_id"))))
+        .select(col("doc_a").as("doc_id"))
+      Dedup.appendBandTable(batch.join(dupes, Seq("doc_id"), "left_anti"),
+        "doc_id", "text", table)
+    }
+    // the plan contract the whole design rests on: the band-table side of
+    // the probe join is a bucketed read with NO exchange above it
+    def assertGatePlanBucketed(docsP: String, table: String, batchP: String): Unit = {
+      val batch = spark.read.parquet(batchP)
+      val p = Dedup.probeBandTable(
+        Dedup.bandedBatchKeys(batch, "doc_id", "text", 8, 4, 3),
+        batch, spark.read.parquet(docsP), table, "doc_id", "text",
+        threshold = 0.5, shingleN = 3,
+        excludeCorpusDocs = Some(batch.select(col("doc_id"))))
+        .queryExecution.executedPlan.toString
+      val scanLine = p.linesIterator.find(_.contains(table)).getOrElse("")
+      require(scanLine.nonEmpty && (p.contains("Bucketed: true") ||
+          scanLine.contains("SelectedBucketsCount")),
+        s"gate probe's corpus side must be a bucketed exchange-free read:\n$p")
+    }
+
     // ---- DuckDB twins: the same RESULT computed by DuckDB over the SAME
     // parquet files — engine-vs-engine in the compute-bound regime, the
     // committed form of the "within 2x of the embedded baseline once
@@ -177,7 +287,55 @@ object Scale10x {
          |          JOIN sizes na ON na.doc_id = doc_a
          |          JOIN sizes nb ON nb.doc_id = doc_b
          |          WHERE i / (na.n + nb.n - i) >= 0.5)""".stripMargin
-    def duckSql(docs: String, li: String, ord: String): Map[String, String] = Map(
+    def duckSql(docs: String, li: String, ord: String, evv: String,
+                gb: String): Map[String, String] = Map(
+      "sessionize_stats" ->
+        s"""WITH o AS (SELECT user_id, value, ts_us,
+           |  CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
+           |       OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+           |       THEN 1 ELSE 0 END AS new_s FROM $evv),
+           |s AS (SELECT user_id, value, ts_us,
+           |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+           |                         ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+           |SELECT user_id, sid, count(*) AS n_events, min(ts_us) AS start_us,
+           |  max(ts_us) AS end_us, sum(value) AS total_value
+           |FROM s GROUP BY user_id, sid""".stripMargin,
+      "asof_join" ->
+        s"""WITH c AS (SELECT user_id, ts_us AS tus, event_id, value
+           |           FROM $evv WHERE event_type = 'click'),
+           |     v AS (SELECT user_id, ts_us AS tus, value AS view_value
+           |           FROM $evv WHERE event_type = 'view')
+           |SELECT c.event_id, c.user_id, c.tus, v.tus AS view_tus, v.view_value
+           |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.tus >= v.tus""".stripMargin,
+      "range_join" ->
+        s"""WITH w AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 02:00:00',
+           |                  TIMESTAMP '2024-01-30 02:00:00', INTERVAL 1 DAY)) AS ws),
+           |iv AS (SELECT epoch_us(ws) AS s_us, epoch_us(ws + INTERVAL 90 MINUTE) AS e_us,
+           |       CAST(row_number() OVER (ORDER BY ws) - 1 AS BIGINT) AS win_id FROM w)
+           |SELECT iv.win_id, count(*) AS n, count(DISTINCT e.user_id) AS n_users
+           |FROM $evv e JOIN iv ON e.ts_us >= iv.s_us AND e.ts_us < iv.e_us
+           |GROUP BY iv.win_id""".stripMargin,
+      // same survivors as the Spark gate probe, computed EXACTLY: batch
+      // shingles join corpus shingles (DuckDB's natural algorithm — no
+      // persisted LSH state to amortize, which is precisely what this twin
+      // measures the cost of)
+      "gate_probe" ->
+        s"""WITH bsh AS (SELECT DISTINCT doc_id, s FROM (
+           |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+           |                           for i in range(len(t) - 2)]) AS s
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $gb)) u),
+           |csh AS (SELECT DISTINCT doc_id, s FROM (
+           |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+           |                           for i in range(len(t) - 2)]) AS s
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $docs)) u),
+           |bs AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+           |cs AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+           |inter AS (SELECT b.doc_id AS a, c.doc_id AS bd, count(*) AS i
+           |          FROM bsh b JOIN csh c ON b.s = c.s GROUP BY 1, 2),
+           |dup AS (SELECT DISTINCT a FROM inter
+           |        JOIN bs ON bs.doc_id = a JOIN cs ON cs.doc_id = bd
+           |        WHERE i / (bs.n + cs.n - i) >= 0.5)
+           |SELECT g.* FROM $gb g WHERE g.doc_id NOT IN (SELECT a FROM dup)""".stripMargin,
       "agg_6m_rows" ->
         s"""SELECT l_returnflag, l_linestatus, sum(l_quantity), sum(l_extendedprice),
            |avg(l_discount), count(*) FROM $li GROUP BY 1, 2""".stripMargin,
@@ -292,13 +450,16 @@ object Scale10x {
       Probe("line_dedup", () => lineDedupShape(docs1P), () => lineDedupShape(docs10P)),
       Probe("repetition_stats", () => repetitionShape(docs1P), () => repetitionShape(docs10P)),
       Probe("doc_chunks", () => chunkShape(docs1P), () => chunkShape(docs10P)),
-      Probe("salient_terms", () => salientShape(docs1P), () => salientShape(docs10P))) ++
+      Probe("salient_terms", () => salientShape(docs1P), () => salientShape(docs10P)),
+      Probe("sessionize_stats", () => sessionShape(ev1P), () => sessionShape(evNP)),
+      Probe("asof_join", () => asofShape(ev1P), () => asofShape(evNP)),
+      Probe("range_join", () => rangeShape(ev1P), () => rangeShape(evNP))) ++
       nearDupProbes :+
       Probe("multimodel_eval", () => multiEvalShape(li1P, ord1P),
         () => multiEvalShape(li10P, ord10P))
     val probes = allProbes.filter(p => only.forall(_.exists(p.name.startsWith)))
 
-    val results = probes.map { p =>
+    val genericResults = probes.map { p =>
       // warm best-of-2 on BOTH sides, same discipline as the DuckDB twins:
       // a single cold-path time mixes first-run scheduling/codegen noise
       // into the scaled number (measured: the 100x agg probe reads 1.51s
@@ -313,12 +474,51 @@ object Scale10x {
       (p.name, best1, t10, rows1, rows10)
     }
 
+    // ---- the gate cycle, timed as a unit of four steady-state steps -------
+    // (not through the generic Probe harness: build and append MUTATE the
+    // band table, so only the excludeCorpusDocs-probed steps are best-of-2)
+    val gateNames = Seq("gate_table_build", "gate_probe", "gate_append", "gate_reprobe")
+    val gateOn = only.forall(o => gateNames.exists(n => o.exists(n.startsWith)))
+    val gateResults: Seq[(String, Double, Double, Long, Long)] =
+      if (!gateOn) Seq.empty
+      else {
+        val bandRows = (docsP: String) =>
+          spark.read.parquet(docsP).count() * 8 // 8 bands per doc
+        val (tb1, table1) = time(gateTable(docs1P, "c1"))
+        val (tbN, tableN) = time(gateTable(docs10P, s"c$copies"))
+        // the plan contract behind "per-batch cost independent of corpus
+        // size": corpus side is a bucketed read, no exchange above it —
+        // hard-fail the artifact if the plan regresses
+        assertGatePlanBucketed(docs10P, tableN, gateBatchP)
+        def bo2(f: => Long): (Double, Long) = {
+          val (tw, _) = time(f); val (t, rows) = time(f)
+          (math.min(tw, t), rows)
+        }
+        val (p1, prows1) = bo2(gateProbeShape(docs1P, table1, gateBatchP))
+        val (pN, prowsN) = bo2(gateProbeShape(docs10P, tableN, gateBatchP))
+        val (a1, _) = time(gateAppend(docs1P, table1, gateBatchP))
+        val (aN, _) = time(gateAppend(docs10P, tableN, gateBatchP))
+        val (r1, rrows1) = bo2(gateProbeShape(docs1P, table1, gateBatch2P))
+        val (rN, rrowsN) = bo2(gateProbeShape(docs10P, tableN, gateBatch2P))
+        val rows = Seq(
+          ("gate_table_build", tb1, tbN, bandRows(docs1P), bandRows(docs10P)),
+          ("gate_probe", p1, pN, prows1, prowsN),
+          ("gate_append", a1, aN, prows1, prowsN),
+          ("gate_reprobe", r1, rN, rrows1, rrowsN))
+        rows.foreach { case (n, t1, tN, x1, xN) =>
+          println(f"[scale10x] $n%-20s 1x=${t1}%.2fs/${x1} rows  ${copies}x=${tN}%.2fs/${xN} rows  time-ratio=${tN / t1}%.1f")
+        }
+        rows
+      }
+    val results = genericResults ++ gateResults
+
     // ---- time the DuckDB twins over the same files ------------------------
     val duck: Map[String, Double] = try {
-      val sql1 = duckSql("docs1v", "li1v", "ord1v")
-      val sqlN = duckSql("docsNv", "liNv", "ordNv")
+      val sql1 = duckSql("docs1v", "li1v", "ord1v", "ev1v", "gbv")
+      val sqlN = duckSql("docsNv", "liNv", "ordNv", "evNv", "gbv")
       val views = Map("docs1v" -> docs1P, "docsNv" -> docs10P,
-        "li1v" -> li1P, "liNv" -> li10P, "ord1v" -> ord1P, "ordNv" -> ord10P)
+        "li1v" -> li1P, "liNv" -> li10P, "ord1v" -> ord1P, "ordNv" -> ord10P,
+        "ev1v" -> ev1P, "evNv" -> evNP, "gbv" -> gateBatchP)
       def j(m: Map[String, String]): String = m.toSeq.sortBy(_._1)
         .map { case (k, v) =>
           "\"" + k + "\": \"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -327,9 +527,10 @@ object Scale10x {
       val viewsF = java.nio.file.Files.createTempFile("graft_scale_views", ".json")
       java.nio.file.Files.writeString(viewsF, j(views))
       val sqlsF = java.nio.file.Files.createTempFile("graft_scale_sqls", ".json")
-      val tagged = sql1.filter(s => probes.exists(_.name == s._1))
+      val timedNames = results.map(_._1).toSet
+      val tagged = sql1.filter(s => timedNames(s._1))
         .map { case (k, v) => s"$k@1" -> v } ++
-        sqlN.filter(s => probes.exists(_.name == s._1))
+        sqlN.filter(s => timedNames(s._1))
           .map { case (k, v) => s"$k@$copies" -> v }
       java.nio.file.Files.writeString(sqlsF, j(tagged))
       import scala.sys.process._
@@ -352,7 +553,7 @@ object Scale10x {
       }
       f"""  "$n": {"t1_sec": $t1%.3f, "t10_sec": $t10%.3f, "ratio": ${t10 / t1}%.2f, "rows1": $r1, "rows10": $r10$duckPart}"""
     }.mkString(
-      s"""{\n  "_meta": {"sf": "$sfDir", "copies": $copies, "layout": "32-way multi-row-group parquet for BOTH scales", "note": "ratio ~<=copies = linear-or-better (sub-linear = the 1x run is scheduling-floor-bound, not compute-bound); the neardup probes (10x artifact only) are OUTPUT-bound - the scaled build plants near-identical copies per doc, so true pairs (rows10) grow quadratically in the duplication factor, and honest scaling is time vs output rows. duck*_sec = DuckDB computing the SAME RESULT over the SAME parquet files (best of 2, all cores); the near-dup twins use DuckDB's natural exact shingle-join algorithm - the q46/q4f oracles prove both formulations emit identical sets. spark_over_duck_${copies}x > 1 means DuckDB is faster at the scaled size. minhash_signatures has no twin (xxhash64 kernel is Spark-internal)."},\n""",
+      s"""{\n  "_meta": {"sf": "$sfDir", "copies": $copies, "layout": "32-way multi-row-group parquet for BOTH scales", "note": "ratio ~<=copies = linear-or-better (sub-linear = the 1x run is scheduling-floor-bound, not compute-bound); the neardup probes (10x artifact only) are OUTPUT-bound - the scaled build plants near-identical copies per doc, so true pairs (rows10) grow quadratically in the duplication factor, and honest scaling is time vs output rows. duck*_sec = DuckDB computing the SAME RESULT over the SAME parquet files (best of 2, all cores); the near-dup twins use DuckDB's natural exact shingle-join algorithm - the q46/q4f oracles prove both formulations emit identical sets. spark_over_duck_${copies}x > 1 means DuckDB is faster at the scaled size. minhash_signatures has no twin (xxhash64 kernel is Spark-internal). gate_* rows = the incremental near-dup ingest gate: gate_table_build is the one-time corpus banding (amortized across every later batch), gate_probe/gate_reprobe the per-batch steady state (probe asserted exchange-free bucketed on the corpus side at ${copies}x before timing), gate_append the survivor band append; gate_probe's twin computes the SAME survivors via DuckDB's exact shingle join, which must re-derive corpus shingles every batch - the amortization the persisted band table buys. events probes (sessionize_stats/asof_join/range_join) scale horizontally: ${copies}x adds USERS, per-user history constant."},\n""",
       ",\n", "\n}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(s"[scale10x] wrote $outPath")

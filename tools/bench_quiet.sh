@@ -1,0 +1,67 @@
+#!/bin/bash
+# Auto-retrying quiet-window bench (tools/bench_gate.md's canary recipe,
+# automated): wait until the host canary is quiet, run the full graft.Bench,
+# and KEEP the artifact only if the emitted line's own canary fields are
+# also quiet (<= 0.032 on both engines) — the r8 verdict's re-certification
+# rule. On success writes the one-line JSON to $OUT and snapshots
+# BENCH_DETAIL.json (which every full run overwrites, including degraded
+# ones) to ${OUT%.json}_detail.json.
+#
+# Usage: tools/bench_quiet.sh [max_attempts] [out_json]
+set -u
+MAX=${1:-8}
+OUT=${2:-/tmp/BENCH_QUIET.json}
+BAR=0.032
+
+canary() {
+python3 - <<'EOF'
+import duckdb, time
+con = duckdb.connect()
+con.execute("CREATE VIEW lineitem AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.1/lineitem.parquet')")
+best = 9.0
+for _ in range(3):
+    t0 = time.perf_counter()
+    con.execute("SELECT l_returnflag, sum(l_extendedprice) "
+                "FROM lineitem GROUP BY 1").fetchall()
+    best = min(best, time.perf_counter() - t0)
+print(f"{best:.3f}")
+EOF
+}
+
+for i in $(seq 1 "$MAX"); do
+  c=$(canary)
+  echo "[bench_quiet] attempt $i/$MAX pre-canary $c"
+  if ! awk -v c="$c" -v b="$BAR" 'BEGIN{exit !(c <= b)}'; then
+    echo "[bench_quiet] host degraded, sleeping 120s"
+    sleep 120
+    continue
+  fi
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    sbt -batch 'runMain graft.Bench' 2>&1 \
+    | grep -o '{"metric".*' | tail -1 > /tmp/bench_quiet_line.json
+  post=$(python3 -c "
+import json
+try:
+    d = json.load(open('/tmp/bench_quiet_line.json'))
+    print(max(d.get('canary', 9), d.get('canary_spark', 9)))
+except Exception:
+    print(9)")
+  ratio=$(python3 -c "
+import json
+try:
+    d = json.load(open('/tmp/bench_quiet_line.json'))
+    print(round(d['value'] / d['duckdb_total'], 3))
+except Exception:
+    print(-1)")
+  echo "[bench_quiet] attempt $i post-canary $post ratio $ratio"
+  if awk -v c="$post" -v b="$BAR" 'BEGIN{exit !(c <= b)}'; then
+    cp /tmp/bench_quiet_line.json "$OUT"
+    cp BENCH_DETAIL.json "${OUT%.json}_detail.json" 2>/dev/null
+    echo "[bench_quiet] QUIET artifact written to $OUT (ratio $ratio)"
+    exit 0
+  fi
+  sleep 60
+done
+echo "[bench_quiet] no quiet window in $MAX attempts"
+exit 1
