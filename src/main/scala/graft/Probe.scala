@@ -55,6 +55,50 @@ object Probe {
       spark.stop(); return
     }
 
+    if (sys.env.get("SPARK_GRAFT_PROBE_Q36").contains("1")) {
+      // phase-attribute the H6 DAG: is the 0.5s r7->r9 rise in the scoring
+      // join, the metric tail, or a re-planned upstream? Also counts
+      // lineitem scans in the executed plan (the round-5 double-planning
+      // failure mode).
+      import org.apache.spark.sql.DataFrame
+      val cust = Tables.customer(spark, d)
+      def mk(df: DataFrame) = df.select(
+        col("c_custkey").cast("string").as("slide_name"),
+        (col("c_custkey") % 2).cast("int").as("label"),
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal")).as("age"),
+        when(col("c_custkey") % 5 === 0, lit(null))
+          .otherwise((col("c_nationkey") % 2).cast("int")).as("gender"))
+      val cfg = graft.pipeline.Experiment.Config(
+        catCols = Seq("gender"), rollupThreshold = 50.0)
+      import graft.pipeline.TileScorer.tileEnc
+      def tiles = Tables.lineitem(spark, d)
+        .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("string").as("slide_name"),
+          col("l_linenumber").cast("int").as("tile_col"),
+          lit(0).as("tile_row"),
+          to_binary(lpad(hex(col("l_partkey")), 16, "0"), lit("hex")).as("payload"))
+        .as[graft.pipeline.Tile](tileEnc)
+      for (r <- 1 to 2) {
+        t(s"join only r$r") { Tables.lineitem(spark, d)
+          .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey"), col("l_partkey")).count() }
+        t(s"tiles+score r$r") { graft.pipeline.TileScorer.score(
+          tiles, graft.pipeline.TileScorer.PayloadModScorer(100)).count() }
+        t(s"prepared r$r") { graft.pipeline.Experiment.prepare(
+          graft.pipeline.Experiment.ingest(Seq(
+            mk(cust.where(col("c_nationkey") < 12)),
+            mk(cust.where(col("c_nationkey") >= 12)))), cfg).count() }
+        val full = t(s"q36 full r$r") {
+          val df = SparkEntry.queries("q36_pipeline_e2e")(spark, d)
+          df.count(); df
+        }
+        val p = full.queryExecution.executedPlan.toString
+        println(s"[probe]   lineitem scans in executed plan: " +
+          "lineitem".r.findAllIn(p).size)
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.get("SPARK_GRAFT_PROBE_ASOF").contains("1")) {
       // phase-time the union-trick asof join on the 10x events copy (run
       // Scale10x first with SPARK_GRAFT_REUSE=1 so /tmp/graft_scale10x/ev10
@@ -166,9 +210,11 @@ object Probe {
           }
         })
       for (q <- Seq("q6a_stream_sessions_s5", "q6b_stream_neardup",
-                    "q6c_stream_selfmaintain"); r <- 1 to 2) {
+                    "q6c_stream_selfmaintain");
+           aqe <- Seq("true", "false"); r <- 1 to 2) {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
         progress.clear(); stages.set(0); tasks.set(0)
-        t(s"$q r$r") { SparkEntry.queries(q)(spark, d).count() }
+        t(s"$q aqe=$aqe r$r") { SparkEntry.queries(q)(spark, d).count() }
         Thread.sleep(500)
         println(s"[probe]   stages=${stages.get} tasks=${tasks.get}")
         progress.forEach(p => println(s"[probe]   $p"))

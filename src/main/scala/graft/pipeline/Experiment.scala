@@ -32,17 +32,40 @@ object Experiment {
       .map { case (df, i) => df.withColumn("lab", lit(i)) }
       .reduce(_ unionByName _)
 
-  /** E1-E3 + F1/F3 + D1/D2: impute -> stratified folds -> encodings. */
+  /** E1-E3 + F1/F3 + D1/D2: impute -> stratified folds -> encodings.
+    *
+    * The continuous column's three scalar stats — mean (the imputation
+    * fill), min and max (the scale01 bounds) — come from ONE aggregation
+    * pass over `meta` instead of three: min/max ignore nulls and the mean
+    * fill lies inside [min, max], so pre-impute bounds equal the bounds
+    * scale01 would compute after imputation. Encodings are attached BEFORE
+    * the fold window (they are independent per-row columns), so the stats
+    * subquery never re-executes the window. Output columns and values are
+    * bit-identical to the sequential impute→folds→encode composition
+    * (pinned by ExperimentSpec and the q36 oracle); at scale this is one
+    * corpus scan for scalar stats instead of three.
+    */
   def prepare(meta: DataFrame, cfg: Config): DataFrame = {
-    val imputed = Impute.modeImpute(
-      Impute.meanImpute(meta, Seq(cfg.ageCol)), cfg.catCols)
+    val a = cfg.ageCol
+    val stats = meta.agg(avg(col(a)).as("__mean"),
+      min(col(a)).as("__min"), max(col(a)).as("__max"))
+    val span = col("__max") - col("__min")
+    val scaled = meta.crossJoin(broadcast(stats))
+      .withColumn(a, coalesce(col(a), col("__mean")))
+      // same constant-column guard as Encode.scale01: span 0 scales to 0.0
+      .withColumn(s"${a}_scaled",
+        when(span > 0, (col(a) - col("__min")) / span)
+          .otherwise(when(col(a).isNotNull, lit(0.0))))
+      .drop("__mean", "__min", "__max")
+    val encoded = Encode.bucketize(Impute.modeImpute(scaled, cfg.catCols),
+      a, Seq(30.0, 60.0), s"${a}_class")
     val folded = StratifiedFolds.assignSets(
       StratifiedFolds.assignRoundRobin(
-        imputed, Seq(col(cfg.labelCol), col("lab")), cfg.nFolds, col(cfg.slideCol)),
+        encoded, Seq(col(cfg.labelCol), col("lab")), cfg.nFolds, col(cfg.slideCol)),
       cfg.nVal, cfg.nTest)
-    Encode.bucketize(
-      Encode.scale01(folded, cfg.ageCol, s"${cfg.ageCol}_scaled"),
-      cfg.ageCol, Seq(30.0, 60.0), s"${cfg.ageCol}_class")
+    // restore the historical column order (…meta, fold, set, scaled, class)
+    folded.select((meta.columns ++ Seq("fold", "set",
+      s"${a}_scaled", s"${a}_class")).map(col): _*)
   }
 
   /** E4 + E5/E7: per-slide roll-up of tile scores, then slide-level balanced
