@@ -48,11 +48,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
     // stream-count knee moves with suite size and tail shape: 12 beat 8/16
-    // at 94 queries (r6), 16 beat 12/20 at 101 (r7); after round 8 slimmed
-    // the streaming-replay tail, 20 beats 16 and 24 on the 103-query suite
-    // (same-window walls 7.51 / 6.65 / 7.53) — re-sweep when the suite
-    // grows again
-    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "20").toInt.max(1)
+    // at 94 queries (r6), 16 beat 12/20 at 101 (r7), 20 beat 16/24 at 103
+    // (r8); on the 106-query r9 suite 24 beats 20 and 28 (same-window
+    // walls 6.25 / 6.03 / 6.17) — re-sweep when the suite grows again
+    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "24").toInt.max(1)
     // optional comma-separated name-prefix filter for config experiments
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     // shuffle partitions sized for the BENCH data (~600k-row tables), not
