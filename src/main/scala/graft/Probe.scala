@@ -55,6 +55,33 @@ object Probe {
       spark.stop(); return
     }
 
+    if (sys.env.get("SPARK_GRAFT_PROBE_Q35").contains("1")) {
+      import graft.sources.Sources
+      def li = Tables.lineitem(spark, d)
+        .select(col("l_suppkey"), col("l_partkey"), col("l_linenumber"))
+      def paths = graft.operators.Par.spread(li)
+        .select(format_string("/tiles/s%d/s%d_%d_%d.jpg",
+          col("l_suppkey"), col("l_suppkey"),
+          col("l_partkey") % 100, col("l_linenumber")).as("path"))
+      val meta = Tables.supplier(spark, d).select(
+        format_string("s%d", col("s_suppkey")).as("slide_name"), col("s_nationkey"))
+      for (r <- 1 to 2) {
+        t(s"scan+spread r$r") { graft.operators.Par.spread(li).count() }
+        t(s"+format r$r") { paths.agg(count(col("path"))).collect() }
+        t(s"+parse r$r") { paths
+          .select((col("path") +: Sources.parseTilePath(col("path"))): _*)
+          .agg(count(col("slide_name")), sum(col("col")), sum(col("row"))).collect() }
+        t(s"no-spread parse r$r") { li
+          .select(format_string("/tiles/s%d/s%d_%d_%d.jpg",
+            col("l_suppkey"), col("l_suppkey"),
+            col("l_partkey") % 100, col("l_linenumber")).as("path"))
+          .select((col("path") +: Sources.parseTilePath(col("path"))): _*)
+          .agg(count(col("slide_name")), sum(col("col")), sum(col("row"))).collect() }
+        t(s"q35 full r$r") { SparkEntry.queries("q35_tile_paths")(spark, d).count() }
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.get("SPARK_GRAFT_PROBE_Q36").contains("1")) {
       // phase-attribute the H6 DAG: is the 0.5s r7->r9 rise in the scoring
       // join, the metric tail, or a re-planned upstream? Also counts

@@ -57,11 +57,23 @@ object Sources {
 
   /** B5: parse `<...>/<slide_name>/<slide>_<col>_<row>.jpg` path columns.
     * Tile filename convention from dataset_classes_v1.py:62.
+    *
+    * Split-based, not regex-based: the earlier shape ran THREE full regex
+    * executions per row (slide dir + the `_(\d+)_(\d+)\.jpg$` pattern once
+    * per group); at millions of tile paths per experiment the parse is the
+    * scan's whole CPU. Now one anchored regexp_replace (extension strip)
+    * plus '/'- and '_'-splits, all codegen'd; col/row index from the END
+    * of the filename split, so slide stems containing underscores parse
+    * identically to the regex (pinned by SourcesSpec).
     */
-  def parseTilePath(path: Column): Seq[Column] = Seq(
-    regexp_extract(path, "([^/]+)/[^/]+$", 1).as("slide_name"),
-    regexp_extract(path, "_(\\d+)_(\\d+)\\.jpg$", 1).cast("int").as("col"),
-    regexp_extract(path, "_(\\d+)_(\\d+)\\.jpg$", 2).cast("int").as("row"))
+  def parseTilePath(path: Column): Seq[Column] = {
+    val parts = split(
+      regexp_replace(substring_index(path, "/", -1), "\\.jpg$", ""), "_")
+    Seq(
+      substring_index(substring_index(path, "/", -2), "/", 1).as("slide_name"),
+      element_at(parts, -2).cast("int").as("col"),
+      element_at(parts, -1).cast("int").as("row"))
+  }
 
   /** A stable integer key per metadata row, replacing the pandas row index
     * the reference uses as `slide_id` (dataset_classes_v1.py:63-67): dense
