@@ -98,6 +98,14 @@ object Scale10x {
       .select("event_id", "ts_us", "user_id", "event_type", "value")
     val ev1P = write(ev, "ev1")
     val evNP = write(scaled(ev, Seq("event_id", "user_id"), copies, None), s"ev$copies")
+    // embeddings scale by id-shifted copies (vectors identical — dot-product
+    // work doesn't care, and the scale artifact compares time and row
+    // counts, never value hashes); the 20 query vectors come from the 1x
+    // copy at BOTH scales so per-query work is constant and only corpus
+    // size varies
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val emb1P = write(emb, "emb1")
+    val embNP = write(scaled(emb, Seq("vec_id"), copies, None), s"emb$copies")
     // the incremental-gate batch: 500 docs derived from the 1x corpus and
     // IDENTICAL at both scales (ids moved to a disjoint range) — half are
     // planted near-dups of corpus docs (one appended token, J >= 0.89 on the
@@ -208,6 +216,27 @@ object Scale10x {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users")))
     }
 
+    import graft.operators.Similarity
+    def annQueries = spark.read.parquet(emb1P).where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        Similarity.norm(col("embedding")).as("qn"))
+    def annBruteShape(p: String): Long = {                // q4d exact shape
+      val c = spark.read.parquet(p).where(col("vec_id") >= 20)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("bn"))
+      val scored = c.crossJoin(broadcast(annQueries))
+        .select(col("query_id"), col("vec_id"),
+          (Similarity.dot(col("embedding"), col("qe"))
+            / (col("bn") * col("qn"))).as("cos"))
+      force(graft.plans.GroupedTopK.perGroup(scored, Seq(col("query_id")),
+        struct(col("cos"), col("vec_id")), k = 5))
+    }
+    def annIvfShape(p: String): Long =                    // IVF approximate path
+      force(Similarity.ivfTopK(
+        spark.read.parquet(p).where(col("vec_id") >= 20), "vec_id",
+        annQueries.select(col("query_id"), col("qe").as("embedding")),
+        "query_id", k = 5, nCentroids = 64, nProbe = 8))
+
     // ---- the incremental near-dup gate (writeBandTable →
     // nearDupesAgainstTable → appendBandTable), the steady-state ingest
     // centerpiece: band the corpus ONCE into a bucketed table, then each
@@ -288,7 +317,20 @@ object Scale10x {
          |          JOIN sizes nb ON nb.doc_id = doc_b
          |          WHERE i / (na.n + nb.n - i) >= 0.5)""".stripMargin
     def duckSql(docs: String, li: String, ord: String, evv: String,
-                gb: String): Map[String, String] = Map(
+                gb: String, embv: String): Map[String, String] = Map(
+      // exact multi-query cosine top-5 — queries always from the 1x copy
+      // (same fixed 20 at both scales), corpus from the scaled view
+      "ann_brute" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           |           FROM emb1v WHERE vec_id < 20),
+           |p AS (SELECT q.query_id, b.vec_id,
+           |        list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+           |                               CAST(q.qe AS DOUBLE[])) AS c
+           |      FROM $embv b, q WHERE b.vec_id >= 20),
+           |r AS (SELECT query_id, vec_id, c,
+           |        row_number() OVER (PARTITION BY query_id
+           |                           ORDER BY c DESC, vec_id) AS rn FROM p)
+           |SELECT query_id, vec_id, c FROM r WHERE rn <= 5""".stripMargin,
       "sessionize_stats" ->
         s"""WITH o AS (SELECT user_id, value, ts_us,
            |  CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
@@ -453,7 +495,9 @@ object Scale10x {
       Probe("salient_terms", () => salientShape(docs1P), () => salientShape(docs10P)),
       Probe("sessionize_stats", () => sessionShape(ev1P), () => sessionShape(evNP)),
       Probe("asof_join", () => asofShape(ev1P), () => asofShape(evNP)),
-      Probe("range_join", () => rangeShape(ev1P), () => rangeShape(evNP))) ++
+      Probe("range_join", () => rangeShape(ev1P), () => rangeShape(evNP)),
+      Probe("ann_brute", () => annBruteShape(emb1P), () => annBruteShape(embNP)),
+      Probe("ann_ivf", () => annIvfShape(emb1P), () => annIvfShape(embNP))) ++
       nearDupProbes :+
       Probe("multimodel_eval", () => multiEvalShape(li1P, ord1P),
         () => multiEvalShape(li10P, ord10P))
@@ -514,11 +558,12 @@ object Scale10x {
 
     // ---- time the DuckDB twins over the same files ------------------------
     val duck: Map[String, Double] = try {
-      val sql1 = duckSql("docs1v", "li1v", "ord1v", "ev1v", "gbv")
-      val sqlN = duckSql("docsNv", "liNv", "ordNv", "evNv", "gbv")
+      val sql1 = duckSql("docs1v", "li1v", "ord1v", "ev1v", "gbv", "emb1v")
+      val sqlN = duckSql("docsNv", "liNv", "ordNv", "evNv", "gbv", "embNv")
       val views = Map("docs1v" -> docs1P, "docsNv" -> docs10P,
         "li1v" -> li1P, "liNv" -> li10P, "ord1v" -> ord1P, "ordNv" -> ord10P,
-        "ev1v" -> ev1P, "evNv" -> evNP, "gbv" -> gateBatchP)
+        "ev1v" -> ev1P, "evNv" -> evNP, "gbv" -> gateBatchP,
+        "emb1v" -> emb1P, "embNv" -> embNP)
       def j(m: Map[String, String]): String = m.toSeq.sortBy(_._1)
         .map { case (k, v) =>
           "\"" + k + "\": \"" + v.replace("\\", "\\\\").replace("\"", "\\\"")

@@ -77,4 +77,47 @@ class VecExpressionsSpec extends SparkSpec {
       df.select(vecDot(col("a"), col("b"))).collect()
     }
   }
+
+  test("nearestCentroidCell matches a reference argmin at 64x64 (the size " +
+      "that broke the unrolled chain's codegen)") {
+    // deterministic pseudo-random centroids and vectors; the reference
+    // computes the same |c|^2 - 2*v.c argmin with first-wins ties in Scala
+    def pv(seed: Int, d: Int): Seq[Double] =
+      (0 until d).map(j => (((seed * 1315423911L + j * 2654435761L) % 1000)
+        .toDouble) / 500.0 - 1.0)
+    val dim = 64
+    val centroids = (0 until 64).map(i => pv(i + 7, dim))
+    val c2 = centroids.map(c => c.map(x => x * x).sum)
+    def refCell(v: Seq[Double]): Int = {
+      var best = -1; var bestD = Double.PositiveInfinity
+      centroids.indices.foreach { i =>
+        val d = c2(i) - 2.0 * v.zip(centroids(i)).map { case (a, b) => a * b }.sum
+        if (d < bestD) { bestD = d; best = i }
+      }
+      best
+    }
+    val vecs = (0 until 500).map(i => (i.toLong, pv(i + 991, dim)))
+    val df = vecs.toDF("id", "v")
+    val got = df.select(col("id"), VecExpressions
+        .nearestCentroidCell(col("v"), centroids).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == refCell(v), s"cell mismatch for vec $id")
+    }
+    // float input goes through the float getter path
+    val fdf = vecs.take(50).map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("id", "v")
+    val gotF = fdf.select(col("id"), VecExpressions
+        .nearestCentroidCell(col("v"), centroids).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    // float rounding can move a near-tie across cells; spot-check a loose
+    // agreement rate rather than exact equality
+    val agree = vecs.take(50).count { case (id, v) => gotF(id) == refCell(v) }
+    assert(agree >= 45, s"float path diverged on ${50 - agree}/50 vectors")
+    // dimension mismatch -> null, not a truncated argmin
+    val bad = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v")
+    val r = bad.select(VecExpressions.nearestCentroidCell(col("v"), centroids))
+      .collect()(0)
+    assert(r.isNullAt(0), "length mismatch must surface as null")
+  }
 }
