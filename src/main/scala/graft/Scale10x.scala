@@ -172,6 +172,8 @@ object Scale10x {
     def salientShape(p: String): Long =                   // q4x shape
       force(graft.operators.Curate.salientTerms(
         spark.read.parquet(p), "doc_id", "text", k = 3))
+    def lmShape(p: String): Long =                        // q5k shape
+      force(graft.queries.LmQueries.lmScore(spark.read.parquet(p)))
     def multiEvalShape(liP: String, ordP: String): Long = { // q37 shape
       val cnn = spark.read.parquet(liP).groupBy(col("l_orderkey").as("k"))
         .agg((sum(col("l_quantity")).cast("long") % 100).as("cnn_sc"))
@@ -435,6 +437,7 @@ object Scale10x {
            |          ORDER BY tf DESC, df_docs ASC, term ASC) AS rn
            |      FROM tf JOIN dfreq USING (term))
            |SELECT doc_id, term, tf, df_docs FROM r WHERE rn <= 3""".stripMargin,
+      "lm_score" -> graft.queries.LmQueries.lmScoreOracleSql(docs),
       "neardup_lsh_e2e" ->
         s"""${pairSql(docs)}
            |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
@@ -493,6 +496,7 @@ object Scale10x {
       Probe("repetition_stats", () => repetitionShape(docs1P), () => repetitionShape(docs10P)),
       Probe("doc_chunks", () => chunkShape(docs1P), () => chunkShape(docs10P)),
       Probe("salient_terms", () => salientShape(docs1P), () => salientShape(docs10P)),
+      Probe("lm_score", () => lmShape(docs1P), () => lmShape(docs10P)),
       Probe("sessionize_stats", () => sessionShape(ev1P), () => sessionShape(evNP)),
       Probe("asof_join", () => asofShape(ev1P), () => asofShape(evNP)),
       Probe("range_join", () => rangeShape(ev1P), () => rangeShape(evNP)),

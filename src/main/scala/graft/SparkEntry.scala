@@ -15,7 +15,7 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ PdiQueries.defs ++ PipelineQueries.defs ++
       TextQueries.defs ++ SimilarityQueries.defs ++ FusionQueries.defs ++
-      EventQueries.defs
+      EventQueries.defs ++ LmQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the TPC-H Q3-shaped join+agg+top-k (CoreQueries q03).

@@ -1,0 +1,111 @@
+package graft.ml
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus n-gram language model for LM-based quality filtering — the
+  * CCNet/RedPajama recipe: fit a small n-gram LM, score every document's
+  * per-token log-likelihood, and filter/bucket by perplexity. (The
+  * reference's quality signals are heuristic-only; this is the learned
+  * counterpart used by every modern pretraining-data pipeline.)
+  *
+  * Design for 100 TB:
+  *   - FIT is two explode→hash-aggregate passes (unigrams, bigrams) with
+  *     map-side partial aggregation — shuffle rows are (gram, partial
+  *     count), never text — followed by a bounded global top-V
+  *     (`TakeOrderedAndProject`, deterministic count-desc/gram-asc order).
+  *     The caps bound the model regardless of corpus size.
+  *   - SCORE is a zero-shuffle scan until the per-document roll-up: the
+  *     bigram generate is a lazy `zip_with` projection, both model joins
+  *     broadcast (the caps make the model a few MB), and the final
+  *     aggregate carries one partial row per (partition, doc).
+  *   - EXACTNESS: each per-bigram log-probability is scaled to micro-nats
+  *     and rounded to a LONG **before** summation, so the per-document
+  *     score is an integer sum — order-independent, retry-stable, and
+  *     replayable bit-for-bit by any ANSI engine (the q5k oracle).
+  *
+  * Model: add-one-smoothed bigram conditional with a fixed vocabulary-size
+  * denominator: p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V) where V = uniCap.
+  * Out-of-model grams fall back to count 0, so unseen text scores low —
+  * exactly the junk-detection behavior the filter wants.
+  */
+object NgramLm {
+
+  /** Fitted model: bounded unigram/bigram count tables + the geometry they
+    * were fitted with. Both tables are small enough to broadcast by
+    * construction (`uniCap`/`biCap` rows).
+    */
+  final case class BigramLm(uni: DataFrame, bi: DataFrame, uniCap: Int, biCap: Int)
+
+  /** Bigram strings (`"w1 w2"`) of a token array, as a lazy collection
+    * projection — no explode, no shuffle, reusable under any downstream
+    * generate.
+    */
+  private def bigramArray(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+
+  /** Fit the bounded bigram LM over `corpus(text)`. Ties at the cap break
+    * deterministically (count desc, gram asc) so refits — and the oracle's
+    * SQL replay — always select the identical model.
+    */
+  def fit(corpus: DataFrame, text: Column, uniCap: Int = 65536,
+          biCap: Int = 1 << 20): BigramLm = {
+    require(uniCap > 0 && biCap > 0, s"caps must be positive: $uniCap/$biCap")
+    val toks = corpus.select(TextFunctions.tokens(text).as("__t"))
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(uniCap)
+    val bi = toks.select(explode(bigramArray(col("__t"))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("b")).limit(biCap)
+    BigramLm(uni, bi, uniCap, biCap)
+  }
+
+  /** Score `docs(id, text)` against a fitted model. Output, one row per
+    * document with at least one bigram (≥ 2 tokens):
+    *   - `n_bigrams`   — scored gram count
+    *   - `oov_bigrams` — grams absent from the bigram table
+    *   - `lm_score`    — Σ round(1e6 · ln p(w2|w1)), an exact LONG
+    *   - `ppl`         — exp(−lm_score / (1e6 · n_bigrams)), the usual
+    *                     perplexity readout (rounded to 6 dp)
+    */
+  def scoreDocs(docs: DataFrame, id: Column, text: Column,
+                model: BigramLm): DataFrame = {
+    val toks = docs.select(id.as("__id"), TextFunctions.tokens(text).as("__t"))
+    val grams = toks
+      .select(col("__id"), explode(bigramArray(col("__t"))).as("b"))
+      .withColumn("w1", split(col("b"), " ").getItem(0))
+    val uni = broadcast(model.uni.withColumnRenamed("c", "__c1"))
+    val bi = broadcast(model.bi.withColumnRenamed("c", "__c2"))
+    val joined = grams
+      .join(uni, grams("w1") === uni("w"), "left")
+      .join(bi, grams("b") === bi("b"), "left")
+    val c1 = coalesce(col("__c1"), lit(0L))
+    val c2 = coalesce(col("__c2"), lit(0L))
+    // micro-nat log-probability, rounded per term BEFORE the sum: the
+    // argument of ln is an IEEE division of exact integers, identical in
+    // every engine, so the rounded term — and therefore the integer sum —
+    // replays exactly.
+    val term = round(lit(1e6) *
+      log((c2 + lit(1L)).cast("double") /
+          (c1 + lit(model.uniCap.toLong)).cast("double"))).cast("long")
+    joined
+      .groupBy(col("__id").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("__c2").isNull, 1L).otherwise(0L)).as("oov_bigrams"),
+        sum(term).as("lm_score"))
+      .withColumn("ppl",
+        round(exp(-col("lm_score").cast("double") /
+          (lit(1e6) * col("n_bigrams").cast("double"))), 6))
+  }
+
+  /** fit + score in one call (self-scoring a corpus, the common audit). */
+  def selfScore(corpus: DataFrame, id: Column, text: Column,
+                uniCap: Int = 65536, biCap: Int = 1 << 20): DataFrame =
+    scoreDocs(corpus, id, text, fit(corpus, text, uniCap, biCap))
+}

@@ -80,4 +80,51 @@ object Sampling {
     }
     df.filter(pseudoRand(key).cast("double") < frac * M)
   }
+
+  /** Temperature-flattened mixture rates — the mT5/LLaMA data-mixing rule:
+    * sample source g with probability ∝ n_g^alpha (alpha < 1 upweights
+    * small sources), scaled so the expected kept-row total is
+    * `targetFraction · N` and clamped to keep-all per source.
+    *
+    * Pure driver-side arithmetic over the (bounded) per-source counts;
+    * the Σ n^alpha normalizer is summed in sorted-source order so the
+    * same inputs always yield bit-identical rates (the q5l oracle embeds
+    * them as literals).
+    */
+  def temperatureFractions(counts: Map[String, Long], alpha: Double,
+                           targetFraction: Double): Map[String, Double] = {
+    require(counts.nonEmpty, "need at least one source")
+    require(counts.values.forall(_ > 0), s"counts must be positive: $counts")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction must be in (0,1]: $targetFraction")
+    val ordered = counts.toSeq.sortBy(_._1)
+    val weights = ordered.map { case (g, n) => g -> math.pow(n.toDouble, alpha) }
+    val z = weights.map(_._2).sum
+    val nTot = counts.values.sum.toDouble
+    weights.map { case (g, w) =>
+      g -> math.min(1.0, targetFraction * nTot * (w / z) / counts(g).toDouble)
+    }.toMap
+  }
+
+  /** Temperature-weighted mixture sampling over a source/domain column:
+    * counts each source (ONE tiny aggregate — the collect is bounded by
+    * the number of distinct sources, which a mixture by definition keeps
+    * small), derives [[temperatureFractions]], and applies the same
+    * engine-replayable keyed filter as [[sampleMixture]]. Rows whose
+    * source was absent from the counting pass (impossible when counting
+    * `df` itself) keep nothing.
+    */
+  def sampleTemperature(df: DataFrame, groupCol: Column, key: Column,
+                        alpha: Double, targetFraction: Double): DataFrame =
+    sampleMixture(df, groupCol, key,
+      temperatureFractions(mixtureCounts(df, groupCol), alpha, targetFraction))
+
+  /** Per-source row counts as a driver map (bounded: one row per source). */
+  def mixtureCounts(df: DataFrame, groupCol: Column): Map[String, Long] =
+    df.groupBy(groupCol.cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
 }

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.Tables
+import graft.ml.NgramLm
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction queries: n-gram LM quality scoring (the CCNet
+  * perplexity-filter recipe) and temperature-weighted source mixing (the
+  * mT5/LLaMA mixing rule) — the two learned/derived corpus-shaping steps
+  * that sit between the heuristic text signals (q40–q43) and the mixture
+  * sampler (q4p).
+  */
+object LmQueries {
+
+  /** Caps sized to BIND on the fixture corpus (vocab > 25, bigrams > 600 at
+    * every SF), so the deterministic top-V truncation — the part that makes
+    * the model bounded at 100 TB — is itself oracle-verified, OOV fallback
+    * included.
+    */
+  private val UniCap = 25
+  private val BiCap = 600
+
+  /** The q5k oracle as a function of the documents table/view name — shared
+    * with the Scale10x `lm_score` twin so the probe and the correctness
+    * oracle can never drift apart.
+    */
+  def lmScoreOracleSql(table: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM $table),
+       |tok AS (SELECT unnest(t) AS w FROM t),
+       |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w
+       |        ORDER BY c DESC, w LIMIT $UniCap),
+       |bg AS (SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2]
+       |                              for i in range(len(t) - 1)]) AS b FROM t),
+       |bgw AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM bg),
+       |bic AS (SELECT b, count(*) AS c FROM bg GROUP BY b
+       |        ORDER BY c DESC, b LIMIT $BiCap),
+       |terms AS (
+       |  SELECT g.doc_id,
+       |    CAST(round(1e6 * ln((coalesce(bic.c, 0) + 1.0)
+       |                        / (coalesce(uni.c, 0) + $UniCap.0))) AS BIGINT) AS term,
+       |    CASE WHEN bic.c IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM bgw g
+       |  LEFT JOIN uni ON uni.w = g.w1
+       |  LEFT JOIN bic ON bic.b = g.b)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(oov) AS BIGINT) AS oov_bigrams,
+       |  CAST(sum(term) AS BIGINT) AS lm_score,
+       |  round(exp(-(CAST(sum(term) AS DOUBLE) / (1e6 * count(*)))), 6) AS ppl
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The q5k Spark side against any documents frame (Scale10x reuses it). */
+  def lmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    NgramLm.selfScore(docs, col("doc_id"), col("text"), UniCap, BiCap)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- bigram-LM perplexity scoring (CCNet-style quality signal) -------
+    // Self-scored corpus LM: fit bounded unigram/bigram tables, score each
+    // document's add-one-smoothed bigram log-likelihood. Every per-gram
+    // log-probability is rounded to micro-nats BEFORE summation, so
+    // lm_score is an exact integer both engines agree on bit-for-bit.
+    QueryDef.sql("q5k_lm_score", lmScoreOracleSql("documents")) { (s, d) =>
+      lmScore(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    // ---- temperature-weighted source mixing ------------------------------
+    // Skewed 60/30/10 source split; alpha=0.5 flattening at a 0.3 corpus
+    // budget upweights the small sources. The rates derive from per-source
+    // counts on the driver (bounded: one row per source); the oracle
+    // embeds the fitted rates as exact literals (q34's dynamic-oracle
+    // pattern) and replays the keyed threshold filter row-for-row.
+    QueryDef.dynamicSql("q5l_temperature_sample") { (s, d) =>
+      val fr = Sampling.temperatureFractions(
+        Sampling.mixtureCounts(srcSplit(s, d), col("src")),
+        alpha = 0.5, targetFraction = 0.3)
+      // CAST: a bare 17-digit literal parses as DECIMAL(18,17) in DuckDB
+      // and overflows the *1e9 threshold multiply; the cast re-binds it to
+      // the exact binary double the Spark side filters with
+      val cases = fr.toSeq.sortBy(_._1)
+        .map { case (g, f) =>
+          s"WHEN '$g' THEN CAST(${java.lang.Double.toString(f)} AS DOUBLE)" }
+        .mkString(" ")
+      s"""WITH d AS (SELECT doc_id, $srcCaseSql AS src FROM documents)
+         |SELECT doc_id, src FROM d
+         |WHERE (doc_id * 2654435761) % 1000000007 <
+         |  (CASE src $cases ELSE 0.0 END) * 1000000007
+         |ORDER BY doc_id""".stripMargin
+    } { (s, d) =>
+      Sampling.sampleTemperature(srcSplit(s, d), col("src"), col("doc_id"),
+          alpha = 0.5, targetFraction = 0.3)
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** Deterministic skewed source label (60% web / 30% books / 10% code) —
+    * same arithmetic in [[srcCaseSql]] for the oracle.
+    */
+  private def srcSplit(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 10 < 6, "web")
+        .when(col("doc_id") % 10 < 9, "books")
+        .otherwise("code").as("src"))
+
+  private val srcCaseSql =
+    "(CASE WHEN doc_id % 10 < 6 THEN 'web' " +
+      "WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END)"
+}

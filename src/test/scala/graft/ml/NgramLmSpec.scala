@@ -1,0 +1,88 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  // known counts: uni a=5 b=3; bigrams "a b"=3 "b a"=2 "a a"=1
+  private def corpus = Seq(
+    (1L, "a b a b"),   // bigrams: (a b) (b a) (a b)
+    (2L, "a b a a")    // bigrams: (a b) (b a) (a a)
+  ).toDF("doc_id", "text")
+
+  test("fit counts unigrams and bigrams exactly") {
+    val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
+    val uni = m.uni.as[(String, Long)].collect().toMap
+    assert(uni == Map("a" -> 5L, "b" -> 3L))
+    val bi = m.bi.as[(String, Long)].collect().toMap
+    assert(bi == Map("a b" -> 3L, "b a" -> 2L, "a a" -> 1L))
+  }
+
+  test("caps truncate deterministically by (count desc, gram asc)") {
+    val m = NgramLm.fit(corpus, col("text"), uniCap = 1, biCap = 2)
+    assert(m.uni.as[(String, Long)].collect().toSeq == Seq("a" -> 5L))
+    assert(m.bi.as[(String, Long)].collect().toMap ==
+      Map("a b" -> 3L, "b a" -> 2L))
+    // tie at the cut: equal counts break by gram ascending
+    val tied = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
+    val mt = NgramLm.fit(tied, col("text"), uniCap = 10, biCap = 1)
+    assert(mt.bi.as[(String, Long)].collect().toSeq == Seq("x y" -> 1L))
+  }
+
+  test("scoreDocs: exact integer score matches hand computation") {
+    val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
+    val out = NgramLm.scoreDocs(corpus, col("doc_id"), col("text"), m)
+      .orderBy("doc_id").collect()
+    def term(c2: Long, c1: Long): Long =
+      math.round(1e6 * math.log((c2 + 1.0) / (c1 + 10.0)))
+    // doc 1: grams (a b, c2=3 c1=5), (b a, c2=2 c1=3), (a b, 3/5)
+    val d1 = term(3, 5) * 2 + term(2, 3)
+    // doc 2: (a b, 3/5), (b a, 2/3), (a a, 1/5)
+    val d2 = term(3, 5) + term(2, 3) + term(1, 5)
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.map(r => r.getLong(3)).toSeq == Seq(d1, d2))
+    assert(out.map(r => r.getLong(1)).toSeq == Seq(3L, 3L)) // n_bigrams
+    assert(out.map(r => r.getLong(2)).toSeq == Seq(0L, 0L)) // oov
+    // ppl readout matches the integer score exactly
+    val ppl1 = BigDecimal(math.exp(-d1 / (1e6 * 3)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getDouble(4) == ppl1)
+  }
+
+  test("OOV bigrams are counted and scored with the count-0 fallback") {
+    val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
+    val novel = Seq((9L, "q r s")).toDF("doc_id", "text") // all grams unseen
+    val out = NgramLm.scoreDocs(novel, col("doc_id"), col("text"), m)
+      .collect().head
+    assert(out.getLong(1) == 2L && out.getLong(2) == 2L)
+    val t = math.round(1e6 * math.log(1.0 / 10.0))
+    assert(out.getLong(3) == 2 * t)
+  }
+
+  test("junk scores worse than in-distribution text (the filter's contract)") {
+    val good = corpus
+    val m = NgramLm.fit(good, col("text"), uniCap = 10, biCap = 10)
+    val probe = Seq((1L, "a b a b"), (2L, "z q w x")).toDF("doc_id", "text")
+    val s = NgramLm.scoreDocs(probe, col("doc_id"), col("text"), m)
+      .orderBy("doc_id").select("ppl").as[Double].collect()
+    assert(s(0) < s(1), s"in-distribution ppl ${s(0)} must beat junk ${s(1)}")
+  }
+
+  test("docs with fewer than two tokens emit no row") {
+    val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
+    val short = Seq((1L, "a"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val ids = NgramLm.scoreDocs(short, col("doc_id"), col("text"), m)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(3L))
+  }
+
+  test("scoring plan broadcasts the model (no shuffle join against the corpus)") {
+    val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
+    val plan = NgramLm.scoreDocs(corpus, col("doc_id"), col("text"), m)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}

@@ -73,4 +73,55 @@ class SamplingSpec extends SparkSpec {
     val b = tiles.orderBy(Sampling.seededOrder(tiles, col("tile"), 2)).select("tile").as[Int].collect()
     assert(a.toSeq != b.toSeq)
   }
+
+  test("temperatureFractions: alpha=1 is proportional (uniform target rate)") {
+    val fr = Sampling.temperatureFractions(
+      Map("a" -> 9000L, "b" -> 1000L), alpha = 1.0, targetFraction = 0.3)
+    // alpha=1: p_g = n_g/N, so every source keeps exactly targetFraction
+    assert(fr.values.forall(f => math.abs(f - 0.3) < 1e-12), fr.toString)
+  }
+
+  test("temperatureFractions: alpha<1 upweights small sources, clamps at 1") {
+    val counts = Map("big" -> 90000L, "small" -> 100L)
+    val fr = Sampling.temperatureFractions(counts, alpha = 0.5, targetFraction = 0.3)
+    assert(fr("small") > fr("big"), fr.toString)
+    // a tiny source under heavy flattening wants more than it has -> clamp
+    val fr2 = Sampling.temperatureFractions(
+      Map("big" -> 1000000L, "tiny" -> 10L), alpha = 0.0, targetFraction = 0.5)
+    assert(fr2("tiny") == 1.0, fr2.toString)
+    assert(fr.values.forall(f => f > 0 && f <= 1.0))
+  }
+
+  test("temperatureFractions: expected kept total matches the budget (no clamping)") {
+    val counts = Map("a" -> 60000L, "b" -> 30000L, "c" -> 10000L)
+    val fr = Sampling.temperatureFractions(counts, alpha = 0.5, targetFraction = 0.3)
+    val expected = counts.map { case (g, n) => fr(g) * n }.sum
+    assert(math.abs(expected - 0.3 * 100000) < 1e-6, s"expected $expected")
+  }
+
+  test("temperatureFractions is bit-deterministic regardless of map order") {
+    val a = Sampling.temperatureFractions(
+      Map("x" -> 123L, "y" -> 456L, "z" -> 789L), 0.5, 0.25)
+    val b = Sampling.temperatureFractions(
+      Map("z" -> 789L, "x" -> 123L, "y" -> 456L), 0.5, 0.25)
+    assert(a == b)
+  }
+
+  test("sampleTemperature: per-source rates land near the fitted fractions") {
+    val df = spark.range(20000).select(col("id"),
+      when(col("id") % 10 < 6, "web").when(col("id") % 10 < 9, "books")
+        .otherwise("code").as("src"))
+    val fr = Sampling.temperatureFractions(
+      Sampling.mixtureCounts(df, col("src")), 0.5, 0.3)
+    val kept = Sampling.sampleTemperature(df, col("src"), col("id"), 0.5, 0.3)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("web" -> 12000L, "books" -> 6000L, "code" -> 2000L).foreach {
+      case (g, n) =>
+        val rate = kept(g).toDouble / n
+        assert(math.abs(rate - fr(g)) < 0.05, s"$g rate $rate vs ${fr(g)}")
+    }
+    // flattening: the small source keeps a HIGHER rate than the big one
+    assert(kept("code").toDouble / 2000 > kept("web").toDouble / 12000)
+  }
 }
