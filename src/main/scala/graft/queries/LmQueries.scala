@@ -6,10 +6,10 @@ import graft.operators.Sampling
 import org.apache.spark.sql.functions._
 
 /** Corpus-construction queries: n-gram LM quality scoring (the CCNet
-  * perplexity-filter recipe) and temperature-weighted source mixing (the
-  * mT5/LLaMA mixing rule) — the two learned/derived corpus-shaping steps
-  * that sit between the heuristic text signals (q40–q43) and the mixture
-  * sampler (q4p).
+  * perplexity-filter recipe), temperature-weighted source mixing (the
+  * mT5/LLaMA mixing rule), and the deterministic training-shard sink —
+  * the corpus-shaping steps that sit between the heuristic text signals
+  * (q40–q43) and training consumption.
   */
 object LmQueries {
 
@@ -90,6 +90,29 @@ object LmQueries {
       Sampling.sampleTemperature(srcSplit(s, d), col("src"), col("doc_id"),
           alpha = 0.5, targetFraction = 0.3)
         .orderBy(col("doc_id"))
+    },
+
+    // ---- deterministic training-shard sink (global shuffle + shard) ------
+    // The REAL sink round-trips: write 16 hash-assigned shard directories,
+    // read them back, audit per shard. The oracle recomputes the shard
+    // assignment arithmetically — a lost/dup/misrouted row anywhere in the
+    // write→partition→read path breaks counts, token sums, or id bounds.
+    QueryDef.sql("q5m_shard_audit",
+      """WITH a AS (SELECT doc_id, (doc_id * 2654435761) % 1000000007 % 16 AS shard,
+        |             len(string_split(text, ' ')) AS n FROM documents)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val path = s"/tmp/graft_q5m_shards_${new java.io.File(d).getName}"
+      graft.sources.Sources.writeTrainingShards(docs, col("doc_id"), 16, path)
+      s.read.parquet(path)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
     }
   )
 

@@ -153,4 +153,34 @@ object Sources {
        w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w).parquet(path)
   }
+
+  /** Deterministic shard id for the training-output global shuffle:
+    * `pseudoRand(key) mod nShards`. A pure function of the row key — the
+    * whole "shuffle and shard" step of corpus prep without a global sort
+    * or an engine RNG: re-runs, retries, and other engines (the q5m
+    * oracle) assign every row identically, and the assignment is uniform
+    * because the multiplicative hash decorrelates adjacent keys.
+    */
+  def shardId(key: Column, nShards: Int): Column = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    pmod(graft.operators.Sampling.pseudoRand(key), lit(nShards.toLong))
+  }
+
+  /** Training-shard sink: the corpus-prep endgame — rows pseudo-randomly
+    * (but deterministically) scattered into `nShards` shard directories,
+    * each shard internally ordered by a second independent hash so
+    * sequential consumption within a shard is also shuffled. One
+    * repartition on the shard id is the only exchange; `partitionBy`
+    * makes each shard a directory a training job (or a resume) can claim
+    * and prune independently (`shard=K` reads one directory). At 100 TB,
+    * nShards is sized to the consumer fleet, not the data — each shard
+    * stays splittable parquet inside.
+    */
+  def writeTrainingShards(df: DataFrame, key: Column, nShards: Int,
+                          path: String): Unit =
+    df.withColumn("shard", shardId(key, nShards))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"),
+        graft.operators.Sampling.seededOrder(df, key, 7L), key)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

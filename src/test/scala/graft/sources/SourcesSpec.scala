@@ -137,4 +137,40 @@ class SourcesSpec extends SparkSpec {
       .as[(String, Int)].collect().toMap
     assert(ids == Map("a" -> 0, "b" -> 1, "c" -> 2))
   }
+
+  test("training shards: lossless, deterministic, balanced, prunable") {
+    val dir = fixtureDir("training_shards")
+    val df = spark.range(4000).select(col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text"))
+    Sources.writeTrainingShards(df, col("doc_id"), nShards = 8, dir)
+    val back = spark.read.parquet(dir)
+    // lossless: every row lands in exactly one shard
+    assert(back.count() == 4000)
+    assert(back.select(countDistinct(col("doc_id"))).as[Long].head() == 4000)
+    // deterministic: the assignment is a pure function of the key (collect
+    // everything from the FIRST write before overwriting the directory)
+    val a = back.select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    val sizes = back.groupBy("shard").count().as[(Int, Long)].collect().toMap
+    Sources.writeTrainingShards(df, col("doc_id"), 8, dir)
+    val b = spark.read.parquet(dir)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    assert(a == b, "re-runs must assign every row identically")
+    // balanced: multiplicative-hash scatter keeps shards near-uniform
+    assert(sizes.size == 8)
+    assert(sizes.values.forall(n => n > 350 && n < 650), sizes.toString)
+    // a shard filter prunes directories at planning time (resume/claim path)
+    val one = spark.read.parquet(dir).filter(col("shard") === 3)
+    val scan = one.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(scan).isDefined,
+      s"shard=3 not applied as a partition filter:\n$scan")
+    // within-shard order is shuffled (not key order) but reproducible:
+    // the per-file row order IS the sortWithinPartitions order
+    val files = new java.io.File(dir, "shard=3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    val rows = files.flatMap(f =>
+      spark.read.parquet(f).select("doc_id").as[Long].collect())
+    assert(rows.length == sizes(3))
+    assert(rows.toSeq != rows.sorted.toSeq,
+      "within-shard order must be shuffled, not ascending key order")
+  }
 }
