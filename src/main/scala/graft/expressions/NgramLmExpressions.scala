@@ -1,0 +1,91 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole-document bigram-LM scoring as ONE fused scalar kernel:
+  * struct(n_bigrams, oov_bigrams, lm_score) in a single pass over the text
+  * against a bounded in-expression model (the RepetitionStats pattern).
+  *
+  * Replaces the composed plan — bigram generate → explode → two broadcast
+  * joins → per-document hash aggregation — whose 100× cost was ~4 s of
+  * per-occurrence join probing and aggregation; this is a pure projection
+  * inside whole-stage codegen with ZERO shuffle. The model arrays ride the
+  * serialized expression (bounded by the fit caps — the same reason the
+  * caps exist for 100 TB); each task builds its hash maps once, lazily.
+  *
+  * Arithmetic is IDENTICAL to the composed form and the q5k SQL oracle:
+  * per-gram `round(1e6 · ln((c2+1)/(c1+V)))` summed as exact longs.
+  * `Math.round` (floor(x+0.5)) differs from HALF_UP/half-away rounding
+  * only at exact .5 doubles, which the transcendental ln cannot produce.
+  */
+case class BigramLmScore(child: Expression,
+                         uni: Array[(String, Long)],
+                         bi: Array[(String, Long)],
+                         vocabV: Long) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if vocabV > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bigram_lm_score requires STRING and V > 0, got ${t.simpleString} / $vocabV")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("oov_bigrams", LongType, nullable = false),
+    StructField("lm_score", LongType, nullable = false)))
+
+  @transient private lazy val uniMap: java.util.HashMap[UTF8String, Long] = {
+    val m = new java.util.HashMap[UTF8String, Long](uni.length * 2)
+    uni.foreach { case (k, v) => m.put(UTF8String.fromString(k), v) }
+    m
+  }
+  @transient private lazy val biMap: java.util.HashMap[UTF8String, Long] = {
+    val m = new java.util.HashMap[UTF8String, Long](bi.length * 2)
+    bi.foreach { case (k, v) => m.put(UTF8String.fromString(k), v) }
+    m
+  }
+
+  def score(text: UTF8String): InternalRow = {
+    val toks = WordShinglesKernel.tokenize(text)
+    val nBi = math.max(toks.length - 1, 0)
+    var oov = 0L
+    var total = 0L
+    var i = 0
+    while (i < nBi) {
+      val w1 = toks(i)
+      val b = WordShinglesKernel.joinWith(WordShinglesKernel.SpaceSep,
+        Array(w1, toks(i + 1)))
+      val c1 = uniMap.getOrDefault(w1, 0L)
+      val c2 = biMap.getOrDefault(b, 0L)
+      if (c2 == 0L) oov += 1L
+      total += Math.round(1e6 *
+        Math.log((c2 + 1.0) / (c1 + vocabV.toDouble)))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nBi.toLong, oov, total))
+  }
+
+  override def nullSafeEval(v: Any): Any = score(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lmKernel", this, classOf[BigramLmScore].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.score($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramLmScore =
+    copy(child = newChild)
+}
+
+object BigramLmScore {
+  def apply(text: Column, uni: Array[(String, Long)], bi: Array[(String, Long)],
+            vocabV: Long): Column =
+    ColumnBridge.column(
+      new BigramLmScore(ColumnBridge.expression(text), uni, bi, vocabV))
+}

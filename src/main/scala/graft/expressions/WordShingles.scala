@@ -28,8 +28,14 @@ object WordShinglesKernel {
     java.util.regex.Pattern.compile("\\s+")
   private val SPACE: UTF8String = UTF8String.fromString(" ")
 
-  private def tokenize(text: UTF8String): Array[UTF8String] =
+  private[expressions] def tokenize(text: UTF8String): Array[UTF8String] =
     WSPAT.split(text.trim().toString, -1).map(UTF8String.fromString)
+
+  private[expressions] def joinWith(sep: UTF8String,
+                                    parts: Array[UTF8String]): UTF8String =
+    UTF8String.concatWs(sep, parts: _*)
+
+  private[expressions] val SpaceSep: UTF8String = SPACE
 
   /** All window grams WITH duplicates, in position order — the single
     * windowing implementation both public forms derive from (so the
@@ -121,6 +127,39 @@ object WordShinglesKernel {
     new GenericArrayData(out)
   }
 
+  /** Per-document n-gram counts with STRICT windows (a text shorter than
+    * `n` tokens yields NO grams — matching the composable
+    * `zip_with(slice, slice, concat_ws)` bigram form and the SQL
+    * `[t[i+1] || ' ' || t[i+2] for i in range(len(t)-1)]` replay, unlike
+    * [[windowGrams]]' whole-text collapse): `array<struct(gram, cnt)>` in
+    * first-occurrence order. The local-map form of
+    * `explode(grams) → groupBy(gram) → count` per document — a corpus
+    * gram-count fit over this output shuffles one row per DISTINCT gram
+    * per document instead of one per occurrence.
+    */
+  def gramCounts(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(text)
+    if (toks.length < n) return new GenericArrayData(Array.empty[AnyRef])
+    val counts = new java.util.LinkedHashMap[UTF8String, Int](toks.length * 2)
+    var i = 0
+    while (i <= toks.length - n) {
+      val parts = new Array[UTF8String](n)
+      System.arraycopy(toks, i, parts, 0, n)
+      counts.merge(UTF8String.concatWs(SPACE, parts: _*), 1, Integer.sum)
+      i += 1
+    }
+    val out = new Array[AnyRef](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue.toLong))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fused shingle-set Jaccard: |A∩B| / (|A|+|B|-|A∩B|) in ONE pass over
     * both texts — bit-identical to
     * `size(array_intersect(sh_a, sh_b)) / (size(sh_a)+size(sh_b)-inter)`
@@ -183,6 +222,39 @@ object WordShingles {
 
   def termCounts(text: Column): Column =
     ColumnBridge.column(TermCounts(ColumnBridge.expression(text)))
+
+  def gramCounts(text: Column, n: Int): Column =
+    ColumnBridge.column(GramCounts(ColumnBridge.expression(text), n))
+}
+
+/** Per-document strict-window n-gram counts
+  * ([[WordShinglesKernel.gramCounts]]) — the fused fit-side kernel for
+  * corpus language models: one local map pass per document, one shuffled
+  * row per distinct gram per document.
+  */
+case class GramCounts(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_counts requires STRING and n > 0, got ${t.simpleString} / $n")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("gram", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    WordShinglesKernel.gramCounts(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = WordShinglesKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $kernel.gramCounts($a, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramCounts =
+    copy(child = newChild)
 }
 
 /** Per-document term frequencies as one fused kernel

@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.expressions.{BigramLmScore, WordShingles}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -11,15 +12,19 @@ import org.apache.spark.sql.functions._
   * counterpart used by every modern pretraining-data pipeline.)
   *
   * Design for 100 TB:
-  *   - FIT is two explode→hash-aggregate passes (unigrams, bigrams) with
-  *     map-side partial aggregation — shuffle rows are (gram, partial
-  *     count), never text — followed by a bounded global top-V
-  *     (`TakeOrderedAndProject`, deterministic count-desc/gram-asc order).
-  *     The caps bound the model regardless of corpus size.
-  *   - SCORE is a zero-shuffle scan until the per-document roll-up: the
-  *     bigram generate is a lazy `zip_with` projection, both model joins
-  *     broadcast (the caps make the model a few MB), and the final
-  *     aggregate carries one partial row per (partition, doc).
+  *   - FIT aggregates the fused per-document [[WordShingles.gramCounts]]
+  *     kernel (one local map pass per document), so the corpus hash-agg —
+  *     and its map-side partials — see one row per DISTINCT gram per
+  *     document, not one per occurrence; a bounded global top-V
+  *     (`TakeOrderedAndProject`, deterministic count-desc/gram-asc order)
+  *     caps the model regardless of corpus size.
+  *   - SCORE is the fused [[BigramLmScore]] kernel by default: the whole
+  *     per-document readout (gram count, OOV count, integer score) is ONE
+  *     codegen'd projection with ZERO shuffle — no explode, no joins, no
+  *     aggregation. The bounded model rides the expression (its caps are
+  *     what make that sound); [[scoreDocsJoined]] keeps the broadcast-join
+  *     formulation for models too large to embed, and the two paths are
+  *     spec-pinned row-equal.
   *   - EXACTNESS: each per-bigram log-probability is scaled to micro-nats
   *     and rounded to a LONG **before** summation, so the per-document
   *     score is an integer sum — order-independent, retry-stable, and
@@ -38,15 +43,11 @@ object NgramLm {
     */
   final case class BigramLm(uni: DataFrame, bi: DataFrame, uniCap: Int, biCap: Int)
 
-  /** Bigram strings (`"w1 w2"`) of a token array, as a lazy collection
-    * projection — no explode, no shuffle, reusable under any downstream
-    * generate.
+  /** Caps up to this total embed the model in the fused scoring kernel;
+    * larger models score through the broadcast-join path. Sized so the
+    * serialized expression stays a few tens of MB at worst.
     */
-  private def bigramArray(toks: Column): Column =
-    zip_with(
-      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-      (a, b) => concat_ws(" ", a, b))
+  val KernelModelMaxRows: Int = 1 << 20
 
   /** Fit the bounded bigram LM over `corpus(text)`. Ties at the cap break
     * deterministically (count desc, gram asc) so refits — and the oracle's
@@ -55,13 +56,12 @@ object NgramLm {
   def fit(corpus: DataFrame, text: Column, uniCap: Int = 65536,
           biCap: Int = 1 << 20): BigramLm = {
     require(uniCap > 0 && biCap > 0, s"caps must be positive: $uniCap/$biCap")
-    val toks = corpus.select(TextFunctions.tokens(text).as("__t"))
-    val uni = toks.select(explode(col("__t")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w")).limit(uniCap)
-    val bi = toks.select(explode(bigramArray(col("__t"))).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("b")).limit(biCap)
+    def counts(n: Int, out: String): DataFrame = corpus
+      .select(explode(WordShingles.gramCounts(text, n)).as("__g"))
+      .groupBy(col("__g.gram").as(out))
+      .agg(sum(col("__g.cnt")).as("c"))
+    val uni = counts(1, "w").orderBy(col("c").desc, col("w")).limit(uniCap)
+    val bi = counts(2, "b").orderBy(col("c").desc, col("b")).limit(biCap)
     BigramLm(uni, bi, uniCap, biCap)
   }
 
@@ -72,9 +72,40 @@ object NgramLm {
     *   - `lm_score`    — Σ round(1e6 · ln p(w2|w1)), an exact LONG
     *   - `ppl`         — exp(−lm_score / (1e6 · n_bigrams)), the usual
     *                     perplexity readout (rounded to 6 dp)
+    *
+    * Picks the fused kernel when the caps bound the model small enough to
+    * embed; the join path otherwise. Both produce identical rows.
     */
   def scoreDocs(docs: DataFrame, id: Column, text: Column,
-                model: BigramLm): DataFrame = {
+                model: BigramLm): DataFrame =
+    if (model.uniCap.toLong + model.biCap.toLong <= KernelModelMaxRows)
+      scoreDocsKernel(docs, id, text, model)
+    else scoreDocsJoined(docs, id, text, model)
+
+  /** Fused-kernel scoring: one zero-shuffle projection per document. The
+    * model collects to the driver (bounded by the fit caps) and rides the
+    * expression to every task.
+    */
+  def scoreDocsKernel(docs: DataFrame, id: Column, text: Column,
+                      model: BigramLm): DataFrame = {
+    val uniArr = model.uni.collect().map(r => (r.getString(0), r.getLong(1)))
+    val biArr = model.bi.collect().map(r => (r.getString(0), r.getLong(1)))
+    withPpl(docs
+      .select(id.as("doc_id"),
+        BigramLmScore(text, uniArr, biArr, model.uniCap.toLong).as("__s"))
+      .select(col("doc_id"),
+        col("__s.n_bigrams").as("n_bigrams"),
+        col("__s.oov_bigrams").as("oov_bigrams"),
+        col("__s.lm_score").as("lm_score"))
+      .filter(col("n_bigrams") > 0))
+  }
+
+  /** Broadcast-join scoring — the formulation for models beyond the
+    * kernel-embed bound: lazy `zip_with` bigram generate, two broadcast
+    * model joins, one per-document partial aggregation.
+    */
+  def scoreDocsJoined(docs: DataFrame, id: Column, text: Column,
+                      model: BigramLm): DataFrame = {
     val toks = docs.select(id.as("__id"), TextFunctions.tokens(text).as("__t"))
     val grams = toks
       .select(col("__id"), explode(bigramArray(col("__t"))).as("b"))
@@ -93,16 +124,31 @@ object NgramLm {
     val term = round(lit(1e6) *
       log((c2 + lit(1L)).cast("double") /
           (c1 + lit(model.uniCap.toLong)).cast("double"))).cast("long")
-    joined
+    withPpl(joined
       .groupBy(col("__id").as("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),
         sum(when(col("__c2").isNull, 1L).otherwise(0L)).as("oov_bigrams"),
-        sum(term).as("lm_score"))
-      .withColumn("ppl",
-        round(exp(-col("lm_score").cast("double") /
-          (lit(1e6) * col("n_bigrams").cast("double"))), 6))
+        sum(term).as("lm_score")))
   }
+
+  /** Bigram strings (`"w1 w2"`) of a token array, as a lazy collection
+    * projection — no explode, no shuffle, reusable under any downstream
+    * generate.
+    */
+  private def bigramArray(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+
+  /** The shared perplexity readout — ONE arithmetic shape for both scoring
+    * paths and the SQL oracle.
+    */
+  private def withPpl(scored: DataFrame): DataFrame =
+    scored.withColumn("ppl",
+      round(exp(-col("lm_score").cast("double") /
+        (lit(1e6) * col("n_bigrams").cast("double"))), 6))
 
   /** fit + score in one call (self-scoring a corpus, the common audit). */
   def selfScore(corpus: DataFrame, id: Column, text: Column,

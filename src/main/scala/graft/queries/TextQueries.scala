@@ -1232,6 +1232,38 @@ object TextQueries {
         .orderBy(col("domain"))
     },
 
+    // ---- URL-domain blocklist gate (C4-style badlist) over the same
+    //      planted-URL corpus as q53: docs citing a blocked domain drop,
+    //      docs with only clean URLs (or none) survive --------------------
+    QueryDef.sql("q5n_domain_filter",
+      """WITH d AS (
+        |  SELECT doc_id, text || ' see http://site' || (doc_id % 7) ||
+        |    '.example/page-' || (doc_id % 11) || ' now' AS text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |bad AS (SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_extract_all(text, 'https?://([^/ ]+)', 1)) AS domain
+        |    FROM d) u
+        |  WHERE domain IN ('site0.example', 'site3.example'))
+        |SELECT doc_id FROM d
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val planted = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" see http://site"), col("doc_id") % 7,
+            lit(".example/page-"), col("doc_id") % 11, lit(" now")).as("text"))
+        .unionByName(
+          docs.where(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text")))
+      Curate.dropBlockedDomains(planted, "doc_id", "text",
+          Seq("site0.example", "site3.example").toDF("domain"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- corpus heavy hitters via the Misra-Gries sketch. The oracle is
     //      EXACT because k exceeds the test vocabulary (below capacity the
     //      sketch never decrements and merge never trims — counts equal a

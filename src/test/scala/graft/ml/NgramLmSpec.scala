@@ -78,11 +78,39 @@ class NgramLmSpec extends SparkSpec {
     assert(ids == Set(3L))
   }
 
-  test("scoring plan broadcasts the model (no shuffle join against the corpus)") {
+  test("kernel and join scoring paths are row-identical") {
     val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
-    val plan = NgramLm.scoreDocs(corpus, col("doc_id"), col("text"), m)
+    val probe = corpus.unionByName(
+      Seq((9L, "q r s"), (10L, "a"), (11L, "b a a b z")).toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val k = rows(NgramLm.scoreDocsKernel(probe, col("doc_id"), col("text"), m))
+    val j = rows(NgramLm.scoreDocsJoined(probe, col("doc_id"), col("text"), m))
+    assert(k == j, s"kernel\n$k\nvs join\n$j")
+  }
+
+  test("kernel scoring is a pure projection: no join, no shuffle") {
+    val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
+    val plan = NgramLm.scoreDocsKernel(corpus, col("doc_id"), col("text"), m)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("join path broadcasts the model; scoreDocs cuts over on the caps") {
+    val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
+    val joined = NgramLm.scoreDocsJoined(corpus, col("doc_id"), col("text"), m)
+      .queryExecution.executedPlan.toString
+    assert(joined.contains("BroadcastHashJoin"), joined)
+    assert(!joined.contains("SortMergeJoin"), joined)
+    // small caps -> fused kernel (no join anywhere in the plan)
+    val small = NgramLm.scoreDocs(corpus, col("doc_id"), col("text"), m)
+      .queryExecution.executedPlan.toString
+    assert(!small.contains("Join"), small)
+    // caps beyond the embed bound -> the join formulation
+    val big = m.copy(uniCap = NgramLm.KernelModelMaxRows, biCap = 1)
+    val bigPlan = NgramLm.scoreDocs(corpus, col("doc_id"), col("text"), big)
+      .queryExecution.executedPlan.toString
+    assert(bigPlan.contains("BroadcastHashJoin"), bigPlan)
   }
 }

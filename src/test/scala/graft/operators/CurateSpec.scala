@@ -205,4 +205,22 @@ class CurateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
+
+  test("dropBlockedDomains: blocked-URL docs drop, clean/no-URL docs survive") {
+    val docs = Seq(
+      (1L, "plain text, no urls"),
+      (2L, "see http://bad.example/x for details"),
+      (3L, "links http://ok.example/a and https://bad.example/y"), // mixed -> drop
+      (4L, "only https://ok.example/b here"),
+      (5L, "bad.example mentioned without a scheme is not a URL reference"))
+      .toDF("doc_id", "text")
+    val blocked = Seq("bad.example").toDF("domain")
+    val kept = Curate.dropBlockedDomains(docs, "doc_id", "text", blocked)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"), "schema preserved")
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 4L, 5L))
+    // the blocklist side broadcasts; the corpus side must not shuffle
+    // before the gate (the only exchanges are the anti-join's)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
