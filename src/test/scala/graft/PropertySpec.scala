@@ -257,4 +257,47 @@ class PropertySpec extends SparkSpec {
       assert(kernel == agg, s"texts=$texts")
     }
   }
+
+  test("GramCounts kernel equals the strict-window explode+groupBy form") {
+    forSamples(Gen.listOfN(4, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      for (n <- Seq(1, 2, 3)) {
+        val kernel = df.select(col("doc_id"),
+            explode(graft.expressions.WordShingles.gramCounts(col("text"), n)).as("g"))
+          .select(col("doc_id"), col("g.gram"), col("g.cnt"))
+          .as[(Long, String, Long)].collect().toSet
+        // strict-window reference: zip n slices of the token array
+        val toks = graft.functions.TextFunctions.tokens(col("text"))
+        val grams = df.select(col("doc_id"), toks.as("t"))
+          .select(col("doc_id"), explode(
+            when(size(col("t")) >= n,
+              transform(sequence(lit(0), size(col("t")) - n),
+                i => concat_ws(" ", slice(col("t"), i + 1, lit(n)))))
+              .otherwise(array().cast("array<string>"))).as("gram"))
+        val agg = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+          .as[(Long, String, Long)].collect().toSet
+        assert(kernel == agg, s"n=$n texts=$texts")
+      }
+    }
+  }
+
+  test("BigramLmScore kernel equals the join-scoring form on random corpora") {
+    forSamples(Gen.zip(Gen.listOfN(5, textGen), Gen.listOfN(5, textGen)),
+      n = 4) { case (fitTexts, probeTexts) =>
+      val fitDf = fitTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val probeDf = probeTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // cap=3 binds on the 5-word alphabet, exercising truncation + OOV
+      val m = graft.ml.NgramLm.fit(fitDf, col("text"), uniCap = 3, biCap = 3)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val k = rows(graft.ml.NgramLm.scoreDocsKernel(
+        probeDf, col("doc_id"), col("text"), m))
+      val j = rows(graft.ml.NgramLm.scoreDocsJoined(
+        probeDf, col("doc_id"), col("text"), m))
+      assert(k == j, s"fit=$fitTexts probe=$probeTexts")
+    }
+  }
 }
