@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{MinHashSignature, ShingleJaccard, SimHash64, SrpSignature, VecDot, WordShingles}
+import graft.expressions.{GramCounts, MinHashSignature, ShingleJaccard, SimHash64, SrpSignature, VecDot, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
@@ -58,7 +58,9 @@ object GraftExtensions {
       ShingleJaccard(args(0), args(1), intArg(args(2), "shingle_jaccard")) },
     "srp_signature" -> { args =>
       SrpSignature(args(0), intArg(args(1), "srp_signature"),
-        longArg(args(2), "srp_signature")) })
+        longArg(args(2), "srp_signature")) },
+    "gram_counts" -> { args =>
+      GramCounts(args(0), intArg(args(1), "gram_counts")) })
 
   /** Runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =

@@ -41,6 +41,12 @@ class GraftExtensionsSpec extends SparkSpec {
       .select(graft.operators.Similarity.srpSignature(col("embedding"), 8, 42L))
       .as[Long].head()
     assert(sqlSrp == opSrp)
+
+    // gram_counts: strict-window per-doc gram counts from SQL
+    val gc = spark.sql("SELECT gram_counts(text, 2) FROM ext_t")
+      .as[Seq[(String, Long)]].head()
+    assert(gc.toMap == Map("the quick" -> 2L, "quick brown" -> 1L,
+      "brown fox" -> 1L, "fox the" -> 1L))
   }
 
   test("extensions class registers via SparkSessionExtensions (builder path)") {
