@@ -65,7 +65,8 @@ object NgramLm {
     BigramLm(uni, bi, uniCap, biCap)
   }
 
-  /** Score `docs(id, text)` against a fitted model. Output, one row per
+  /** Score `docs(id, text)` against a fitted model. Output (the id column
+    * is emitted as `doc_id` regardless of its input name), one row per
     * document with at least one bigram (≥ 2 tokens):
     *   - `n_bigrams`   — scored gram count
     *   - `oov_bigrams` — grams absent from the bigram table

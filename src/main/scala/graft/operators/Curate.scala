@@ -380,6 +380,9 @@ object Curate {
 
   /** URL-domain blocklist filter — the C4-style badlist gate: drop every
     * document that references a blocked domain anywhere in its text.
+    * `blocklist`'s FIRST column is the domain (any extra columns — source,
+    * category — are ignored); matching is exact on the extracted domain
+    * string.
     *
     * Scale shape: the corpus side is a zero-shuffle scan + generate
     * (domains extracted by the RE2-safe [[TextFunctions.urlDomains]]

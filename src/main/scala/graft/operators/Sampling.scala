@@ -108,17 +108,24 @@ object Sampling {
   }
 
   /** Temperature-weighted mixture sampling over a source/domain column:
-    * counts each source (ONE tiny aggregate — the collect is bounded by
-    * the number of distinct sources, which a mixture by definition keeps
-    * small), derives [[temperatureFractions]], and applies the same
-    * engine-replayable keyed filter as [[sampleMixture]]. Rows whose
+    * counts each source, derives [[temperatureFractions]], and applies the
+    * same engine-replayable keyed filter as [[sampleMixture]]. Rows whose
     * source was absent from the counting pass (impossible when counting
     * `df` itself) keep nothing.
+    *
+    * API contract: without `counts`, composition runs ONE eager counting
+    * job over `df` (the collect is bounded by the number of distinct
+    * sources, which a mixture by definition keeps small). Callers with
+    * expensive/uncached lineage — or a catalog that already knows the
+    * per-source sizes — pass `counts` and no job runs until the sampled
+    * frame itself is consumed.
     */
   def sampleTemperature(df: DataFrame, groupCol: Column, key: Column,
-                        alpha: Double, targetFraction: Double): DataFrame =
+                        alpha: Double, targetFraction: Double,
+                        counts: Option[Map[String, Long]] = None): DataFrame =
     sampleMixture(df, groupCol, key,
-      temperatureFractions(mixtureCounts(df, groupCol), alpha, targetFraction))
+      temperatureFractions(counts.getOrElse(mixtureCounts(df, groupCol)),
+        alpha, targetFraction))
 
   /** Per-source row counts as a driver map (bounded: one row per source). */
   def mixtureCounts(df: DataFrame, groupCol: Column): Map[String, Long] =
