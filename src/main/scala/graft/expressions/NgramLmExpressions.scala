@@ -89,3 +89,63 @@ object BigramLmScore {
     ColumnBridge.column(
       new BigramLmScore(ColumnBridge.expression(text), uni, bi, vocabV))
 }
+
+/** The perplexity-gate predicate as ONE fused boolean kernel: compute the
+  * document's LM readout once and compare `ppl <= maxPpl` in place.
+  *
+  * Exists for the same reason as `ShingleJaccard`: a filter condition
+  * that references a struct expression per field re-evaluates the struct
+  * per reference (FilterExec does no common-subexpression elimination
+  * across conjuncts — measured 3 kernel instances in the optimized plan),
+  * while a single boolean expression is evaluated exactly once per row.
+  * The perplexity is rounded to 6 dp with the same HALF_UP semantics as
+  * `functions.round`, so the kept set equals
+  * `scoreDocs(...).filter(ppl <= maxPpl)` bit-for-bit.
+  */
+case class BigramLmGate(child: Expression,
+                        uni: Array[(String, Long)],
+                        bi: Array[(String, Long)],
+                        vocabV: Long,
+                        maxPpl: Double) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if vocabV > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bigram_lm_gate requires STRING and V > 0, got ${t.simpleString} / $vocabV")
+  }
+
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val scorer =
+    BigramLmScore(child, uni, bi, vocabV)
+
+  def keep(text: UTF8String): Boolean = {
+    val row = scorer.score(text)
+    val nBi = row.getLong(0)
+    if (nBi == 0L) return false
+    // identical chain to `round(exp(-lm_score / (1e6 * n)), 6)`:
+    // IEEE negate-then-divide == divide-then-negate, Math.exp is the
+    // engine's EXP, and functions.round(_, 6) is BigDecimal HALF_UP
+    val x = -row.getLong(2).toDouble / (1e6 * nBi.toDouble)
+    java.math.BigDecimal.valueOf(Math.exp(x))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue() <= maxPpl
+  }
+
+  override def nullSafeEval(v: Any): Any = keep(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lmGate", this, classOf[BigramLmGate].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.keep($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramLmGate =
+    copy(child = newChild)
+}
+
+object BigramLmGate {
+  def apply(text: Column, uni: Array[(String, Long)], bi: Array[(String, Long)],
+            vocabV: Long, maxPpl: Double): Column =
+    ColumnBridge.column(
+      new BigramLmGate(ColumnBridge.expression(text), uni, bi, vocabV, maxPpl))
+}

@@ -155,4 +155,36 @@ object NgramLm {
   def selfScore(corpus: DataFrame, id: Column, text: Column,
                 uniCap: Int = 65536, biCap: Int = 1 << 20): DataFrame =
     scoreDocs(corpus, id, text, fit(corpus, text, uniCap, biCap))
+
+  /** Perplexity gate — the CCNet filter itself: keep documents whose
+    * perplexity against `model` (typically fitted on a clean reference
+    * corpus) is at most `maxPpl`. Documents with fewer than two tokens
+    * have no defined perplexity and are dropped.
+    *
+    * With an embeddable model this is a ZERO-shuffle scan filter: the
+    * fused kernel evaluates inline in the gate predicate, so the whole
+    * filter runs at scan speed with no joins and no aggregation — the
+    * shape a 100 TB quality pass needs. Oversized models gate through
+    * [[scoreDocsJoined]] + a bare-id semi-join. The threshold compares
+    * the same 6-dp-rounded `ppl` that [[scoreDocs]] emits, so the kept
+    * set is exactly `scoreDocs(...).filter(ppl <= maxPpl)` on every path
+    * and in the SQL oracle.
+    */
+  def pplGate(docs: DataFrame, id: Column, text: Column, model: BigramLm,
+              maxPpl: Double): DataFrame =
+    if (model.uniCap.toLong + model.biCap.toLong <= KernelModelMaxRows) {
+      val uniArr = model.uni.collect().map(r => (r.getString(0), r.getLong(1)))
+      val biArr = model.bi.collect().map(r => (r.getString(0), r.getLong(1)))
+      // the fused boolean kernel, NOT per-field getField over the score
+      // struct: a filter condition re-evaluates a struct expression per
+      // field reference (no CSE across FilterExec conjuncts — measured 3
+      // kernel instances in the optimized plan), this evaluates once
+      docs.filter(graft.expressions.BigramLmGate(
+        text, uniArr, biArr, model.uniCap.toLong, maxPpl))
+    } else {
+      val keep = scoreDocsJoined(docs, id, text, model)
+        .filter(col("ppl") <= maxPpl)
+        .select(col("doc_id").as("__keep_id"))
+      docs.join(keep, id === col("__keep_id"), "left_semi")
+    }
 }

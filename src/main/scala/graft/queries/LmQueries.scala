@@ -92,6 +92,21 @@ object LmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- perplexity gate (the CCNet filter itself) -----------------------
+    // Keep documents at or under ppl 40 against the self-fitted model —
+    // a real split at every SF (median ppl 39–67). The Spark side runs
+    // the fused single-pass boolean kernel (zero shuffle, zero joins);
+    // the oracle replays score + threshold over the shared q5k CTE.
+    QueryDef.sql("q5o_ppl_gate",
+      s"""WITH p AS (${lmScoreOracleSql("documents")})
+         |SELECT doc_id FROM p WHERE ppl <= 40.0
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val m = NgramLm.fit(docs, col("text"), UniCap, BiCap)
+      NgramLm.pplGate(docs, col("doc_id"), col("text"), m, maxPpl = 40.0)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
     // ---- deterministic training-shard sink (global shuffle + shard) ------
     // The REAL sink round-trips: write 16 hash-assigned shard directories,
     // read them back, audit per shard. The oracle recomputes the shard

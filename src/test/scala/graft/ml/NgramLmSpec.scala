@@ -97,6 +97,38 @@ class NgramLmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("pplGate equals scoreDocs + threshold on both paths; one kernel eval") {
+    val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
+    val probe = corpus.unionByName(
+      Seq((9L, "q r s"), (10L, "a"), (11L, "b a a b z")).toDF("doc_id", "text"))
+    val expected = NgramLm.scoreDocs(probe, col("doc_id"), col("text"), m)
+      .filter(col("ppl") <= 5.0).select("doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty && expected.size < 5, s"threshold must split: $expected")
+    val kept = NgramLm.pplGate(probe, col("doc_id"), col("text"), m, 5.0)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"), "schema preserved")
+    assert(kept.select("doc_id").as[Long].collect().toSet == expected)
+    // oversized-model route: same kept set through the join + semi-join
+    val big = m.copy(uniCap = NgramLm.KernelModelMaxRows, biCap = 1)
+    val keptBig = NgramLm.pplGate(probe, col("doc_id"), col("text"), big, 5.0)
+      .select("doc_id").as[Long].collect().toSet
+    val expectedBig = NgramLm.scoreDocsJoined(probe, col("doc_id"), col("text"), big)
+      .filter(col("ppl") <= 5.0).select("doc_id").as[Long].collect().toSet
+    assert(keptBig == expectedBig)
+    // the fused gate is ONE kernel instance, zero joins, zero shuffles —
+    // pinned over a parquet scan (a local Seq constant-folds the whole
+    // filter away at optimization time, hiding the plan shape)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ngramlm_gate_plan").toString
+    probe.write.mode("overwrite").parquet(dir)
+    val onScan = NgramLm.pplGate(spark.read.parquet(dir),
+      col("doc_id"), col("text"), m, 5.0)
+    val plan = onScan.queryExecution.optimizedPlan.toString
+    assert("(?i)bigramlmgate".r.findAllIn(plan).length == 1, plan)
+    val exec = onScan.queryExecution.executedPlan.toString
+    assert(!exec.contains("Join") && !exec.contains("Exchange"), exec)
+    assert(onScan.select("doc_id").as[Long].collect().toSet == expected)
+  }
+
   test("join path broadcasts the model; scoreDocs cuts over on the caps") {
     val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
     val joined = NgramLm.scoreDocsJoined(corpus, col("doc_id"), col("text"), m)
