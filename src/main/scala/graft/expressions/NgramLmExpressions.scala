@@ -21,9 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * caps exist for 100 TB); each task builds its hash maps once, lazily.
   *
   * Arithmetic is IDENTICAL to the composed form and the q5k SQL oracle:
-  * per-gram `round(1e6 · ln((c2+1)/(c1+V)))` summed as exact longs.
-  * `Math.round` (floor(x+0.5)) differs from HALF_UP/half-away rounding
-  * only at exact .5 doubles, which the transcendental ln cannot produce.
+  * per-gram `round(1e6 · ln((c2+1)/(c1+V)))` summed as exact longs, with
+  * [[BigramLmScore.halfUp]] reproducing `functions.round`'s HALF_UP
+  * semantics exactly (including the half-away-from-zero behavior on
+  * negative .5 values, where `Math.round`'s floor(x+0.5) would differ).
   */
 case class BigramLmScore(child: Expression,
                          uni: Array[(String, Long)],
@@ -65,7 +66,7 @@ case class BigramLmScore(child: Expression,
       val c1 = uniMap.getOrDefault(w1, 0L)
       val c2 = biMap.getOrDefault(b, 0L)
       if (c2 == 0L) oov += 1L
-      total += Math.round(1e6 *
+      total += BigramLmScore.halfUp(1e6 *
         Math.log((c2 + 1.0) / (c1 + vocabV.toDouble)))
       i += 1
     }
@@ -88,6 +89,27 @@ object BigramLmScore {
             vocabV: Long): Column =
     ColumnBridge.column(
       new BigramLmScore(ColumnBridge.expression(text), uni, bi, vocabV))
+
+  /** `functions.round(x)` for doubles without the per-call BigDecimal:
+    * half-away-from-zero on the binary value. Works on |x| so the
+    * fractional part `a - floor(a)` is EXACT (for a < 1 it is a itself;
+    * for 1 ≤ a < 2^53 both a and floor(a) are multiples of ulp(a) ≥ 2^-52
+    * and the sub-1 difference fits the mantissa — note the signed form
+    * `x - floor(x)` is NOT exact for x just below -0.5, where the
+    * subtraction itself rounds to 0.5). Equivalent to Spark's
+    * `BigDecimal.valueOf(x).setScale(0, HALF_UP)`: the only case where
+    * rounding the shortest-decimal form could differ from rounding the
+    * binary value — a fraction of exactly one half — occurs precisely
+    * when the double IS exactly k.5, where both round away from zero.
+    * Keeps the kernel and the joined/oracle paths on one rounding rule by
+    * construction instead of by a transcendental-never-hits-.5 argument.
+    */
+  def halfUp(x: Double): Long = {
+    val a = Math.abs(x)
+    val f = Math.floor(a)
+    val m = if (a - f >= 0.5) f.toLong + 1L else f.toLong
+    if (x < 0) -m else m
+  }
 }
 
 /** The perplexity-gate predicate as ONE fused boolean kernel: compute the

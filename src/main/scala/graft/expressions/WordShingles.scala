@@ -160,6 +160,42 @@ object WordShinglesKernel {
     new GenericArrayData(out)
   }
 
+  /** Per-document gram counts for EVERY n in 1..maxN from a single
+    * tokenize pass: `array<struct(n, gram, cnt)>`, strict windows and
+    * first-occurrence order per n — each n-slice is element-identical to
+    * [[gramCounts]] at that n (pinned by spec). Exists so a corpus LM fit
+    * needs ONE scan for its unigram AND bigram tables instead of one scan
+    * per order — at 100 TB that halves the fit's corpus reads.
+    */
+  def multiGramCounts(text: UTF8String, maxN: Int): ArrayData = {
+    val toks = tokenize(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var n = 1
+    while (n <= maxN) {
+      if (toks.length >= n) {
+        val counts = new java.util.LinkedHashMap[UTF8String, Int](toks.length * 2)
+        var i = 0
+        while (i <= toks.length - n) {
+          if (n == 1) counts.merge(toks(i), 1, Integer.sum)
+          else {
+            val parts = new Array[UTF8String](n)
+            System.arraycopy(toks, i, parts, 0, n)
+            counts.merge(UTF8String.concatWs(SPACE, parts: _*), 1, Integer.sum)
+          }
+          i += 1
+        }
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](n, e.getKey, e.getValue.toLong))
+        }
+      }
+      n += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Fused shingle-set Jaccard: |A∩B| / (|A|+|B|-|A∩B|) in ONE pass over
     * both texts — bit-identical to
     * `size(array_intersect(sh_a, sh_b)) / (size(sh_a)+size(sh_b)-inter)`
@@ -225,6 +261,40 @@ object WordShingles {
 
   def gramCounts(text: Column, n: Int): Column =
     ColumnBridge.column(GramCounts(ColumnBridge.expression(text), n))
+
+  def multiGramCounts(text: Column, maxN: Int): Column =
+    ColumnBridge.column(MultiGramCounts(ColumnBridge.expression(text), maxN))
+}
+
+/** All-orders-at-once gram counts ([[WordShinglesKernel.multiGramCounts]])
+  * — one tokenize pass per document for every n in 1..maxN. The fit-side
+  * kernel that lets [[graft.ml.NgramLm.fit]] build its unigram and bigram
+  * tables from a SINGLE corpus scan.
+  */
+case class MultiGramCounts(child: Expression, maxN: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if maxN > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"multi_gram_counts requires STRING and maxN > 0, got ${t.simpleString} / $maxN")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("gram", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    WordShinglesKernel.multiGramCounts(v.asInstanceOf[UTF8String], maxN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = WordShinglesKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $kernel.multiGramCounts($a, $maxN);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiGramCounts =
+    copy(child = newChild)
 }
 
 /** Per-document strict-window n-gram counts

@@ -156,6 +156,16 @@ object TextFunctions {
   def urlDomains(text: Column): Column =
     regexp_extract_all(text, lit(urlDomainPattern), lit(1))
 
+  /** Canonical blocklist-matching form of an extracted authority:
+    * lowercase, trailing `:port` stripped, one leading `www.` stripped.
+    * Plain lower + two anchored regexp_replace — replays identically in
+    * any ANSI engine (the q5n oracle runs the same three calls).
+    */
+  def normalizeDomain(domain: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(domain), lit(":[0-9]+$"), lit("")),
+      lit("^www\\."), lit(""))
+
   /** Reference formulation of [[shingles]] from composable built-ins
     * (interpreted lambdas — slower; kept as the semantic oracle for the
     * native kernel's bit-equality spec).

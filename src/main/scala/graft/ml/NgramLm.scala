@@ -2,7 +2,8 @@ package graft.ml
 
 import graft.expressions.{BigramLmScore, WordShingles}
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.plans.GroupedTopK
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus n-gram language model for LM-based quality filtering — the
@@ -12,12 +13,17 @@ import org.apache.spark.sql.functions._
   * counterpart used by every modern pretraining-data pipeline.)
   *
   * Design for 100 TB:
-  *   - FIT aggregates the fused per-document [[WordShingles.gramCounts]]
-  *     kernel (one local map pass per document), so the corpus hash-agg —
-  *     and its map-side partials — see one row per DISTINCT gram per
-  *     document, not one per occurrence; a bounded global top-V
-  *     (`TakeOrderedAndProject`, deterministic count-desc/gram-asc order)
+  *   - FIT is ONE corpus scan: the fused [[WordShingles.multiGramCounts]]
+  *     kernel emits unigram and bigram counts from a single tokenize pass
+  *     per document (one shuffled row per DISTINCT (n, gram) per document),
+  *     one (n, gram) hash aggregation reduces them, and the bounded-heap
+  *     [[GroupedTopK]] physical operator takes the per-n top-V in the same
+  *     job (map-side partial heaps — no full sort of the gram table, no
+  *     second corpus read). The deterministic count-desc/gram-asc order
   *     caps the model regardless of corpus size.
+  *   - The fitted model is MATERIALIZED at fit time (one bounded collect,
+  *     ≤ uniCap + biCap rows by construction): every subsequent
+  *     score/gate/save call reuses the arrays — no lazy-lineage refits.
   *   - SCORE is the fused [[BigramLmScore]] kernel by default: the whole
   *     per-document readout (gram count, OOV count, integer score) is ONE
   *     codegen'd projection with ZERO shuffle — no explode, no joins, no
@@ -29,6 +35,11 @@ import org.apache.spark.sql.functions._
   *     and rounded to a LONG **before** summation, so the per-document
   *     score is an integer sum — order-independent, retry-stable, and
   *     replayable bit-for-bit by any ANSI engine (the q5k oracle).
+  *   - PERSISTENCE ([[save]]/[[load]]): the CCNet deployment shape is
+  *     fit-once-on-a-clean-reference-corpus, gate-every-ingest-batch — the
+  *     count tables round-trip parquet exactly (integer counts, lossless
+  *     strings), so a loaded model gates identically to the fitted one
+  *     (q5p pins the round-trip through a DuckDB oracle).
   *
   * Model: add-one-smoothed bigram conditional with a fixed vocabulary-size
   * denominator: p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V) where V = uniCap.
@@ -37,11 +48,21 @@ import org.apache.spark.sql.functions._
   */
 object NgramLm {
 
-  /** Fitted model: bounded unigram/bigram count tables + the geometry they
-    * were fitted with. Both tables are small enough to broadcast by
-    * construction (`uniCap`/`biCap` rows).
+  /** Fitted model, materialized: bounded unigram/bigram count arrays
+    * (count desc, gram asc — the fit's deterministic truncation order) +
+    * the geometry they were fitted with. Bounded by `uniCap`/`biCap` rows,
+    * so driver residency and broadcast are sound by construction.
     */
-  final case class BigramLm(uni: DataFrame, bi: DataFrame, uniCap: Int, biCap: Int)
+  final case class BigramLm(uniArr: Array[(String, Long)],
+                            biArr: Array[(String, Long)],
+                            uniCap: Int, biCap: Int) {
+    /** The unigram table as a frame (join path, persistence). */
+    def uniDF(spark: SparkSession): DataFrame =
+      spark.createDataFrame(uniArr.toIndexedSeq).toDF("w", "c")
+    /** The bigram table as a frame (join path, persistence). */
+    def biDF(spark: SparkSession): DataFrame =
+      spark.createDataFrame(biArr.toIndexedSeq).toDF("b", "c")
+  }
 
   /** Caps up to this total embed the model in the fused scoring kernel;
     * larger models score through the broadcast-join path. Sized so the
@@ -49,20 +70,61 @@ object NgramLm {
     */
   val KernelModelMaxRows: Int = 1 << 20
 
-  /** Fit the bounded bigram LM over `corpus(text)`. Ties at the cap break
-    * deterministically (count desc, gram asc) so refits — and the oracle's
-    * SQL replay — always select the identical model.
+  /** Fit the bounded bigram LM over `corpus(text)` in ONE corpus scan (see
+    * the object doc). Ties at the cap break deterministically (count desc,
+    * gram asc) so refits — and the oracle's SQL replay — always select the
+    * identical model. Runs the fit job eagerly and returns the
+    * materialized model.
     */
   def fit(corpus: DataFrame, text: Column, uniCap: Int = 65536,
           biCap: Int = 1 << 20): BigramLm = {
     require(uniCap > 0 && biCap > 0, s"caps must be positive: $uniCap/$biCap")
-    def counts(n: Int, out: String): DataFrame = corpus
-      .select(explode(WordShingles.gramCounts(text, n)).as("__g"))
-      .groupBy(col("__g.gram").as(out))
+    val agg = corpus
+      .select(explode(WordShingles.multiGramCounts(text, 2)).as("__g"))
+      .groupBy(col("__g.n").as("n"), col("__g.gram").as("g"))
       .agg(sum(col("__g.cnt")).as("c"))
-    val uni = counts(1, "w").orderBy(col("c").desc, col("w")).limit(uniCap)
-    val bi = counts(2, "b").orderBy(col("c").desc, col("b")).limit(biCap)
-    BigramLm(uni, bi, uniCap, biCap)
+    // per-n top-V with the bounded-heap operator: map-side partial heaps
+    // keep ≤ k rows per (partition, n) below the exchange, so neither the
+    // full gram table nor a per-n sort ever materializes. k is the larger
+    // cap; the exact per-n trim happens on the ≤ 2k collected rows.
+    val k = math.max(uniCap, biCap)
+    val top = GroupedTopK.perGroup(agg, Seq(col("n")),
+      struct((-col("c")).as("nc"), col("g").as("gg")), k)
+      .collect()
+    def takeTop(n: Int, cap: Int): Array[(String, Long)] = top.iterator
+      .filter(_.getInt(0) == n)
+      .map(r => (r.getString(1), r.getLong(2)))
+      .toArray
+      .sortBy { case (g, c) => (-c, g) }
+      .take(cap)
+    BigramLm(takeTop(1, uniCap), takeTop(2, biCap), uniCap, biCap)
+  }
+
+  /** Persist a fitted model: the two count tables as parquet (exact longs
+    * + lossless strings) plus a one-row meta table recording the caps —
+    * the artifact-store discipline of the RF classifier (q39), applied to
+    * the CCNet fit-once/gate-forever deployment shape.
+    */
+  def save(spark: SparkSession, model: BigramLm, path: String): Unit = {
+    model.uniDF(spark).write.mode("overwrite").parquet(s"$path/uni")
+    model.biDF(spark).write.mode("overwrite").parquet(s"$path/bi")
+    spark.createDataFrame(Seq((model.uniCap, model.biCap)))
+      .toDF("uniCap", "biCap")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a model written by [[save]]. The arrays are re-sorted into the
+    * canonical (count desc, gram asc) order, so the loaded model is
+    * bit-identical to the fitted one regardless of parquet row order.
+    */
+  def load(spark: SparkSession, path: String): BigramLm = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    def readCounts(p: String): Array[(String, Long)] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (g, c) => (-c, g) }
+    BigramLm(readCounts(s"$path/uni"), readCounts(s"$path/bi"),
+      meta.getInt(0), meta.getInt(1))
   }
 
   /** Score `docs(id, text)` against a fitted model. Output (the id column
@@ -84,22 +146,19 @@ object NgramLm {
     else scoreDocsJoined(docs, id, text, model)
 
   /** Fused-kernel scoring: one zero-shuffle projection per document. The
-    * model collects to the driver (bounded by the fit caps) and rides the
-    * expression to every task.
+    * materialized model rides the expression to every task.
     */
   def scoreDocsKernel(docs: DataFrame, id: Column, text: Column,
-                      model: BigramLm): DataFrame = {
-    val uniArr = model.uni.collect().map(r => (r.getString(0), r.getLong(1)))
-    val biArr = model.bi.collect().map(r => (r.getString(0), r.getLong(1)))
+                      model: BigramLm): DataFrame =
     withPpl(docs
       .select(id.as("doc_id"),
-        BigramLmScore(text, uniArr, biArr, model.uniCap.toLong).as("__s"))
+        BigramLmScore(text, model.uniArr, model.biArr,
+          model.uniCap.toLong).as("__s"))
       .select(col("doc_id"),
         col("__s.n_bigrams").as("n_bigrams"),
         col("__s.oov_bigrams").as("oov_bigrams"),
         col("__s.lm_score").as("lm_score"))
       .filter(col("n_bigrams") > 0))
-  }
 
   /** Broadcast-join scoring — the formulation for models beyond the
     * kernel-embed bound: lazy `zip_with` bigram generate, two broadcast
@@ -107,12 +166,13 @@ object NgramLm {
     */
   def scoreDocsJoined(docs: DataFrame, id: Column, text: Column,
                       model: BigramLm): DataFrame = {
+    val spark = docs.sparkSession
     val toks = docs.select(id.as("__id"), TextFunctions.tokens(text).as("__t"))
     val grams = toks
       .select(col("__id"), explode(bigramArray(col("__t"))).as("b"))
       .withColumn("w1", split(col("b"), " ").getItem(0))
-    val uni = broadcast(model.uni.withColumnRenamed("c", "__c1"))
-    val bi = broadcast(model.bi.withColumnRenamed("c", "__c2"))
+    val uni = broadcast(model.uniDF(spark).withColumnRenamed("c", "__c1"))
+    val bi = broadcast(model.biDF(spark).withColumnRenamed("c", "__c2"))
     val joined = grams
       .join(uni, grams("w1") === uni("w"), "left")
       .join(bi, grams("b") === bi("b"), "left")
@@ -173,14 +233,12 @@ object NgramLm {
   def pplGate(docs: DataFrame, id: Column, text: Column, model: BigramLm,
               maxPpl: Double): DataFrame =
     if (model.uniCap.toLong + model.biCap.toLong <= KernelModelMaxRows) {
-      val uniArr = model.uni.collect().map(r => (r.getString(0), r.getLong(1)))
-      val biArr = model.bi.collect().map(r => (r.getString(0), r.getLong(1)))
       // the fused boolean kernel, NOT per-field getField over the score
       // struct: a filter condition re-evaluates a struct expression per
       // field reference (no CSE across FilterExec conjuncts — measured 3
       // kernel instances in the optimized plan), this evaluates once
       docs.filter(graft.expressions.BigramLmGate(
-        text, uniArr, biArr, model.uniCap.toLong, maxPpl))
+        text, model.uniArr, model.biArr, model.uniCap.toLong, maxPpl))
     } else {
       val keep = scoreDocsJoined(docs, id, text, model)
         .filter(col("ppl") <= maxPpl)

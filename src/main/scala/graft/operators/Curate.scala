@@ -381,24 +381,30 @@ object Curate {
   /** URL-domain blocklist filter — the C4-style badlist gate: drop every
     * document that references a blocked domain anywhere in its text.
     * `blocklist`'s FIRST column is the domain (any extra columns — source,
-    * category — are ignored); matching is exact on the extracted domain
-    * string.
+    * category — are ignored). BOTH sides are normalized before matching
+    * (lowercase, trailing `:port` stripped, one leading `www.` stripped),
+    * so `WWW.Bad.Example:8080` cannot evade a `bad.example` entry — the
+    * evasions an exact-string badlist invites.
     *
     * Scale shape: the corpus side is a zero-shuffle scan + generate
     * (domains extracted by the RE2-safe [[TextFunctions.urlDomains]]
-    * pattern, so the same filter replays in any engine); the blocklist —
-    * even a multi-million-entry one is a few hundred MB — broadcasts, so
-    * the semi-join adds no corpus exchange; the final anti-join keys are
-    * bare document ids. No distinct on the hit list: anti joins ignore
-    * duplicate matches, deduping would be a pure extra shuffle.
+    * pattern and normalized by [[TextFunctions.normalizeDomain]] — plain
+    * lower/regexp_replace, so the same filter replays in any engine); the
+    * blocklist — even a multi-million-entry one is a few hundred MB —
+    * broadcasts, so the semi-join adds no corpus exchange; the final
+    * anti-join keys are bare document ids. No distinct on the hit list:
+    * anti joins ignore duplicate matches, deduping would be a pure extra
+    * shuffle.
     */
   def dropBlockedDomains(docs: DataFrame, id: String, text: String,
                          blocklist: DataFrame): DataFrame = {
     val domainCol = blocklist.columns.head
     val hits = docs
       .select(col(id),
-        explode(TextFunctions.urlDomains(col(text))).as("__domain"))
-      .join(broadcast(blocklist.select(col(domainCol).as("__domain"))),
+        explode(TextFunctions.urlDomains(col(text))).as("__d0"))
+      .select(col(id), TextFunctions.normalizeDomain(col("__d0")).as("__domain"))
+      .join(broadcast(blocklist.select(
+          TextFunctions.normalizeDomain(col(domainCol)).as("__domain"))),
         Seq("__domain"), "left_semi")
       .select(col(id))
     docs.join(hits, Seq(id), "left_anti")

@@ -127,10 +127,15 @@ object Sampling {
       temperatureFractions(counts.getOrElse(mixtureCounts(df, groupCol)),
         alpha, targetFraction))
 
-  /** Per-source row counts as a driver map (bounded: one row per source). */
+  /** Per-source row counts as a driver map (bounded: one row per source).
+    * Null-source rows are excluded — downstream they take
+    * `defaultFraction` (0.0 in [[sampleTemperature]]), so an unlabeled
+    * row keeps nothing rather than crashing the rate fit.
+    */
   def mixtureCounts(df: DataFrame, groupCol: Column): Map[String, Long] =
     df.groupBy(groupCol.cast("string").as("__g"))
       .agg(count(lit(1)).as("__n"))
+      .where(col("__g").isNotNull)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap

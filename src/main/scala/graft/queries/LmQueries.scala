@@ -26,15 +26,26 @@ object LmQueries {
     * oracle can never drift apart.
     */
   def lmScoreOracleSql(table: String): String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM $table),
-       |tok AS (SELECT unnest(t) AS w FROM t),
-       |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w
+    lmScoreOracleSqlOn(table, table)
+
+  /** The general cross-corpus form (q5p): the model's count tables come
+    * from `fitFrom` (any table name or parenthesized subquery) while
+    * scoring runs over `scoreFrom` — the CCNet deployment shape, fit on a
+    * clean reference corpus and gate a different one.
+    */
+  def lmScoreOracleSqlOn(fitFrom: String, scoreFrom: String): String =
+    s"""WITH ft AS (SELECT string_split(text, ' ') AS t FROM $fitFrom),
+       |ftok AS (SELECT unnest(t) AS w FROM ft),
+       |uni AS (SELECT w, count(*) AS c FROM ftok GROUP BY w
        |        ORDER BY c DESC, w LIMIT $UniCap),
+       |fbg AS (SELECT unnest([t[i+1] || ' ' || t[i+2]
+       |                       for i in range(len(t) - 1)]) AS b FROM ft),
+       |bic AS (SELECT b, count(*) AS c FROM fbg GROUP BY b
+       |        ORDER BY c DESC, b LIMIT $BiCap),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS t FROM $scoreFrom),
        |bg AS (SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2]
        |                              for i in range(len(t) - 1)]) AS b FROM t),
        |bgw AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM bg),
-       |bic AS (SELECT b, count(*) AS c FROM bg GROUP BY b
-       |        ORDER BY c DESC, b LIMIT $BiCap),
        |terms AS (
        |  SELECT g.doc_id,
        |    CAST(round(1e6 * ln((coalesce(bic.c, 0) + 1.0)
@@ -107,6 +118,29 @@ object LmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
 
+    // ---- LM persistence round-trip + cross-corpus gate -------------------
+    // The CCNet deployment shape end-to-end: fit the LM on a CLEAN
+    // reference slice (doc_id % 3 <> 0), SAVE it to disk, LOAD it back,
+    // and gate the FULL corpus with the loaded model. The oracle refits
+    // the same slice-model in SQL and replays score + threshold — any
+    // loss in the save/load round-trip (count, gram, cap, or truncation
+    // order) shifts scores and breaks the match.
+    QueryDef.sql("q5p_lm_roundtrip_gate",
+      s"""WITH p AS (${lmScoreOracleSqlOn(
+        "(SELECT * FROM documents WHERE doc_id % 3 <> 0)", "documents")})
+         |SELECT doc_id FROM p WHERE ppl <= 40.0
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val clean = docs.where(col("doc_id") % 3 =!= 0)
+      val fitted = NgramLm.fit(clean, col("text"), UniCap, BiCap)
+      val path = s"/tmp/graft_q5p_lm_${new java.io.File(d).getName}" +
+        s"_${s.sparkContext.applicationId}"
+      NgramLm.save(s, fitted, path)
+      val m = NgramLm.load(s, path)
+      NgramLm.pplGate(docs, col("doc_id"), col("text"), m, maxPpl = 40.0)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
     // ---- deterministic training-shard sink (global shuffle + shard) ------
     // The REAL sink round-trips: write 16 hash-assigned shard directories,
     // read them back, audit per shard. The oracle recomputes the shard
@@ -119,7 +153,10 @@ object LmQueries {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM a GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val path = s"/tmp/graft_q5m_shards_${new java.io.File(d).getName}"
+      // session-unique suffix: concurrent harness runs on one host must
+      // not overwrite each other's shard round-trip directories
+      val path = s"/tmp/graft_q5m_shards_${new java.io.File(d).getName}" +
+        s"_${s.sparkContext.applicationId}"
       graft.sources.Sources.writeTrainingShards(docs, col("doc_id"), 16, path)
       s.read.parquet(path)
         .groupBy(col("shard").cast("long").as("shard"))

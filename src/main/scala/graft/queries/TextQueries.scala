@@ -1234,11 +1234,16 @@ object TextQueries {
 
     // ---- URL-domain blocklist gate (C4-style badlist) over the same
     //      planted-URL corpus as q53: docs citing a blocked domain drop,
-    //      docs with only clean URLs (or none) survive --------------------
+    //      docs with only clean URLs (or none) survive. The plant rotates
+    //      case, a `www.` prefix, and a `:port` suffix so the oracle pins
+    //      the normalization that stops trivial blocklist evasion --------
     QueryDef.sql("q5n_domain_filter",
       """WITH d AS (
-        |  SELECT doc_id, text || ' see http://site' || (doc_id % 7) ||
-        |    '.example/page-' || (doc_id % 11) || ' now' AS text
+        |  SELECT doc_id, text || ' see http://' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Site' ELSE 'site' END) ||
+        |    (doc_id % 7) || '.Example' ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
+        |    '/page-' || (doc_id % 11) || ' now' AS text
         |  FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL
         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
@@ -1246,7 +1251,9 @@ object TextQueries {
         |    SELECT doc_id,
         |      unnest(regexp_extract_all(text, 'https?://([^/ ]+)', 1)) AS domain
         |    FROM d) u
-        |  WHERE domain IN ('site0.example', 'site3.example'))
+        |  WHERE regexp_replace(regexp_replace(lower(domain), ':[0-9]+$', ''),
+        |                       '^www\.', '')
+        |        IN ('site0.example', 'site3.example'))
         |SELECT doc_id FROM d
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -1254,8 +1261,11 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val planted = docs.where(col("doc_id") % 3 === 0)
         .select(col("doc_id"),
-          concat(col("text"), lit(" see http://site"), col("doc_id") % 7,
-            lit(".example/page-"), col("doc_id") % 11, lit(" now")).as("text"))
+          concat(col("text"), lit(" see http://"),
+            when(col("doc_id") % 2 === 0, "WWW.Site").otherwise("site"),
+            col("doc_id") % 7, lit(".Example"),
+            when(col("doc_id") % 5 === 0, ":8080").otherwise(""),
+            lit("/page-"), col("doc_id") % 11, lit(" now")).as("text"))
         .unionByName(
           docs.where(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text")))
       Curate.dropBlockedDomains(planted, "doc_id", "text",

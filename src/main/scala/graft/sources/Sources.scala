@@ -177,10 +177,14 @@ object Sources {
     * stays splittable parquet inside.
     */
   def writeTrainingShards(df: DataFrame, key: Column, nShards: Int,
-                          path: String): Unit =
+                          path: String): Unit = {
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column — the sink would silently " +
+        "overwrite it with its own assignment; rename or drop it first")
     df.withColumn("shard", shardId(key, nShards))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"),
         graft.operators.Sampling.seededOrder(df, key, 7L), key)
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 }

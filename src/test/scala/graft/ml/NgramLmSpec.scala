@@ -12,23 +12,68 @@ class NgramLmSpec extends SparkSpec {
     (2L, "a b a a")    // bigrams: (a b) (b a) (a a)
   ).toDF("doc_id", "text")
 
-  test("fit counts unigrams and bigrams exactly") {
+  test("fit counts unigrams and bigrams exactly (one corpus pass)") {
     val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
-    val uni = m.uni.as[(String, Long)].collect().toMap
-    assert(uni == Map("a" -> 5L, "b" -> 3L))
-    val bi = m.bi.as[(String, Long)].collect().toMap
-    assert(bi == Map("a b" -> 3L, "b a" -> 2L, "a a" -> 1L))
+    assert(m.uniArr.toMap == Map("a" -> 5L, "b" -> 3L))
+    assert(m.biArr.toMap == Map("a b" -> 3L, "b a" -> 2L, "a a" -> 1L))
+    // materialized in canonical (count desc, gram asc) order
+    assert(m.uniArr.toSeq == Seq("a" -> 5L, "b" -> 3L))
+    assert(m.biArr.toSeq == Seq("a b" -> 3L, "b a" -> 2L, "a a" -> 1L))
   }
 
   test("caps truncate deterministically by (count desc, gram asc)") {
     val m = NgramLm.fit(corpus, col("text"), uniCap = 1, biCap = 2)
-    assert(m.uni.as[(String, Long)].collect().toSeq == Seq("a" -> 5L))
-    assert(m.bi.as[(String, Long)].collect().toMap ==
-      Map("a b" -> 3L, "b a" -> 2L))
+    assert(m.uniArr.toSeq == Seq("a" -> 5L))
+    assert(m.biArr.toMap == Map("a b" -> 3L, "b a" -> 2L))
     // tie at the cut: equal counts break by gram ascending
     val tied = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
     val mt = NgramLm.fit(tied, col("text"), uniCap = 10, biCap = 1)
-    assert(mt.bi.as[(String, Long)].collect().toSeq == Seq("x y" -> 1L))
+    assert(mt.biArr.toSeq == Seq("x y" -> 1L))
+  }
+
+  test("multiGramCounts slices equal per-n gramCounts (fit-kernel parity)") {
+    val texts = Seq((1L, "a b a b"), (2L, "x"), (3L, ""), (4L, "  p  q r "))
+      .toDF("doc_id", "text")
+    val multi = texts.select(col("doc_id"),
+      graft.expressions.WordShingles.multiGramCounts(col("text"), 2).as("m"))
+      .select(col("doc_id"), explode(col("m")).as("g"))
+      .select(col("doc_id"), col("g.n"), col("g.gram"), col("g.cnt"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    for (n <- 1 to 2) {
+      val single = texts.select(col("doc_id"),
+        explode(graft.expressions.WordShingles.gramCounts(col("text"), n)).as("g"))
+        .select(col("doc_id"), col("g.gram"), col("g.cnt"))
+        .collect().map(r => (r.getLong(0), n, r.getString(1), r.getLong(2)))
+      assert(multi.filter(_._2 == n).toSeq == single.toSeq,
+        s"n=$n slice must match gramCounts($n)")
+    }
+  }
+
+  test("save/load round-trips the model bit-for-bit") {
+    val m = NgramLm.fit(corpus, col("text"), uniCap = 2, biCap = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ngramlm_rt").toString
+    NgramLm.save(spark, m, dir)
+    val m2 = NgramLm.load(spark, dir)
+    assert(m2.uniCap == m.uniCap && m2.biCap == m.biCap)
+    assert(m2.uniArr.toSeq == m.uniArr.toSeq)
+    assert(m2.biArr.toSeq == m.biArr.toSeq)
+    // a loaded model gates identically to the fitted one
+    val probe = corpus.unionByName(Seq((9L, "z z z")).toDF("doc_id", "text"))
+    def kept(mm: NgramLm.BigramLm) =
+      NgramLm.pplGate(probe, col("doc_id"), col("text"), mm, 8.0)
+        .select("doc_id").as[Long].collect().toSet
+    assert(kept(m2) == kept(m))
+  }
+
+  test("halfUp matches functions.round HALF_UP semantics on the boundary") {
+    import graft.expressions.BigramLmScore.halfUp
+    def ref(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val probes = Seq(0.0, 0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 0.49999999999999994,
+      -0.49999999999999994, 2.4999999999999996, -2.4999999999999996,
+      1e12 + 0.5, -(1e12 + 0.5), 123456.789, -123456.789)
+    probes.foreach(x => assert(halfUp(x) == ref(x), s"halfUp($x)"))
   }
 
   test("scoreDocs: exact integer score matches hand computation") {
