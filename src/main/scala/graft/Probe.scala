@@ -236,7 +236,7 @@ object Probe {
             ()
           }
         })
-      for (q <- Seq("q6a_stream_sessions_s5", "q6b_stream_neardup",
+      for (q <- Seq("q6a_stream_sessions_s10", "q6b_stream_neardup",
                     "q6c_stream_selfmaintain");
            aqe <- Seq("true", "false"); r <- 1 to 2) {
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
@@ -252,7 +252,7 @@ object Probe {
     (1 to 2).foreach { round =>
       println(s"== round $round ==")
       // ---- q6a phases ----
-      t("q6a full") { SparkEntry.queries("q6a_stream_sessions_s5")(spark, d).count() }
+      t("q6a full") { SparkEntry.queries("q6a_stream_sessions_s10")(spark, d).count() }
       val events = Tables.events(spark, d)
       val rows = t("q6a collect") {
         events.select(col("user_id").cast("long").as("user_id"), col("ts"),

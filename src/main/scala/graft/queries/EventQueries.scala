@@ -87,20 +87,20 @@ object EventQueries {
     // output — the driver-visible correctness row for the streaming
     // surface. total_value is emitted as exact integer cents (values are
     // 2-decimal) so the oracle hash is independent of each engine's
-    // summation order. A 1/5 user slice keeps this collect+replay harness
+    // summation order. A 1/10 user slice keeps this collect+replay harness
     // off the suite wall's critical path (the q6c slicing discipline);
     // sessionization is per-user, so the slice changes no session's shape.
-    // The `_s5` suffix names the slice so round-over-round walls are never
-    // compared across different workloads (ADVICE r8): the pre-r8
-    // full-population timings belong to the unsuffixed name.
-    QueryDef.sql("q6a_stream_sessions_s5",
+    // The `_s10` suffix names the slice so round-over-round walls are never
+    // compared across different workloads (ADVICE r8): earlier rounds'
+    // timings belong to the _s5 (r8-r9) and unsuffixed (pre-r8) names.
+    QueryDef.sql("q6a_stream_sessions_s10",
       """WITH o AS (
         |  SELECT user_id, value, epoch_us(ts) AS tus,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
         |           OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
         |      OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |      THEN 1 ELSE 0 END AS new_s
-        |  FROM events WHERE user_id % 5 = 0),
+        |  FROM events WHERE user_id % 10 = 0),
         |s AS (SELECT user_id, value, tus,
         |        sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
         |                         ROWS UNBOUNDED PRECEDING) AS sid
@@ -110,7 +110,7 @@ object EventQueries {
         |  CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
       val closed = graft.streaming.EventStream.replaySessions(
-        Tables.events(s, d).where(col("user_id") % 5 === 0),
+        Tables.events(s, d).where(col("user_id") % 10 === 0),
         gapUs = halfHourUs)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("start_us"))

@@ -297,7 +297,7 @@ object FusionQueries {
          |t0 AS (SELECT CAST(o_custkey AS VARCHAR) AS slide_name, o_custkey,
          |         l_partkey AS v
          |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |       WHERE l_orderkey % 3 = 0),
+         |       WHERE l_orderkey % 5 = 0),
          |th AS (SELECT *, $h FROM t0),
          |tf AS (SELECT *, $mf FROM th),
          |ts AS (SELECT slide_name,
@@ -340,10 +340,10 @@ object FusionQueries {
         mk(cust.where(col("c_nationkey") < 12)),
         mk(cust.where(col("c_nationkey") >= 12))))
       val prepared = Experiment.prepare(meta, cfg)
-      // a deterministic 1/3 tile subset keeps this second q36-shaped DAG
+      // a deterministic 1/5 tile subset keeps this second q36-shaped DAG
       // from dominating the suite wall; the oracle applies the same cut
       val tiles = Tables.lineitem(s, d)
-        .where(col("l_orderkey") % 3 === 0)
+        .where(col("l_orderkey") % 5 === 0)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").cast("string").as("slide_name"),
           col("l_linenumber").cast("int").as("tile_col"),

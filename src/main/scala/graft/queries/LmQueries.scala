@@ -120,18 +120,19 @@ object LmQueries {
 
     // ---- LM persistence round-trip + cross-corpus gate -------------------
     // The CCNet deployment shape end-to-end: fit the LM on a CLEAN
-    // reference slice (doc_id % 3 <> 0), SAVE it to disk, LOAD it back,
-    // and gate the FULL corpus with the loaded model. The oracle refits
-    // the same slice-model in SQL and replays score + threshold — any
-    // loss in the save/load round-trip (count, gram, cap, or truncation
-    // order) shifts scores and breaks the match.
+    // reference slice (doc_id % 3 = 1 — a 1/3 slice keeps the double fit,
+    // Spark's and the oracle's, off the suite wall), SAVE it to disk,
+    // LOAD it back, and gate the FULL corpus with the loaded model. The
+    // oracle refits the same slice-model in SQL and replays score +
+    // threshold — any loss in the save/load round-trip (count, gram, cap,
+    // or truncation order) shifts scores and breaks the match.
     QueryDef.sql("q5p_lm_roundtrip_gate",
       s"""WITH p AS (${lmScoreOracleSqlOn(
-        "(SELECT * FROM documents WHERE doc_id % 3 <> 0)", "documents")})
+        "(SELECT * FROM documents WHERE doc_id % 3 = 1)", "documents")})
          |SELECT doc_id FROM p WHERE ppl <= 40.0
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val clean = docs.where(col("doc_id") % 3 =!= 0)
+      val clean = docs.where(col("doc_id") % 3 === 1)
       val fitted = NgramLm.fit(clean, col("text"), UniCap, BiCap)
       val path = s"/tmp/graft_q5p_lm_${new java.io.File(d).getName}" +
         s"_${s.sparkContext.applicationId}"
