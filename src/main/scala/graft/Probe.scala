@@ -211,6 +211,39 @@ object Probe {
       spark.stop(); return
     }
 
+    // grouped_topk 100x decomposition (round-10 verdict item 3): how much
+    // of the probe's wall is the scan floor vs the operator itself, and
+    // does the bounded-heap op still beat the window formulation at scale.
+    if (sys.env.get("SPARK_GRAFT_PROBE_TOPK").contains("1")) {
+      val p = "/tmp/graft_scale10x/ord100"
+      def force(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(count(lit(1)), sum(pmod(xxhash64(df.columns.map(col): _*),
+          lit(1000000007L)))).collect()(0).getLong(0)
+      spark.read.parquet(p).count()
+      (1 to 3).foreach { r =>
+        t(s"topk scan-3col floor r$r") {
+          force(spark.read.parquet(p)
+            .select("o_custkey", "o_orderkey", "o_totalprice"))
+        }
+        t(s"topk heap operator   r$r") {
+          force(graft.plans.GroupedTopK.perGroup(
+            spark.read.parquet(p).select("o_custkey", "o_orderkey", "o_totalprice"),
+            Seq(col("o_custkey")),
+            struct(col("o_totalprice"), col("o_orderkey")), k = 3))
+        }
+        t(s"topk window form     r$r") {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice"), col("o_orderkey"))
+          force(spark.read.parquet(p)
+            .select("o_custkey", "o_orderkey", "o_totalprice")
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= 3).drop("__rn"))
+        }
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.get("SPARK_GRAFT_PROBE_STREAM").contains("1")) {
       // per-micro-batch durationMs breakdown for the three streaming
       // replays: separates the streaming ENGINE's trigger overhead
