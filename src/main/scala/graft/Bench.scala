@@ -49,20 +49,26 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
     // stream-count knee moves with suite size and tail shape: 12 beat 8/16
     // at 94 queries (r6), 16 beat 12/20 at 101 (r7), 20 beat 16/24 at 103
-    // (r8); on the 106-query r9 suite 24 beats 20 and 28 (same-window
-    // walls 6.25 / 6.03 / 6.17) — re-sweep when the suite grows again
-    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "24").toInt.max(1)
+    // (r8), 24 beat 20/28 at 106 (r9); on the 112-query r10 suite the knee
+    // moved to 28 streams WITH shuffle=2 (same-session sweep, spark-only
+    // walls: 24/4 9.84, 20/4 10.92, 28/4 10.36, 32/4 12.46, 24/2 8.95,
+    // 28/2 8.72-8.96, 28/3 9.47, 24/1 12.21) — re-sweep when the suite
+    // grows again
+    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "28").toInt.max(1)
     // optional comma-separated name-prefix filter for config experiments
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     // shuffle partitions sized for the BENCH data (~600k-row tables), not
     // the core count: per-stage cost at toy scale is tasks × launch
     // overhead, and even CPU-bound verify stages finish faster with a few
-    // fat tasks. Measured 8-stream FAIR walls at sf0.1: 32 parts 21.1s,
-    // 8 parts 15.1s, 4 parts 10.7s, 2 parts 15.3s (too little in-stage
-    // parallelism once streams contend) — 4 is the knee. At cluster scale
-    // partitions are sized by data; this is the same sizing discipline
-    // applied to a small input.
-    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4")
+    // fat tasks. Early 8-stream FAIR walls at sf0.1 found the knee at 4
+    // (32 parts 21.1s, 8 parts 15.1s, 4 parts 10.7s, 2 parts 15.3s); at
+    // the r10 suite's 28-stream contention the knee moved to 2 (see the
+    // sweep above — at 28 concurrent streams, in-stage parallelism is
+    // already supplied by the OTHER streams, so fewer, fatter tasks per
+    // stage win; 1 over-serializes the big aggregations). At cluster
+    // scale partitions are sized by data; this is the same sizing
+    // discipline applied to a small input.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "2")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufParts)
