@@ -100,31 +100,51 @@ object NgramLm {
     BigramLm(takeTop(1, uniCap), takeTop(2, biCap), uniCap, biCap)
   }
 
-  /** Persist a fitted model: the two count tables as parquet (exact longs
-    * + lossless strings) plus a one-row meta table recording the caps —
-    * the artifact-store discipline of the RF classifier (q39), applied to
-    * the CCNet fit-once/gate-forever deployment shape.
+  /** Persist a fitted model — the artifact-store discipline of the RF
+    * classifier (q39) applied to the CCNet fit-once/gate-forever
+    * deployment shape. ONE write job: both count tables in a single
+    * parquet table tagged by gram order (exact longs + lossless strings,
+    * coalesced to one file — the model is cap-bounded by construction),
+    * plus a job-free sidecar `meta.json` recording the caps (written
+    * through the path's Hadoop FileSystem, so it lands wherever the
+    * parquet does).
     */
   def save(spark: SparkSession, model: BigramLm, path: String): Unit = {
-    model.uniDF(spark).write.mode("overwrite").parquet(s"$path/uni")
-    model.biDF(spark).write.mode("overwrite").parquet(s"$path/bi")
-    spark.createDataFrame(Seq((model.uniCap, model.biCap)))
-      .toDF("uniCap", "biCap")
-      .write.mode("overwrite").parquet(s"$path/meta")
+    model.uniDF(spark).select(lit(1).as("n"), col("w").as("gram"), col("c"))
+      .unionByName(model.biDF(spark)
+        .select(lit(2).as("n"), col("b").as("gram"), col("c")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/counts")
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"uniCap": ${model.uniCap}, "biCap": ${model.biCap}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
-  /** Load a model written by [[save]]. The arrays are re-sorted into the
-    * canonical (count desc, gram asc) order, so the loaded model is
-    * bit-identical to the fitted one regardless of parquet row order.
+  /** Load a model written by [[save]] (one read job + the sidecar). The
+    * arrays are re-sorted into the canonical (count desc, gram asc)
+    * order, so the loaded model is bit-identical to the fitted one
+    * regardless of parquet row order.
     */
   def load(spark: SparkSession, path: String): BigramLm = {
-    val meta = spark.read.parquet(s"$path/meta").collect().head
-    def readCounts(p: String): Array[(String, Long)] =
-      spark.read.parquet(p).collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-        .sortBy { case (g, c) => (-c, g) }
-    BigramLm(readCounts(s"$path/uni"), readCounts(s"$path/bi"),
-      meta.getInt(0), meta.getInt(1))
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaTxt = new String(
+      org.apache.commons.io.IOUtils.toByteArray(fs.open(p)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def cap(k: String): Int =
+      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(metaTxt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"malformed LM meta at $p: $metaTxt")).group(1).toInt
+    val rows = spark.read.parquet(s"$path/counts").collect()
+    def counts(n: Int): Array[(String, Long)] = rows.iterator
+      .filter(_.getInt(0) == n)
+      .map(r => (r.getString(1), r.getLong(2)))
+      .toArray
+      .sortBy { case (g, c) => (-c, g) }
+    BigramLm(counts(1), counts(2), cap("uniCap"), cap("biCap"))
   }
 
   /** Score `docs(id, text)` against a fitted model. Output (the id column
