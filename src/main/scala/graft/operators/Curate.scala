@@ -396,6 +396,67 @@ object Curate {
     * anti joins ignore duplicate matches, deduping would be a pure extra
     * shuffle.
     */
+  /** Exact rank-based bucketing — the CCNet corpus-partitioning step
+    * (head/middle/tail by per-language perplexity) as a general operator:
+    * assign each row `bucket = ((rank-1)·k) div n + 1` where `rank` is
+    * the row's 1-based position in the total order `(value, tieBreak)`
+    * within its group and `n` the group size. Pure integer arithmetic —
+    * deterministic, engine-replayable (the q5q oracle), and equal-width
+    * up to the unavoidable ±1 remainder rows.
+    *
+    * Scale shape: NO row-level sort anywhere. The rank decomposes as
+    * `cum(distinct values ≤ v) − n_v + row_number within the (group, v)
+    * tie`, so the only windows are (a) a cumulative count over the
+    * per-(group, value) DISTINCT table — the [[graft.operators.Metrics]]
+    * aurocBy convention; per-group task load is bounded by the group's
+    * distinct VALUE count, which the caller controls by rounding the
+    * value (CCNet bins perplexity to integers for exactly this reason) —
+    * and (b) a row_number inside each (group, value) tie class (bounded
+    * by tie size). Group totals broadcast (one row per group). With
+    * `groups = Nil` the cumulative count routes through the bucketed
+    * [[PrefixSum]] instead, so the ungrouped global case has no
+    * single-task stage at all.
+    */
+  def rankBuckets(df: DataFrame, groups: Seq[String], value: Column,
+                  tieBreak: Column, k: Int,
+                  out: String = "bucket"): DataFrame = {
+    require(k > 0, s"bucket count must be positive, got $k")
+    require(!df.columns.contains(out),
+      s"output column '$out' already exists in the input")
+    val gc = groups.map(col)
+    val base = df.withColumn("__rbV", value)
+    val counts = base.groupBy(gc :+ col("__rbV"): _*)
+      .agg(count(lit(1)).as("__rbN"))
+    val cum =
+      if (groups.nonEmpty) {
+        val w = Window.partitionBy(gc: _*).orderBy(col("__rbV"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        counts.withColumn("__rbCum", sum(col("__rbN")).over(w))
+      } else
+        PrefixSum.inclusiveCum(counts, col("__rbN"), col("__rbV"),
+          col("__rbV"), "__rbCum")
+    val totals = counts.groupBy(gc: _*).agg(sum(col("__rbN")).as("__rbTot"))
+    val wTie = Window.partitionBy(gc :+ col("__rbV"): _*).orderBy(tieBreak)
+    val joined =
+      if (groups.nonEmpty)
+        base.withColumn("__rbRn", row_number().over(wTie))
+          .join(cum, groups :+ "__rbV")
+          .join(broadcast(totals), groups)
+      else
+        base.withColumn("__rbRn", row_number().over(wTie))
+          .join(cum, Seq("__rbV"))
+          .crossJoin(broadcast(totals))
+    // rank is 1-based and exact; ((rank-1)*k) div tot via subtract-the-
+    // remainder, so the division is exact integer arithmetic in IEEE
+    val rank = col("__rbCum") - col("__rbN") + col("__rbRn")
+    val num = (rank - lit(1L)) * lit(k.toLong)
+    joined
+      .withColumn(out,
+        (((num - pmod(num, col("__rbTot"))) / col("__rbTot")).cast("int")
+          + lit(1)))
+      .drop("__rbV", "__rbN", "__rbCum", "__rbRn", "__rbTot")
+  }
+
   def dropBlockedDomains(docs: DataFrame, id: String, text: String,
                          blocklist: DataFrame): DataFrame = {
     val domainCol = blocklist.columns.head

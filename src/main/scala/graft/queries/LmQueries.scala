@@ -118,6 +118,32 @@ object LmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
 
+    // ---- CCNet head/middle/tail perplexity bucketing ---------------------
+    // The corpus-partitioning step that follows the perplexity score in
+    // the CCNet pipeline: split each language's documents into k=3 tiers
+    // by exact perplexity rank. Buckets come from pure integer rank
+    // arithmetic over the (ppl, doc_id) total order, so the oracle
+    // replays the assignment row-for-row with window functions.
+    QueryDef.sql("q5q_ppl_buckets",
+      s"""WITH p AS (${lmScoreOracleSql("documents")}),
+         |j AS (SELECT d.lang AS lang, p.doc_id AS doc_id, p.ppl AS ppl
+         |      FROM p JOIN documents d ON d.doc_id = p.doc_id),
+         |r AS (SELECT lang, doc_id,
+         |        row_number() OVER (PARTITION BY lang
+         |                           ORDER BY ppl, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS n
+         |      FROM j)
+         |SELECT doc_id, lang, CAST((rn - 1) * 3 // n + 1 AS INT) AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = lmScore(docs).select(col("doc_id"), col("ppl"))
+      val j = scored.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.operators.Curate.rankBuckets(j, Seq("lang"), col("ppl"),
+          col("doc_id"), k = 3)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- LM persistence round-trip + cross-corpus gate -------------------
     // The CCNet deployment shape end-to-end: fit the LM on a CLEAN
     // reference slice (doc_id % 3 = 1 — a 1/3 slice keeps the double fit,

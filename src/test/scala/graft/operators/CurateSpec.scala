@@ -206,6 +206,80 @@ class CurateSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("dropBlockedDomains normalizes case, port, and www on both sides") {
+    val docs = Seq(
+      (1L, "see http://WWW.Bad.Example:8080/x now"),
+      (2L, "see http://bad.example/y"),
+      (3L, "see http://www.ok.example/z"))
+      .toDF("doc_id", "text")
+    val blocked = Seq("Bad.Example").toDF("domain")
+    val kept = Curate.dropBlockedDomains(docs, "doc_id", "text", blocked)
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(3L))
+  }
+
+  test("rankBuckets: exact rank terciles per group, ties split by tieBreak") {
+    // group g1: values 10,10,20,30,40,50 (n=6, k=3 -> 2 per bucket;
+    // the tie at 10 stays inside bucket 1); g2: n=4 with a tie that
+    // SPANS the bucket-1/2 boundary -> tieBreak decides membership
+    val df = Seq(
+      ("g1", 1L, 10.0), ("g1", 2L, 10.0), ("g1", 3L, 20.0),
+      ("g1", 4L, 30.0), ("g1", 5L, 40.0), ("g1", 6L, 50.0),
+      ("g2", 7L, 5.0), ("g2", 8L, 5.0), ("g2", 9L, 5.0), ("g2", 10L, 9.0))
+      .toDF("g", "id", "v")
+    val out = Curate.rankBuckets(df, Seq("g"), col("v"), col("id"), k = 3)
+      .select(col("id"), col("bucket")).as[(Long, Int)].collect().toMap
+    assert(out == Map(
+      1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3, 6L -> 3,
+      // g2 ranks: id7 r1 -> b1, id8 r2 -> b1 ((1*3)/4=0), id9 r3 -> b2,
+      // id10 r4 -> b3
+      7L -> 1, 8L -> 1, 9L -> 2, 10L -> 3))
+  }
+
+  test("rankBuckets equals the row_number formulation (grouped + global)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 400).map(i =>
+      (s"g${i % 3}", i.toLong, (rnd.nextInt(17) * 10).toDouble))
+      .toDF("g", "id", "v")
+    def viaWindow(groups: Seq[String]): Map[Long, Int] = {
+      val w = (if (groups.isEmpty) Window.partitionBy()
+               else Window.partitionBy(groups.map(col): _*))
+        .orderBy(col("v"), col("id"))
+      val wc = if (groups.isEmpty) Window.partitionBy()
+               else Window.partitionBy(groups.map(col): _*)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+        .select(col("id"),
+          (((col("rn") - 1) * 4 - pmod((col("rn") - 1) * 4, col("n")))
+            / col("n")).cast("int") + 1)
+        .as[(Long, Int)].collect().toMap
+    }
+    val grouped = Curate.rankBuckets(df, Seq("g"), col("v"), col("id"), k = 4)
+      .select(col("id"), col("bucket")).as[(Long, Int)].collect().toMap
+    assert(grouped == viaWindow(Seq("g")))
+    val global = Curate.rankBuckets(df, Nil, col("v"), col("id"), k = 4)
+      .select(col("id"), col("bucket")).as[(Long, Int)].collect().toMap
+    assert(global == viaWindow(Nil))
+  }
+
+  test("rankBuckets plans no unpartitioned window, grouped or global") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = (1 to 100).map(i => (s"g${i % 2}", i.toLong, i.toDouble))
+      .toDF("g", "id", "v")
+    // the global path's cumulative count must route through PrefixSum's
+    // bucketed form (the PlanSpec suite-wide pin, asserted locally here):
+    // a Window with an empty partition spec funnels everything into one
+    // task at scale
+    for (groups <- Seq(Seq("g"), Nil)) {
+      val plan = Curate.rankBuckets(df, groups, col("v"), col("id"), k = 3)
+        .queryExecution.optimizedPlan
+      val offenders = plan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty => w
+      }
+      assert(offenders.isEmpty, s"groups=$groups plans a global window")
+    }
+  }
+
   test("dropBlockedDomains: blocked-URL docs drop, clean/no-URL docs survive") {
     val docs = Seq(
       (1L, "plain text, no urls"),
