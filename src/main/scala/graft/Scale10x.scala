@@ -174,6 +174,12 @@ object Scale10x {
         spark.read.parquet(p), "doc_id", "text", k = 3))
     def lmShape(p: String): Long =                        // q5k shape
       force(graft.queries.LmQueries.lmScore(spark.read.parquet(p)))
+    def rankBucketsShape(p: String): Long =               // q5q operator shape
+      force(graft.operators.Curate.rankBuckets(
+        spark.read.parquet(p)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(64L)).as("g"),
+            length(col("text")).as("v")),
+        Seq("g"), col("v"), col("doc_id"), k = 3))
     def multiEvalShape(liP: String, ordP: String): Long = { // q37 shape
       val cnn = spark.read.parquet(liP).groupBy(col("l_orderkey").as("k"))
         .agg((sum(col("l_quantity")).cast("long") % 100).as("cnn_sc"))
@@ -438,6 +444,14 @@ object Scale10x {
            |      FROM tf JOIN dfreq USING (term))
            |SELECT doc_id, term, tf, df_docs FROM r WHERE rn <= 3""".stripMargin,
       "lm_score" -> graft.queries.LmQueries.lmScoreOracleSql(docs),
+      "rank_buckets" ->
+        s"""WITH d AS (SELECT doc_id, doc_id % 64 AS g, length(text) AS v
+           |           FROM $docs),
+           |r AS (SELECT doc_id, g, v,
+           |        row_number() OVER (PARTITION BY g ORDER BY v, doc_id) AS rn,
+           |        count(*) OVER (PARTITION BY g) AS n
+           |      FROM d)
+           |SELECT doc_id, g, v, (rn - 1) * 3 // n + 1 AS bucket FROM r""".stripMargin,
       "neardup_lsh_e2e" ->
         s"""${pairSql(docs)}
            |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
@@ -497,6 +511,8 @@ object Scale10x {
       Probe("doc_chunks", () => chunkShape(docs1P), () => chunkShape(docs10P)),
       Probe("salient_terms", () => salientShape(docs1P), () => salientShape(docs10P)),
       Probe("lm_score", () => lmShape(docs1P), () => lmShape(docs10P)),
+      Probe("rank_buckets", () => rankBucketsShape(docs1P),
+        () => rankBucketsShape(docs10P)),
       Probe("sessionize_stats", () => sessionShape(ev1P), () => sessionShape(evNP)),
       Probe("asof_join", () => asofShape(ev1P), () => asofShape(evNP)),
       Probe("range_join", () => rangeShape(ev1P), () => rangeShape(evNP)),
