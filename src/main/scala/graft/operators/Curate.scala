@@ -424,7 +424,12 @@ object Curate {
     require(!df.columns.contains(out),
       s"output column '$out' already exists in the input")
     val gc = groups.map(col)
+    // rows with a null value or null group key have no defined rank and
+    // are EXCLUDED from the output, explicitly (they would otherwise fall
+    // out of the null-unsafe equi-joins as a silent artifact) — coalesce
+    // upstream to keep them (the mixtureCounts null discipline)
     val base = df.withColumn("__rbV", value)
+      .where(gc.foldLeft(col("__rbV").isNotNull)(_ && _.isNotNull))
     val counts = base.groupBy(gc :+ col("__rbV"): _*)
       .agg(count(lit(1)).as("__rbN"))
     val cum =

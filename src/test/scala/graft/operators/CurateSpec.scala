@@ -262,6 +262,16 @@ class CurateSpec extends SparkSpec {
     assert(global == viaWindow(Nil))
   }
 
+  test("rankBuckets excludes null values/groups explicitly, ranks the rest") {
+    val df = Seq(
+      (Some("g1"), 1L, Some(1.0)), (Some("g1"), 2L, Some(2.0)),
+      (Some("g1"), 3L, None), (None, 4L, Some(3.0)))
+      .toDF("g", "id", "v")
+    val out = Curate.rankBuckets(df, Seq("g"), col("v"), col("id"), k = 2)
+      .select(col("id"), col("bucket")).as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 1, 2L -> 2), s"null rows must drop cleanly: $out")
+  }
+
   test("rankBuckets plans no unpartitioned window, grouped or global") {
     import org.apache.spark.sql.catalyst.plans.logical
     val df = (1 to 100).map(i => (s"g${i % 2}", i.toLong, i.toDouble))
