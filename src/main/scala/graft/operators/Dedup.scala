@@ -186,6 +186,41 @@ object Dedup {
     corpus.join(contaminated, Seq(id), "left_anti")
   }
 
+  /** Per-document contamination REPORT — the audit that precedes (or
+    * replaces) the [[decontaminate]] drop when the pipeline wants
+    * thresholds or human review instead of a hard gate: for every corpus
+    * document, its n-gram occurrence count, how many of those occurrences
+    * appear anywhere in the eval/benchmark set, and the overlap as exact
+    * parts-per-million (`(n_hit·10^6) div n_grams` — integer arithmetic,
+    * so the q5r oracle replays it bit-for-bit; no float rounding at the
+    * report boundary).
+    *
+    * Scale shape, same as [[decontaminate]]: eval grams reduce to DISTINCT
+    * 64-bit fingerprints and broadcast (benchmark sets are tiny next to
+    * the corpus); the corpus side is scan → generate → fingerprint →
+    * broadcast left join → one hash aggregation on the document id. No
+    * corpus-side exchange before the final per-doc aggregate.
+    */
+  def contaminationReport(corpus: DataFrame, id: String, text: String,
+                          eval_ : DataFrame, evalText: String,
+                          n: Int = 8): DataFrame = {
+    import graft.expressions.WordShingles
+    val evalFps = eval_
+      .select(explode(WordShingles.ngrams(col(evalText), n)).as("__g"))
+      .select(xxhash64(col("__g")).as("__fp")).distinct()
+      .withColumn("__hit", lit(1L))
+    val num = col("n_hit") * lit(1000000L)
+    Par.spread(corpus.select(col(id), col(text)))
+      .select(col(id), explode(WordShingles.ngrams(col(text), n)).as("__g"))
+      .select(col(id), xxhash64(col("__g")).as("__fp"))
+      .join(broadcast(evalFps), Seq("__fp"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("overlap_ppm",
+        ((num - pmod(num, col("n_grams"))) / col("n_grams")).cast("long"))
+  }
+
   /** MinHash signature: `numHashes` permutation-min values over the word
     * `shingleN`-gram set. Expression-level (`transform` + `array_min`) —
     * convenient for single-column use, but lambda functions evaluate

@@ -906,6 +906,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- the contamination REPORT over the same q4s fixture: per doc,
+    //      n-gram occurrences, eval-set hits, and exact integer ppm overlap
+    //      (the audit a pipeline runs before choosing a drop threshold).
+    //      Self-contaminated eval docs read 1000000 ppm; partial overlaps
+    //      spread below — a real distribution at every SF -----------------
+    QueryDef.sql("q5r_contamination_report",
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |             ELSE list_transform(range(1, len(t) - 6),
+        |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |                      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]) END AS gs
+        |      FROM sp),
+        |u AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |e AS (SELECT DISTINCT gram FROM u WHERE doc_id % 31 = 0),
+        |h AS (SELECT u.doc_id, count(*) AS n_grams,
+        |        sum(CASE WHEN u.gram IN (SELECT gram FROM e)
+        |            THEN 1 ELSE 0 END) AS n_hit
+        |      FROM u GROUP BY u.doc_id)
+        |SELECT doc_id, n_grams, CAST(n_hit AS BIGINT) AS n_hit,
+        |  CAST(n_hit * 1000000 // n_grams AS BIGINT) AS overlap_ppm
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationReport(docs, "doc_id", "text",
+          docs.where(col("doc_id") % 31 === 0).select(col("text")), "text", n = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- JSONL interchange round-trip (contract oracle, q39-style): the
     //      corpus is written to newline-delimited JSON and re-read with the
     //      declared schema; every row must survive with every column intact,

@@ -446,4 +446,21 @@ class DedupSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("LeftAnti"), s"expected anti-join:\n$plan")
   }
+  test("contaminationReport: exact per-doc occurrence counts, hits, and ppm") {
+    import org.apache.spark.sql.functions._
+    // doc 1: grams (a b)(b c)(c d) -> 1 hit (b c); doc 2: short text
+    //        collapses to one whole-text gram, no hit; doc 3: all 2 grams hit
+    val corpus = Seq(
+      (1L, "a b c d"), (2L, "z"), (3L, "x y x y x")).toDF("doc_id", "text")
+    val eval_ = Seq("b c", "x y", "y x").toDF("text")
+    val out = graft.operators.Dedup
+      .contaminationReport(corpus, "doc_id", "text", eval_, "text", n = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 333333L),
+      (2L, 1L, 0L, 0L),
+      (3L, 4L, 4L, 1000000L)))
+  }
+
 }
