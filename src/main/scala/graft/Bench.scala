@@ -227,8 +227,12 @@ object Bench {
                               sfDir: String,
                               phases: Map[String, Double] = Map.empty): String = {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // per-query values at 2 dp: the one-line artifact must fit the
+    // driver's 2000-char tail window at 115+ queries (full-precision
+    // per-query walls live in BENCH_DETAIL.json)
+    def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val seqTotal = results.values.sum
     val dq = duckdb -- ReservedDuck

@@ -9,9 +9,13 @@ import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Whole-document bigram-LM scoring as ONE fused scalar kernel:
+/** Whole-document n-gram-LM scoring as ONE fused scalar kernel:
   * struct(n_bigrams, oov_bigrams, lm_score) in a single pass over the text
   * against a bounded in-expression model (the RepetitionStats pattern).
+  * `order` generalizes the readout beyond bigrams: the context map holds
+  * (order-1)-gram counts and the gram map order-gram counts — the struct
+  * field names keep their bigram-era spelling for oracle compatibility
+  * (they mean "scored grams" at any order).
   *
   * Replaces the composed plan — bigram generate → explode → two broadcast
   * joins → per-document hash aggregation — whose 100× cost was ~4 s of
@@ -29,12 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class BigramLmScore(child: Expression,
                          uni: Array[(String, Long)],
                          bi: Array[(String, Long)],
-                         vocabV: Long) extends UnaryExpression {
+                         vocabV: Long,
+                         order: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType if vocabV > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType if vocabV > 0 && order >= 2 => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"bigram_lm_score requires STRING and V > 0, got ${t.simpleString} / $vocabV")
+      s"bigram_lm_score requires STRING, V > 0, order >= 2, " +
+        s"got ${t.simpleString} / $vocabV / $order")
   }
 
   override def dataType: DataType = StructType(Seq(
@@ -55,22 +61,32 @@ case class BigramLmScore(child: Expression,
 
   def score(text: UTF8String): InternalRow = {
     val toks = WordShinglesKernel.tokenize(text)
-    val nBi = math.max(toks.length - 1, 0)
+    val w = order - 1 // context width
+    val nGr = math.max(toks.length - w, 0)
     var oov = 0L
     var total = 0L
     var i = 0
-    while (i < nBi) {
-      val w1 = toks(i)
-      val b = WordShinglesKernel.joinWith(WordShinglesKernel.SpaceSep,
-        Array(w1, toks(i + 1)))
-      val c1 = uniMap.getOrDefault(w1, 0L)
-      val c2 = biMap.getOrDefault(b, 0L)
+    while (i < nGr) {
+      // context = the (order-1)-gram at i, target = the order-gram at i;
+      // for order 2 this is exactly the original (w1, "w1 w2") pair
+      val ctx =
+        if (w == 1) toks(i)
+        else {
+          val cp = new Array[UTF8String](w)
+          System.arraycopy(toks, i, cp, 0, w)
+          WordShinglesKernel.joinWith(WordShinglesKernel.SpaceSep, cp)
+        }
+      val gp = new Array[UTF8String](order)
+      System.arraycopy(toks, i, gp, 0, order)
+      val g = WordShinglesKernel.joinWith(WordShinglesKernel.SpaceSep, gp)
+      val c1 = uniMap.getOrDefault(ctx, 0L)
+      val c2 = biMap.getOrDefault(g, 0L)
       if (c2 == 0L) oov += 1L
       total += BigramLmScore.halfUp(1e6 *
         Math.log((c2 + 1.0) / (c1 + vocabV.toDouble)))
       i += 1
     }
-    new GenericInternalRow(Array[Any](nBi.toLong, oov, total))
+    new GenericInternalRow(Array[Any](nGr.toLong, oov, total))
   }
 
   override def nullSafeEval(v: Any): Any = score(v.asInstanceOf[UTF8String])
@@ -86,9 +102,9 @@ case class BigramLmScore(child: Expression,
 
 object BigramLmScore {
   def apply(text: Column, uni: Array[(String, Long)], bi: Array[(String, Long)],
-            vocabV: Long): Column =
+            vocabV: Long, order: Int = 2): Column =
     ColumnBridge.column(
-      new BigramLmScore(ColumnBridge.expression(text), uni, bi, vocabV))
+      new BigramLmScore(ColumnBridge.expression(text), uni, bi, vocabV, order))
 
   /** `functions.round(x)` for doubles without the per-call BigDecimal:
     * half-away-from-zero on the binary value. Works on |x| so the
@@ -128,18 +144,20 @@ case class BigramLmGate(child: Expression,
                         uni: Array[(String, Long)],
                         bi: Array[(String, Long)],
                         vocabV: Long,
-                        maxPpl: Double) extends UnaryExpression {
+                        maxPpl: Double,
+                        order: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType if vocabV > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType if vocabV > 0 && order >= 2 => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"bigram_lm_gate requires STRING and V > 0, got ${t.simpleString} / $vocabV")
+      s"bigram_lm_gate requires STRING, V > 0, order >= 2, " +
+        s"got ${t.simpleString} / $vocabV / $order")
   }
 
   override def dataType: DataType = BooleanType
 
   @transient private lazy val scorer =
-    BigramLmScore(child, uni, bi, vocabV)
+    BigramLmScore(child, uni, bi, vocabV, order)
 
   def keep(text: UTF8String): Boolean = {
     val row = scorer.score(text)
@@ -167,7 +185,8 @@ case class BigramLmGate(child: Expression,
 
 object BigramLmGate {
   def apply(text: Column, uni: Array[(String, Long)], bi: Array[(String, Long)],
-            vocabV: Long, maxPpl: Double): Column =
+            vocabV: Long, maxPpl: Double, order: Int = 2): Column =
     ColumnBridge.column(
-      new BigramLmGate(ColumnBridge.expression(text), uni, bi, vocabV, maxPpl))
+      new BigramLmGate(ColumnBridge.expression(text), uni, bi, vocabV,
+        maxPpl, order))
 }

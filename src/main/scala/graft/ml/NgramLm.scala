@@ -41,10 +41,15 @@ import org.apache.spark.sql.functions._
   *     strings), so a loaded model gates identically to the fitted one
   *     (q5p pins the round-trip through a DuckDB oracle).
   *
-  * Model: add-one-smoothed bigram conditional with a fixed vocabulary-size
-  * denominator: p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V) where V = uniCap.
-  * Out-of-model grams fall back to count 0, so unseen text scores low —
-  * exactly the junk-detection behavior the filter wants.
+  * Model: add-one-smoothed n-gram conditional with a fixed add-V
+  * denominator: p(w_n|ctx) = (c(ctx w_n) + 1) / (c(ctx) + V) where ctx is
+  * the (order-1)-gram context and V = the context-table cap (for the
+  * default order 2: p(w2|w1) with V = uniCap, the vocabulary cap).
+  * [[fitOrder]] generalizes beyond bigrams (order 3 → trigram model) with
+  * the SAME single-scan fit, kernels, persistence, and gate — the q5s
+  * oracle replays the trigram readout end-to-end. Out-of-model grams fall
+  * back to count 0, so unseen text scores low — exactly the
+  * junk-detection behavior the filter wants.
   */
 object NgramLm {
 
@@ -55,7 +60,8 @@ object NgramLm {
     */
   final case class BigramLm(uniArr: Array[(String, Long)],
                             biArr: Array[(String, Long)],
-                            uniCap: Int, biCap: Int) {
+                            uniCap: Int, biCap: Int,
+                            order: Int = 2) {
     /** The unigram table as a frame (join path, persistence). */
     def uniDF(spark: SparkSession): DataFrame =
       spark.createDataFrame(uniArr.toIndexedSeq).toDF("w", "c")
@@ -77,17 +83,32 @@ object NgramLm {
     * materialized model.
     */
   def fit(corpus: DataFrame, text: Column, uniCap: Int = 65536,
-          biCap: Int = 1 << 20): BigramLm = {
-    require(uniCap > 0 && biCap > 0, s"caps must be positive: $uniCap/$biCap")
+          biCap: Int = 1 << 20): BigramLm =
+    fitOrder(corpus, text, 2, uniCap, biCap)
+
+  /** Order-n generalization of [[fit]] (order=3 → trigram model): the
+    * context table holds (order-1)-gram counts and the gram table
+    * order-gram counts, from the same single corpus scan (the fused
+    * kernel emits every order 1..n per document; the sub-context orders
+    * are filtered out before the aggregation, so the only waste is a
+    * per-document local map, never a shuffle or a second read). The
+    * add-V smoothing constant is `ctxCap` — at order 2 this is exactly
+    * the vocabulary-cap convention the bigram model always had.
+    */
+  def fitOrder(corpus: DataFrame, text: Column, order: Int,
+               ctxCap: Int, gramCap: Int): BigramLm = {
+    require(order >= 2, s"order must be >= 2, got $order")
+    require(ctxCap > 0 && gramCap > 0, s"caps must be positive: $ctxCap/$gramCap")
     val agg = corpus
-      .select(explode(WordShingles.multiGramCounts(text, 2)).as("__g"))
+      .select(explode(WordShingles.multiGramCounts(text, order)).as("__g"))
+      .where(col("__g.n").isin(order - 1, order))
       .groupBy(col("__g.n").as("n"), col("__g.gram").as("g"))
       .agg(sum(col("__g.cnt")).as("c"))
     // per-n top-V with the bounded-heap operator: map-side partial heaps
     // keep ≤ k rows per (partition, n) below the exchange, so neither the
     // full gram table nor a per-n sort ever materializes. k is the larger
     // cap; the exact per-n trim happens on the ≤ 2k collected rows.
-    val k = math.max(uniCap, biCap)
+    val k = math.max(ctxCap, gramCap)
     val top = GroupedTopK.perGroup(agg, Seq(col("n")),
       struct((-col("c")).as("nc"), col("g").as("gg")), k)
       .collect()
@@ -97,7 +118,8 @@ object NgramLm {
       .toArray
       .sortBy { case (g, c) => (-c, g) }
       .take(cap)
-    BigramLm(takeTop(1, uniCap), takeTop(2, biCap), uniCap, biCap)
+    BigramLm(takeTop(order - 1, ctxCap), takeTop(order, gramCap),
+      ctxCap, gramCap, order)
   }
 
   /** Persist a fitted model — the artifact-store discipline of the RF
@@ -118,7 +140,8 @@ object NgramLm {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(
-      s"""{"uniCap": ${model.uniCap}, "biCap": ${model.biCap}}"""
+      (s"""{"uniCap": ${model.uniCap}, "biCap": ${model.biCap}, """ +
+        s""""order": ${model.order}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -144,7 +167,8 @@ object NgramLm {
       .map(r => (r.getString(1), r.getLong(2)))
       .toArray
       .sortBy { case (g, c) => (-c, g) }
-    BigramLm(counts(1), counts(2), cap("uniCap"), cap("biCap"))
+    BigramLm(counts(1), counts(2), cap("uniCap"), cap("biCap"),
+      cap("order"))
   }
 
   /** Score `docs(id, text)` against a fitted model. Output (the id column
@@ -173,7 +197,7 @@ object NgramLm {
     withPpl(docs
       .select(id.as("doc_id"),
         BigramLmScore(text, model.uniArr, model.biArr,
-          model.uniCap.toLong).as("__s"))
+          model.uniCap.toLong, model.order).as("__s"))
       .select(col("doc_id"),
         col("__s.n_bigrams").as("n_bigrams"),
         col("__s.oov_bigrams").as("oov_bigrams"),
@@ -189,8 +213,12 @@ object NgramLm {
     val spark = docs.sparkSession
     val toks = docs.select(id.as("__id"), TextFunctions.tokens(text).as("__t"))
     val grams = toks
-      .select(col("__id"), explode(bigramArray(col("__t"))).as("b"))
-      .withColumn("w1", split(col("b"), " ").getItem(0))
+      .select(col("__id"),
+        explode(gramArray(col("__t"), model.order)).as("b"))
+      .withColumn("w1",
+        if (model.order == 2) split(col("b"), " ").getItem(0)
+        else array_join(
+          slice(split(col("b"), " "), 1, model.order - 1), " "))
     val uni = broadcast(model.uniDF(spark).withColumnRenamed("c", "__c1"))
     val bi = broadcast(model.biDF(spark).withColumnRenamed("c", "__c2"))
     val joined = grams
@@ -213,15 +241,23 @@ object NgramLm {
         sum(term).as("lm_score")))
   }
 
-  /** Bigram strings (`"w1 w2"`) of a token array, as a lazy collection
-    * projection — no explode, no shuffle, reusable under any downstream
-    * generate.
+  /** Order-gram strings (`"w1 w2"`, `"w1 w2 w3"`, …) of a token array,
+    * as a lazy collection projection — no explode, no shuffle, reusable
+    * under any downstream generate. Order 2 keeps the zip_with form;
+    * higher orders window via transform-over-sequence (interpreted
+    * lambdas — acceptable on the oversized-model fallback path only).
     */
-  private def bigramArray(toks: Column): Column =
-    zip_with(
-      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-      (a, b) => concat_ws(" ", a, b))
+  private def gramArray(toks: Column, order: Int): Column =
+    if (order == 2)
+      zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))
+    else
+      when(size(toks) >= order,
+        transform(sequence(lit(1), size(toks) - (order - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(order)))))
+        .otherwise(array().cast("array<string>"))
 
   /** The shared perplexity readout — ONE arithmetic shape for both scoring
     * paths and the SQL oracle.
@@ -258,7 +294,8 @@ object NgramLm {
       // field reference (no CSE across FilterExec conjuncts — measured 3
       // kernel instances in the optimized plan), this evaluates once
       docs.filter(graft.expressions.BigramLmGate(
-        text, model.uniArr, model.biArr, model.uniCap.toLong, maxPpl))
+        text, model.uniArr, model.biArr, model.uniCap.toLong, maxPpl,
+        model.order))
     } else {
       val keep = scoreDocsJoined(docs, id, text, model)
         .filter(col("ppl") <= maxPpl)

@@ -21,6 +21,10 @@ object LmQueries {
   private val UniCap = 25
   private val BiCap = 600
 
+  /** q5s trigram caps — bind at every SF (see the q5s comment). */
+  private val TriCtxCap = 300
+  private val TriGramCap = 900
+
   /** The q5k oracle as a function of the documents table/view name — shared
     * with the Scale10x `lm_score` twin so the probe and the correctness
     * oracle can never drift apart.
@@ -132,6 +136,46 @@ object LmQueries {
       val m = ensureSelfModel(s, d)
       NgramLm.pplGate(docs, col("doc_id"), col("text"), m, maxPpl = 40.0)
         .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
+    // ---- order-3 LM: the trigram generalization, oracle-pinned ------------
+    // fitOrder(3): context table = capped bigram counts, gram table =
+    // capped trigram counts, SAME single-scan fit / fused kernel /
+    // micro-nat integer contract as the bigram model. Caps (300/900) BIND
+    // at every SF (distinct bigrams > 916, trigrams > 16k at sf0.001), so
+    // the truncation + OOV fallback are oracle-verified at order 3 too.
+    QueryDef.sql("q5s_trigram_lm",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |fb AS (SELECT unnest([t[i+1] || ' ' || t[i+2]
+         |                      for i in range(len(t) - 1)]) AS g FROM t),
+         |ctx AS (SELECT g, count(*) AS c FROM fb GROUP BY g
+         |        ORDER BY c DESC, g LIMIT $TriCtxCap),
+         |ft AS (SELECT unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         |                      for i in range(len(t) - 2)]) AS g FROM t),
+         |tg AS (SELECT g, count(*) AS c FROM ft GROUP BY g
+         |       ORDER BY c DESC, g LIMIT $TriGramCap),
+         |s AS (SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         |                             for i in range(len(t) - 2)]) AS g FROM t),
+         |sw AS (SELECT doc_id, g,
+         |         array_to_string(string_split(g, ' ')[1:2], ' ') AS c2 FROM s),
+         |terms AS (
+         |  SELECT sw.doc_id,
+         |    CAST(round(1e6 * ln((coalesce(tg.c, 0) + 1.0)
+         |                        / (coalesce(ctx.c, 0) + $TriCtxCap.0))) AS BIGINT) AS term,
+         |    CASE WHEN tg.c IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM sw LEFT JOIN ctx ON ctx.g = sw.c2 LEFT JOIN tg ON tg.g = sw.g)
+         |SELECT doc_id, count(*) AS n_trigrams,
+         |  CAST(sum(oov) AS BIGINT) AS oov_trigrams,
+         |  CAST(sum(term) AS BIGINT) AS lm_score,
+         |  round(exp(-(CAST(sum(term) AS DOUBLE) / (1e6 * count(*)))), 6) AS ppl
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val m = NgramLm.fitOrder(docs, col("text"), order = 3,
+        ctxCap = TriCtxCap, gramCap = TriGramCap)
+      NgramLm.scoreDocs(docs, col("doc_id"), col("text"), m)
+        .withColumnRenamed("n_bigrams", "n_trigrams")
+        .withColumnRenamed("oov_bigrams", "oov_trigrams")
+        .orderBy(col("doc_id"))
     },
 
     // ---- CCNet head/middle/tail perplexity bucketing ---------------------

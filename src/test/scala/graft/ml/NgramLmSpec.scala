@@ -190,4 +190,59 @@ class NgramLmSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(bigPlan.contains("BroadcastHashJoin"), bigPlan)
   }
+  test("fitOrder(3): trigram model counts and context table exactly") {
+    // corpus trigrams: doc1 (a b a)(b a b); doc2 (a b a)(b a a)
+    // bigram contexts: a b=3, b a=3, a a=1 (but context table = bigram counts)
+    val m = NgramLm.fitOrder(corpus, col("text"), order = 3,
+      ctxCap = 10, gramCap = 10)
+    assert(m.order == 3)
+    assert(m.uniArr.toMap == Map("a b" -> 3L, "b a" -> 2L, "a a" -> 1L))
+    assert(m.biArr.toMap ==
+      Map("a b a" -> 2L, "b a b" -> 1L, "b a a" -> 1L))
+  }
+
+  test("trigram scoring: hand computation, kernel == join, gate parity") {
+    val m = NgramLm.fitOrder(corpus, col("text"), order = 3,
+      ctxCap = 10, gramCap = 10)
+    def term(c2: Long, c1: Long): Long =
+      graft.expressions.BigramLmScore.halfUp(
+        1e6 * math.log((c2 + 1.0) / (c1 + 10.0)))
+    val out = NgramLm.scoreDocs(corpus, col("doc_id"), col("text"), m)
+      .orderBy("doc_id").collect()
+    // doc 1 "a b a b": (a b a | a b, c=2/3) (b a b | b a, 1/2)
+    val d1 = term(2, 3) + term(1, 2)
+    // doc 2 "a b a a": (a b a | a b, 2/3) (b a a | b a, 1/2)
+    val d2 = term(2, 3) + term(1, 2)
+    assert(out.map(r => r.getLong(3)).toSeq == Seq(d1, d2))
+    assert(out.map(r => r.getLong(1)).toSeq == Seq(2L, 2L))
+    // kernel and join paths row-identical at order 3 (incl. OOV + short)
+    val probe = corpus.unionByName(
+      Seq((9L, "q r s t"), (10L, "a b"), (11L, "b a a b z")).toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(NgramLm.scoreDocsKernel(probe, col("doc_id"), col("text"), m)) ==
+      rows(NgramLm.scoreDocsJoined(probe, col("doc_id"), col("text"), m)))
+    // docs with < 3 tokens produce no row
+    val ids = NgramLm.scoreDocs(probe, col("doc_id"), col("text"), m)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(10L) && ids.contains(11L))
+    // gate == score + threshold at order 3
+    val expected = NgramLm.scoreDocs(probe, col("doc_id"), col("text"), m)
+      .filter(col("ppl") <= 8.0).select("doc_id").as[Long].collect().toSet
+    val kept = NgramLm.pplGate(probe, col("doc_id"), col("text"), m, 8.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == expected)
+  }
+
+  test("trigram save/load round-trips the order with the model") {
+    val m = NgramLm.fitOrder(corpus, col("text"), order = 3,
+      ctxCap = 2, gramCap = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ngramlm_rt3").toString
+    NgramLm.save(spark, m, dir)
+    val m2 = NgramLm.load(spark, dir)
+    assert(m2.order == 3)
+    assert(m2.uniArr.toSeq == m.uniArr.toSeq)
+    assert(m2.biArr.toSeq == m.biArr.toSeq)
+  }
+
 }
