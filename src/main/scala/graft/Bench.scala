@@ -211,7 +211,7 @@ object Bench {
     */
   private val ReservedDuck =
     Set("_wall_concurrent", "_concurrency", "_wall_runs", "_canary",
-      "_canary_end")
+      "_canary_end", "_fixture_setup", "_override_mismatch")
 
   /** The one driver-facing JSON line. Keys are shortened to the query-id
     * prefix (`q4f_drop_neardupes` → `q4f` — unique across the suite, pinned
@@ -291,6 +291,8 @@ object Bench {
           s""""duckdb_wall_concurrent":${duckdb.getOrElse("_wall_concurrent", -1.0)},""" +
           s""""canary":${duckdb.getOrElse("_canary", -1.0)},""" +
           s""""canary_end":${duckdb.getOrElse("_canary_end", -1.0)},""" +
+          s""""fixture_setup":${duckdb.getOrElse("_fixture_setup", -1.0)},""" +
+          s""""override_mismatch":${duckdb.getOrElse("_override_mismatch", -1.0)},""" +
           s""""phases":${obj(phases)},""" +
           s""""sf":"$sfDir"}""" + "\n")
     } catch { case _: Throwable => } // detail is best-effort; the line is the contract
@@ -303,6 +305,11 @@ object Bench {
                              runs: Int, wallRuns: Int): Map[String, Double] = try {
     val tmp = java.nio.file.Files.createTempFile("graft_oracle_sql", ".json")
     java.nio.file.Files.writeString(tmp, JsonDump.oracleSqlJson(spark, sfDir))
+    // bench-only leveling file: session-fixture SQL + amortized oracle
+    // variants, applied by the script only after its in-run equivalence
+    // check (the Spark side's session-cached LM fit, given to DuckDB too)
+    val aux = java.nio.file.Files.createTempFile("graft_bench_aux", ".json")
+    java.nio.file.Files.writeString(aux, JsonDump.benchAuxJson)
     val script = new java.io.File("tools/duckdb_bench.py")
     if (!script.isFile) return Map.empty
     import scala.sys.process._
@@ -312,7 +319,7 @@ object Bench {
     // r8). DuckDB's stream/pool counts stay its own
     // (GRAFT_DUCK_STREAMS/GRAFT_DUCK_THREADS env pass straight through).
     val out = Process(
-      Seq("python3", script.getPath, sfDir, tmp.toString), None,
+      Seq("python3", script.getPath, sfDir, tmp.toString, aux.toString), None,
       "GRAFT_RUNS" -> runs.toString,
       "GRAFT_WALL_RUNS" -> wallRuns.toString).!!.trim
     parseFlatJson(out)

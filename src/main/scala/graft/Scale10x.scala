@@ -174,6 +174,12 @@ object Scale10x {
         spark.read.parquet(p), "doc_id", "text", k = 3))
     def lmShape(p: String): Long =                        // q5k shape
       force(graft.queries.LmQueries.lmScore(spark.read.parquet(p)))
+    def lm3FitShape(p: String): Long =                    // q5s fit shape
+      graft.queries.LmQueries.trigramFit(spark.read.parquet(p))
+    def lmBackoffShape(p: String): Long =                 // q5t shape
+      force(graft.queries.LmQueries.backoffScore(spark.read.parquet(p)))
+    def contamShape(p: String): Long =                    // q5r shape
+      force(graft.queries.TextQueries.contaminationReport(spark.read.parquet(p)))
     def rankBucketsShape(p: String): Long =               // q5q operator shape
       force(graft.operators.Curate.rankBuckets(
         spark.read.parquet(p)
@@ -444,6 +450,9 @@ object Scale10x {
            |      FROM tf JOIN dfreq USING (term))
            |SELECT doc_id, term, tf, df_docs FROM r WHERE rn <= 3""".stripMargin,
       "lm_score" -> graft.queries.LmQueries.lmScoreOracleSql(docs),
+      "lm3_fit" -> graft.queries.LmQueries.trigramFitTwinSql(docs),
+      "lm_backoff" -> graft.queries.LmQueries.backoffOracleSql(docs),
+      "contam_report" -> graft.queries.TextQueries.contaminationOracleSql(docs),
       "rank_buckets" ->
         s"""WITH d AS (SELECT doc_id, doc_id % 64 AS g, length(text) AS v
            |           FROM $docs),
@@ -511,6 +520,11 @@ object Scale10x {
       Probe("doc_chunks", () => chunkShape(docs1P), () => chunkShape(docs10P)),
       Probe("salient_terms", () => salientShape(docs1P), () => salientShape(docs10P)),
       Probe("lm_score", () => lmShape(docs1P), () => lmShape(docs10P)),
+      Probe("lm3_fit", () => lm3FitShape(docs1P), () => lm3FitShape(docs10P)),
+      Probe("lm_backoff", () => lmBackoffShape(docs1P),
+        () => lmBackoffShape(docs10P)),
+      Probe("contam_report", () => contamShape(docs1P),
+        () => contamShape(docs10P)),
       Probe("rank_buckets", () => rankBucketsShape(docs1P),
         () => rankBucketsShape(docs10P)),
       Probe("sessionize_stats", () => sessionShape(ev1P), () => sessionShape(evNP)),

@@ -16,7 +16,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated name-prefix filter (local iteration only;
+    // the driver runs unfiltered) — same contract as Bench
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -25,6 +30,11 @@ object Verify {
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       JsonDump.oracleSqlJson(spark, sfDir))
+    // debugging surface for the bench-only leveling file (never read by
+    // the driver's correctness compare): lets tools/duckdb_bench.py be
+    // exercised by hand with the exact fixtures/overrides Bench ships it
+    Files.writeString(Paths.get(s"$outDir/bench_aux.json"),
+      JsonDump.benchAuxJson)
     spark.stop()
   }
 }
@@ -53,6 +63,11 @@ object JsonDump {
   /** Static + data-dir-dependent oracles — what Verify/Bench dump. */
   def oracleSqlJson(spark: SparkSession, dir: String): String =
     toJson(SparkEntry.oracleSqlFor(spark, dir))
+
+  /** The bench-only fixtures + overrides file (see SparkEntry doc). */
+  def benchAuxJson: String =
+    s"""{"fixtures": ${toJson(SparkEntry.benchFixtures)}, """ +
+      s""""overrides": ${toJson(SparkEntry.benchOverrides)}}"""
 
   private def toJson(m: Map[String, String]): String =
     m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

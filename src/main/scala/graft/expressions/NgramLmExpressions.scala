@@ -190,3 +190,128 @@ object BigramLmGate {
       new BigramLmGate(ColumnBridge.expression(text), uni, bi, vocabV,
         maxPpl, order))
 }
+
+/** Whole-document STUPID-BACKOFF scoring (Brants et al. 2007) as one fused
+  * scalar kernel: struct(n_grams, backoffs, lm_score) in a single pass
+  * over the text against the full per-order count tables riding the
+  * expression (`tables(i)` = capped order-(i+1) counts).
+  *
+  * Per order-n window, the score S takes the LONGEST level j whose gram
+  * AND within-window context are both in-model:
+  *   S = α^(n−j) · c_j(gram_j) / c_{j−1}(ctx_j)    (j ≥ 2)
+  *   S = α^(n−1) · c_1(w_last) / T                 (j = 1)
+  *   S = α^(n−1) · 1 / T                           (w_last OOV)
+  * with T = Σ capped unigram counts, summed as micro-nat longs with the
+  * same [[BigramLmScore.halfUp]] rounding as every other LM path. The α
+  * powers are precomputed by repeated multiplication
+  * ([[BackoffLmScore.alphaPowers]]) and embedded as exact double literals
+  * in the joined path and the q5t SQL oracle, so the per-term double
+  * chain — (α-power · c) then / d, ln, round — is bit-identical on every
+  * path and engine.
+  */
+case class BackoffLmScore(child: Expression,
+                          tables: Array[Array[(String, Long)]],
+                          alpha: Double) extends UnaryExpression {
+
+  private def order: Int = tables.length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if order >= 2 && alpha > 0 && alpha < 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"backoff_lm_score requires STRING, order >= 2, alpha in (0,1), " +
+        s"got ${t.simpleString} / $order / $alpha")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("backoffs", LongType, nullable = false),
+    StructField("lm_score", LongType, nullable = false)))
+
+  @transient private lazy val maps: Array[java.util.HashMap[UTF8String, Long]] =
+    tables.map { t =>
+      val m = new java.util.HashMap[UTF8String, Long](t.length * 2)
+      t.foreach { case (k, v) => m.put(UTF8String.fromString(k), v) }
+      m
+    }
+  @transient private lazy val alphaPow: Array[Double] =
+    BackoffLmScore.alphaPowers(alpha, order)
+  @transient private lazy val uniTotal: Double = {
+    var s = 0L
+    tables(0).foreach(s += _._2)
+    s.toDouble
+  }
+
+  def score(text: UTF8String): InternalRow = {
+    val toks = WordShinglesKernel.tokenize(text)
+    val n = order
+    val nW = math.max(toks.length - n + 1, 0)
+    var backoffs = 0L
+    var total = 0L
+    var i = 0
+    while (i < nW) {
+      var s = 0.0
+      var level = 0 // chosen level j; 0 = not yet found
+      var j = n
+      while (level == 0 && j >= 2) {
+        val start = i + n - j
+        val gp = new Array[UTF8String](j)
+        System.arraycopy(toks, start, gp, 0, j)
+        val cg = maps(j - 1).getOrDefault(
+          WordShinglesKernel.joinWith(WordShinglesKernel.SpaceSep, gp), 0L)
+        if (cg != 0L) {
+          val cp = new Array[UTF8String](j - 1)
+          System.arraycopy(toks, start, cp, 0, j - 1)
+          val cd = maps(j - 2).getOrDefault(
+            WordShinglesKernel.joinWith(WordShinglesKernel.SpaceSep, cp), 0L)
+          if (cd != 0L) {
+            s = alphaPow(n - j) * cg / cd
+            level = j
+          }
+        }
+        if (level == 0) j -= 1
+      }
+      if (level == 0) {
+        val c1 = maps(0).getOrDefault(toks(i + n - 1), 0L)
+        s = if (c1 != 0L) alphaPow(n - 1) * c1 / uniTotal
+            else alphaPow(n - 1) / uniTotal
+        level = 1
+      }
+      if (level < n) backoffs += 1L
+      total += BigramLmScore.halfUp(1e6 * Math.log(s))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nW.toLong, backoffs, total))
+  }
+
+  override def nullSafeEval(v: Any): Any = score(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("backoffKernel", this,
+      classOf[BackoffLmScore].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.score($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BackoffLmScore =
+    copy(child = newChild)
+}
+
+object BackoffLmScore {
+  def apply(text: Column, tables: Array[Array[(String, Long)]],
+            alpha: Double): Column =
+    ColumnBridge.column(
+      new BackoffLmScore(ColumnBridge.expression(text), tables, alpha))
+
+  /** α^0..α^(order−1) by repeated multiplication — the ONE definition of
+    * the per-level discount every scoring path and the SQL oracle embed
+    * (Math.pow could differ in the last ulp from the multiplication
+    * chain; one definition removes the question).
+    */
+  def alphaPowers(alpha: Double, order: Int): Array[Double] = {
+    val a = new Array[Double](order)
+    a(0) = 1.0
+    var i = 1
+    while (i < order) { a(i) = a(i - 1) * alpha; i += 1 }
+    a
+  }
+}

@@ -1,9 +1,10 @@
 package graft.ml
 
-import graft.expressions.{BigramLmScore, WordShingles}
+import graft.expressions.{BackoffLmScore, BigramLmScore, WordShingles}
 import graft.functions.TextFunctions
 import graft.plans.GroupedTopK
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus n-gram language model for LM-based quality filtering — the
@@ -21,9 +22,13 @@ import org.apache.spark.sql.functions._
   *     job (map-side partial heaps — no full sort of the gram table, no
   *     second corpus read). The deterministic count-desc/gram-asc order
   *     caps the model regardless of corpus size.
-  *   - The fitted model is MATERIALIZED at fit time (one bounded collect,
-  *     ≤ uniCap + biCap rows by construction): every subsequent
-  *     score/gate/save call reuses the arrays — no lazy-lineage refits.
+  *   - The fitted model is MATERIALIZED at fit time. Caps that fit the
+  *     scoring kernel's embed bound ([[KernelModelMaxRows]]) collect to
+  *     bounded driver arrays ([[BigramLm]]); caps beyond it NEVER touch the
+  *     driver — the trimmed count tables persist as cluster-resident
+  *     DataFrames ([[DistributedLm]], scored through the broadcast-join
+  *     path), so a tens-of-millions-of-grams CCNet-scale fit cannot OOM
+  *     the driver. Either way there are no lazy-lineage refits.
   *   - SCORE is the fused [[BigramLmScore]] kernel by default: the whole
   *     per-document readout (gram count, OOV count, integer score) is ONE
   *     codegen'd projection with ZERO shuffle — no explode, no joins, no
@@ -50,29 +55,70 @@ import org.apache.spark.sql.functions._
   * oracle replays the trigram readout end-to-end. Out-of-model grams fall
   * back to count 0, so unseen text scores low — exactly the
   * junk-detection behavior the filter wants.
+  *
+  * [[fitBackoff]]/[[scoreDocsBackoff]] add the production CCNet shape —
+  * stupid-backoff scoring (Brants et al. 2007) over ALL orders 1..n from
+  * the same single fit scan: score each position against the longest
+  * in-model gram, falling back ×α per order dropped (the q5t oracle).
   */
 object NgramLm {
 
-  /** Fitted model, materialized: bounded unigram/bigram count arrays
+  /** A fitted conditional n-gram model: a capped (order−1)-gram context
+    * count table and a capped order-gram count table, materialized at fit
+    * time. Two representations — [[BigramLm]] (driver arrays, kernel-
+    * embeddable) under [[KernelModelMaxRows]], [[DistributedLm]]
+    * (cluster-resident persisted frames, join-path scoring) above it.
+    */
+  sealed trait LmModel {
+    def order: Int
+    /** Cap of the context ((order−1)-gram) table = the add-V constant. */
+    def ctxCap: Int
+    /** Cap of the order-gram table. */
+    def gramCap: Int
+    /** The context count table as a frame, columns (w, c). */
+    def uniDF(spark: SparkSession): DataFrame
+    /** The gram count table as a frame, columns (b, c). */
+    def biDF(spark: SparkSession): DataFrame
+  }
+
+  /** Kernel-embeddable model: bounded context/gram count arrays
     * (count desc, gram asc — the fit's deterministic truncation order) +
-    * the geometry they were fitted with. Bounded by `uniCap`/`biCap` rows,
-    * so driver residency and broadcast are sound by construction.
+    * the geometry they were fitted with. Bounded by `uniCap`/`biCap` rows
+    * (≤ [[KernelModelMaxRows]] when produced by [[fitOrder]]), so driver
+    * residency and broadcast are sound by construction.
     */
   final case class BigramLm(uniArr: Array[(String, Long)],
                             biArr: Array[(String, Long)],
                             uniCap: Int, biCap: Int,
-                            order: Int = 2) {
-    /** The unigram table as a frame (join path, persistence). */
+                            order: Int = 2) extends LmModel {
+    override def ctxCap: Int = uniCap
+    override def gramCap: Int = biCap
+    /** The context (unigram at order 2) table as a frame. */
     def uniDF(spark: SparkSession): DataFrame =
       spark.createDataFrame(uniArr.toIndexedSeq).toDF("w", "c")
-    /** The bigram table as a frame (join path, persistence). */
+    /** The gram (bigram at order 2) table as a frame. */
     def biDF(spark: SparkSession): DataFrame =
       spark.createDataFrame(biArr.toIndexedSeq).toDF("b", "c")
   }
 
-  /** Caps up to this total embed the model in the fused scoring kernel;
-    * larger models score through the broadcast-join path. Sized so the
-    * serialized expression stays a few tens of MB at worst.
+  /** Cluster-resident model for caps beyond [[KernelModelMaxRows]]: the
+    * trimmed count tables are PERSISTED (memory-and-disk) DataFrames,
+    * materialized eagerly at fit — the model never lands on the driver,
+    * so a CCNet-scale fit (tens of millions of grams) stays sound where
+    * driver arrays would OOM. Scoring always takes the broadcast-join
+    * path (the tables are still cap-bounded, hence broadcastable).
+    */
+  final case class DistributedLm(uni: DataFrame, bi: DataFrame,
+                                 ctxCap: Int, gramCap: Int,
+                                 order: Int) extends LmModel {
+    def uniDF(spark: SparkSession): DataFrame = uni
+    def biDF(spark: SparkSession): DataFrame = bi
+  }
+
+  /** Caps up to this total embed the model in the fused scoring kernel
+    * AND materialize as driver arrays; larger models stay distributed
+    * ([[DistributedLm]]) and score through the broadcast-join path. Sized
+    * so the serialized expression stays a few tens of MB at worst.
     */
   val KernelModelMaxRows: Int = 1 << 20
 
@@ -80,10 +126,11 @@ object NgramLm {
     * the object doc). Ties at the cap break deterministically (count desc,
     * gram asc) so refits — and the oracle's SQL replay — always select the
     * identical model. Runs the fit job eagerly and returns the
-    * materialized model.
+    * materialized model ([[BigramLm]] under [[KernelModelMaxRows]],
+    * [[DistributedLm]] above it).
     */
   def fit(corpus: DataFrame, text: Column, uniCap: Int = 65536,
-          biCap: Int = 1 << 20): BigramLm =
+          biCap: Int = 1 << 20): LmModel =
     fitOrder(corpus, text, 2, uniCap, biCap)
 
   /** Order-n generalization of [[fit]] (order=3 → trigram model): the
@@ -96,7 +143,7 @@ object NgramLm {
     * the vocabulary-cap convention the bigram model always had.
     */
   def fitOrder(corpus: DataFrame, text: Column, order: Int,
-               ctxCap: Int, gramCap: Int): BigramLm = {
+               ctxCap: Int, gramCap: Int): LmModel = {
     require(order >= 2, s"order must be >= 2, got $order")
     require(ctxCap > 0 && gramCap > 0, s"caps must be positive: $ctxCap/$gramCap")
     val agg = corpus
@@ -107,68 +154,110 @@ object NgramLm {
     // per-n top-V with the bounded-heap operator: map-side partial heaps
     // keep ≤ k rows per (partition, n) below the exchange, so neither the
     // full gram table nor a per-n sort ever materializes. k is the larger
-    // cap; the exact per-n trim happens on the ≤ 2k collected rows.
+    // cap; the exact per-n trim happens over the ≤ 2k surviving rows.
     val k = math.max(ctxCap, gramCap)
     val top = GroupedTopK.perGroup(agg, Seq(col("n")),
       struct((-col("c")).as("nc"), col("g").as("gg")), k)
-      .collect()
-    def takeTop(n: Int, cap: Int): Array[(String, Long)] = top.iterator
-      .filter(_.getInt(0) == n)
-      .map(r => (r.getString(1), r.getLong(2)))
-      .toArray
-      .sortBy { case (g, c) => (-c, g) }
-      .take(cap)
-    BigramLm(takeTop(order - 1, ctxCap), takeTop(order, gramCap),
-      ctxCap, gramCap, order)
+    if (ctxCap.toLong + gramCap.toLong <= KernelModelMaxRows) {
+      val rows = top.collect()
+      def takeTop(n: Int, cap: Int): Array[(String, Long)] = rows.iterator
+        .filter(_.getInt(0) == n)
+        .map(r => (r.getString(1), r.getLong(2)))
+        .toArray
+        .sortBy { case (g, c) => (-c, g) }
+        .take(cap)
+      BigramLm(takeTop(order - 1, ctxCap), takeTop(order, gramCap),
+        ctxCap, gramCap, order)
+    } else {
+      // caps beyond the kernel-embed bound: the exact per-n trim replays
+      // the same (count desc, gram asc) order as a rank over the ≤ 2k
+      // GroupedTopK survivors (2 window partitions, each bounded by k —
+      // never the raw gram table), and the model persists cluster-side
+      DistributedLm(
+        distTable(top, order - 1, ctxCap, "w"),
+        distTable(top, order, gramCap, "b"),
+        ctxCap, gramCap, order)
+    }
+  }
+
+  /** One trimmed, persisted, eagerly materialized count table of the
+    * distributed-model fit (see [[fitOrder]]'s large-caps branch).
+    */
+  private def distTable(top: DataFrame, n: Int, cap: Int,
+                        gramCol: String): DataFrame = {
+    val w = Window.partitionBy(col("n")).orderBy(col("c").desc, col("g").asc)
+    val t = top.where(col("n") === n)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap)
+      .select(col("g").as(gramCol), col("c"))
+      .persist()
+    t.count() // materialize now: no lazy-lineage refits (r9 advisory)
+    t
   }
 
   /** Persist a fitted model — the artifact-store discipline of the RF
     * classifier (q39) applied to the CCNet fit-once/gate-forever
     * deployment shape. ONE write job: both count tables in a single
-    * parquet table tagged by gram order (exact longs + lossless strings,
-    * coalesced to one file — the model is cap-bounded by construction),
-    * plus a job-free sidecar `meta.json` recording the caps (written
-    * through the path's Hadoop FileSystem, so it lands wherever the
-    * parquet does).
+    * parquet table tagged `n` = the TRUE gram order of each row (context
+    * rows `order−1`, gram rows `order` — so a trigram model's bigram
+    * contexts are stored as n=2), plus a job-free sidecar `meta.json`
+    * recording caps and order (written through the path's Hadoop
+    * FileSystem, so it lands wherever the parquet does). Kernel-sized
+    * models coalesce to one file; distributed models keep their
+    * partitioning (a single file would bottleneck both ends).
     */
-  def save(spark: SparkSession, model: BigramLm, path: String): Unit = {
-    model.uniDF(spark).select(lit(1).as("n"), col("w").as("gram"), col("c"))
+  def save(spark: SparkSession, model: LmModel, path: String): Unit = {
+    val union = model.uniDF(spark)
+      .select(lit(model.order - 1).as("n"), col("w").as("gram"), col("c"))
       .unionByName(model.biDF(spark)
-        .select(lit(2).as("n"), col("b").as("gram"), col("c")))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/counts")
+        .select(lit(model.order).as("n"), col("b").as("gram"), col("c")))
+    val table = model match {
+      case _: BigramLm => union.coalesce(1)
+      case _: DistributedLm => union
+    }
+    table.write.mode("overwrite").parquet(s"$path/counts")
     val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(
-      (s"""{"uniCap": ${model.uniCap}, "biCap": ${model.biCap}, """ +
+      (s"""{"ctxCap": ${model.ctxCap}, "gramCap": ${model.gramCap}, """ +
         s""""order": ${model.order}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  /** Load a model written by [[save]] (one read job + the sidecar). The
-    * arrays are re-sorted into the canonical (count desc, gram asc)
-    * order, so the loaded model is bit-identical to the fitted one
-    * regardless of parquet row order.
+  /** Load a model written by [[save]] (one read job + the sidecar).
+    * Kernel-sized caps re-collect to arrays, re-sorted into the canonical
+    * (count desc, gram asc) order, so the loaded model is bit-identical
+    * to the fitted one regardless of parquet row order; larger caps load
+    * as a [[DistributedLm]] over the parquet itself (disk-backed — the
+    * write already materialized it; no driver arrays, no re-trim).
     */
-  def load(spark: SparkSession, path: String): BigramLm = {
+  def load(spark: SparkSession, path: String): LmModel = {
     val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaTxt = new String(
       org.apache.commons.io.IOUtils.toByteArray(fs.open(p)),
       java.nio.charset.StandardCharsets.UTF_8)
-    def cap(k: String): Int =
+    def meta(k: String): Int =
       s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(metaTxt)
         .getOrElse(throw new IllegalArgumentException(
           s"malformed LM meta at $p: $metaTxt")).group(1).toInt
-    val rows = spark.read.parquet(s"$path/counts").collect()
-    def counts(n: Int): Array[(String, Long)] = rows.iterator
-      .filter(_.getInt(0) == n)
-      .map(r => (r.getString(1), r.getLong(2)))
-      .toArray
-      .sortBy { case (g, c) => (-c, g) }
-    BigramLm(counts(1), counts(2), cap("uniCap"), cap("biCap"),
-      cap("order"))
+    val (ctxCap, gramCap, order) = (meta("ctxCap"), meta("gramCap"), meta("order"))
+    val table = spark.read.parquet(s"$path/counts")
+    if (ctxCap.toLong + gramCap.toLong <= KernelModelMaxRows) {
+      val rows = table.collect()
+      def counts(n: Int): Array[(String, Long)] = rows.iterator
+        .filter(_.getInt(0) == n)
+        .map(r => (r.getString(1), r.getLong(2)))
+        .toArray
+        .sortBy { case (g, c) => (-c, g) }
+      BigramLm(counts(order - 1), counts(order), ctxCap, gramCap, order)
+    } else
+      DistributedLm(
+        table.where(col("n") === order - 1).select(col("gram").as("w"), col("c")),
+        table.where(col("n") === order).select(col("gram").as("b"), col("c")),
+        ctxCap, gramCap, order)
   }
 
   /** Score `docs(id, text)` against a fitted model. Output (the id column
@@ -184,10 +273,12 @@ object NgramLm {
     * embed; the join path otherwise. Both produce identical rows.
     */
   def scoreDocs(docs: DataFrame, id: Column, text: Column,
-                model: BigramLm): DataFrame =
-    if (model.uniCap.toLong + model.biCap.toLong <= KernelModelMaxRows)
-      scoreDocsKernel(docs, id, text, model)
-    else scoreDocsJoined(docs, id, text, model)
+                model: LmModel): DataFrame = model match {
+    case m: BigramLm
+        if m.uniCap.toLong + m.biCap.toLong <= KernelModelMaxRows =>
+      scoreDocsKernel(docs, id, text, m)
+    case m => scoreDocsJoined(docs, id, text, m)
+  }
 
   /** Fused-kernel scoring: one zero-shuffle projection per document. The
     * materialized model rides the expression to every task.
@@ -209,7 +300,7 @@ object NgramLm {
     * model joins, one per-document partial aggregation.
     */
   def scoreDocsJoined(docs: DataFrame, id: Column, text: Column,
-                      model: BigramLm): DataFrame = {
+                      model: LmModel): DataFrame = {
     val spark = docs.sparkSession
     val toks = docs.select(id.as("__id"), TextFunctions.tokens(text).as("__t"))
     val grams = toks
@@ -232,7 +323,7 @@ object NgramLm {
     // replays exactly.
     val term = round(lit(1e6) *
       log((c2 + lit(1L)).cast("double") /
-          (c1 + lit(model.uniCap.toLong)).cast("double"))).cast("long")
+          (c1 + lit(model.ctxCap.toLong)).cast("double"))).cast("long")
     withPpl(joined
       .groupBy(col("__id").as("doc_id"))
       .agg(
@@ -286,20 +377,174 @@ object NgramLm {
     * set is exactly `scoreDocs(...).filter(ppl <= maxPpl)` on every path
     * and in the SQL oracle.
     */
-  def pplGate(docs: DataFrame, id: Column, text: Column, model: BigramLm,
-              maxPpl: Double): DataFrame =
-    if (model.uniCap.toLong + model.biCap.toLong <= KernelModelMaxRows) {
+  def pplGate(docs: DataFrame, id: Column, text: Column, model: LmModel,
+              maxPpl: Double): DataFrame = model match {
+    case m: BigramLm
+        if m.uniCap.toLong + m.biCap.toLong <= KernelModelMaxRows =>
       // the fused boolean kernel, NOT per-field getField over the score
       // struct: a filter condition re-evaluates a struct expression per
       // field reference (no CSE across FilterExec conjuncts — measured 3
       // kernel instances in the optimized plan), this evaluates once
       docs.filter(graft.expressions.BigramLmGate(
-        text, model.uniArr, model.biArr, model.uniCap.toLong, maxPpl,
-        model.order))
-    } else {
-      val keep = scoreDocsJoined(docs, id, text, model)
+        text, m.uniArr, m.biArr, m.uniCap.toLong, maxPpl, m.order))
+    case m =>
+      val keep = scoreDocsJoined(docs, id, text, m)
         .filter(col("ppl") <= maxPpl)
         .select(col("doc_id").as("__keep_id"))
       docs.join(keep, id === col("__keep_id"), "left_semi")
+  }
+
+  // --------------------------------------------------------------------
+  // Stupid-backoff scoring over all orders (Brants et al. 2007) — the
+  // production CCNet/KenLM-shaped variant of the perplexity filter.
+  // --------------------------------------------------------------------
+
+  /** A backoff model: one capped count table PER ORDER 1..order from the
+    * same single fit scan, materialized as bounded driver arrays
+    * (`tables(i)` = order-(i+1) counts, each in the canonical count desc /
+    * gram asc order), plus the backoff discount α. `uniTotal` — the sum
+    * of the capped unigram counts — is the unigram denominator, computed
+    * once from the same table both engines select.
+    */
+  final case class BackoffLm(tables: Array[Array[(String, Long)]],
+                             caps: Array[Int], alpha: Double) {
+    def order: Int = tables.length
+    lazy val uniTotal: Long = tables(0).iterator.map(_._2).sum
+  }
+
+  /** Fit a [[BackoffLm]]: ONE corpus scan (the same fused multi-order
+    * kernel as [[fitOrder]], keeping ALL orders 1..order this time), one
+    * (n, gram) hash aggregation, per-n top-cap via the bounded-heap
+    * [[GroupedTopK]]. `caps(i)` caps the order-(i+1) table. The collected
+    * model is bounded by Σ caps; the backoff kernel embeds it whole, so
+    * Σ caps must stay ≤ [[KernelModelMaxRows]] — a hard ceiling (the
+    * add-V model's [[DistributedLm]] escape hatch does not exist here;
+    * [[scoreDocsBackoffJoined]] is the formulation to generalize if a
+    * larger backoff model is ever needed).
+    */
+  def fitBackoff(corpus: DataFrame, text: Column, order: Int,
+                 caps: Seq[Int], alpha: Double = 0.4): BackoffLm = {
+    require(order >= 2, s"order must be >= 2, got $order")
+    require(caps.length == order, s"need one cap per order 1..$order")
+    require(caps.forall(_ > 0), s"caps must be positive: $caps")
+    require(caps.map(_.toLong).sum <= KernelModelMaxRows,
+      s"backoff model caps ${caps.sum} exceed the embed ceiling " +
+        s"$KernelModelMaxRows")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val agg = corpus
+      .select(explode(WordShingles.multiGramCounts(text, order)).as("__g"))
+      .groupBy(col("__g.n").as("n"), col("__g.gram").as("g"))
+      .agg(sum(col("__g.cnt")).as("c"))
+    val k = caps.max
+    val top = GroupedTopK.perGroup(agg, Seq(col("n")),
+      struct((-col("c")).as("nc"), col("g").as("gg")), k).collect()
+    val tables = Array.tabulate(order) { i =>
+      top.iterator
+        .filter(_.getInt(0) == i + 1)
+        .map(r => (r.getString(1), r.getLong(2)))
+        .toArray
+        .sortBy { case (g, c) => (-c, g) }
+        .take(caps(i))
     }
+    BackoffLm(tables, caps.toArray, alpha)
+  }
+
+  /** Stupid-backoff scoring of `docs(id, text)`: one row per document with
+    * at least `order` tokens —
+    *   - `n_grams`  — scored window count (len − order + 1)
+    *   - `backoffs` — windows that fell below the full order
+    *   - `lm_score` — Σ round(1e6 · ln S), an exact LONG
+    *   - `ppl`      — the usual 6-dp readout
+    * where, for the window's longest in-model level j (gram AND its
+    * within-window context both present; the capped tables make either
+    * able to miss independently):
+    *   S = α^(order−j) · c_j(gram) / c_{j−1}(ctx)   (j ≥ 2)
+    *   S = α^(order−1) · c_1(w) / T                 (j = 1)
+    *   S = α^(order−1) · 1 / T                      (w itself OOV)
+    * with T = Σ capped unigram counts. Non-normalized, as Brants defines
+    * it — the filter only needs a monotone quality score. α powers are
+    * precomputed doubles embedded as exact literals in the SQL oracle, so
+    * every per-term double chain (α·c then /d, ln, round to micro-nats)
+    * replays bit-for-bit cross-engine (the q5t oracle).
+    *
+    * Kernel path (zero-shuffle fused projection) whenever the model fits
+    * the embed bound — which [[fitBackoff]] guarantees; the generic
+    * broadcast-join formulation ([[scoreDocsBackoffJoined]]) is spec-
+    * pinned row-equal.
+    */
+  def scoreDocsBackoff(docs: DataFrame, id: Column, text: Column,
+                       model: BackoffLm): DataFrame =
+    withPplOn(docs
+      .select(id.as("doc_id"),
+        BackoffLmScore(text, model.tables, model.alpha).as("__s"))
+      .select(col("doc_id"),
+        col("__s.n_grams").as("n_grams"),
+        col("__s.backoffs").as("backoffs"),
+        col("__s.lm_score").as("lm_score"))
+      .filter(col("n_grams") > 0), "n_grams")
+
+  /** The broadcast-join formulation of [[scoreDocsBackoff]] — one explode
+    * of order-gram windows, then per backoff level j one join on the
+    * window's last-j-words gram and one on that gram's (j−1)-word
+    * context (2·order−1 broadcast joins total), then the CASE readout.
+    * Row-equal to the kernel (spec-pinned); exists as the generalization
+    * seam for models beyond the kernel-embed ceiling.
+    */
+  def scoreDocsBackoffJoined(docs: DataFrame, id: Column, text: Column,
+                             model: BackoffLm): DataFrame = {
+    val spark = docs.sparkSession
+    val n = model.order
+    val toks = docs.select(id.as("__id"), TextFunctions.tokens(text).as("__t"))
+    val wins = toks
+      .select(col("__id"), explode(gramArray(col("__t"), n)).as("g"))
+      .withColumn("__p", split(col("g"), " "))
+    // per level j: gram_j = last j words of the window, ctx_j = gram_j
+    // minus its final word (slice indices: last j starts at n-j+1)
+    def lastWords(j: Int): Column = array_join(slice(col("__p"), n - j + 1, j), " ")
+    def ctxWords(j: Int): Column =
+      array_join(slice(col("__p"), n - j + 1, j - 1), " ")
+    var cur = wins
+    for (j <- n to 2 by -1) {
+      val gt = broadcast(spark.createDataFrame(model.tables(j - 1).toIndexedSeq)
+        .toDF("__gk" + j, "__gc" + j))
+      val ct = broadcast(spark.createDataFrame(model.tables(j - 2).toIndexedSeq)
+        .toDF("__ck" + j, "__cc" + j))
+      cur = cur
+        .join(gt, lastWords(j) === col("__gk" + j), "left")
+        .join(ct, ctxWords(j) === col("__ck" + j), "left")
+    }
+    val uniT = broadcast(
+      spark.createDataFrame(model.tables(0).toIndexedSeq).toDF("__uk", "__uc"))
+    cur = cur.join(uniT, element_at(col("__p"), n) === col("__uk"), "left")
+    val tTot = lit(model.uniTotal)
+    // the per-level α power as the SAME precomputed double the kernel and
+    // the SQL oracle use (repeated multiplication, not Math.pow)
+    val ap = BackoffLmScore.alphaPowers(model.alpha, n)
+    def lnTerm(s: Column): Column = round(lit(1e6) * log(s)).cast("long")
+    val levels: Seq[(Column, Column)] =
+      (n to 2 by -1).map { j =>
+        (col("__gc" + j).isNotNull && col("__cc" + j).isNotNull,
+          lnTerm(lit(ap(n - j)) * col("__gc" + j) / col("__cc" + j)))
+      } :+ (
+        (col("__uc").isNotNull, lnTerm(lit(ap(n - 1)) * col("__uc") / tTot)))
+    val fallback = lnTerm(lit(ap(n - 1)) / tTot)
+    val term = levels.foldRight(fallback) { case ((cond, v), e) =>
+      when(cond, v).otherwise(e)
+    }
+    val isBackoff =
+      when(col("__gc" + n).isNotNull && col("__cc" + n).isNotNull, 0L)
+        .otherwise(1L)
+    withPplOn(cur
+      .groupBy(col("__id").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(isBackoff).as("backoffs"),
+        sum(term).as("lm_score")), "n_grams")
+  }
+
+  /** [[withPpl]] generalized to the scored-gram column name. */
+  private def withPplOn(scored: DataFrame, nCol: String): DataFrame =
+    scored.withColumn("ppl",
+      round(exp(-col("lm_score").cast("double") /
+        (lit(1e6) * col(nCol).cast("double"))), 6))
 }

@@ -396,6 +396,20 @@ object Curate {
     * anti joins ignore duplicate matches, deduping would be a pure extra
     * shuffle.
     */
+  def dropBlockedDomains(docs: DataFrame, id: String, text: String,
+                         blocklist: DataFrame): DataFrame = {
+    val domainCol = blocklist.columns.head
+    val hits = docs
+      .select(col(id),
+        explode(TextFunctions.urlDomains(col(text))).as("__d0"))
+      .select(col(id), TextFunctions.normalizeDomain(col("__d0")).as("__domain"))
+      .join(broadcast(blocklist.select(
+          TextFunctions.normalizeDomain(col(domainCol)).as("__domain"))),
+        Seq("__domain"), "left_semi")
+      .select(col(id))
+    docs.join(hits, Seq(id), "left_anti")
+  }
+
   /** Exact rank-based bucketing — the CCNet corpus-partitioning step
     * (head/middle/tail by per-language perplexity) as a general operator:
     * assign each row `bucket = ((rank-1)·k) div n + 1` where `rank` is
@@ -451,28 +465,13 @@ object Curate {
         base.withColumn("__rbRn", row_number().over(wTie))
           .join(cum, Seq("__rbV"))
           .crossJoin(broadcast(totals))
-    // rank is 1-based and exact; ((rank-1)*k) div tot via subtract-the-
-    // remainder, so the division is exact integer arithmetic in IEEE
+    // rank is 1-based and exact; ((rank-1)*k) DIV tot as a TRUE integral
+    // divide (Catalyst IntegralDivide) — exact over the FULL long range,
+    // not just below 2^53 as a double `/` of exact-multiple longs would be
     val rank = col("__rbCum") - col("__rbN") + col("__rbRn")
-    val num = (rank - lit(1L)) * lit(k.toLong)
     joined
-      .withColumn(out,
-        (((num - pmod(num, col("__rbTot"))) / col("__rbTot")).cast("int")
-          + lit(1)))
-      .drop("__rbV", "__rbN", "__rbCum", "__rbRn", "__rbTot")
-  }
-
-  def dropBlockedDomains(docs: DataFrame, id: String, text: String,
-                         blocklist: DataFrame): DataFrame = {
-    val domainCol = blocklist.columns.head
-    val hits = docs
-      .select(col(id),
-        explode(TextFunctions.urlDomains(col(text))).as("__d0"))
-      .select(col(id), TextFunctions.normalizeDomain(col("__d0")).as("__domain"))
-      .join(broadcast(blocklist.select(
-          TextFunctions.normalizeDomain(col(domainCol)).as("__domain"))),
-        Seq("__domain"), "left_semi")
-      .select(col(id))
-    docs.join(hits, Seq(id), "left_anti")
+      .withColumn("__rbNum", (rank - lit(1L)) * lit(k.toLong))
+      .withColumn(out, expr("CAST(__rbNum DIV __rbTot AS INT) + 1"))
+      .drop("__rbV", "__rbN", "__rbCum", "__rbRn", "__rbTot", "__rbNum")
   }
 }

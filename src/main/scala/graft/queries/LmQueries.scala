@@ -25,6 +25,22 @@ object LmQueries {
   private val TriCtxCap = 300
   private val TriGramCap = 900
 
+  /** q5t stupid-backoff caps (orders 1/2/3) and discount — every cap BINDS
+    * at every SF (vocab 31 > 20, distinct bigrams > 916, trigrams > 16k at
+    * sf0.001), so all four backoff branches — full trigram hit, bigram
+    * backoff, unigram backoff, OOV floor — carry oracle-checked rows.
+    */
+  private val BoUniCap = 20
+  private val BoBiCap = 300
+  private val BoTriCap = 900
+  private val BoAlpha = 0.4
+  /** The exact per-level α-power double literals the kernel, the joined
+    * path, and the DuckDB oracle all share (repeated multiplication —
+    * [[graft.expressions.BackoffLmScore.alphaPowers]]).
+    */
+  private val BoAp = graft.expressions.BackoffLmScore.alphaPowers(BoAlpha, 3)
+    .map(java.lang.Double.toString)
+
   /** The q5k oracle as a function of the documents table/view name — shared
     * with the Scale10x `lm_score` twin so the probe and the correctness
     * oracle can never drift apart.
@@ -32,21 +48,32 @@ object LmQueries {
   def lmScoreOracleSql(table: String): String =
     lmScoreOracleSqlOn(table, table)
 
-  /** The general cross-corpus form (q5p): the model's count tables come
-    * from `fitFrom` (any table name or parenthesized subquery) while
-    * scoring runs over `scoreFrom` — the CCNet deployment shape, fit on a
-    * clean reference corpus and gate a different one.
+  /** The self-fit model's two count tables as standalone SELECTs — the
+    * SAME capped fit the q5k CTE inlines, factored out so the bench can
+    * materialize them ONCE per session (the Spark side's ensureSelfModel
+    * amortization, given to the oracle too — see [[benchFixtures]]).
     */
-  def lmScoreOracleSqlOn(fitFrom: String, scoreFrom: String): String =
-    s"""WITH ft AS (SELECT string_split(text, ' ') AS t FROM $fitFrom),
-       |ftok AS (SELECT unnest(t) AS w FROM ft),
-       |uni AS (SELECT w, count(*) AS c FROM ftok GROUP BY w
-       |        ORDER BY c DESC, w LIMIT $UniCap),
-       |fbg AS (SELECT unnest([t[i+1] || ' ' || t[i+2]
-       |                       for i in range(len(t) - 1)]) AS b FROM ft),
-       |bic AS (SELECT b, count(*) AS c FROM fbg GROUP BY b
-       |        ORDER BY c DESC, b LIMIT $BiCap),
-       |t AS (SELECT doc_id, string_split(text, ' ') AS t FROM $scoreFrom),
+  private def lmFitUniSql(fitFrom: String): String =
+    s"""SELECT w, count(*) AS c
+       |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $fitFrom)
+       |GROUP BY w ORDER BY c DESC, w LIMIT $UniCap""".stripMargin
+
+  private def lmFitBiSql(fitFrom: String): String =
+    s"""SELECT b, count(*) AS c
+       |FROM (SELECT unnest([t[i+1] || ' ' || t[i+2]
+       |                     for i in range(len(t) - 1)]) AS b
+       |      FROM (SELECT string_split(text, ' ') AS t FROM $fitFrom))
+       |GROUP BY b ORDER BY c DESC, b LIMIT $BiCap""".stripMargin
+
+  /** The scoring half of the q5k replay — a CTE chain body (no leading
+    * WITH) reading the model from `uniT`/`biT`, which may be the inlined
+    * fit CTEs or pre-materialized fixture tables. ONE text of the scoring
+    * arithmetic, so the canonical oracle and the bench's amortized
+    * variant can never drift apart.
+    */
+  private def lmScoreBodySql(uniT: String, biT: String,
+                             scoreFrom: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS t FROM $scoreFrom),
        |bg AS (SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2]
        |                              for i in range(len(t) - 1)]) AS b FROM t),
        |bgw AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM bg),
@@ -56,17 +83,107 @@ object LmQueries {
        |                        / (coalesce(uni.c, 0) + $UniCap.0))) AS BIGINT) AS term,
        |    CASE WHEN bic.c IS NULL THEN 1 ELSE 0 END AS oov
        |  FROM bgw g
-       |  LEFT JOIN uni ON uni.w = g.w1
-       |  LEFT JOIN bic ON bic.b = g.b)
+       |  LEFT JOIN $uniT uni ON uni.w = g.w1
+       |  LEFT JOIN $biT bic ON bic.b = g.b)
        |SELECT doc_id, count(*) AS n_bigrams,
        |  CAST(sum(oov) AS BIGINT) AS oov_bigrams,
        |  CAST(sum(term) AS BIGINT) AS lm_score,
        |  round(exp(-(CAST(sum(term) AS DOUBLE) / (1e6 * count(*)))), 6) AS ppl
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The general cross-corpus form (q5p): the model's count tables come
+    * from `fitFrom` (any table name or parenthesized subquery) while
+    * scoring runs over `scoreFrom` — the CCNet deployment shape, fit on a
+    * clean reference corpus and gate a different one.
+    */
+  def lmScoreOracleSqlOn(fitFrom: String, scoreFrom: String): String =
+    s"""WITH uni AS (${lmFitUniSql(fitFrom)}),
+       |bic AS (${lmFitBiSql(fitFrom)}),
+       |${lmScoreBodySql("uni", "bic", scoreFrom)}""".stripMargin
+
+  /** The q5k scoring replay against PRE-MATERIALIZED model tables. */
+  private def lmScoreFixtureSql(scoreFrom: String): String =
+    s"WITH ${lmScoreBodySql(FixUni, FixBi, scoreFrom)}"
+
+  private val FixUni = "graft_lm_uni"
+  private val FixBi = "graft_lm_bi"
+
+  /** One-time DuckDB setup for the BENCH baseline: the q5k/q5o/q5q self-
+    * fit model materialized once per session (`CREATE TEMP TABLE name AS
+    * sql`). This mirrors the Spark side's [[ensureSelfModel]] — ONE fit
+    * serves all three queries there, so charging the oracle a fresh fit
+    * per query padded the denominator (r10 verdict). The bench runs these
+    * untimed but REPORTS the setup seconds (`_fixture_setup`), and only
+    * swaps a query to its fixture variant after an in-run equivalence
+    * check against the canonical oracle SQL (tools/duckdb_bench.py).
+    * Correctness runs (Verify/driver) never see these — they replay the
+    * full self-contained SQL.
+    */
+  def benchFixtures: Map[String, String] = Map(
+    FixUni -> lmFitUniSql("documents"),
+    FixBi -> lmFitBiSql("documents"))
+
+  /** Bench-only oracle variants scoring against [[benchFixtures]] tables —
+    * semantically identical to the canonical oracles (same scoring body
+    * text), minus the per-query refit.
+    */
+  def benchOverrides: Map[String, String] = Map(
+    "q5k_lm_score" -> lmScoreFixtureSql("documents"),
+    "q5o_ppl_gate" ->
+      s"""WITH p AS (${lmScoreFixtureSql("documents")})
+         |SELECT doc_id FROM p WHERE ppl <= 40.0
+         |ORDER BY doc_id""".stripMargin,
+    "q5q_ppl_buckets" ->
+      s"""WITH p AS (${lmScoreFixtureSql("documents")}),
+         |j AS (SELECT d.lang AS lang, p.doc_id AS doc_id, p.ppl AS ppl
+         |      FROM p JOIN documents d ON d.doc_id = p.doc_id),
+         |r AS (SELECT lang, doc_id,
+         |        row_number() OVER (PARTITION BY lang
+         |                           ORDER BY ppl, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS n
+         |      FROM j)
+         |SELECT doc_id, lang, CAST((rn - 1) * 3 // n + 1 AS INT) AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin)
+
   /** The q5k Spark side against any documents frame (Scale10x reuses it). */
   def lmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     NgramLm.selfScore(docs, col("doc_id"), col("text"), UniCap, BiCap)
+
+  /** The q5s trigram FIT as a Scale10x probe body: run the single-scan
+    * multi-order fit at the q5s caps, return the materialized model row
+    * count (fit is eager, so the timing covers the whole fit job). Shares
+    * [[TriCtxCap]]/[[TriGramCap]] with the q5s oracle, so the probe and
+    * the correctness fit can never drift.
+    */
+  def trigramFit(docs: org.apache.spark.sql.DataFrame): Long = {
+    val m = NgramLm.fitOrder(docs, col("text"), order = 3,
+        ctxCap = TriCtxCap, gramCap = TriGramCap)
+      .asInstanceOf[NgramLm.BigramLm]
+    m.uniArr.length.toLong + m.biArr.length.toLong
+  }
+
+  /** The trigram fit's DuckDB twin: both capped tables materialized and
+    * counted — the same two aggregations + deterministic top-V the Spark
+    * fit runs, at the same caps.
+    */
+  def trigramFitTwinSql(table: String): String =
+    s"""WITH t AS (SELECT string_split(text, ' ') AS t FROM $table),
+       |fb AS (SELECT unnest([t[i+1] || ' ' || t[i+2]
+       |                      for i in range(len(t) - 1)]) AS g FROM t),
+       |ctx AS (SELECT g, count(*) AS c FROM fb GROUP BY g
+       |        ORDER BY c DESC, g LIMIT $TriCtxCap),
+       |ft AS (SELECT unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |                      for i in range(len(t) - 2)]) AS g FROM t),
+       |tg AS (SELECT g, count(*) AS c FROM ft GROUP BY g
+       |       ORDER BY c DESC, g LIMIT $TriGramCap)
+       |SELECT count(*) AS n
+       |FROM (SELECT g FROM ctx UNION ALL SELECT g FROM tg)""".stripMargin
+
+  /** The q5t Spark side against any documents frame (Scale10x twin). */
+  def backoffScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    NgramLm.scoreDocsBackoff(docs, col("doc_id"), col("text"),
+      NgramLm.fitBackoff(docs, col("text"), order = 3,
+        caps = Seq(BoUniCap, BoBiCap, BoTriCap), alpha = BoAlpha))
 
   /** The corpus self-fit at the fixture caps, memoized per sf dir —
     * q5k/q5o/q5q all fit the IDENTICAL model (same corpus, same caps,
@@ -76,11 +193,81 @@ object LmQueries {
     * NgramLmSpec pins).
     */
   private val fitCache =
-    scala.collection.concurrent.TrieMap.empty[String, NgramLm.BigramLm]
+    scala.collection.concurrent.TrieMap.empty[String, NgramLm.LmModel]
   private def ensureSelfModel(s: org.apache.spark.sql.SparkSession,
-                              d: String): NgramLm.BigramLm =
+                              d: String): NgramLm.LmModel =
     fitCache.getOrElseUpdate(d,
       NgramLm.fit(Tables.documents(s, d), col("text"), UniCap, BiCap))
+
+  /** One session-scoped tmp root per Spark application, deleted
+    * recursively by a single JVM shutdown hook — q5m/q5p write fixture
+    * directories here, so a bench/verify session no longer leaks one
+    * per-applicationId tree per run on the host (r10 ADVICE).
+    */
+  private def sessionTmp(s: org.apache.spark.sql.SparkSession, tag: String,
+                         d: String): String = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_session_${s.sparkContext.applicationId}")
+    if (root.mkdirs()) { // exactly one creator registers the cleanup
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rm(root)))
+    }
+    new java.io.File(root, s"${tag}_${new java.io.File(d).getName}").getPath
+  }
+
+  /** The q5t oracle as a function of the documents table name — shared
+    * with the Scale10x `lm_backoff` twin so the probe and the correctness
+    * oracle can never drift apart.
+    */
+  def backoffOracleSql(table: String): String =
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM $table),
+         |u0 AS (SELECT unnest(t) AS w FROM t),
+         |uni AS (SELECT w, count(*) AS c FROM u0 GROUP BY w
+         |        ORDER BY c DESC, w LIMIT $BoUniCap),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc FROM uni),
+         |b0 AS (SELECT unnest([t[i+1] || ' ' || t[i+2]
+         |                      for i in range(len(t) - 1)]) AS g FROM t),
+         |bi AS (SELECT g, count(*) AS c FROM b0 GROUP BY g
+         |       ORDER BY c DESC, g LIMIT $BoBiCap),
+         |t0 AS (SELECT unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         |                      for i in range(len(t) - 2)]) AS g FROM t),
+         |tri AS (SELECT g, count(*) AS c FROM t0 GROUP BY g
+         |        ORDER BY c DESC, g LIMIT $BoTriCap),
+         |s AS (SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         |                             for i in range(len(t) - 2)]) AS g FROM t),
+         |sk AS (SELECT doc_id, g,
+         |         array_to_string(string_split(g, ' ')[1:2], ' ') AS b12,
+         |         array_to_string(string_split(g, ' ')[2:3], ' ') AS b23,
+         |         string_split(g, ' ')[2] AS w2,
+         |         string_split(g, ' ')[3] AS w3 FROM s),
+         |terms AS (
+         |  SELECT sk.doc_id,
+         |    CASE
+         |      WHEN tg.c IS NOT NULL AND bc.c IS NOT NULL
+         |        THEN CAST(round(1e6 * ln(CAST(${BoAp(0)} AS DOUBLE) * tg.c / bc.c)) AS BIGINT)
+         |      WHEN bg.c IS NOT NULL AND u2.c IS NOT NULL
+         |        THEN CAST(round(1e6 * ln(CAST(${BoAp(1)} AS DOUBLE) * bg.c / u2.c)) AS BIGINT)
+         |      WHEN u3.c IS NOT NULL
+         |        THEN CAST(round(1e6 * ln(CAST(${BoAp(2)} AS DOUBLE) * u3.c / tot.tc)) AS BIGINT)
+         |      ELSE CAST(round(1e6 * ln(CAST(${BoAp(2)} AS DOUBLE) / tot.tc)) AS BIGINT)
+         |    END AS term,
+         |    CASE WHEN tg.c IS NOT NULL AND bc.c IS NOT NULL
+         |         THEN 0 ELSE 1 END AS bo
+         |  FROM sk
+         |  LEFT JOIN tri tg ON tg.g = sk.g
+         |  LEFT JOIN bi bc ON bc.g = sk.b12
+         |  LEFT JOIN bi bg ON bg.g = sk.b23
+         |  LEFT JOIN uni u2 ON u2.w = sk.w2
+         |  LEFT JOIN uni u3 ON u3.w = sk.w3
+         |  CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_grams, CAST(sum(bo) AS BIGINT) AS backoffs,
+         |  CAST(sum(term) AS BIGINT) AS lm_score,
+         |  round(exp(-(CAST(sum(term) AS DOUBLE) / (1e6 * count(*)))), 6) AS ppl
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -178,6 +365,23 @@ object LmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- stupid-backoff LM (the production CCNet/KenLM shape) ------------
+    // Score each trigram position against the LONGEST in-model gram,
+    // falling back ×α per order dropped (Brants et al. 2007): trigram hit
+    // c3/c2, bigram backoff α·c2/c1, unigram backoff α²·c1/T, OOV floor
+    // α²/T. All three capped tables come from ONE fused multi-order fit
+    // scan; α-powers are embedded as exact double literals on every path,
+    // and each term rounds to micro-nat longs before the sum — the same
+    // integer-exactness contract as q5k/q5s, now over a 5-way CASE the
+    // oracle replays join-for-join.
+    QueryDef.sql("q5t_backoff_lm", backoffOracleSql("documents")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val m = NgramLm.fitBackoff(docs, col("text"), order = 3,
+        caps = Seq(BoUniCap, BoBiCap, BoTriCap), alpha = BoAlpha)
+      NgramLm.scoreDocsBackoff(docs, col("doc_id"), col("text"), m)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- CCNet head/middle/tail perplexity bucketing ---------------------
     // The corpus-partitioning step that follows the perplexity score in
     // the CCNet pipeline: split each language's documents into k=3 tiers
@@ -221,8 +425,7 @@ object LmQueries {
       val docs = Tables.documents(s, d)
       val clean = docs.where(col("doc_id") % 3 === 1)
       val fitted = NgramLm.fit(clean, col("text"), UniCap, BiCap)
-      val path = s"/tmp/graft_q5p_lm_${new java.io.File(d).getName}" +
-        s"_${s.sparkContext.applicationId}"
+      val path = sessionTmp(s, "q5p_lm", d)
       NgramLm.save(s, fitted, path)
       val m = NgramLm.load(s, path)
       NgramLm.pplGate(docs, col("doc_id"), col("text"), m, maxPpl = 40.0)
@@ -241,10 +444,10 @@ object LmQueries {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM a GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      // session-unique suffix: concurrent harness runs on one host must
-      // not overwrite each other's shard round-trip directories
-      val path = s"/tmp/graft_q5m_shards_${new java.io.File(d).getName}" +
-        s"_${s.sparkContext.applicationId}"
+      // session-unique root: concurrent harness runs on one host must not
+      // overwrite each other's shard round-trip directories, and the
+      // shutdown hook reclaims the tree when the session ends
+      val path = sessionTmp(s, "q5m_shards", d)
       graft.sources.Sources.writeTrainingShards(docs, col("doc_id"), 16, path)
       s.read.parquet(path)
         .groupBy(col("shard").cast("long").as("shard"))

@@ -912,26 +912,8 @@ object TextQueries {
     //      Self-contaminated eval docs read 1000000 ppm; partial overlaps
     //      spread below — a real distribution at every SF -----------------
     QueryDef.sql("q5r_contamination_report",
-      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |g AS (SELECT doc_id,
-        |        CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
-        |             ELSE list_transform(range(1, len(t) - 6),
-        |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-        |                      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]) END AS gs
-        |      FROM sp),
-        |u AS (SELECT doc_id, unnest(gs) AS gram FROM g),
-        |e AS (SELECT DISTINCT gram FROM u WHERE doc_id % 31 = 0),
-        |h AS (SELECT u.doc_id, count(*) AS n_grams,
-        |        sum(CASE WHEN u.gram IN (SELECT gram FROM e)
-        |            THEN 1 ELSE 0 END) AS n_hit
-        |      FROM u GROUP BY u.doc_id)
-        |SELECT doc_id, n_grams, CAST(n_hit AS BIGINT) AS n_hit,
-        |  CAST(n_hit * 1000000 // n_grams AS BIGINT) AS overlap_ppm
-        |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      Dedup.contaminationReport(docs, "doc_id", "text",
-          docs.where(col("doc_id") % 31 === 0).select(col("text")), "text", n = 8)
-        .orderBy(col("doc_id"))
+      contaminationOracleSql("documents")) { (s, d) =>
+      contaminationReport(Tables.documents(s, d)).orderBy(col("doc_id"))
     },
 
     // ---- JSONL interchange round-trip (contract oracle, q39-style): the
@@ -1340,4 +1322,32 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }
   )
+
+  /** The q5r oracle as a function of the documents table/view name — shared
+    * with the Scale10x `contam_report` twin so the probe and the
+    * correctness oracle can never drift apart (eval set = every 31st doc).
+    */
+  def contaminationOracleSql(table: String): String =
+    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM $table),
+       |g AS (SELECT doc_id,
+       |        CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+       |             ELSE list_transform(range(1, len(t) - 6),
+       |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |                      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]) END AS gs
+       |      FROM sp),
+       |u AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+       |e AS (SELECT DISTINCT gram FROM u WHERE doc_id % 31 = 0),
+       |h AS (SELECT u.doc_id, count(*) AS n_grams,
+       |        sum(CASE WHEN u.gram IN (SELECT gram FROM e)
+       |            THEN 1 ELSE 0 END) AS n_hit
+       |      FROM u GROUP BY u.doc_id)
+       |SELECT doc_id, n_grams, CAST(n_hit AS BIGINT) AS n_hit,
+       |  CAST(n_hit * 1000000 // n_grams AS BIGINT) AS overlap_ppm
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  /** The q5r Spark side against any documents frame (Scale10x reuses it). */
+  def contaminationReport(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.operators.Dedup.contaminationReport(docs, "doc_id", "text",
+      docs.where(org.apache.spark.sql.functions.col("doc_id") % 31 === 0)
+        .select(org.apache.spark.sql.functions.col("text")), "text", n = 8)
 }

@@ -291,6 +291,7 @@ class PropertySpec extends SparkSpec {
         .toDF("doc_id", "text")
       // cap=3 binds on the 5-word alphabet, exercising truncation + OOV
       val m = graft.ml.NgramLm.fit(fitDf, col("text"), uniCap = 3, biCap = 3)
+        .asInstanceOf[graft.ml.NgramLm.BigramLm]
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.orderBy("doc_id").collect().map(_.toSeq).toSeq
       val k = rows(graft.ml.NgramLm.scoreDocsKernel(

@@ -6,6 +6,23 @@ import org.apache.spark.sql.functions._
 class NgramLmSpec extends SparkSpec {
   import spark.implicits._
 
+  import org.apache.spark.sql.{Column, DataFrame}
+
+  /** fit/fitOrder/load return [[NgramLm.LmModel]]; these tests pin the
+    * ARRAY representation, so narrow to the kernel-sized type (the caps
+    * used here are far below KernelModelMaxRows, so the cast is total).
+    */
+  private def fitB(df: DataFrame, text: Column, uniCap: Int,
+                   biCap: Int): NgramLm.BigramLm =
+    NgramLm.fit(df, text, uniCap, biCap).asInstanceOf[NgramLm.BigramLm]
+  private def fitOrderB(df: DataFrame, text: Column, order: Int, ctxCap: Int,
+                        gramCap: Int): NgramLm.BigramLm =
+    NgramLm.fitOrder(df, text, order, ctxCap, gramCap)
+      .asInstanceOf[NgramLm.BigramLm]
+  private def loadB(s: org.apache.spark.sql.SparkSession,
+                    dir: String): NgramLm.BigramLm =
+    NgramLm.load(s, dir).asInstanceOf[NgramLm.BigramLm]
+
   // known counts: uni a=5 b=3; bigrams "a b"=3 "b a"=2 "a a"=1
   private def corpus = Seq(
     (1L, "a b a b"),   // bigrams: (a b) (b a) (a b)
@@ -13,7 +30,7 @@ class NgramLmSpec extends SparkSpec {
   ).toDF("doc_id", "text")
 
   test("fit counts unigrams and bigrams exactly (one corpus pass)") {
-    val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
+    val m = fitB(corpus, col("text"), uniCap = 10, biCap = 10)
     assert(m.uniArr.toMap == Map("a" -> 5L, "b" -> 3L))
     assert(m.biArr.toMap == Map("a b" -> 3L, "b a" -> 2L, "a a" -> 1L))
     // materialized in canonical (count desc, gram asc) order
@@ -22,12 +39,12 @@ class NgramLmSpec extends SparkSpec {
   }
 
   test("caps truncate deterministically by (count desc, gram asc)") {
-    val m = NgramLm.fit(corpus, col("text"), uniCap = 1, biCap = 2)
+    val m = fitB(corpus, col("text"), uniCap = 1, biCap = 2)
     assert(m.uniArr.toSeq == Seq("a" -> 5L))
     assert(m.biArr.toMap == Map("a b" -> 3L, "b a" -> 2L))
     // tie at the cut: equal counts break by gram ascending
     val tied = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
-    val mt = NgramLm.fit(tied, col("text"), uniCap = 10, biCap = 1)
+    val mt = fitB(tied, col("text"), uniCap = 10, biCap = 1)
     assert(mt.biArr.toSeq == Seq("x y" -> 1L))
   }
 
@@ -50,16 +67,16 @@ class NgramLmSpec extends SparkSpec {
   }
 
   test("save/load round-trips the model bit-for-bit") {
-    val m = NgramLm.fit(corpus, col("text"), uniCap = 2, biCap = 2)
+    val m = fitB(corpus, col("text"), uniCap = 2, biCap = 2)
     val dir = java.nio.file.Files.createTempDirectory("ngramlm_rt").toString
     NgramLm.save(spark, m, dir)
-    val m2 = NgramLm.load(spark, dir)
+    val m2 = loadB(spark, dir)
     assert(m2.uniCap == m.uniCap && m2.biCap == m.biCap)
     assert(m2.uniArr.toSeq == m.uniArr.toSeq)
     assert(m2.biArr.toSeq == m.biArr.toSeq)
     // a loaded model gates identically to the fitted one
     val probe = corpus.unionByName(Seq((9L, "z z z")).toDF("doc_id", "text"))
-    def kept(mm: NgramLm.BigramLm) =
+    def kept(mm: NgramLm.LmModel) =
       NgramLm.pplGate(probe, col("doc_id"), col("text"), mm, 8.0)
         .select("doc_id").as[Long].collect().toSet
     assert(kept(m2) == kept(m))
@@ -77,7 +94,7 @@ class NgramLmSpec extends SparkSpec {
   }
 
   test("scoreDocs: exact integer score matches hand computation") {
-    val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
+    val m = fitB(corpus, col("text"), uniCap = 10, biCap = 10)
     val out = NgramLm.scoreDocs(corpus, col("doc_id"), col("text"), m)
       .orderBy("doc_id").collect()
     def term(c2: Long, c1: Long): Long =
@@ -97,7 +114,7 @@ class NgramLmSpec extends SparkSpec {
   }
 
   test("OOV bigrams are counted and scored with the count-0 fallback") {
-    val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
+    val m = fitB(corpus, col("text"), uniCap = 10, biCap = 10)
     val novel = Seq((9L, "q r s")).toDF("doc_id", "text") // all grams unseen
     val out = NgramLm.scoreDocs(novel, col("doc_id"), col("text"), m)
       .collect().head
@@ -108,7 +125,7 @@ class NgramLmSpec extends SparkSpec {
 
   test("junk scores worse than in-distribution text (the filter's contract)") {
     val good = corpus
-    val m = NgramLm.fit(good, col("text"), uniCap = 10, biCap = 10)
+    val m = fitB(good, col("text"), uniCap = 10, biCap = 10)
     val probe = Seq((1L, "a b a b"), (2L, "z q w x")).toDF("doc_id", "text")
     val s = NgramLm.scoreDocs(probe, col("doc_id"), col("text"), m)
       .orderBy("doc_id").select("ppl").as[Double].collect()
@@ -116,7 +133,7 @@ class NgramLmSpec extends SparkSpec {
   }
 
   test("docs with fewer than two tokens emit no row") {
-    val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
+    val m = fitB(corpus, col("text"), uniCap = 10, biCap = 10)
     val short = Seq((1L, "a"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
     val ids = NgramLm.scoreDocs(short, col("doc_id"), col("text"), m)
       .select("doc_id").as[Long].collect().toSet
@@ -124,7 +141,7 @@ class NgramLmSpec extends SparkSpec {
   }
 
   test("kernel and join scoring paths are row-identical") {
-    val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
+    val m = fitB(corpus, col("text"), uniCap = 10, biCap = 10)
     val probe = corpus.unionByName(
       Seq((9L, "q r s"), (10L, "a"), (11L, "b a a b z")).toDF("doc_id", "text"))
     def rows(df: org.apache.spark.sql.DataFrame) =
@@ -135,7 +152,7 @@ class NgramLmSpec extends SparkSpec {
   }
 
   test("kernel scoring is a pure projection: no join, no shuffle") {
-    val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
+    val m = fitB(corpus, col("text"), uniCap = 10, biCap = 10)
     val plan = NgramLm.scoreDocsKernel(corpus, col("doc_id"), col("text"), m)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan)
@@ -143,7 +160,7 @@ class NgramLmSpec extends SparkSpec {
   }
 
   test("pplGate equals scoreDocs + threshold on both paths; one kernel eval") {
-    val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
+    val m = fitB(corpus, col("text"), uniCap = 10, biCap = 10)
     val probe = corpus.unionByName(
       Seq((9L, "q r s"), (10L, "a"), (11L, "b a a b z")).toDF("doc_id", "text"))
     val expected = NgramLm.scoreDocs(probe, col("doc_id"), col("text"), m)
@@ -175,7 +192,7 @@ class NgramLmSpec extends SparkSpec {
   }
 
   test("join path broadcasts the model; scoreDocs cuts over on the caps") {
-    val m = NgramLm.fit(corpus, col("text"), uniCap = 10, biCap = 10)
+    val m = fitB(corpus, col("text"), uniCap = 10, biCap = 10)
     val joined = NgramLm.scoreDocsJoined(corpus, col("doc_id"), col("text"), m)
       .queryExecution.executedPlan.toString
     assert(joined.contains("BroadcastHashJoin"), joined)
@@ -193,7 +210,7 @@ class NgramLmSpec extends SparkSpec {
   test("fitOrder(3): trigram model counts and context table exactly") {
     // corpus trigrams: doc1 (a b a)(b a b); doc2 (a b a)(b a a)
     // bigram contexts: a b=3, b a=3, a a=1 (but context table = bigram counts)
-    val m = NgramLm.fitOrder(corpus, col("text"), order = 3,
+    val m = fitOrderB(corpus, col("text"), order = 3,
       ctxCap = 10, gramCap = 10)
     assert(m.order == 3)
     assert(m.uniArr.toMap == Map("a b" -> 3L, "b a" -> 2L, "a a" -> 1L))
@@ -202,7 +219,7 @@ class NgramLmSpec extends SparkSpec {
   }
 
   test("trigram scoring: hand computation, kernel == join, gate parity") {
-    val m = NgramLm.fitOrder(corpus, col("text"), order = 3,
+    val m = fitOrderB(corpus, col("text"), order = 3,
       ctxCap = 10, gramCap = 10)
     def term(c2: Long, c1: Long): Long =
       graft.expressions.BigramLmScore.halfUp(
@@ -235,14 +252,132 @@ class NgramLmSpec extends SparkSpec {
   }
 
   test("trigram save/load round-trips the order with the model") {
-    val m = NgramLm.fitOrder(corpus, col("text"), order = 3,
+    val m = fitOrderB(corpus, col("text"), order = 3,
       ctxCap = 2, gramCap = 2)
     val dir = java.nio.file.Files.createTempDirectory("ngramlm_rt3").toString
     NgramLm.save(spark, m, dir)
-    val m2 = NgramLm.load(spark, dir)
+    val m2 = loadB(spark, dir)
     assert(m2.order == 3)
     assert(m2.uniArr.toSeq == m.uniArr.toSeq)
     assert(m2.biArr.toSeq == m.biArr.toSeq)
+  }
+
+
+  test("large-cap fit stays distributed: no driver arrays, join scoring, save/load") {
+    // ctxCap + gramCap above KernelModelMaxRows must NEVER collect to the
+    // driver (r10 ADVICE: a CCNet-scale fit would OOM it) — the model is a
+    // DistributedLm over persisted frames and scores through the join path
+    val big = NgramLm.fitOrder(corpus, col("text"), order = 2,
+      ctxCap = NgramLm.KernelModelMaxRows, gramCap = 1)
+    val d = big.asInstanceOf[NgramLm.DistributedLm]
+    assert(d.uniDF(spark).collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq == Seq("a" -> 5L, "b" -> 3L))
+    // gramCap = 1 binds through the distributed trim: top-1 by (c desc, g)
+    assert(d.biDF(spark).collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq("a b" -> 3L))
+    // row-equal to the same model expressed as arrays
+    val twin = NgramLm.BigramLm(Array("a" -> 5L, "b" -> 3L),
+      Array("a b" -> 3L), NgramLm.KernelModelMaxRows, 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(NgramLm.scoreDocs(corpus, col("doc_id"), col("text"), big)) ==
+      rows(NgramLm.scoreDocsJoined(corpus, col("doc_id"), col("text"), twin)))
+    // save tags TRUE gram orders and load round-trips distributed
+    val dir = java.nio.file.Files.createTempDirectory("ngramlm_dist").toString
+    NgramLm.save(spark, big, dir)
+    val tags = spark.read.parquet(dir + "/counts").select("n")
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    assert(tags == Seq(1, 2))
+    val back = NgramLm.load(spark, dir)
+    assert(back.isInstanceOf[NgramLm.DistributedLm])
+    assert(rows(NgramLm.scoreDocs(corpus, col("doc_id"), col("text"), back)) ==
+      rows(NgramLm.scoreDocs(corpus, col("doc_id"), col("text"), big)))
+  }
+
+  test("save tags context rows with the true order (trigram ctx = n=2)") {
+    val m = fitOrderB(corpus, col("text"), order = 3, ctxCap = 10, gramCap = 10)
+    val dir = java.nio.file.Files.createTempDirectory("ngramlm_tag").toString
+    NgramLm.save(spark, m, dir)
+    val byN = spark.read.parquet(dir + "/counts").collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(byN.keySet == Set(2, 3), s"true-order tags, got ${byN.keySet}")
+    assert(byN(2) == Set("a b", "b a", "a a"))
+    assert(byN(3) == Set("a b a", "b a b", "b a a"))
+  }
+
+  test("fitBackoff: all-order tables from one scan; caps and ceiling enforced") {
+    val m = NgramLm.fitBackoff(corpus, col("text"), order = 3,
+      caps = Seq(10, 10, 10))
+    assert(m.order == 3 && m.alpha == 0.4)
+    assert(m.tables(0).toMap == Map("a" -> 5L, "b" -> 3L))
+    assert(m.tables(1).toMap == Map("a b" -> 3L, "b a" -> 2L, "a a" -> 1L))
+    assert(m.tables(2).toMap ==
+      Map("a b a" -> 2L, "b a b" -> 1L, "b a a" -> 1L))
+    assert(m.uniTotal == 8L)
+    // per-order caps truncate deterministically
+    val t = NgramLm.fitBackoff(corpus, col("text"), order = 3,
+      caps = Seq(1, 2, 1))
+    assert(t.tables(0).toSeq == Seq("a" -> 5L))
+    assert(t.tables(1).toSeq == Seq("a b" -> 3L, "b a" -> 2L))
+    assert(t.tables(2).toSeq == Seq("a b a" -> 2L))
+    // the kernel-embed ceiling is a hard require, not a silent collect
+    intercept[IllegalArgumentException] {
+      NgramLm.fitBackoff(corpus, col("text"), order = 2,
+        caps = Seq(NgramLm.KernelModelMaxRows, 1))
+    }
+  }
+
+  test("stupid-backoff scoring: hand goldens on every branch") {
+    import graft.expressions.{BackoffLmScore, BigramLmScore}
+    val m = NgramLm.fitBackoff(corpus, col("text"), order = 3,
+      caps = Seq(10, 10, 10))
+    val ap = BackoffLmScore.alphaPowers(0.4, 3)
+    def t(s: Double): Long = BigramLmScore.halfUp(1e6 * math.log(s))
+    val probe = corpus.unionByName(Seq(
+      (9L, "q r s"),    // full OOV floor:      alpha^2 / T
+      (10L, "a a b"),   // bigram backoff:      alpha * c(a b)/c(a)
+      (11L, "z z a"),   // unigram backoff:     alpha^2 * c(a)/T
+      (12L, "a b")      // < order tokens: no row
+    ).toDF("doc_id", "text"))
+    val out = NgramLm.scoreDocsBackoff(probe, col("doc_id"), col("text"), m)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 9L, 10L, 11L))
+    // doc1 "a b a b": (a b a | a b) = 2/3, (b a b | b a) = 1/2 — no backoff
+    val d1 = t(1.0 * 2 / 3) + t(1.0 * 1 / 2)
+    // doc2 "a b a a": (a b a | a b) = 2/3, (b a a | b a) = 1/2
+    val d2 = d1
+    val d9 = t(ap(2) / 8.0)
+    val d10 = t(ap(1) * 3 / 5)
+    val d11 = t(ap(2) * 5 / 8.0)
+    assert(out.map(_.getLong(3)).toSeq == Seq(d1, d2, d9, d10, d11))
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 2L, 1L, 1L, 1L)) // n_grams
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 0L, 1L, 1L, 1L)) // backoffs
+    // ppl readout matches the integer score exactly
+    val ppl9 = BigDecimal(math.exp(-d9 / 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2).getDouble(4) == ppl9)
+  }
+
+  test("backoff kernel == joined path; kernel is a pure projection") {
+    val m = NgramLm.fitBackoff(corpus, col("text"), order = 3,
+      caps = Seq(2, 2, 2)) // binding caps force misses at every level
+    val probe = corpus.unionByName(Seq(
+      (9L, "q r s t"), (10L, "a a b"), (11L, "z z a"), (12L, "a"),
+      (13L, "b a a b z a b a")
+    ).toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val k = rows(NgramLm.scoreDocsBackoff(probe, col("doc_id"), col("text"), m))
+    val j = rows(NgramLm.scoreDocsBackoffJoined(probe, col("doc_id"), col("text"), m))
+    assert(k == j, s"kernel\n$k\nvs join\n$j")
+    val plan = NgramLm.scoreDocsBackoff(probe, col("doc_id"), col("text"), m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    val joined = NgramLm.scoreDocsBackoffJoined(probe, col("doc_id"), col("text"), m)
+      .queryExecution.executedPlan.toString
+    assert(joined.contains("BroadcastHashJoin"), joined)
+    assert(!joined.contains("SortMergeJoin"), joined)
   }
 
 }

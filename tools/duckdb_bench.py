@@ -18,12 +18,25 @@ engine runs the suite at ITS OWN measured-best concurrency):
     stream; 4 streams over an 8-thread pool measured faster (4.8s) than
     uncapped 8 streams x all cores (13.5s) or sequential (7.9s) at sf0.1.
 
-Usage: duckdb_bench.py <sf_dir> <oracle_sql.json>
+Usage: duckdb_bench.py <sf_dir> <oracle_sql.json> [bench_aux.json]
+
+The optional third file levels the session-fixture asymmetry: {"fixtures":
+{name: select_sql}, "overrides": {query: sql}}. Fixtures are materialized
+ONCE as in-memory tables before the timed passes — main catalog, not temp
+(temp tables are connection-local and the throughput pass's cursors would
+miss them). This is the analogue of the Spark side's session-cached model
+fits, whose cost best-of-N warm timing already excludes; the setup seconds
+are REPORTED as "_fixture_setup". An
+override replaces a query's canonical SQL only after an in-run equivalence
+check (identical row multiset) — failures fall back to the canonical SQL
+and are counted in "_override_mismatch".
+
 Prints ONE JSON object {query_name: seconds, ...} on stdout with reserved
 keys: "_wall_concurrent" (suite throughput wall seconds), "_concurrency"
 (stream count), "_wall_runs" (wall pass count, mirrored from the Spark
-side), and "_canary"/"_canary_end" (host-noise probes). Queries that fail
-time as -1.0 and are excluded from the concurrent pass.
+side), "_canary"/"_canary_end" (host-noise probes), and the fixture keys
+above. Queries that fail time as -1.0 and are excluded from the
+concurrent pass.
 """
 import glob
 import json
@@ -56,12 +69,45 @@ def main() -> None:
         "GRAFT_DUCK_THREADS", str(os.cpu_count() or 32))))
     with open(oracle_path) as f:
         sqls = json.load(f)
+    aux = {}
+    if len(sys.argv) > 3 and os.path.exists(sys.argv[3]):
+        with open(sys.argv[3]) as f:
+            aux = json.load(f)
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.splitext(os.path.basename(p))[0]
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{p}')"
         )
+
+    # session fixtures: materialize once, untimed for the per-query numbers
+    # but reported so the artifact discloses the amortized cost
+    fixture_setup = 0.0
+    for name in sorted(aux.get("fixtures", {})):
+        t0 = time.perf_counter()
+        try:
+            con.execute(
+                f"CREATE OR REPLACE TABLE {name} AS {aux['fixtures'][name]}")
+        except Exception:
+            pass
+        fixture_setup += time.perf_counter() - t0
+
+    # overrides: swap in the amortized SQL only when it provably returns
+    # the canonical oracle's exact row multiset in THIS run
+    override_mismatch = 0
+    for name in sorted(aux.get("overrides", {})):
+        if name not in sqls:
+            continue
+        try:
+            canonical = sorted(map(tuple, con.execute(sqls[name]).fetchall()))
+            amortized = sorted(
+                map(tuple, con.execute(aux["overrides"][name]).fetchall()))
+            if canonical == amortized:
+                sqls[name] = aux["overrides"][name]
+            else:
+                override_mismatch += 1
+        except Exception:
+            override_mismatch += 1
 
     # host-noise canary (PERF.md discipline): a warm lineitem aggregate runs
     # ~0.03s on a quiet host and >=0.2s when the box is degraded. Measured
@@ -78,6 +124,9 @@ def main() -> None:
         return min(times)
 
     out = {}
+    if aux:
+        out["_fixture_setup"] = fixture_setup
+        out["_override_mismatch"] = float(override_mismatch)
     try:
         out["_canary"] = canary()
     except Exception:
