@@ -296,6 +296,176 @@ case class BackoffLmScore(child: Expression,
     copy(child = newChild)
 }
 
+/** The stupid-backoff perplexity-gate predicate as ONE fused boolean
+  * kernel — [[BigramLmGate]]'s pattern applied to the backoff scorer: the
+  * whole readout evaluates once per row inside the filter (a per-field
+  * struct reference would re-run the kernel per conjunct), and the
+  * threshold compares the same 6-dp HALF_UP `ppl` that
+  * [[graft.ml.NgramLm.scoreDocsBackoff]] emits, so the kept set equals
+  * `scoreDocsBackoff(...).filter(ppl <= maxPpl)` bit-for-bit.
+  */
+case class BackoffLmGate(child: Expression,
+                         tables: Array[Array[(String, Long)]],
+                         alpha: Double,
+                         maxPpl: Double) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if tables.length >= 2 && alpha > 0 && alpha < 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"backoff_lm_gate requires STRING, order >= 2, alpha in (0,1), " +
+        s"got ${t.simpleString} / ${tables.length} / $alpha")
+  }
+
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val scorer =
+    BackoffLmScore(child, tables, alpha)
+
+  def keep(text: UTF8String): Boolean = {
+    val row = scorer.score(text)
+    val n = row.getLong(0)
+    if (n == 0L) return false
+    val x = -row.getLong(2).toDouble / (1e6 * n.toDouble)
+    java.math.BigDecimal.valueOf(Math.exp(x))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue() <= maxPpl
+  }
+
+  override def nullSafeEval(v: Any): Any = keep(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("backoffGate", this,
+      classOf[BackoffLmGate].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.keep($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BackoffLmGate =
+    copy(child = newChild)
+}
+
+object BackoffLmGate {
+  def apply(text: Column, tables: Array[Array[(String, Long)]],
+            alpha: Double, maxPpl: Double): Column =
+    ColumnBridge.column(
+      new BackoffLmGate(ColumnBridge.expression(text), tables, alpha, maxPpl))
+}
+
+/** Whole-document INTERPOLATED KNESER-NEY scoring (Kneser & Ney 1995,
+  * the KenLM smoothing) as one fused scalar kernel over the SAME capped
+  * unigram/bigram count tables the add-V model fits — one fit, two
+  * smoothers. All KN statistics derive deterministically FROM the capped
+  * bigram table (the model artifact), so the oracle can replay them with
+  * plain SQL aggregation:
+  *   - nf(v)  = #distinct w with "v w" in the capped table (N1+(v·))
+  *   - nb(w)  = #distinct v with "v w" in the capped table (N1+(·w))
+  *   - M      = capped-table row count (N1+(··))
+  * Per bigram (v, w) with true counts c1 = c(v), c2 = c(v w), discount D
+  * and Pc(w) = (nb(w)+1)/(M+V) — add-one-smoothed continuation, so every
+  * probability is strictly positive even for words the capped table
+  * never continues:
+  *   P = (c2−D)/c1 + (D·(nf(v)+1)/c1)·Pc(w)   (v in model, bigram in model)
+  *   P =            (D·(nf(v)+1)/c1)·Pc(w)    (v in model, bigram absent)
+  *   P = Pc(w)                                 (v out of model)
+  * summed as micro-nat longs with the same [[BigramLmScore.halfUp]]
+  * rounding as every other LM path. Each double chain is the exact
+  * left-to-right op sequence the joined path and the q5v SQL oracle
+  * spell, so the integer sum replays bit-for-bit cross-engine.
+  */
+case class KnLmScore(child: Expression,
+                     uni: Array[(String, Long)],
+                     bi: Array[(String, Long)],
+                     vocabV: Long,
+                     discount: Double) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if vocabV > 0 && discount > 0 && discount < 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kn_lm_score requires STRING, V > 0, discount in (0,1), " +
+        s"got ${t.simpleString} / $vocabV / $discount")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("oov_bigrams", LongType, nullable = false),
+    StructField("lm_score", LongType, nullable = false)))
+
+  @transient private lazy val uniMap: java.util.HashMap[UTF8String, Long] = {
+    val m = new java.util.HashMap[UTF8String, Long](uni.length * 2)
+    uni.foreach { case (k, v) => m.put(UTF8String.fromString(k), v) }
+    m
+  }
+  @transient private lazy val biMap: java.util.HashMap[UTF8String, Long] = {
+    val m = new java.util.HashMap[UTF8String, Long](bi.length * 2)
+    bi.foreach { case (k, v) => m.put(UTF8String.fromString(k), v) }
+    m
+  }
+  /** N1+(v·) and N1+(·w) from the capped bigram table — built once per
+    * task from the rows already riding the expression.
+    */
+  @transient private lazy val (nfMap, nbMap) = {
+    val nf = new java.util.HashMap[UTF8String, Long](bi.length * 2)
+    val nb = new java.util.HashMap[UTF8String, Long](bi.length * 2)
+    bi.foreach { case (g, _) =>
+      val sp = g.indexOf(' ')
+      val v = UTF8String.fromString(g.substring(0, sp))
+      val w = UTF8String.fromString(g.substring(sp + 1))
+      nf.merge(v, 1L, (a, b) => a + b)
+      nb.merge(w, 1L, (a, b) => a + b)
+    }
+    (nf, nb)
+  }
+  @transient private lazy val contDenom: Double = (bi.length + vocabV).toDouble
+
+  def score(text: UTF8String): InternalRow = {
+    val toks = WordShinglesKernel.tokenize(text)
+    val nGr = math.max(toks.length - 1, 0)
+    var oov = 0L
+    var total = 0L
+    var i = 0
+    while (i < nGr) {
+      val v = toks(i)
+      val w = toks(i + 1)
+      val gp = new Array[UTF8String](2)
+      gp(0) = v; gp(1) = w
+      val g = WordShinglesKernel.joinWith(WordShinglesKernel.SpaceSep, gp)
+      val c1 = uniMap.getOrDefault(v, 0L)
+      val c2 = biMap.getOrDefault(g, 0L)
+      if (c2 == 0L) oov += 1L
+      // EXACT op order shared with the joined path and the SQL oracle:
+      // pc = (nb+1)/(M+V); P = t1 + ((D*(nf+1))/c1)*pc, t1 = (c2-D)/c1
+      val pc = (nbMap.getOrDefault(w, 0L) + 1.0) / contDenom
+      val p =
+        if (c1 == 0L) pc
+        else {
+          val t1 = if (c2 == 0L) 0.0 else (c2 - discount) / c1.toDouble
+          t1 + discount * (nfMap.getOrDefault(v, 0L) + 1.0) / c1.toDouble * pc
+        }
+      total += BigramLmScore.halfUp(1e6 * Math.log(p))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nGr.toLong, oov, total))
+  }
+
+  override def nullSafeEval(v: Any): Any = score(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("knKernel", this, classOf[KnLmScore].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.score($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KnLmScore =
+    copy(child = newChild)
+}
+
+object KnLmScore {
+  def apply(text: Column, uni: Array[(String, Long)], bi: Array[(String, Long)],
+            vocabV: Long, discount: Double): Column =
+    ColumnBridge.column(
+      new KnLmScore(ColumnBridge.expression(text), uni, bi, vocabV, discount))
+}
+
 object BackoffLmScore {
   def apply(text: Column, tables: Array[Array[(String, Long)]],
             alpha: Double): Column =

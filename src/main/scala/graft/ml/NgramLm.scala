@@ -542,6 +542,130 @@ object NgramLm {
         sum(term).as("lm_score")), "n_grams")
   }
 
+  // --------------------------------------------------------------------
+  // Interpolated Kneser-Ney smoothing (Kneser & Ney 1995) — the KenLM
+  // smoother, over the SAME capped count tables the add-V model fits.
+  // --------------------------------------------------------------------
+
+  /** A Kneser-Ney view over a fitted [[BigramLm]]: the same capped
+    * unigram/bigram count tables plus the absolute discount D. ALL KN
+    * statistics (N1+(v·), N1+(·w), N1+(··)) derive deterministically from
+    * the capped bigram table inside the scoring kernel, so the model
+    * artifact is unchanged — one fit serves both smoothers, and a model
+    * [[save]]d for add-V scoring loads straight into KN scoring.
+    * Kernel-embeddable by the [[BigramLm]] bound; the broadcast-join
+    * formulation ([[scoreDocsKnJoined]]) is the beyond-bound seam.
+    */
+  final case class KnLm(base: BigramLm, discount: Double = 0.75) {
+    require(base.order == 2,
+      s"KN smoothing is defined over the bigram model, got order ${base.order}")
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+  }
+
+  /** Fit a [[KnLm]]: the single-scan [[fit]] at kernel-embeddable caps,
+    * wrapped with the discount. Caps beyond [[KernelModelMaxRows]] would
+    * return a [[DistributedLm]], which has no KN kernel — the require
+    * points at the joined formulation as the generalization seam.
+    */
+  def fitKn(corpus: DataFrame, text: Column, uniCap: Int, biCap: Int,
+            discount: Double = 0.75): KnLm =
+    fit(corpus, text, uniCap, biCap) match {
+      case m: BigramLm => KnLm(m, discount)
+      case _ => throw new IllegalArgumentException(
+        s"KN caps $uniCap+$biCap exceed the kernel-embed ceiling " +
+          s"$KernelModelMaxRows; generalize scoreDocsKnJoined for larger models")
+    }
+
+  /** Interpolated-KN scoring of `docs(id, text)` — [[scoreDocs]]'s output
+    * shape (n_bigrams / oov_bigrams / lm_score / ppl, one row per document
+    * with ≥ 2 tokens) with the KN readout: per bigram (v, w),
+    *   P = (c2−D)/c1 + (D·(N1+(v·)+1)/c1) · Pc(w)   (bigram in model)
+    *   P =            (D·(N1+(v·)+1)/c1) · Pc(w)    (v in model, bigram absent)
+    *   P = Pc(w)                                     (v out of model)
+    * with Pc(w) = (N1+(·w)+1)/(M+V) — add-one-smoothed continuation
+    * probability (M = capped bigram rows, V = uniCap), which keeps every
+    * branch strictly positive where textbook KN would hit ln(0) on
+    * never-continued words. Zero-shuffle fused projection; each per-gram
+    * term rounds to micro-nat longs before the sum (the q5v oracle).
+    */
+  def scoreDocsKn(docs: DataFrame, id: Column, text: Column,
+                  model: KnLm): DataFrame =
+    withPpl(docs
+      .select(id.as("doc_id"),
+        graft.expressions.KnLmScore(text, model.base.uniArr, model.base.biArr,
+          model.base.uniCap.toLong, model.discount).as("__s"))
+      .select(col("doc_id"),
+        col("__s.n_bigrams").as("n_bigrams"),
+        col("__s.oov_bigrams").as("oov_bigrams"),
+        col("__s.lm_score").as("lm_score"))
+      .filter(col("n_bigrams") > 0))
+
+  /** The broadcast-join formulation of [[scoreDocsKn]] — bigram generate,
+    * four broadcast model joins (counts, N1+(v·), N1+(·w)), the CASE
+    * readout. Row-equal to the kernel (spec-pinned); the generalization
+    * seam for models beyond the kernel-embed bound, where the continuation
+    * tables would be derived with two more aggregations instead of on the
+    * driver.
+    */
+  def scoreDocsKnJoined(docs: DataFrame, id: Column, text: Column,
+                        model: KnLm): DataFrame = {
+    val spark = docs.sparkSession
+    val base = model.base
+    // continuation tables from the capped bigram array — bounded driver
+    // derivation of the same stats the kernel builds per task
+    def splitCounts(part: String => String): Seq[(String, Long)] =
+      base.biArr.toIndexedSeq.groupBy { case (g, _) => part(g) }
+        .view.mapValues(_.size.toLong).toSeq
+    val nf = broadcast(spark.createDataFrame(
+      splitCounts(g => g.substring(0, g.indexOf(' ')))).toDF("__nfv", "__nfk"))
+    val nb = broadcast(spark.createDataFrame(
+      splitCounts(g => g.substring(g.indexOf(' ') + 1))).toDF("__nbw", "__nbk"))
+    val toks = docs.select(id.as("__id"), TextFunctions.tokens(text).as("__t"))
+    val grams = toks
+      .select(col("__id"), explode(gramArray(col("__t"), 2)).as("b"))
+      .withColumn("w1", split(col("b"), " ").getItem(0))
+      .withColumn("w2", split(col("b"), " ").getItem(1))
+    val uni = broadcast(base.uniDF(spark).withColumnRenamed("c", "__c1"))
+    val bi = broadcast(base.biDF(spark)
+      .withColumnRenamed("b", "__b").withColumnRenamed("c", "__c2"))
+    val joined = grams
+      .join(uni, grams("w1") === uni("w"), "left")
+      .join(bi, grams("b") === col("__b"), "left")
+      .join(nf, grams("w1") === col("__nfv"), "left")
+      .join(nb, grams("w2") === col("__nbw"), "left")
+    val d = lit(model.discount)
+    // EXACT op order shared with the kernel and the SQL oracle
+    val pc = (coalesce(col("__nbk"), lit(0L)) + lit(1.0)) /
+      lit((base.biArr.length + base.uniCap).toLong)
+    val t1 = when(col("__c2").isNotNull,
+      (col("__c2") - d) / col("__c1")).otherwise(lit(0.0))
+    val p = when(col("__c1").isNotNull,
+        t1 + d * (coalesce(col("__nfk"), lit(0L)) + lit(1.0)) / col("__c1") * pc)
+      .otherwise(pc)
+    val term = round(lit(1e6) * log(p)).cast("long")
+    withPpl(joined
+      .groupBy(col("__id").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("__c2").isNull, 1L).otherwise(0L)).as("oov_bigrams"),
+        sum(term).as("lm_score")))
+  }
+
+  /** The CCNet perplexity gate over a [[BackoffLm]] — [[pplGate]]'s
+    * zero-shuffle scan-filter shape with the backoff scorer: the fused
+    * [[graft.expressions.BackoffLmGate]] boolean kernel evaluates the
+    * whole readout once per row (never per struct-field reference), and
+    * the kept set equals `scoreDocsBackoff(...).filter(ppl <= maxPpl)`
+    * bit-for-bit (documents with fewer than `order` tokens drop). The
+    * model is kernel-embeddable by [[fitBackoff]]'s cap ceiling, so this
+    * path always exists.
+    */
+  def pplGateBackoff(docs: DataFrame, text: Column, model: BackoffLm,
+                     maxPpl: Double): DataFrame =
+    docs.filter(graft.expressions.BackoffLmGate(
+      text, model.tables, model.alpha, maxPpl))
+
   /** [[withPpl]] generalized to the scored-gram column name. */
   private def withPplOn(scored: DataFrame, nCol: String): DataFrame =
     scored.withColumn("ppl",

@@ -34,6 +34,12 @@ object LmQueries {
   private val BoBiCap = 300
   private val BoTriCap = 900
   private val BoAlpha = 0.4
+
+  /** q5u gate threshold — splits the q5t perplexity distribution for real
+    * at every SF (kept 217/500 at sf0.001, 231/500 at sf0.01, 464/5000 at
+    * sf0.1), so both branches of the gate carry oracle-checked rows.
+    */
+  private val BoGatePpl = 400.0
   /** The exact per-level α-power double literals the kernel, the joined
     * path, and the DuckDB oracle all share (repeated multiplication —
     * [[graft.expressions.BackoffLmScore.alphaPowers]]).
@@ -121,7 +127,10 @@ object LmQueries {
     */
   def benchFixtures: Map[String, String] = Map(
     FixUni -> lmFitUniSql("documents"),
-    FixBi -> lmFitBiSql("documents"))
+    FixBi -> lmFitBiSql("documents"),
+    FixBoUni -> boFitUniSql("documents"),
+    FixBoBi -> boFitBiSql("documents"),
+    FixBoTri -> boFitTriSql("documents"))
 
   /** Bench-only oracle variants scoring against [[benchFixtures]] tables —
     * semantically identical to the canonical oracles (same scoring body
@@ -143,7 +152,14 @@ object LmQueries {
          |        count(*) OVER (PARTITION BY lang) AS n
          |      FROM j)
          |SELECT doc_id, lang, CAST((rn - 1) * 3 // n + 1 AS INT) AS bucket
-         |FROM r ORDER BY doc_id""".stripMargin)
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q5t_backoff_lm" -> backoffFixtureSql("documents"),
+    "q5u_backoff_gate" ->
+      s"""WITH p AS (${backoffFixtureSql("documents")})
+         |SELECT doc_id FROM p WHERE ppl <= $BoGatePpl
+         |ORDER BY doc_id""".stripMargin,
+    "q5v_kn_lm" ->
+      s"WITH ${knScoreBodySql(FixUni, FixBi, "documents")}")
 
   /** The q5k Spark side against any documents frame (Scale10x reuses it). */
   def lmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -199,6 +215,19 @@ object LmQueries {
     fitCache.getOrElseUpdate(d,
       NgramLm.fit(Tables.documents(s, d), col("text"), UniCap, BiCap))
 
+  /** The backoff self-fit at the q5t caps, memoized per sf dir — q5t and
+    * q5u fit the IDENTICAL model, so one fit job serves both (the
+    * [[ensureSelfModel]] discipline; the bench gives the oracle the same
+    * amortization via [[benchFixtures]], keeping the ratio symmetric).
+    */
+  private val boFitCache =
+    scala.collection.concurrent.TrieMap.empty[String, NgramLm.BackoffLm]
+  private def ensureBackoffModel(s: org.apache.spark.sql.SparkSession,
+                                 d: String): NgramLm.BackoffLm =
+    boFitCache.getOrElseUpdate(d,
+      NgramLm.fitBackoff(Tables.documents(s, d), col("text"), order = 3,
+        caps = Seq(BoUniCap, BoBiCap, BoTriCap), alpha = BoAlpha))
+
   /** One session-scoped tmp root per Spark application, deleted
     * recursively by a single JVM shutdown hook — q5m/q5p write fixture
     * directories here, so a bench/verify session no longer leaks one
@@ -219,24 +248,41 @@ object LmQueries {
     new java.io.File(root, s"${tag}_${new java.io.File(d).getName}").getPath
   }
 
-  /** The q5t oracle as a function of the documents table name — shared
-    * with the Scale10x `lm_backoff` twin so the probe and the correctness
-    * oracle can never drift apart.
+  /** The backoff model's three capped count tables as standalone SELECTs
+    * — the SAME fit the q5t/q5u oracles inline, factored out so the bench
+    * can materialize them once per session ([[benchFixtures]], the q5k
+    * leveling given to the backoff trio too).
     */
-  def backoffOracleSql(table: String): String =
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM $table),
-         |u0 AS (SELECT unnest(t) AS w FROM t),
-         |uni AS (SELECT w, count(*) AS c FROM u0 GROUP BY w
-         |        ORDER BY c DESC, w LIMIT $BoUniCap),
-         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc FROM uni),
-         |b0 AS (SELECT unnest([t[i+1] || ' ' || t[i+2]
-         |                      for i in range(len(t) - 1)]) AS g FROM t),
-         |bi AS (SELECT g, count(*) AS c FROM b0 GROUP BY g
-         |       ORDER BY c DESC, g LIMIT $BoBiCap),
-         |t0 AS (SELECT unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-         |                      for i in range(len(t) - 2)]) AS g FROM t),
-         |tri AS (SELECT g, count(*) AS c FROM t0 GROUP BY g
-         |        ORDER BY c DESC, g LIMIT $BoTriCap),
+  private def boFitUniSql(fitFrom: String): String =
+    s"""SELECT w, count(*) AS c
+       |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $fitFrom)
+       |GROUP BY w ORDER BY c DESC, w LIMIT $BoUniCap""".stripMargin
+
+  private def boFitBiSql(fitFrom: String): String =
+    s"""SELECT g, count(*) AS c
+       |FROM (SELECT unnest([t[i+1] || ' ' || t[i+2]
+       |                     for i in range(len(t) - 1)]) AS g
+       |      FROM (SELECT string_split(text, ' ') AS t FROM $fitFrom))
+       |GROUP BY g ORDER BY c DESC, g LIMIT $BoBiCap""".stripMargin
+
+  private def boFitTriSql(fitFrom: String): String =
+    s"""SELECT g, count(*) AS c
+       |FROM (SELECT unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |                     for i in range(len(t) - 2)]) AS g
+       |      FROM (SELECT string_split(text, ' ') AS t FROM $fitFrom))
+       |GROUP BY g ORDER BY c DESC, g LIMIT $BoTriCap""".stripMargin
+
+  /** The scoring half of the q5t replay — a CTE chain body (no leading
+    * WITH) reading the model from `uniT`/`biT`/`triT`, which may be the
+    * inlined fit CTEs or pre-materialized fixture tables; `tot` derives
+    * from `uniT` either way. ONE text of the 5-way CASE arithmetic shared
+    * by the canonical oracle, the gate oracle, and the bench's amortized
+    * variants.
+    */
+  private def backoffScoreBodySql(uniT: String, biT: String, triT: String,
+                                  scoreFrom: String): String =
+      s"""t AS (SELECT doc_id, string_split(text, ' ') AS t FROM $scoreFrom),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc FROM $uniT),
          |s AS (SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
          |                             for i in range(len(t) - 2)]) AS g FROM t),
          |sk AS (SELECT doc_id, g,
@@ -258,16 +304,90 @@ object LmQueries {
          |    CASE WHEN tg.c IS NOT NULL AND bc.c IS NOT NULL
          |         THEN 0 ELSE 1 END AS bo
          |  FROM sk
-         |  LEFT JOIN tri tg ON tg.g = sk.g
-         |  LEFT JOIN bi bc ON bc.g = sk.b12
-         |  LEFT JOIN bi bg ON bg.g = sk.b23
-         |  LEFT JOIN uni u2 ON u2.w = sk.w2
-         |  LEFT JOIN uni u3 ON u3.w = sk.w3
+         |  LEFT JOIN $triT tg ON tg.g = sk.g
+         |  LEFT JOIN $biT bc ON bc.g = sk.b12
+         |  LEFT JOIN $biT bg ON bg.g = sk.b23
+         |  LEFT JOIN $uniT u2 ON u2.w = sk.w2
+         |  LEFT JOIN $uniT u3 ON u3.w = sk.w3
          |  CROSS JOIN tot)
          |SELECT doc_id, count(*) AS n_grams, CAST(sum(bo) AS BIGINT) AS backoffs,
          |  CAST(sum(term) AS BIGINT) AS lm_score,
          |  round(exp(-(CAST(sum(term) AS DOUBLE) / (1e6 * count(*)))), 6) AS ppl
          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q5v Kneser-Ney absolute discount, embedded identically as a double
+    * literal in the oracle SQL and passed to the kernel.
+    */
+  private val KnD = 0.75
+
+  /** The scoring half of the q5v Kneser-Ney replay — a CTE chain body (no
+    * leading WITH) reading the model from `uniT`/`biT` (inlined fit CTEs
+    * or the SAME pre-materialized graft_lm_* fixture tables q5k uses: one
+    * fit, two smoothers). The KN statistics N1+(v·)/N1+(·w)/N1+(··) are
+    * derived from the capped bigram table by plain aggregation — exactly
+    * what the kernel builds per task — and the CASE spells the exact
+    * left-to-right double op order the kernel and joined path execute.
+    */
+  private def knScoreBodySql(uniT: String, biT: String,
+                             scoreFrom: String): String =
+    s"""nf AS (SELECT string_split(b, ' ')[1] AS v, count(*) AS k
+       |       FROM $biT GROUP BY v),
+       |nb AS (SELECT string_split(b, ' ')[2] AS w, count(*) AS k
+       |       FROM $biT GROUP BY w),
+       |n12 AS (SELECT count(*) AS m FROM $biT),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS t FROM $scoreFrom),
+       |bg AS (SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2]
+       |                              for i in range(len(t) - 1)]) AS b FROM t),
+       |bgw AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1,
+       |               string_split(b, ' ')[2] AS w2 FROM bg),
+       |terms AS (
+       |  SELECT g.doc_id,
+       |    CAST(round(1e6 * ln(
+       |      CASE WHEN uni.c IS NOT NULL THEN
+       |        (CASE WHEN bic.c IS NOT NULL
+       |              THEN (bic.c - CAST($KnD AS DOUBLE)) / uni.c
+       |              ELSE CAST(0.0 AS DOUBLE) END)
+       |        + CAST($KnD AS DOUBLE) * (coalesce(nf.k, 0) + CAST(1.0 AS DOUBLE))
+       |          / uni.c
+       |          * ((coalesce(nb.k, 0) + CAST(1.0 AS DOUBLE)) / (n12.m + $UniCap))
+       |      ELSE (coalesce(nb.k, 0) + CAST(1.0 AS DOUBLE)) / (n12.m + $UniCap)
+       |      END)) AS BIGINT) AS term,
+       |    CASE WHEN bic.c IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM bgw g
+       |  LEFT JOIN $uniT uni ON uni.w = g.w1
+       |  LEFT JOIN $biT bic ON bic.b = g.b
+       |  LEFT JOIN nf ON nf.v = g.w1
+       |  LEFT JOIN nb ON nb.w = g.w2
+       |  CROSS JOIN n12)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(oov) AS BIGINT) AS oov_bigrams,
+       |  CAST(sum(term) AS BIGINT) AS lm_score,
+       |  round(exp(-(CAST(sum(term) AS DOUBLE) / (1e6 * count(*)))), 6) AS ppl
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The q5v oracle as a function of the documents table name. */
+  def knOracleSql(table: String): String =
+    s"""WITH uni0 AS (${lmFitUniSql(table)}),
+       |bi0 AS (${lmFitBiSql(table)}),
+       |${knScoreBodySql("uni0", "bi0", table)}""".stripMargin
+
+  /** The q5t oracle as a function of the documents table name — shared
+    * with the Scale10x `lm_backoff` twin so the probe and the correctness
+    * oracle can never drift apart.
+    */
+  def backoffOracleSql(table: String): String =
+    s"""WITH uni AS (${boFitUniSql(table)}),
+       |bi AS (${boFitBiSql(table)}),
+       |tri AS (${boFitTriSql(table)}),
+       |${backoffScoreBodySql("uni", "bi", "tri", table)}""".stripMargin
+
+  /** The q5t/q5u scoring replay against PRE-MATERIALIZED model tables. */
+  private def backoffFixtureSql(scoreFrom: String): String =
+    s"WITH ${backoffScoreBodySql(FixBoUni, FixBoBi, FixBoTri, scoreFrom)}"
+
+  private val FixBoUni = "graft_bo_uni"
+  private val FixBoBi = "graft_bo_bi"
+  private val FixBoTri = "graft_bo_tri"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -376,10 +496,42 @@ object LmQueries {
     // oracle replays join-for-join.
     QueryDef.sql("q5t_backoff_lm", backoffOracleSql("documents")) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val m = NgramLm.fitBackoff(docs, col("text"), order = 3,
-        caps = Seq(BoUniCap, BoBiCap, BoTriCap), alpha = BoAlpha)
-      NgramLm.scoreDocsBackoff(docs, col("doc_id"), col("text"), m)
+      NgramLm.scoreDocsBackoff(docs, col("doc_id"), col("text"),
+          ensureBackoffModel(s, d))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- interpolated Kneser-Ney LM (the KenLM smoother) -----------------
+    // The SAME capped count tables as q5k (one fit — ensureSelfModel's
+    // session cache and the graft_lm_* bench fixtures serve both), scored
+    // with interpolated KN: discounted bigram mass + continuation-count
+    // backoff weight. All KN statistics derive from the capped bigram
+    // table, so the oracle replays them with three extra aggregations and
+    // the identical left-to-right double CASE; micro-nat integer terms as
+    // everywhere.
+    QueryDef.sql("q5v_kn_lm", knOracleSql("documents")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val base = ensureSelfModel(s, d).asInstanceOf[NgramLm.BigramLm]
+      NgramLm.scoreDocsKn(docs, col("doc_id"), col("text"),
+          NgramLm.KnLm(base, KnD))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- backoff perplexity gate (the production CCNet filter) -----------
+    // The q5o gate with the stupid-backoff scorer: keep documents at or
+    // under ppl 400 against the shared q5t self-fit — a real split at
+    // every SF (43%/46%/9% kept). The Spark side is the fused
+    // BackoffLmGate boolean kernel: the whole 5-way backoff readout
+    // evaluates ONCE per row inside a zero-shuffle scan filter; the
+    // oracle replays score + threshold over the shared q5t CTE.
+    QueryDef.sql("q5u_backoff_gate",
+      s"""WITH p AS (${backoffOracleSql("documents")})
+         |SELECT doc_id FROM p WHERE ppl <= $BoGatePpl
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      NgramLm.pplGateBackoff(docs, col("text"),
+          ensureBackoffModel(s, d), maxPpl = BoGatePpl)
+        .select(col("doc_id")).orderBy(col("doc_id"))
     },
 
     // ---- CCNet head/middle/tail perplexity bucketing ---------------------

@@ -103,4 +103,29 @@ class BenchSpec extends AnyFunSuite {
       assert(json.contains("\"" + k + "\""), s"missing oracle key $k")
     }
   }
+
+  test("benchAuxJson: valid JSON; overrides cover exactly the cached-fit queries") {
+    val aux = JsonDump.benchAuxJson
+    // parses as JSON (same shape the python side json.loads)
+    assert(aux.startsWith("""{"fixtures": {"""), aux.take(40))
+    // the queries sharing a session-cached self-fit (ensureSelfModel /
+    // ensureBackoffModel) — and ONLY those — get amortized variants; every
+    // override's target must be a registered oracle query, and every
+    // fixture a plain SELECT
+    assert(SparkEntry.benchOverrides.keySet ==
+      Set("q5k_lm_score", "q5o_ppl_gate", "q5q_ppl_buckets",
+        "q5t_backoff_lm", "q5u_backoff_gate", "q5v_kn_lm"))
+    assert(SparkEntry.benchOverrides.keySet.subsetOf(SparkEntry.oracleSql.keySet))
+    assert(SparkEntry.benchFixtures.keySet ==
+      Set("graft_lm_uni", "graft_lm_bi",
+        "graft_bo_uni", "graft_bo_bi", "graft_bo_tri"))
+    SparkEntry.benchFixtures.values.foreach(sql =>
+      assert(sql.trim.toUpperCase.startsWith("SELECT"), sql))
+    // override SQL reads fixture tables, never refits from documents' raw
+    // text (a refit there would silently undo the leveling)
+    SparkEntry.benchOverrides.values.foreach { sql =>
+      assert(SparkEntry.benchFixtures.keySet.count(sql.contains) >= 2, sql)
+      assert(!sql.contains("LIMIT"), s"override must not refit (no caps): $sql")
+    }
+  }
 }

@@ -380,4 +380,130 @@ class NgramLmSpec extends SparkSpec {
     assert(!joined.contains("SortMergeJoin"), joined)
   }
 
+
+  test("pplGate routes DistributedLm through the join+semi path, same kept set") {
+    val big = NgramLm.fitOrder(corpus, col("text"), order = 2,
+      ctxCap = NgramLm.KernelModelMaxRows, gramCap = 1)
+    assert(big.isInstanceOf[NgramLm.DistributedLm])
+    val probe = corpus.unionByName(
+      Seq((9L, "q r s"), (11L, "b a a b z")).toDF("doc_id", "text"))
+    // V = ctxCap = 2^20 makes every smoothed probability tiny, so ppl sits
+    // in the hundreds of thousands; 5e5 splits in-corpus docs from OOV junk
+    val expected = NgramLm.scoreDocs(probe, col("doc_id"), col("text"), big)
+      .filter(col("ppl") <= 500000.0).select("doc_id").as[Long].collect().toSet
+    val kept = NgramLm.pplGate(probe, col("doc_id"), col("text"), big, 500000.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == expected && kept.nonEmpty && kept != probe.count())
+    assert(!kept.contains(9L), "all-OOV junk must fall outside the gate")
+  }
+
+  test("backoff gate == scoreDocsBackoff + threshold; one kernel, no shuffle") {
+    val m = NgramLm.fitBackoff(corpus, col("text"), order = 3,
+      caps = Seq(10, 10, 10))
+    val probe = corpus.unionByName(Seq(
+      (9L, "q r s"), (10L, "a a b"), (11L, "z z a"), (12L, "a b")
+    ).toDF("doc_id", "text"))
+    val scored = NgramLm.scoreDocsBackoff(probe, col("doc_id"), col("text"), m)
+    // pick a threshold that splits the probe set
+    val ppls = scored.orderBy("ppl").select("ppl").as[Double].collect()
+    val cut = ppls(ppls.length / 2)
+    val expected = scored.filter(col("ppl") <= cut)
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty && expected.size < ppls.length)
+    val kept = NgramLm.pplGateBackoff(probe, col("text"), m, cut)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"), "schema preserved")
+    assert(kept.select("doc_id").as[Long].collect().toSet == expected)
+    // fused gate over a parquet scan: ONE kernel instance, no join/shuffle
+    val dir = java.nio.file.Files
+      .createTempDirectory("backoff_gate_plan").toString
+    probe.write.mode("overwrite").parquet(dir)
+    val onScan = NgramLm.pplGateBackoff(spark.read.parquet(dir),
+      col("text"), m, cut)
+    val plan = onScan.queryExecution.optimizedPlan.toString
+    assert("(?i)backofflmgate".r.findAllIn(plan).length == 1, plan)
+    val exec = onScan.queryExecution.executedPlan.toString
+    assert(!exec.contains("Join") && !exec.contains("Exchange"), exec)
+    assert(onScan.select("doc_id").as[Long].collect().toSet == expected)
+  }
+
+  test("KN scoring: hand computation on every branch") {
+    // capped tables: uni a=5 b=3; bi "a b"=3 "b a"=2 "a a"=1
+    // KN stats from the bi table: nf(a)=2 nf(b)=1; nb(a)=2 nb(b)=1; M=3
+    val m = NgramLm.KnLm(fitB(corpus, col("text"), uniCap = 10, biCap = 10),
+      discount = 0.75)
+    val denom = (3 + 10).toDouble // M + V
+    // the EXACT kernel/oracle op order
+    def pc(nbw: Long): Double = (nbw + 1.0) / denom
+    def pFull(c2: Long, c1: Long, nfv: Long, nbw: Long): Double =
+      (c2 - 0.75) / c1.toDouble + 0.75 * (nfv + 1.0) / c1.toDouble * pc(nbw)
+    def pNoBi(c1: Long, nfv: Long, nbw: Long): Double =
+      0.0 + 0.75 * (nfv + 1.0) / c1.toDouble * pc(nbw)
+    def t(p: Double): Long =
+      graft.expressions.BigramLmScore.halfUp(1e6 * math.log(p))
+    val probe = Seq(
+      (1L, "a b a b"), // all bigrams in model
+      (2L, "b b"),     // v in model, bigram absent (nf(b)=1, nb(b)=1)
+      (3L, "z a"),     // v out of model -> continuation-only
+      (4L, "z z")      // v out of model, w never continued -> 1/(M+V)
+    ).toDF("doc_id", "text")
+    val out = NgramLm.scoreDocsKn(probe, col("doc_id"), col("text"), m)
+      .orderBy("doc_id").collect()
+    val d1 = t(pFull(3, 5, 2, 1)) * 2 + t(pFull(2, 3, 1, 2))
+    val d2 = t(pNoBi(3, 1, 1))
+    val d3 = t(pc(2))
+    val d4 = t(pc(0))
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_.getLong(3)).toSeq == Seq(d1, d2, d3, d4))
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 1L, 1L, 1L)) // n_bigrams
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 1L, 1L, 1L)) // oov
+    // ppl readout ties to the integer score exactly
+    val ppl1 = BigDecimal(math.exp(-d1 / (1e6 * 3)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getDouble(4) == ppl1)
+    // strictly positive probability even when the capped table never
+    // continues a word present in uni: biCap=1 leaves only "a b", so
+    // "b a" has nf(b)=0 — P = 0.75*1/3 * 1/(1+10), finite and scored
+    val m1 = NgramLm.KnLm(fitB(corpus, col("text"), uniCap = 10, biCap = 1))
+    val o1 = NgramLm.scoreDocsKn(Seq((9L, "b a")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), m1).collect().head
+    assert(o1.getLong(3) ==
+      t(0.0 + 0.75 * 1.0 / 3.0 * (1.0 / 11.0)))
+  }
+
+  test("KN kernel == joined path; kernel is a pure projection") {
+    val m = NgramLm.KnLm(fitB(corpus, col("text"), uniCap = 10, biCap = 10))
+    val probe = corpus.unionByName(Seq(
+      (9L, "q r s"), (10L, "a a b z"), (11L, "b b"), (12L, "a")
+    ).toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+    val k = rows(NgramLm.scoreDocsKn(probe, col("doc_id"), col("text"), m))
+    val j = rows(NgramLm.scoreDocsKnJoined(probe, col("doc_id"), col("text"), m))
+    assert(k == j, s"kernel\n$k\nvs join\n$j")
+    // truncated-model parity too (nf/nb derived from the CAPPED table)
+    val mt = NgramLm.KnLm(fitB(corpus, col("text"), uniCap = 1, biCap = 2))
+    assert(rows(NgramLm.scoreDocsKn(probe, col("doc_id"), col("text"), mt)) ==
+      rows(NgramLm.scoreDocsKnJoined(probe, col("doc_id"), col("text"), mt)))
+    val plan = NgramLm.scoreDocsKn(corpus, col("doc_id"), col("text"), m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    val joined = NgramLm.scoreDocsKnJoined(probe, col("doc_id"), col("text"), m)
+      .queryExecution.executedPlan.toString
+    assert(joined.contains("BroadcastHashJoin"), joined)
+    assert(!joined.contains("SortMergeJoin"), joined)
+  }
+
+  test("fitKn rejects caps beyond the kernel-embed ceiling") {
+    intercept[IllegalArgumentException] {
+      NgramLm.fitKn(corpus, col("text"),
+        uniCap = NgramLm.KernelModelMaxRows, biCap = 1)
+    }
+    // in-ceiling caps come back as the wrapped base fit
+    val kn = NgramLm.fitKn(corpus, col("text"), uniCap = 10, biCap = 10)
+    assert(kn.base.uniArr.toMap == Map("a" -> 5L, "b" -> 3L))
+    assert(kn.discount == 0.75)
+  }
 }
