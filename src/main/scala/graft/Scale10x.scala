@@ -178,6 +178,8 @@ object Scale10x {
       graft.queries.LmQueries.trigramFit(spark.read.parquet(p))
     def lmBackoffShape(p: String): Long =                 // q5t shape
       force(graft.queries.LmQueries.backoffScore(spark.read.parquet(p)))
+    def lmKnShape(p: String): Long =                      // q5v shape
+      force(graft.queries.LmQueries.knScore(spark.read.parquet(p)))
     def contamShape(p: String): Long =                    // q5r shape
       force(graft.queries.TextQueries.contaminationReport(spark.read.parquet(p)))
     def rankBucketsShape(p: String): Long =               // q5q operator shape
@@ -452,6 +454,7 @@ object Scale10x {
       "lm_score" -> graft.queries.LmQueries.lmScoreOracleSql(docs),
       "lm3_fit" -> graft.queries.LmQueries.trigramFitTwinSql(docs),
       "lm_backoff" -> graft.queries.LmQueries.backoffOracleSql(docs),
+      "lm_kn" -> graft.queries.LmQueries.knOracleSql(docs),
       "contam_report" -> graft.queries.TextQueries.contaminationOracleSql(docs),
       "rank_buckets" ->
         s"""WITH d AS (SELECT doc_id, doc_id % 64 AS g, length(text) AS v
@@ -523,6 +526,7 @@ object Scale10x {
       Probe("lm3_fit", () => lm3FitShape(docs1P), () => lm3FitShape(docs10P)),
       Probe("lm_backoff", () => lmBackoffShape(docs1P),
         () => lmBackoffShape(docs10P)),
+      Probe("lm_kn", () => lmKnShape(docs1P), () => lmKnShape(docs10P)),
       Probe("contam_report", () => contamShape(docs1P),
         () => contamShape(docs10P)),
       Probe("rank_buckets", () => rankBucketsShape(docs1P),

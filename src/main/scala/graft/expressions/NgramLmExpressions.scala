@@ -466,6 +466,131 @@ object KnLmScore {
       new KnLmScore(ColumnBridge.expression(text), uni, bi, vocabV, discount))
 }
 
+/** Order-3 INTERPOLATED Kneser-Ney — the full KenLM recursion, two
+  * levels deep, over the stupid-backoff model's per-order capped count
+  * tables (`tables(0..2)` = unigram/bigram/trigram counts from the ONE
+  * multi-order fit scan): per trigram window (w1 w2 w3),
+  *   P3 = (c3−D)/c2ctx + (D·(N1+(w1w2·)+1)/c2ctx) · P2   (bigram ctx in model)
+  *   P3 = P2                                              (ctx out of model)
+  * where the lower distribution P2 is EXACTLY [[KnLmScore]]'s bigram-KN
+  * readout of (w2, w3) over the same bigram/unigram tables (discounted
+  * bigram mass + add-one-smoothed continuation), so every branch is
+  * strictly positive and the whole recursion derives from the capped
+  * tables alone. The discounted trigram mass uses (c3−D) without a max
+  * clamp — counts are ≥ 1 and D < 1, so it is positive whenever the
+  * trigram is present. Micro-nat longs via [[BigramLmScore.halfUp]]; P2
+  * is computed ONCE per window and reused in both branches, mirroring
+  * the staged CTE of the q5w oracle, so the double chains replay
+  * bit-for-bit cross-engine.
+  */
+case class Kn3LmScore(child: Expression,
+                      tables: Array[Array[(String, Long)]],
+                      vocabV: Long,
+                      discount: Double) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if tables.length == 3 && vocabV > 0 &&
+        discount > 0 && discount < 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kn3_lm_score requires STRING, 3 tables, V > 0, discount in (0,1), " +
+        s"got ${t.simpleString} / ${tables.length} / $vocabV / $discount")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_trigrams", LongType, nullable = false),
+    StructField("oov_trigrams", LongType, nullable = false),
+    StructField("lm_score", LongType, nullable = false)))
+
+  @transient private lazy val Array(uniMap, biMap, triMap) =
+    tables.map { t =>
+      val m = new java.util.HashMap[UTF8String, Long](t.length * 2)
+      t.foreach { case (k, v) => m.put(UTF8String.fromString(k), v) }
+      m
+    }
+  /** N1+(w2·) and N1+(·w3) from the capped bigram table (q5v's stats). */
+  @transient private lazy val (nf2Map, nb2Map) = {
+    val nf = new java.util.HashMap[UTF8String, Long](tables(1).length * 2)
+    val nb = new java.util.HashMap[UTF8String, Long](tables(1).length * 2)
+    tables(1).foreach { case (g, _) =>
+      val sp = g.indexOf(' ')
+      nf.merge(UTF8String.fromString(g.substring(0, sp)), 1L, (a, b) => a + b)
+      nb.merge(UTF8String.fromString(g.substring(sp + 1)), 1L, (a, b) => a + b)
+    }
+    (nf, nb)
+  }
+  /** N1+(w1w2·) from the capped trigram table. */
+  @transient private lazy val nf3Map = {
+    val m = new java.util.HashMap[UTF8String, Long](tables(2).length * 2)
+    tables(2).foreach { case (g, _) =>
+      m.merge(UTF8String.fromString(g.substring(0, g.lastIndexOf(' '))),
+        1L, (a, b) => a + b)
+    }
+    m
+  }
+  @transient private lazy val contDenom: Double =
+    (tables(1).length + vocabV).toDouble
+
+  def score(text: UTF8String): InternalRow = {
+    val toks = WordShinglesKernel.tokenize(text)
+    val nW = math.max(toks.length - 2, 0)
+    var oov = 0L
+    var total = 0L
+    var i = 0
+    while (i < nW) {
+      val w1 = toks(i); val w2 = toks(i + 1); val w3 = toks(i + 2)
+      def join2(a: UTF8String, b: UTF8String): UTF8String = {
+        val p = new Array[UTF8String](2); p(0) = a; p(1) = b
+        WordShinglesKernel.joinWith(WordShinglesKernel.SpaceSep, p)
+      }
+      val g12 = join2(w1, w2)
+      val g23 = join2(w2, w3)
+      val gp = new Array[UTF8String](3); gp(0) = w1; gp(1) = w2; gp(2) = w3
+      val g123 = WordShinglesKernel.joinWith(WordShinglesKernel.SpaceSep, gp)
+      // P2: the q5v bigram-KN readout of (w2, w3) — exact op order
+      val c1 = uniMap.getOrDefault(w2, 0L)
+      val c23 = biMap.getOrDefault(g23, 0L)
+      val pc = (nb2Map.getOrDefault(w3, 0L) + 1.0) / contDenom
+      val p2 =
+        if (c1 == 0L) pc
+        else {
+          val t1 = if (c23 == 0L) 0.0 else (c23 - discount) / c1.toDouble
+          t1 + discount * (nf2Map.getOrDefault(w2, 0L) + 1.0) / c1.toDouble * pc
+        }
+      // P3: discounted trigram mass + continuation-weighted P2
+      val c12 = biMap.getOrDefault(g12, 0L)
+      val c123 = triMap.getOrDefault(g123, 0L)
+      if (c123 == 0L) oov += 1L
+      val p =
+        if (c12 == 0L) p2
+        else {
+          val s1 = if (c123 == 0L) 0.0 else (c123 - discount) / c12.toDouble
+          s1 + discount * (nf3Map.getOrDefault(g12, 0L) + 1.0) / c12.toDouble * p2
+        }
+      total += BigramLmScore.halfUp(1e6 * Math.log(p))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nW.toLong, oov, total))
+  }
+
+  override def nullSafeEval(v: Any): Any = score(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kn3Kernel", this, classOf[Kn3LmScore].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.score($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Kn3LmScore =
+    copy(child = newChild)
+}
+
+object Kn3LmScore {
+  def apply(text: Column, tables: Array[Array[(String, Long)]],
+            vocabV: Long, discount: Double): Column =
+    ColumnBridge.column(
+      new Kn3LmScore(ColumnBridge.expression(text), tables, vocabV, discount))
+}
+
 object BackoffLmScore {
   def apply(text: Column, tables: Array[Array[(String, Long)]],
             alpha: Double): Column =

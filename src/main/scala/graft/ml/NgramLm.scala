@@ -652,6 +652,108 @@ object NgramLm {
         sum(term).as("lm_score")))
   }
 
+  /** An order-3 interpolated-KN view over a fitted [[BackoffLm]] — the
+    * full KenLM recursion reuses the backoff model's per-order capped
+    * count tables verbatim (ONE multi-order fit scan serves both
+    * smoothers), plus the absolute discount D. All continuation
+    * statistics derive from the capped tables inside the kernel.
+    */
+  final case class Kn3Lm(base: BackoffLm, discount: Double = 0.75) {
+    require(base.order == 3,
+      s"order-3 KN needs a 3-table backoff fit, got order ${base.order}")
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+  }
+
+  /** Order-3 interpolated-KN scoring — [[scoreDocsKn]]'s recursion one
+    * level deeper (see [[graft.expressions.Kn3LmScore]]): per trigram
+    * window, discounted trigram mass interpolated with the bigram-KN
+    * distribution of the last two words, every branch strictly positive.
+    * Output matches q5s's shape (n_trigrams / oov_trigrams / lm_score /
+    * ppl, one row per document with ≥ 3 tokens). Zero-shuffle fused
+    * projection; the model rides the expression (bounded by
+    * [[fitBackoff]]'s Σcaps ceiling). [[scoreDocsKn3Joined]] is the
+    * broadcast-join twin and the beyond-ceiling seam.
+    */
+  def scoreDocsKn3(docs: DataFrame, id: Column, text: Column,
+                   model: Kn3Lm): DataFrame =
+    withPplOn(docs
+      .select(id.as("doc_id"),
+        graft.expressions.Kn3LmScore(text, model.base.tables,
+          model.base.caps(0).toLong, model.discount).as("__s"))
+      .select(col("doc_id"),
+        col("__s.n_trigrams").as("n_trigrams"),
+        col("__s.oov_trigrams").as("oov_trigrams"),
+        col("__s.lm_score").as("lm_score"))
+      .filter(col("n_trigrams") > 0), "n_trigrams")
+
+  /** The broadcast-join formulation of [[scoreDocsKn3]]: trigram-window
+    * generate, then the staged readout the q5w oracle mirrors — stage 1
+    * computes P2 (four broadcast joins: unigram, bigram, N1+(w2·),
+    * N1+(·w3)), stage 2 interpolates P3 over it (three more: bigram
+    * context, trigram, N1+(w1w2·)). Row-equal to the kernel
+    * (spec-pinned).
+    */
+  def scoreDocsKn3Joined(docs: DataFrame, id: Column, text: Column,
+                         model: Kn3Lm): DataFrame = {
+    val spark = docs.sparkSession
+    val base = model.base
+    def counted(pairs: Seq[(String, Long)], kCol: String, cCol: String) =
+      broadcast(spark.createDataFrame(pairs.toIndexedSeq).toDF(kCol, cCol))
+    def table(i: Int, kCol: String, cCol: String) =
+      counted(base.tables(i).toIndexedSeq, kCol, cCol)
+    def splitCounts(src: Array[(String, Long)], part: String => String) =
+      src.toIndexedSeq.groupBy { case (g, _) => part(g) }
+        .view.mapValues(_.size.toLong).toSeq
+    val nf2 = counted(splitCounts(base.tables(1),
+      g => g.substring(0, g.indexOf(' '))), "__nf2w", "__nf2k")
+    val nb2 = counted(splitCounts(base.tables(1),
+      g => g.substring(g.indexOf(' ') + 1)), "__nb2w", "__nb2k")
+    val nf3 = counted(splitCounts(base.tables(2),
+      g => g.substring(0, g.lastIndexOf(' '))), "__nf3g", "__nf3k")
+    val toks = docs.select(id.as("__id"), TextFunctions.tokens(text).as("__t"))
+    val wins = toks
+      .select(col("__id"), explode(gramArray(col("__t"), 3)).as("g"))
+      .withColumn("__p", split(col("g"), " "))
+      .withColumn("b12", array_join(slice(col("__p"), 1, 2), " "))
+      .withColumn("b23", array_join(slice(col("__p"), 2, 2), " "))
+      .withColumn("w2", element_at(col("__p"), 2))
+      .withColumn("w3", element_at(col("__p"), 3))
+    val d = lit(model.discount)
+    val denom2 = lit((base.tables(1).length + base.caps(0)).toLong)
+    // stage 1: P2 — the q5v readout of (w2, w3), exact op order
+    val s1 = wins
+      .join(table(0, "__uw", "__c1"), col("w2") === col("__uw"), "left")
+      .join(table(1, "__bg23", "__c23"), col("b23") === col("__bg23"), "left")
+      .join(nf2, col("w2") === col("__nf2w"), "left")
+      .join(nb2, col("w3") === col("__nb2w"), "left")
+    val pc = (coalesce(col("__nb2k"), lit(0L)) + lit(1.0)) / denom2
+    val t1 = when(col("__c23").isNotNull,
+      (col("__c23") - d) / col("__c1")).otherwise(lit(0.0))
+    val p2col = when(col("__c1").isNotNull,
+        t1 + d * (coalesce(col("__nf2k"), lit(0L)) + lit(1.0)) / col("__c1") * pc)
+      .otherwise(pc)
+    val staged = s1.withColumn("__p2", p2col)
+    // stage 2: P3 interpolates the carried P2
+    val s2 = staged
+      .join(table(1, "__bg12", "__c12"), col("b12") === col("__bg12"), "left")
+      .join(table(2, "__tg", "__c123"), col("g") === col("__tg"), "left")
+      .join(nf3, col("b12") === col("__nf3g"), "left")
+    val m1 = when(col("__c123").isNotNull,
+      (col("__c123") - d) / col("__c12")).otherwise(lit(0.0))
+    val p = when(col("__c12").isNotNull,
+        m1 + d * (coalesce(col("__nf3k"), lit(0L)) + lit(1.0)) / col("__c12") *
+          col("__p2"))
+      .otherwise(col("__p2"))
+    val term = round(lit(1e6) * log(p)).cast("long")
+    withPplOn(s2
+      .groupBy(col("__id").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("__c123").isNull, 1L).otherwise(0L)).as("oov_trigrams"),
+        sum(term).as("lm_score")), "n_trigrams")
+  }
+
   /** The CCNet perplexity gate over a [[BackoffLm]] — [[pplGate]]'s
     * zero-shuffle scan-filter shape with the backoff scorer: the fused
     * [[graft.expressions.BackoffLmGate]] boolean kernel evaluates the

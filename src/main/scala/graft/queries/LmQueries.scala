@@ -159,7 +159,9 @@ object LmQueries {
          |SELECT doc_id FROM p WHERE ppl <= $BoGatePpl
          |ORDER BY doc_id""".stripMargin,
     "q5v_kn_lm" ->
-      s"WITH ${knScoreBodySql(FixUni, FixBi, "documents")}")
+      s"WITH ${knScoreBodySql(FixUni, FixBi, "documents")}",
+    "q5w_kn3_lm" ->
+      s"WITH ${kn3ScoreBodySql(FixBoUni, FixBoBi, FixBoTri, "documents")}")
 
   /** The q5k Spark side against any documents frame (Scale10x reuses it). */
   def lmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -194,6 +196,14 @@ object LmQueries {
        |       ORDER BY c DESC, g LIMIT $TriGramCap)
        |SELECT count(*) AS n
        |FROM (SELECT g FROM ctx UNION ALL SELECT g FROM tg)""".stripMargin
+
+  /** The q5v Spark side against any documents frame (Scale10x twin):
+    * self-fit at the q5k caps, scored with the KN smoother.
+    */
+  def knScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    NgramLm.scoreDocsKn(docs, col("doc_id"), col("text"),
+      NgramLm.KnLm(NgramLm.fit(docs, col("text"), UniCap, BiCap)
+        .asInstanceOf[NgramLm.BigramLm], KnD))
 
   /** The q5t Spark side against any documents frame (Scale10x twin). */
   def backoffScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -371,6 +381,77 @@ object LmQueries {
        |bi0 AS (${lmFitBiSql(table)}),
        |${knScoreBodySql("uni0", "bi0", table)}""".stripMargin
 
+  /** The scoring half of the q5w order-3 interpolated-KN replay — a CTE
+    * chain body reading the model from the SAME three per-order tables
+    * the stupid-backoff oracle fits (one multi-order fit, two smoothers).
+    * Stage `p2t` computes the bigram-KN distribution P2(w3|w2) exactly as
+    * q5v spells it; stage `terms` interpolates the discounted trigram
+    * mass over the carried P2 — the same staged evaluation the kernel
+    * and joined path execute, so the double chains replay bit-for-bit.
+    */
+  private def kn3ScoreBodySql(uniT: String, biT: String, triT: String,
+                              scoreFrom: String): String =
+    s"""nf2 AS (SELECT string_split(g, ' ')[1] AS w, count(*) AS k
+       |        FROM $biT GROUP BY w),
+       |nb2 AS (SELECT string_split(g, ' ')[2] AS w, count(*) AS k
+       |        FROM $biT GROUP BY w),
+       |nf3 AS (SELECT array_to_string(string_split(g, ' ')[1:2], ' ') AS k2,
+       |               count(*) AS k
+       |        FROM $triT GROUP BY k2),
+       |m2 AS (SELECT count(*) AS m FROM $biT),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS t FROM $scoreFrom),
+       |s AS (SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |                             for i in range(len(t) - 2)]) AS g FROM t),
+       |sk AS (SELECT doc_id, g,
+       |         array_to_string(string_split(g, ' ')[1:2], ' ') AS b12,
+       |         array_to_string(string_split(g, ' ')[2:3], ' ') AS b23,
+       |         string_split(g, ' ')[2] AS w2,
+       |         string_split(g, ' ')[3] AS w3 FROM s),
+       |p2t AS (
+       |  SELECT sk.doc_id, sk.g, sk.b12,
+       |    CASE WHEN u2.c IS NOT NULL THEN
+       |      (CASE WHEN bg.c IS NOT NULL
+       |            THEN (bg.c - CAST($KnD AS DOUBLE)) / u2.c
+       |            ELSE CAST(0.0 AS DOUBLE) END)
+       |      + CAST($KnD AS DOUBLE) * (coalesce(nf2.k, 0) + CAST(1.0 AS DOUBLE))
+       |        / u2.c
+       |        * ((coalesce(nb2.k, 0) + CAST(1.0 AS DOUBLE)) / (m2.m + $BoUniCap))
+       |    ELSE (coalesce(nb2.k, 0) + CAST(1.0 AS DOUBLE)) / (m2.m + $BoUniCap)
+       |    END AS p2
+       |  FROM sk
+       |  LEFT JOIN $uniT u2 ON u2.w = sk.w2
+       |  LEFT JOIN $biT bg ON bg.g = sk.b23
+       |  LEFT JOIN nf2 ON nf2.w = sk.w2
+       |  LEFT JOIN nb2 ON nb2.w = sk.w3
+       |  CROSS JOIN m2),
+       |terms AS (
+       |  SELECT p2t.doc_id,
+       |    CAST(round(1e6 * ln(
+       |      CASE WHEN bc.c IS NOT NULL THEN
+       |        (CASE WHEN tg.c IS NOT NULL
+       |              THEN (tg.c - CAST($KnD AS DOUBLE)) / bc.c
+       |              ELSE CAST(0.0 AS DOUBLE) END)
+       |        + CAST($KnD AS DOUBLE) * (coalesce(nf3.k, 0) + CAST(1.0 AS DOUBLE))
+       |          / bc.c * p2t.p2
+       |      ELSE p2t.p2 END)) AS BIGINT) AS term,
+       |    CASE WHEN tg.c IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM p2t
+       |  LEFT JOIN $biT bc ON bc.g = p2t.b12
+       |  LEFT JOIN $triT tg ON tg.g = p2t.g
+       |  LEFT JOIN nf3 ON nf3.k2 = p2t.b12)
+       |SELECT doc_id, count(*) AS n_trigrams,
+       |  CAST(sum(oov) AS BIGINT) AS oov_trigrams,
+       |  CAST(sum(term) AS BIGINT) AS lm_score,
+       |  round(exp(-(CAST(sum(term) AS DOUBLE) / (1e6 * count(*)))), 6) AS ppl
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The q5w oracle as a function of the documents table name. */
+  def kn3OracleSql(table: String): String =
+    s"""WITH uni AS (${boFitUniSql(table)}),
+       |bi AS (${boFitBiSql(table)}),
+       |tri AS (${boFitTriSql(table)}),
+       |${kn3ScoreBodySql("uni", "bi", "tri", table)}""".stripMargin
+
   /** The q5t oracle as a function of the documents table name — shared
     * with the Scale10x `lm_backoff` twin so the probe and the correctness
     * oracle can never drift apart.
@@ -514,6 +595,21 @@ object LmQueries {
       val base = ensureSelfModel(s, d).asInstanceOf[NgramLm.BigramLm]
       NgramLm.scoreDocsKn(docs, col("doc_id"), col("text"),
           NgramLm.KnLm(base, KnD))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- order-3 interpolated Kneser-Ney (the full KenLM recursion) ------
+    // The q5v smoother one level deeper, over the SAME three per-order
+    // capped tables the stupid-backoff model fits (ensureBackoffModel's
+    // session cache and the graft_bo_* fixtures serve q5t/q5u/q5w alike):
+    // discounted trigram mass interpolated with the bigram-KN
+    // distribution of the last two words. The oracle stages P2 in its own
+    // CTE and interpolates over the carried value — the exact evaluation
+    // order of the kernel.
+    QueryDef.sql("q5w_kn3_lm", kn3OracleSql("documents")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      NgramLm.scoreDocsKn3(docs, col("doc_id"), col("text"),
+          NgramLm.Kn3Lm(ensureBackoffModel(s, d), KnD))
         .orderBy(col("doc_id"))
     },
 

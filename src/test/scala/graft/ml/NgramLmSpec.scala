@@ -496,6 +496,79 @@ class NgramLmSpec extends SparkSpec {
     assert(!joined.contains("SortMergeJoin"), joined)
   }
 
+  test("order-3 KN: hand computation on every branch") {
+    // backoff fit tables: T1 a=5 b=3; T2 "a b"=3 "b a"=2 "a a"=1;
+    // T3 "a b a"=2 "b a b"=1 "b a a"=1
+    // derived: nf2(a)=2 nf2(b)=1; nb2(a)=2 nb2(b)=1; M2=3;
+    //          nf3("a b")=1 nf3("b a")=2 (nf3("a a")=0)
+    val m = NgramLm.Kn3Lm(NgramLm.fitBackoff(corpus, col("text"), order = 3,
+      caps = Seq(10, 10, 10)), discount = 0.75)
+    val denom2 = (3 + 10).toDouble // M2 + V, V = caps(0) = 10
+    def pc(nb: Long): Double = (nb + 1.0) / denom2
+    def p2(c23: Long, c1: Long, nf2: Long, nb: Long): Double =
+      if (c1 == 0) pc(nb)
+      else (if (c23 == 0) 0.0 else (c23 - 0.75) / c1.toDouble) +
+        0.75 * (nf2 + 1.0) / c1.toDouble * pc(nb)
+    def p3(c123: Long, c12: Long, nf3: Long, lower: Double): Double =
+      if (c12 == 0) lower
+      else (if (c123 == 0) 0.0 else (c123 - 0.75) / c12.toDouble) +
+        0.75 * (nf3 + 1.0) / c12.toDouble * lower
+    def t(p: Double): Long =
+      graft.expressions.BigramLmScore.halfUp(1e6 * math.log(p))
+    val probe = Seq(
+      (1L, "a b a b"), // both windows fully in model
+      (2L, "a a b"),   // trigram absent, bigram ctx "a a" present, nf3=0
+      (3L, "b b a"),   // bigram ctx absent -> pure P2 backoff
+      (4L, "x y z")    // everything OOV -> continuation floor 1/(M2+V)
+    ).toDF("doc_id", "text")
+    val out = NgramLm.scoreDocsKn3(probe, col("doc_id"), col("text"), m)
+      .orderBy("doc_id").collect()
+    val d1 = t(p3(2, 3, 1, p2(2, 3, 1, 2))) + // (a b a): P2 of (b, a)
+      t(p3(1, 2, 2, p2(3, 5, 2, 1)))          // (b a b): P2 of (a, b)
+    val d2 = t(p3(0, 1, 0, p2(3, 5, 2, 1)))   // (a a b): ctx c("a a")=1
+    val d3 = t(p2(2, 3, 1, 2))                // (b b a): P2 of (b, a)
+    val d4 = t(pc(0))
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_.getLong(3)).toSeq == Seq(d1, d2, d3, d4))
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 1L, 1L, 1L)) // n_trigrams
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 1L, 1L, 1L)) // oov
+    val ppl1 = BigDecimal(math.exp(-d1 / (1e6 * 2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getDouble(4) == ppl1)
+  }
+
+  test("order-3 KN kernel == joined path; kernel is a pure projection") {
+    val m = NgramLm.Kn3Lm(NgramLm.fitBackoff(corpus, col("text"), order = 3,
+      caps = Seq(10, 10, 10)))
+    val probe = corpus.unionByName(Seq(
+      (9L, "q r s t"), (10L, "a a b z b a"), (11L, "b b a"), (12L, "a b")
+    ).toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+    val k = rows(NgramLm.scoreDocsKn3(probe, col("doc_id"), col("text"), m))
+    val j = rows(NgramLm.scoreDocsKn3Joined(probe, col("doc_id"), col("text"), m))
+    assert(k == j, s"kernel\n$k\nvs join\n$j")
+    // truncated tables: stats derive from what SURVIVED the caps
+    val mt = NgramLm.Kn3Lm(NgramLm.fitBackoff(corpus, col("text"), order = 3,
+      caps = Seq(1, 2, 2)))
+    assert(rows(NgramLm.scoreDocsKn3(probe, col("doc_id"), col("text"), mt)) ==
+      rows(NgramLm.scoreDocsKn3Joined(probe, col("doc_id"), col("text"), mt)))
+    val plan = NgramLm.scoreDocsKn3(corpus, col("doc_id"), col("text"), m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+    val joined = NgramLm.scoreDocsKn3Joined(probe, col("doc_id"), col("text"), m)
+      .queryExecution.executedPlan.toString
+    assert(joined.contains("BroadcastHashJoin"), joined)
+    assert(!joined.contains("SortMergeJoin"), joined)
+    // order-2 base fits are rejected — the recursion is defined at 3
+    intercept[IllegalArgumentException] {
+      NgramLm.Kn3Lm(NgramLm.fitBackoff(corpus, col("text"), order = 2,
+        caps = Seq(10, 10)))
+    }
+  }
+
   test("fitKn rejects caps beyond the kernel-embed ceiling") {
     intercept[IllegalArgumentException] {
       NgramLm.fitKn(corpus, col("text"),
