@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.expressions.Bm25TermStats
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the corpus — BM25 (Robertson et al., the Lucene
+  * scoring shape): the ranking half of the training-data toolbox that
+  * salient-terms (per-doc tf-idf) doesn't cover. A pretraining pipeline
+  * uses this to mine topic subsets, pull hard negatives for quality
+  * classifiers, and audit eval-set leakage beyond exact n-gram overlap.
+  *
+  * Design for 100 TB: the fit is ONE bounded aggregate job over the fused
+  * [[Bm25TermStats]] kernel (corpus size, total token count, per-term
+  * document frequencies — a single row collected to the driver, the q5l
+  * bounded-fit discipline); scoring is a second zero-shuffle kernel scan
+  * with the fitted idf/avgdl constants embedded in the projection, topped
+  * by a TakeOrdered k — no explode, no per-occurrence shuffle, no join.
+  *
+  * EXACTNESS: each per-term contribution is rounded to integer
+  * micro-units BEFORE the sum (the LM-score contract), and every double
+  * chain — idf's ln argument, the tf saturation, the length
+  * normalization — is spelled in one left-to-right op order shared with
+  * the q5x SQL oracle, so scores replay bit-for-bit cross-engine.
+  */
+object Retrieval {
+
+  /** Top-k documents by BM25 against `terms`. Output: (doc_id, matched,
+    * score) — matched = how many distinct query terms the document
+    * contains (docs matching none are dropped, standard retrieval
+    * semantics), score = Σ_t round(1e6 · idf_t · tf·(k1+1) /
+    * (tf + k1·(1−b + b·dl/avgdl))) as an exact LONG, ties broken by
+    * doc_id ascending. idf_t = ln((N−df+0.5)/(df+0.5)+1) — the Lucene
+    * BM25+ form, strictly positive for every df ≤ N. Defaults k1=1.25,
+    * b=0.75 are exact binary doubles, so (k1+1) and (1−b) carry no
+    * representation drift into the oracle's literals.
+    */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32,
+      s"query term list must be 1..32 terms, got ${terms.size}")
+    require(terms.distinct.size == terms.size, "query terms must be distinct")
+    val stats = docs.select(id.as("doc_id"),
+        Bm25TermStats(text, terms.toArray).as("__s"))
+      .select(col("doc_id"), col("__s.dl").as("dl"), col("__s.tf").as("tf"))
+    // ONE fit job, one bounded row to the driver: N, Σdl, df per term
+    val aggCols = Seq(count(lit(1)).as("n"), sum(col("dl")).as("len")) ++
+      terms.indices.map(i =>
+        sum(when(col("tf").getItem(i) > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val row = stats.agg(aggCols.head, aggCols.tail: _*).collect().head
+    val n = row.getLong(0)
+    if (n == 0L)
+      return stats.select(col("doc_id"), lit(0L).as("matched"),
+        lit(0L).as("score")).limit(0)
+    val avgdl = row.getLong(1).toDouble / n.toDouble
+    // idf embedded as a fitted literal (q34/q5l pattern); the oracle
+    // recomputes ln over the same (N, df) integers — identical chain
+    val idf = terms.indices.map { i =>
+      val df = row.getLong(2 + i)
+      math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    }
+    val score = terms.indices.map { i =>
+      val tf = col("tf").getItem(i)
+      // EXACT op order shared with the SQL oracle; tf = 0 contributes a
+      // clean 0 (numerator is 0, denominator strictly positive)
+      round(lit(1e6) * (lit(idf(i)) * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))))
+        .cast("long")
+    }.reduce(_ + _)
+    val matched = terms.indices.map(i =>
+      when(col("tf").getItem(i) > 0, 1L).otherwise(0L)).reduce(_ + _)
+    stats.select(col("doc_id"), matched.as("matched"), score.as("score"))
+      .filter(col("matched") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1140,6 +1140,48 @@ object TextQueries {
     //      table. Spark compares 64-bit text fingerprints through one
     //      full-outer join; the oracle compares the texts themselves —
     //      green proves the fingerprint form computes the identical diff --
+    // ---- BM25 lexical retrieval (the ranking half of the text toolbox) ----
+    // Top-20 documents for a 5-term query. The Spark side fits (N, avgdl,
+    // per-term df) in ONE bounded aggregate over the fused Bm25TermStats
+    // kernel and scores in a second zero-shuffle kernel scan with the
+    // fitted constants embedded; each per-term contribution rounds to
+    // integer micro-units before the sum (the LM-score contract), and the
+    // oracle spells the identical left-to-right double chain, so scores
+    // replay bit-for-bit. k1=1.25 / b=0.75 are exact binary doubles — the
+    // SQL literals 2.25/1.25/0.25/0.75 are the same values the operator
+    // computes.
+    QueryDef.sql("q5x_bm25_topk",
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dl AS (SELECT doc_id, len(t) AS dl FROM tok),
+        |stats AS (SELECT count(*) AS n,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |w AS (SELECT doc_id, unnest(t) AS w FROM tok),
+        |tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM w
+        |       WHERE w IN ('merge', 'query', 'spark', 'stream', 'window')
+        |       GROUP BY doc_id, w),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(1e6 * (
+        |      ln((stats.n - df.df + CAST(0.5 AS DOUBLE))
+        |         / (df.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |      * (tf.tf * CAST(2.25 AS DOUBLE))
+        |      / (tf.tf + CAST(1.25 AS DOUBLE)
+        |         * (CAST(0.25 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))
+        |    )) AS BIGINT) AS c
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats),
+        |s AS (SELECT doc_id, count(*) AS matched,
+        |        CAST(sum(c) AS BIGINT) AS score
+        |      FROM contrib GROUP BY doc_id)
+        |SELECT doc_id, matched, score FROM s
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      graft.operators.Retrieval.bm25TopK(Tables.documents(s, d),
+        col("doc_id"), col("text"),
+        Seq("merge", "query", "spark", "stream", "window"), k = 20)
+    },
+
     QueryDef.sql("q58_snapshot_diff",
       """WITH olds AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
         |news AS (SELECT doc_id,

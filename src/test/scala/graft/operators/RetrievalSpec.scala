@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // N=4, Σdl=9, avgdl=2.25; df(spark)=2, df(merge)=2
+  private def docs = Seq(
+    (1L, "spark merge spark"), // dl=3, tf(spark)=2, tf(merge)=1
+    (2L, "merge"),             // dl=1, tf(merge)=1
+    (3L, "a b c"),             // dl=3, no query terms
+    (4L, "spark a")            // dl=2, tf(spark)=1
+  ).toDF("doc_id", "text")
+
+  // the operator's exact op order, k1=1.25 b=0.75
+  private def contrib(idf: Double, tf: Long, dl: Long, avgdl: Double): Long =
+    graft.expressions.BigramLmScore.halfUp(1e6 *
+      (idf * (tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 * dl / avgdl))))
+
+  test("bm25TopK: hand-computed scores, matched counts, no-match drop") {
+    val out = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+        Seq("spark", "merge"), k = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0) // both terms: ln 2
+    val avgdl = 9.0 / 4.0
+    val d1 = contrib(idf, 2, 3, avgdl) + contrib(idf, 1, 3, avgdl)
+    val d2 = contrib(idf, 1, 1, avgdl)
+    val d4 = contrib(idf, 1, 2, avgdl)
+    assert(out.toSeq == Seq((1L, 2L, d1), (2L, 1L, d2), (4L, 1L, d4)))
+    // shorter docs outscore longer ones at equal tf (length normalization)
+    assert(d2 > d4)
+  }
+
+  test("bm25TopK: k truncates on the (score desc, doc_id) total order") {
+    val top = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+        Seq("spark", "merge"), k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    // doc 1 (2 matched terms) first, then doc 2 (best single-term score)
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("bm25TopK: scoring plan is join-free; empty corpus yields empty") {
+    val plan = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+        Seq("spark"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    val empty = Retrieval.bm25TopK(docs.limit(0), col("doc_id"), col("text"),
+      Seq("spark"), k = 5)
+    assert(empty.columns.toSeq == Seq("doc_id", "matched", "score"))
+    assert(empty.count() == 0)
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(docs, col("doc_id"), col("text"), Seq.empty, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+        Seq("spark", "spark"), 5)
+    }
+  }
+}
