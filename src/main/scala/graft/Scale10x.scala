@@ -252,6 +252,17 @@ object Scale10x {
         spark.read.parquet(p).where(col("vec_id") >= 20), "vec_id",
         annQueries.select(col("query_id"), col("qe").as("embedding")),
         "query_id", k = 5, nCentroids = 64, nProbe = 8))
+    // PQ codebooks prefit ONCE on the 1x corpus (codebooks identical at
+    // both scales — the copies are the same vectors), so the probe times
+    // the steady-state encode + ADC search, not the one-time fit; the
+    // twin replays the same codebook via the shared pqReplaySql text
+    lazy val pqCbs = Similarity.fitPq(
+      spark.read.parquet(emb1P).where(col("vec_id") >= 20))
+    def annPqShape(p: String): Long =                     // q5y PQ/ADC path
+      force(Similarity.pqTopK(
+        spark.read.parquet(p).where(col("vec_id") >= 20), "vec_id",
+        annQueries.select(col("query_id"), col("qe").as("embedding")),
+        "query_id", k = 5, pqCbs))
 
     // ---- the incremental near-dup gate (writeBandTable →
     // nearDupesAgainstTable → appendBandTable), the steady-state ingest
@@ -535,7 +546,8 @@ object Scale10x {
       Probe("asof_join", () => asofShape(ev1P), () => asofShape(evNP)),
       Probe("range_join", () => rangeShape(ev1P), () => rangeShape(evNP)),
       Probe("ann_brute", () => annBruteShape(emb1P), () => annBruteShape(embNP)),
-      Probe("ann_ivf", () => annIvfShape(emb1P), () => annIvfShape(embNP))) ++
+      Probe("ann_ivf", () => annIvfShape(emb1P), () => annIvfShape(embNP)),
+      Probe("ann_pq", () => annPqShape(emb1P), () => annPqShape(embNP))) ++
       nearDupProbes :+
       Probe("multimodel_eval", () => multiEvalShape(li1P, ord1P),
         () => multiEvalShape(li10P, ord10P))
@@ -596,8 +608,12 @@ object Scale10x {
 
     // ---- time the DuckDB twins over the same files ------------------------
     val duck: Map[String, Double] = try {
-      val sql1 = duckSql("docs1v", "li1v", "ord1v", "ev1v", "gbv", "emb1v")
-      val sqlN = duckSql("docsNv", "liNv", "ordNv", "evNv", "gbv", "embNv")
+      def pqTwin(embv: String) = graft.queries.SimilarityQueries.pqReplaySql(
+        pqCbs, s"$embv WHERE vec_id >= 20", "emb1v WHERE vec_id < 20", k = 5)
+      val sql1 = duckSql("docs1v", "li1v", "ord1v", "ev1v", "gbv", "emb1v") +
+        ("ann_pq" -> pqTwin("emb1v"))
+      val sqlN = duckSql("docsNv", "liNv", "ordNv", "evNv", "gbv", "embNv") +
+        ("ann_pq" -> pqTwin("embNv"))
       val views = Map("docs1v" -> docs1P, "docsNv" -> docs10P,
         "li1v" -> li1P, "liNv" -> li10P, "ord1v" -> ord1P, "ordNv" -> ord10P,
         "ev1v" -> ev1P, "evNv" -> evNP, "gbv" -> gateBatchP,

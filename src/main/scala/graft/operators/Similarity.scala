@@ -188,25 +188,8 @@ object Similarity {
     // all partitions, with a driver-side trim to cap.
     val cap = if (fitSampleCap > 0) fitSampleCap
               else math.max(200 * nCentroids, 4000)
-    val ceOnly = c.select(col("__ce").cast("array<double>"))
-    val parts = math.max(1, ceOnly.rdd.getNumPartitions)
-    val perPart = ((cap + parts - 1) / parts).toInt
-    val seedLocal = seed
-    val sample: Array[Array[Double]] = ceOnly.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val rnd = new java.util.Random(seedLocal * 1315423911L + pid)
-      val buf = new Array[Array[Double]](perPart)
-      var n = 0L
-      it.foreach { row =>
-        val v = row.getSeq[Double](0).toArray
-        if (n < perPart) buf(n.toInt) = v
-        else {
-          val j = (rnd.nextDouble() * (n + 1)).toLong
-          if (j < perPart) buf(j.toInt) = v
-        }
-        n += 1
-      }
-      buf.iterator.take(math.min(n, perPart.toLong).toInt)
-    }.collect().take(cap)
+    val sample = reservoirSample(
+      c.select(col("__ce").cast("array<double>")), cap, seed)
     if (sample.isEmpty) // empty corpus: empty result with the right schema
       return queries.select(col(queryId)).limit(0)
         .crossJoin(corpus.select(col(corpusId)).limit(0))
@@ -256,6 +239,88 @@ object Similarity {
     graft.plans.GroupedTopK.perGroup(scored, Seq(col("__qid")),
         struct(-col("cos"), col("__cid")), k)
       .select(col("__qid").as(queryId), col("__cid").as(corpusId), col("cos"))
+  }
+
+  /** Seeded per-partition reservoir over a single ARRAY<DOUBLE> column —
+    * the bounded, count-free fit sample shared by the IVF quantizer and
+    * the PQ codebook fit (see ivfTopK's sampling comment: one pass,
+    * unbiased within each partition, spanning all partitions, driver-side
+    * trim to cap). Deterministic for a given (files, partitioning, seed).
+    */
+  private[graft] def reservoirSample(vecs: DataFrame, cap: Int,
+                                     seed: Long): Array[Array[Double]] = {
+    val parts = math.max(1, vecs.rdd.getNumPartitions)
+    val perPart = ((cap + parts - 1) / parts).toInt
+    val seedLocal = seed
+    vecs.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rnd = new java.util.Random(seedLocal * 1315423911L + pid)
+      val buf = new Array[Array[Double]](perPart)
+      var n = 0L
+      it.foreach { row =>
+        val v = row.getSeq[Double](0).toArray
+        if (n < perPart) buf(n.toInt) = v
+        else {
+          val j = (rnd.nextDouble() * (n + 1)).toLong
+          if (j < perPart) buf(j.toInt) = v
+        }
+        n += 1
+      }
+      buf.iterator.take(math.min(n, perPart.toLong).toInt)
+    }.collect().take(cap)
+  }
+
+  /** Fit product-quantization codebooks (Jégou et al. 2011): split the
+    * embedding into `m` contiguous subspaces and run the same driver-local
+    * Lloyd as the IVF quantizer on each subspace of ONE bounded reservoir
+    * sample — one Spark job total, deterministic for a given (corpus,
+    * seed). Returns codebooks(m)(codebookSize)(dim/m).
+    */
+  def fitPq(corpus: DataFrame, m: Int = 4, codebookSize: Int = 16,
+            seed: Long = 42L, fitSampleCap: Int = 4000): Seq[Seq[Seq[Double]]] = {
+    require(m > 0 && codebookSize > 1, s"bad PQ geometry: m=$m k=$codebookSize")
+    val sample = reservoirSample(
+      corpus.select(col("embedding").cast("array<double>")),
+      fitSampleCap, seed)
+    require(sample.nonEmpty, "PQ fit needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val ds = dim / m
+    (0 until m).map { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * ds, (j + 1) * ds))
+      localLloyd(sub, codebookSize, seed + j, iters = 20)
+        .map(_.toSeq).toSeq
+    }
+  }
+
+  /** PQ/ADC top-k (the FAISS scale path beyond IVF): the corpus is
+    * ENCODED once — m small ints per vector, a ~(m/dim·32)× compression
+    * of the scan footprint — by the fused fixed-point argmin kernel, and
+    * each (query, candidate) score is the exact integer ADC total (see
+    * [[graft.expressions.PqKernel]]). Query batch broadcasts into a
+    * nested-loop join (it is tiny by contract — the brute/IVF shape);
+    * per-query top-k via the bounded-heap GroupedTopK, ties (dist, then
+    * corpus id) — a total order the q5y oracle replays row-for-row.
+    * Distances are fixed-point nano-unit squared-L2 sums — integer,
+    * order-free, bit-replayable — which is what makes an APPROXIMATE
+    * index exactly testable: the approximation lives in the codebook,
+    * not in any float nondeterminism.
+    */
+  def pqTopK(corpus: DataFrame, corpusId: String,
+             queries: DataFrame, queryId: String,
+             k: Int, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val enc = corpus.select(col(corpusId).as("__cid"),
+        graft.expressions.PqEncode(col("embedding"), codebooks).as("__codes"))
+      .filter(col("__codes").isNotNull)
+    val q = queries.select(col(queryId).as("__qid"),
+      col("embedding").as("__qe"))
+    val scored = enc.crossJoin(broadcast(q))
+      .withColumn("__dist",
+        graft.expressions.PqAdcDist(col("__codes"), col("__qe"), codebooks))
+      .filter(col("__dist").isNotNull)
+    graft.plans.GroupedTopK.perGroup(scored, Seq(col("__qid")),
+        struct(col("__dist"), col("__cid")), k)
+      .select(col("__qid").as(queryId), col("__cid").as(corpusId),
+        col("__dist").as("dist"))
   }
 
   /** Driver-local Lloyd over a bounded in-memory sample: seeded k-means++

@@ -269,6 +269,98 @@ object SimilarityQueries {
         .groupBy(col("label"), col("nearest"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("label"), col("nearest"))
+    },
+
+    // ---- PQ/ADC ANN (the FAISS scale path beyond IVF) ---------------------
+    // The corpus is encoded once to m=4 centroid ids; each (query,
+    // candidate) score is an exact integer ADC total on the fixed-point
+    // nano-unit distance grid (PqKernel), so the WHOLE approximate index —
+    // codebook assignment, argmin ties, ADC sums, top-k order — replays
+    // row-for-row in SQL from the fitted codebook embedded as literals
+    // (the q34 dynamic-oracle pattern; the fit is a deterministic bounded
+    // reservoir + driver Lloyd, memoized per sf dir so the query and its
+    // oracle see identical codebooks).
+    QueryDef.dynamicSql("q5y_pq_ann") { (s, d) =>
+      pqReplaySql(ensurePqCodebooks(s, d),
+        "embeddings WHERE vec_id >= 5",
+        "embeddings WHERE vec_id < 5", k = 5)
+    } { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.pqTopK(emb.where(col("vec_id") >= 5), "vec_id",
+          queries, "query_id", k = 5, ensurePqCodebooks(s, d))
+        .orderBy(col("query_id"), col("vec_id"))
     }
   )
+
+  /** The q5y PQ codebook fit, memoized per sf dir — the query and its
+    * dynamic oracle must embed the IDENTICAL codebook (the ensureSelfModel
+    * discipline; the fit itself is deterministic for a given corpus+seed,
+    * spec-pinned).
+    */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Double]]]]
+  private def ensurePqCodebooks(s: org.apache.spark.sql.SparkSession,
+                                d: String): Seq[Seq[Seq[Double]]] =
+    pqCache.getOrElseUpdate(d,
+      Similarity.fitPq(Tables.embeddings(s, d).where(col("vec_id") >= 5)))
+
+  /** The PQ/ADC replay as ONE SQL text parameterized on the fitted
+    * codebooks and the corpus/query FROM clauses (table + predicate) —
+    * shared by the q5y oracle and the Scale10x ann_pq twin so the probe
+    * and the correctness oracle can never drift. Every per-dimension term
+    * replays the kernel's exact chain (cast-to-double, subtract, square,
+    * ×1e9, half-up round to BIGINT); code argmin ties break on cid, ADC
+    * totals are integer sums, top-k ties on vec_id.
+    */
+  def pqReplaySql(cbs: Seq[Seq[Seq[Double]]], corpusFrom: String,
+                  queryFrom: String, k: Int): String = {
+    val ds = cbs.head.head.size
+    val values = cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, i) =>
+        val lst = c.map(x =>
+            s"CAST(${java.lang.Double.toString(x)} AS DOUBLE)")
+          .mkString("[", ", ", "]")
+        s"  ($j, $i, $lst)"
+      }
+    }.mkString(",\n")
+    s"""WITH cb(sub, cid, c) AS (VALUES
+       |$values),
+       |e AS (SELECT vec_id, embedding FROM $corpusFrom),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM $queryFrom),
+       |enc0 AS (
+       |  SELECT e.vec_id, cb.sub, cb.cid,
+       |    CAST(list_sum(
+       |      [CAST(round(1e9 *
+       |         ((CAST(e.embedding[cb.sub * $ds + i + 1] AS DOUBLE) - cb.c[i + 1])
+       |          * (CAST(e.embedding[cb.sub * $ds + i + 1] AS DOUBLE) - cb.c[i + 1])))
+       |        AS BIGINT)
+       |       for i in range($ds)]) AS BIGINT) AS d
+       |  FROM e CROSS JOIN cb),
+       |enc AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |                         ORDER BY d, cid) AS rn
+       |    FROM enc0) WHERE rn = 1),
+       |adc0 AS (
+       |  SELECT q.query_id, enc.vec_id,
+       |    CAST(list_sum(
+       |      [CAST(round(1e9 *
+       |         ((CAST(q.qe[enc.sub * $ds + i + 1] AS DOUBLE) - cb.c[i + 1])
+       |          * (CAST(q.qe[enc.sub * $ds + i + 1] AS DOUBLE) - cb.c[i + 1])))
+       |        AS BIGINT)
+       |       for i in range($ds)]) AS BIGINT) AS d
+       |  FROM q CROSS JOIN enc
+       |  JOIN cb ON cb.sub = enc.sub AND cb.cid = enc.cid),
+       |adc AS (SELECT query_id, vec_id, CAST(sum(d) AS BIGINT) AS dist
+       |        FROM adc0 GROUP BY query_id, vec_id),
+       |r AS (SELECT query_id, vec_id, dist,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY dist, vec_id) AS rn
+       |      FROM adc)
+       |SELECT query_id, vec_id, dist FROM r WHERE rn <= $k
+       |ORDER BY query_id, vec_id""".stripMargin
+  }
 }
