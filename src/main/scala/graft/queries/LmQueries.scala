@@ -161,7 +161,11 @@ object LmQueries {
     "q5v_kn_lm" ->
       s"WITH ${knScoreBodySql(FixUni, FixBi, "documents")}",
     "q5w_kn3_lm" ->
-      s"WITH ${kn3ScoreBodySql(FixBoUni, FixBoBi, FixBoTri, "documents")}")
+      s"WITH ${kn3ScoreBodySql(FixBoUni, FixBoBi, FixBoTri, "documents")}",
+    "q6d_stream_ppl_gate" ->
+      s"""WITH p AS (${lmScoreFixtureSql("documents")})
+         |SELECT doc_id FROM p WHERE ppl <= 40.0
+         |ORDER BY doc_id""".stripMargin)
 
   /** The q5k Spark side against any documents frame (Scale10x reuses it). */
   def lmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -677,6 +681,25 @@ object LmQueries {
       NgramLm.save(s, fitted, path)
       val m = NgramLm.load(s, path)
       NgramLm.pplGate(docs, col("doc_id"), col("text"), m, maxPpl = 40.0)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
+    // ---- STREAMING perplexity gate (the CCNet filter on an ingest stream) -
+    // q5o's gate as a stateless streaming filter: the fused kernel rides
+    // the stream, zero state-store state, no foreachBatch. Replayed in 2
+    // micro-batches through the MemoryStream harness; per-row gating makes
+    // batch boundaries irrelevant, so the oracle is EXACTLY q5o's score +
+    // threshold replay — any divergence between the streaming and batch
+    // paths breaks the hash.
+    QueryDef.sql("q6d_stream_ppl_gate",
+      s"""WITH p AS (${lmScoreOracleSql("documents")})
+         |SELECT doc_id FROM p WHERE ppl <= 40.0
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val m = ensureSelfModel(s, d).asInstanceOf[NgramLm.BigramLm]
+      graft.streaming.DocStream.replayPplGatedIngest(docs, m, "doc_id",
+          "text", sessionTmp(s, "q6d_pplgate", d), nBatches = 2,
+          maxPpl = 40.0)
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
 

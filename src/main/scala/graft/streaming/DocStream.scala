@@ -269,6 +269,38 @@ object DocStream {
           threshold, bands, rowsPerBand, shingleN)
     }
 
+  /** Streaming perplexity gate — the CCNet quality filter
+    * ([[graft.ml.NgramLm.pplGate]]) as a STATELESS streaming transform:
+    * the fused BigramLmGate boolean kernel rides the stream's filter, so
+    * the gate runs at scan speed with ZERO state-store state, zero joins,
+    * and no foreachBatch — the incremental planner handles a pure filter
+    * natively in append mode. Because the decision is per-row, batch
+    * boundaries cannot change the kept set: the union of survivors across
+    * any micro-batching equals the batch gate on the union (the q6d
+    * oracle replays exactly q5o's score + threshold SQL).
+    */
+  def pplGatedIngest(docs: DataFrame, model: graft.ml.NgramLm.BigramLm,
+                     textCol: String, maxPpl: Double,
+                     sinkPath: String, ckptPath: String): StreamingQuery =
+    docs.filter(graft.expressions.BigramLmGate(col(textCol), model.uniArr,
+        model.biArr, model.uniCap.toLong, maxPpl, model.order))
+      .writeStream.format("parquet")
+      .option("path", sinkPath).option("checkpointLocation", ckptPath)
+      .outputMode("append").start()
+
+  /** Bounded replay of [[pplGatedIngest]] — the [[replayGate]] harness
+    * with the model gate (the corpus side is unused: the gate is
+    * stateless by construction).
+    */
+  def replayPplGatedIngest(docs: DataFrame, model: graft.ml.NgramLm.BigramLm,
+                           id: String, textCol: String, workDir: String,
+                           nBatches: Int = 2,
+                           maxPpl: Double = 40.0): DataFrame =
+    replayGate(docs, docs.limit(0), id, textCol, workDir, nBatches) {
+      (in, _, sink, ckpt) =>
+        pplGatedIngest(in, model, "gate_text", maxPpl, sink, ckpt)
+    }
+
   /** The shared bounded-replay harness behind the two gate replays. */
   private def replayGate(docs: DataFrame, corpus: DataFrame, id: String,
                          textCol: String, workDir: String, nBatches: Int)(

@@ -114,7 +114,8 @@ class BenchSpec extends AnyFunSuite {
     // fixture a plain SELECT
     assert(SparkEntry.benchOverrides.keySet ==
       Set("q5k_lm_score", "q5o_ppl_gate", "q5q_ppl_buckets",
-        "q5t_backoff_lm", "q5u_backoff_gate", "q5v_kn_lm", "q5w_kn3_lm"))
+        "q5t_backoff_lm", "q5u_backoff_gate", "q5v_kn_lm", "q5w_kn3_lm",
+        "q6d_stream_ppl_gate"))
     assert(SparkEntry.benchOverrides.keySet.subsetOf(SparkEntry.oracleSql.keySet))
     assert(SparkEntry.benchFixtures.keySet ==
       Set("graft_lm_uni", "graft_lm_bi",

@@ -182,4 +182,28 @@ class DocStreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(streamed == batched, s"stream $streamed != batch $batched")
   }
+
+  test("streaming ppl gate == batch pplGate; batch split cannot change it") {
+    val fitDocs = Seq(
+      (1L, "a b a b"), (2L, "a b a a"), (3L, "a b a b a"), (4L, "z z q")
+    ).toDF("doc_id", "text")
+    val m = graft.ml.NgramLm.fit(fitDocs, col("text"), 10, 10)
+      .asInstanceOf[graft.ml.NgramLm.BigramLm]
+    // threshold splits the set: in-model docs pass, junk drops
+    val cut = 5.0
+    val expected = graft.ml.NgramLm.pplGate(fitDocs, col("doc_id"),
+        col("text"), m, cut)
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty && expected.size < 4, s"must split: $expected")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ppl_stream_gate").toString
+    def run(nBatches: Int, tag: Int) = DocStream.replayPplGatedIngest(
+        fitDocs, m, "doc_id", "text", s"$dir/$tag", nBatches, cut)
+      .select("doc_id").as[Long].collect().toSet
+    // 1, 2 and 4 micro-batches all reproduce the batch gate exactly —
+    // the filter is stateless per-row, so batching is invisible
+    assert(run(1, 1) == expected)
+    assert(run(2, 2) == expected)
+    assert(run(4, 3) == expected)
+  }
 }
