@@ -1,0 +1,115 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document BPE segmentation stats as ONE fused scalar kernel:
+  * struct(n_words, n_tokens) — word count plus the total subword token
+  * count after applying the learned merge list in rank order — in a
+  * single tokenize pass.
+  *
+  * MERGE SEMANTICS (the oracle contract): each merge is one LEFTMOST
+  * NON-OVERLAPPING pass over the word's symbol array
+  * ([[BpeStats.applyMerge]] — after a merge the scan continues AFTER the
+  * merged symbol). On the bracketed string form `[a][b][c]` this is
+  * EXACTLY what SQL `replace(s, '[l][r]', '[lr]')` computes: brackets
+  * make matches full-symbol-anchored (no false match where one symbol's
+  * suffix plus the next symbol spells the pair) and non-sharing (adjacent
+  * matches share no delimiter), so the q5z oracle replays segmentation
+  * with a chain of plain replace() calls and counts tokens as
+  * `length(s) - length(replace(s, '[', ''))`.
+  *
+  * Per-task memoization: segmentation is per-WORD, and corpora repeat
+  * words heavily — each task caches word → token count up to a bounded
+  * number of distinct words (beyond the cap it computes without caching;
+  * results are identical either way).
+  */
+case class BpeStats(child: Expression,
+                    merges: Array[(String, String)]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if merges.forall { case (l, r) =>
+        l.nonEmpty && r.nonEmpty && !(l + r).exists(c => c == '[' || c == ']') } =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_stats requires STRING and bracket-free non-empty merge pairs, " +
+        s"got ${t.simpleString} / ${merges.length} merges")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false)))
+
+  private val CacheCap = 1 << 16
+
+  @transient private lazy val cache =
+    new java.util.HashMap[UTF8String, Integer](4096)
+
+  private def tokCount(w: UTF8String): Int = {
+    val hit = cache.get(w)
+    if (hit != null) return hit.intValue()
+    var syms = w.toString.map(_.toString).toArray
+    var i = 0
+    while (i < merges.length && syms.length > 1) {
+      syms = BpeStats.applyMerge(syms, merges(i)._1, merges(i)._2)
+      i += 1
+    }
+    val n = syms.length
+    if (cache.size < CacheCap) cache.put(w.clone(), Integer.valueOf(n))
+    n
+  }
+
+  def stats(text: UTF8String): InternalRow = {
+    val toks = WordShinglesKernel.tokenize(text)
+    var nT = 0L
+    var i = 0
+    while (i < toks.length) {
+      nT += tokCount(toks(i))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](toks.length.toLong, nT))
+  }
+
+  override def nullSafeEval(v: Any): Any = stats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeStats", this, classOf[BpeStats].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.stats($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeStats =
+    copy(child = newChild)
+}
+
+object BpeStats {
+  def apply(text: Column, merges: Array[(String, String)]): Column =
+    ColumnBridge.column(
+      new BpeStats(ColumnBridge.expression(text), merges))
+
+  /** One merge pass over a symbol array: LEFTMOST NON-OVERLAPPING — after
+    * a merge the scan continues AFTER the merged symbol, so `a a a` with
+    * pair (a,a) yields `[aa, a]`. The ONE definition shared by the fit
+    * loop, the scoring kernel, and (via the bracketed replace()
+    * equivalence in the class doc) the SQL oracle.
+    */
+  def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    if (syms.length < 2) return syms
+    val out = new Array[String](syms.length)
+    var n = 0
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out(n) = l + r; n += 1; i += 2
+      } else {
+        out(n) = syms(i); n += 1; i += 1
+      }
+    }
+    java.util.Arrays.copyOf(out, n)
+  }
+}

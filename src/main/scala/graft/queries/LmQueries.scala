@@ -242,6 +242,20 @@ object LmQueries {
       NgramLm.fitBackoff(Tables.documents(s, d), col("text"), order = 3,
         caps = Seq(BoUniCap, BoBiCap, BoTriCap), alpha = BoAlpha))
 
+  /** q5z BPE geometry: vocab cap binds (corpus vocab ≈ 31 > 25 words at
+    * every SF) so the truncation is oracle-verified; 12 merges give a
+    * real multi-character subword alphabet on the synthetic vocabulary.
+    */
+  private val BpeVocabCap = 25
+  private val BpeNMerges = 12
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+  private def ensureBpeMerges(s: org.apache.spark.sql.SparkSession,
+                              d: String): Seq[(String, String)] =
+    bpeCache.getOrElseUpdate(d,
+      graft.ml.BpeTokenizer.fit(Tables.documents(s, d), col("text"),
+        vocabCap = BpeVocabCap, nMerges = BpeNMerges))
+
   /** One session-scoped tmp root per Spark application, deleted
     * recursively by a single JVM shutdown hook — q5m/q5p write fixture
     * directories here, so a bench/verify session no longer leaks one
@@ -682,6 +696,38 @@ object LmQueries {
       val m = NgramLm.load(s, path)
       NgramLm.pplGate(docs, col("doc_id"), col("text"), m, maxPpl = 40.0)
         .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
+    // ---- BPE tokenizer fit + corpus segmentation stats -------------------
+    // Sennrich BPE trained on the CAPPED word vocabulary (the original
+    // algorithm's shape: one bounded word-count job, then a driver-local
+    // merge loop — the q5l bounded-fit discipline), applied corpus-wide by
+    // the fused BpeStats kernel. The oracle embeds the learned merges as
+    // literals and replays segmentation verbatim: the kernel's leftmost
+    // non-overlapping merge pass equals SQL replace() on the bracketed
+    // symbol form [a][b][c] (brackets anchor matches to whole symbols and
+    // stop adjacent matches sharing a delimiter), and tokens count as
+    // length(s) - length(replace(s, '[', '')). Any drift in merge order,
+    // tie-breaks, or application semantics breaks the hash.
+    QueryDef.dynamicSql("q5z_bpe_tokens") { (s, d) =>
+      val merges = ensureBpeMerges(s, d)
+      val base = """regexp_replace(word, '(.)', '[\1]', 'g')"""
+      val seg = merges.foldLeft(base) { case (acc, (l, r)) =>
+        s"replace($acc, '[$l][$r]', '[$l$r]')"
+      }
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |           FROM documents),
+         |seg AS (SELECT doc_id,
+         |          $seg AS s
+         |        FROM w),
+         |cnt AS (SELECT doc_id,
+         |          length(s) - length(replace(s, '[', '')) AS n FROM seg)
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(n) AS BIGINT) AS n_tokens
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    } { (s, d) =>
+      graft.ml.BpeTokenizer.tokenStats(Tables.documents(s, d),
+          col("doc_id"), col("text"), ensureBpeMerges(s, d))
+        .orderBy(col("doc_id"))
     },
 
     // ---- STREAMING perplexity gate (the CCNet filter on an ingest stream) -
