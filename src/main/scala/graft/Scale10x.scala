@@ -180,6 +180,14 @@ object Scale10x {
       force(graft.queries.LmQueries.backoffScore(spark.read.parquet(p)))
     def lmKnShape(p: String): Long =                      // q5v shape
       force(graft.queries.LmQueries.knScore(spark.read.parquet(p)))
+    // BPE merges prefit ONCE on the 1x corpus (the copies repeat the same
+    // vocabulary, so the learned merges are scale-invariant); the probe
+    // times the steady-state segmentation kernel over the scaled corpus
+    lazy val bpeMerges = graft.ml.BpeTokenizer.fit(
+      spark.read.parquet(docs1P), col("text"), vocabCap = 25, nMerges = 12)
+    def bpeShape(p: String): Long =                       // q5z shape
+      force(graft.queries.LmQueries.bpeTokens(
+        spark.read.parquet(p), bpeMerges))
     def contamShape(p: String): Long =                    // q5r shape
       force(graft.queries.TextQueries.contaminationReport(spark.read.parquet(p)))
     def rankBucketsShape(p: String): Long =               // q5q operator shape
@@ -466,6 +474,7 @@ object Scale10x {
       "lm3_fit" -> graft.queries.LmQueries.trigramFitTwinSql(docs),
       "lm_backoff" -> graft.queries.LmQueries.backoffOracleSql(docs),
       "lm_kn" -> graft.queries.LmQueries.knOracleSql(docs),
+      "bpe_tokens" -> graft.queries.LmQueries.bpeOracleSql(bpeMerges, docs),
       "contam_report" -> graft.queries.TextQueries.contaminationOracleSql(docs),
       "rank_buckets" ->
         s"""WITH d AS (SELECT doc_id, doc_id % 64 AS g, length(text) AS v
@@ -538,6 +547,7 @@ object Scale10x {
       Probe("lm_backoff", () => lmBackoffShape(docs1P),
         () => lmBackoffShape(docs10P)),
       Probe("lm_kn", () => lmKnShape(docs1P), () => lmKnShape(docs10P)),
+      Probe("bpe_tokens", () => bpeShape(docs1P), () => bpeShape(docs10P)),
       Probe("contam_report", () => contamShape(docs1P),
         () => contamShape(docs10P)),
       Probe("rank_buckets", () => rankBucketsShape(docs1P),

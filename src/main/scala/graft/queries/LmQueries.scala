@@ -256,6 +256,34 @@ object LmQueries {
       graft.ml.BpeTokenizer.fit(Tables.documents(s, d), col("text"),
         vocabCap = BpeVocabCap, nMerges = BpeNMerges))
 
+  /** The q5z BPE-segmentation replay as ONE SQL text parameterized on the
+    * learned merges and the documents table — shared with the Scale10x
+    * `bpe_tokens` twin so the probe and the correctness oracle can never
+    * drift. See the q5z comment for the bracketed-replace equivalence.
+    */
+  def bpeOracleSql(merges: Seq[(String, String)], table: String): String = {
+    val base = """regexp_replace(word, '(.)', '[\1]', 'g')"""
+    val seg = merges.foldLeft(base) { case (acc, (l, r)) =>
+      s"replace($acc, '[$l][$r]', '[$l$r]')"
+    }
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |           FROM $table),
+       |seg AS (SELECT doc_id,
+       |          $seg AS s
+       |        FROM w),
+       |cnt AS (SELECT doc_id,
+       |          length(s) - length(replace(s, '[', '')) AS n FROM seg)
+       |SELECT doc_id, count(*) AS n_words, CAST(sum(n) AS BIGINT) AS n_tokens
+       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** The q5z Spark side against any documents frame with a prefit merge
+    * list (Scale10x twin).
+    */
+  def bpeTokens(docs: org.apache.spark.sql.DataFrame,
+                merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+    graft.ml.BpeTokenizer.tokenStats(docs, col("doc_id"), col("text"), merges)
+
   /** One session-scoped tmp root per Spark application, deleted
     * recursively by a single JVM shutdown hook — q5m/q5p write fixture
     * directories here, so a bench/verify session no longer leaks one
@@ -710,20 +738,7 @@ object LmQueries {
     // length(s) - length(replace(s, '[', '')). Any drift in merge order,
     // tie-breaks, or application semantics breaks the hash.
     QueryDef.dynamicSql("q5z_bpe_tokens") { (s, d) =>
-      val merges = ensureBpeMerges(s, d)
-      val base = """regexp_replace(word, '(.)', '[\1]', 'g')"""
-      val seg = merges.foldLeft(base) { case (acc, (l, r)) =>
-        s"replace($acc, '[$l][$r]', '[$l$r]')"
-      }
-      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |           FROM documents),
-         |seg AS (SELECT doc_id,
-         |          $seg AS s
-         |        FROM w),
-         |cnt AS (SELECT doc_id,
-         |          length(s) - length(replace(s, '[', '')) AS n FROM seg)
-         |SELECT doc_id, count(*) AS n_words, CAST(sum(n) AS BIGINT) AS n_tokens
-         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      bpeOracleSql(ensureBpeMerges(s, d), "documents")
     } { (s, d) =>
       graft.ml.BpeTokenizer.tokenStats(Tables.documents(s, d),
           col("doc_id"), col("text"), ensureBpeMerges(s, d))
