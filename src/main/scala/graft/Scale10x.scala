@@ -188,6 +188,10 @@ object Scale10x {
     def bpeShape(p: String): Long =                       // q5z shape
       force(graft.queries.LmQueries.bpeTokens(
         spark.read.parquet(p), bpeMerges))
+    def lmKn3Shape(p: String): Long =                     // q5w shape
+      force(graft.queries.LmQueries.kn3Score(spark.read.parquet(p)))
+    def bm25Shape(p: String): Long =                      // q5x shape
+      force(graft.queries.TextQueries.bm25(spark.read.parquet(p)))
     def contamShape(p: String): Long =                    // q5r shape
       force(graft.queries.TextQueries.contaminationReport(spark.read.parquet(p)))
     def rankBucketsShape(p: String): Long =               // q5q operator shape
@@ -475,6 +479,8 @@ object Scale10x {
       "lm_backoff" -> graft.queries.LmQueries.backoffOracleSql(docs),
       "lm_kn" -> graft.queries.LmQueries.knOracleSql(docs),
       "bpe_tokens" -> graft.queries.LmQueries.bpeOracleSql(bpeMerges, docs),
+      "lm_kn3" -> graft.queries.LmQueries.kn3OracleSql(docs),
+      "bm25_topk" -> graft.queries.TextQueries.bm25OracleSql(docs),
       "contam_report" -> graft.queries.TextQueries.contaminationOracleSql(docs),
       "rank_buckets" ->
         s"""WITH d AS (SELECT doc_id, doc_id % 64 AS g, length(text) AS v
@@ -548,6 +554,8 @@ object Scale10x {
         () => lmBackoffShape(docs10P)),
       Probe("lm_kn", () => lmKnShape(docs1P), () => lmKnShape(docs10P)),
       Probe("bpe_tokens", () => bpeShape(docs1P), () => bpeShape(docs10P)),
+      Probe("lm_kn3", () => lmKn3Shape(docs1P), () => lmKn3Shape(docs10P)),
+      Probe("bm25_topk", () => bm25Shape(docs1P), () => bm25Shape(docs10P)),
       Probe("contam_report", () => contamShape(docs1P),
         () => contamShape(docs10P)),
       Probe("rank_buckets", () => rankBucketsShape(docs1P),

@@ -209,6 +209,15 @@ object LmQueries {
       NgramLm.KnLm(NgramLm.fit(docs, col("text"), UniCap, BiCap)
         .asInstanceOf[NgramLm.BigramLm], KnD))
 
+  /** The q5w Spark side against any documents frame (Scale10x twin):
+    * one multi-order backoff fit at the q5t caps, scored with the order-3
+    * interpolated-KN recursion.
+    */
+  def kn3Score(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    NgramLm.scoreDocsKn3(docs, col("doc_id"), col("text"),
+      NgramLm.Kn3Lm(NgramLm.fitBackoff(docs, col("text"), order = 3,
+        caps = Seq(BoUniCap, BoBiCap, BoTriCap), alpha = BoAlpha), KnD))
+
   /** The q5t Spark side against any documents frame (Scale10x twin). */
   def backoffScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     NgramLm.scoreDocsBackoff(docs, col("doc_id"), col("text"),

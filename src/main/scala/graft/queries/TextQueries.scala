@@ -1150,36 +1150,8 @@ object TextQueries {
     // replay bit-for-bit. k1=1.25 / b=0.75 are exact binary doubles — the
     // SQL literals 2.25/1.25/0.25/0.75 are the same values the operator
     // computes.
-    QueryDef.sql("q5x_bm25_topk",
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |dl AS (SELECT doc_id, len(t) AS dl FROM tok),
-        |stats AS (SELECT count(*) AS n,
-        |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-        |w AS (SELECT doc_id, unnest(t) AS w FROM tok),
-        |tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM w
-        |       WHERE w IN ('merge', 'query', 'spark', 'stream', 'window')
-        |       GROUP BY doc_id, w),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |contrib AS (
-        |  SELECT tf.doc_id,
-        |    CAST(round(1e6 * (
-        |      ln((stats.n - df.df + CAST(0.5 AS DOUBLE))
-        |         / (df.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
-        |      * (tf.tf * CAST(2.25 AS DOUBLE))
-        |      / (tf.tf + CAST(1.25 AS DOUBLE)
-        |         * (CAST(0.25 AS DOUBLE)
-        |            + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))
-        |    )) AS BIGINT) AS c
-        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
-        |  CROSS JOIN stats),
-        |s AS (SELECT doc_id, count(*) AS matched,
-        |        CAST(sum(c) AS BIGINT) AS score
-        |      FROM contrib GROUP BY doc_id)
-        |SELECT doc_id, matched, score FROM s
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-      graft.operators.Retrieval.bm25TopK(Tables.documents(s, d),
-        col("doc_id"), col("text"),
-        Seq("merge", "query", "spark", "stream", "window"), k = 20)
+    QueryDef.sql("q5x_bm25_topk", bm25OracleSql("documents")) { (s, d) =>
+      bm25(Tables.documents(s, d))
     },
 
     QueryDef.sql("q58_snapshot_diff",
@@ -1392,4 +1364,51 @@ object TextQueries {
     graft.operators.Dedup.contaminationReport(docs, "doc_id", "text",
       docs.where(org.apache.spark.sql.functions.col("doc_id") % 31 === 0)
         .select(org.apache.spark.sql.functions.col("text")), "text", n = 8)
+
+  /** The q5x query terms — present with high tf variance at every SF.
+    * (def, not val: `defs` above initializes first and would read null.)
+    */
+  private def Bm25Terms = Seq("merge", "query", "spark", "stream", "window")
+
+  /** The q5x oracle as a function of the documents table name — shared
+    * with the Scale10x `bm25_topk` twin so the probe and the correctness
+    * oracle can never drift. See the Retrieval scaladoc for the exact
+    * double-chain contract (integer micro-unit contributions, exact-binary
+    * k1=1.25 / b=0.75 literals).
+    */
+  def bm25OracleSql(table: String): String = {
+    val in = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM $table),
+       |dl AS (SELECT doc_id, len(t) AS dl FROM tok),
+       |stats AS (SELECT count(*) AS n,
+       |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |w AS (SELECT doc_id, unnest(t) AS w FROM tok),
+       |tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM w
+       |       WHERE w IN ($in)
+       |       GROUP BY doc_id, w),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(1e6 * (
+       |      ln((stats.n - df.df + CAST(0.5 AS DOUBLE))
+       |         / (df.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+       |      * (tf.tf * CAST(2.25 AS DOUBLE))
+       |      / (tf.tf + CAST(1.25 AS DOUBLE)
+       |         * (CAST(0.25 AS DOUBLE)
+       |            + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))
+       |    )) AS BIGINT) AS c
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN stats),
+       |s AS (SELECT doc_id, count(*) AS matched,
+       |        CAST(sum(c) AS BIGINT) AS score
+       |      FROM contrib GROUP BY doc_id)
+       |SELECT doc_id, matched, score FROM s
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** The q5x Spark side against any documents frame (Scale10x twin). */
+  def bm25(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.operators.Retrieval.bm25TopK(docs,
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"), Bm25Terms, k = 20)
 }
