@@ -48,8 +48,15 @@ case class BpeStats(child: Expression,
 
   private val CacheCap = 1 << 16
 
+  // ConcurrentHashMap, NOT HashMap: the expression instance (and with it
+  // this cache) can be shared by several task threads in the same JVM —
+  // codegen holds it as one reference object — and a plain HashMap under
+  // concurrent put() is a data race. Reads/writes here are value-identical
+  // regardless of interleaving (the cached count is a pure function of the
+  // word), so the race would only ever corrupt the map structure, which
+  // CHM rules out. The cap check races benignly (a few extra entries).
   @transient private lazy val cache =
-    new java.util.HashMap[UTF8String, Integer](4096)
+    new java.util.concurrent.ConcurrentHashMap[UTF8String, Integer](4096)
 
   private def tokCount(w: UTF8String): Int = {
     val hit = cache.get(w)
