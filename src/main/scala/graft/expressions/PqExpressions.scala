@@ -164,10 +164,14 @@ case class PqAdcDist(left: Expression, right: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcDist].getName)
+    // freshName: a fixed local would collide if two PqAdcDist instances
+    // land in one codegen stage (Janino would fail the whole stage to
+    // the interpreted path, silently)
+    val r = ctx.freshName("pqAdcRes")
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""Object r = $ref.dist($a, $b);
-         |${ev.isNull} = r == null;
-         |if (!${ev.isNull}) ${ev.value} = ((java.lang.Long) r).longValue();
+      s"""Object $r = $ref.dist($a, $b);
+         |${ev.isNull} = $r == null;
+         |if (!${ev.isNull}) ${ev.value} = ((java.lang.Long) $r).longValue();
          |""".stripMargin)
   }
 
