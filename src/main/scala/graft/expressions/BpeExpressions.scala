@@ -61,7 +61,7 @@ case class BpeStats(child: Expression,
   private def tokCount(w: UTF8String): Int = {
     val hit = cache.get(w)
     if (hit != null) return hit.intValue()
-    var syms = w.toString.map(_.toString).toArray
+    var syms = BpeStats.codepointSyms(w.toString)
     var i = 0
     while (i < merges.length && syms.length > 1) {
       syms = BpeStats.applyMerge(syms, merges(i)._1, merges(i)._2)
@@ -98,6 +98,27 @@ object BpeStats {
   def apply(text: Column, merges: Array[(String, String)]): Column =
     ColumnBridge.column(
       new BpeStats(ColumnBridge.expression(text), merges))
+
+  /** A word's base symbol array: one symbol per Unicode CODEPOINT, not per
+    * UTF-16 unit — `String.map(_.toString)` would split a surrogate pair
+    * into two broken half-symbols while the oracle's `regexp_replace(w,
+    * '(.)', '[\1]')` wraps whole codepoints, silently diverging on any
+    * non-BMP input (r11 ADVICE). The ONE base-alphabet definition shared
+    * by the fit loop and the scoring kernel.
+    */
+  def codepointSyms(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var n = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val len = Character.charCount(cp)
+      out(n) = w.substring(i, i + len)
+      n += 1
+      i += len
+    }
+    out
+  }
 
   /** One merge pass over a symbol array: LEFTMOST NON-OVERLAPPING — after
     * a merge the scan continues AFTER the merged symbol, so `a a a` with

@@ -46,7 +46,18 @@ object BpeTokenizer {
       .orderBy(col("c").desc, col("w").asc)
       .limit(vocabCap)
       .collect()
-      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+      .map(r => (graft.expressions.BpeStats.codepointSyms(r.getString(0)),
+        r.getLong(1)))
+    // SQL-replay contract guard: the q5z oracle anchors merges on the
+    // bracketed symbol form `[a][b][c]`, so bracket characters inside a
+    // vocabulary word would break the anchoring silently. Fail loudly at
+    // fit time instead (r11 ADVICE) — a corpus whose frequent words carry
+    // brackets needs pre-cleaning before SQL-replayable BPE.
+    vocab.find(_._1.exists(s => s == "[" || s == "]")).foreach { case (w, _) =>
+      throw new IllegalArgumentException(
+        s"BPE vocab word '${w.mkString}' contains '[' or ']' — the " +
+          "bracketed-replace oracle contract requires bracket-free words")
+    }
     val words = vocab.map(_._1.clone())
     val counts = vocab.map(_._2)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]

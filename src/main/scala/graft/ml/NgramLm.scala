@@ -26,16 +26,17 @@ import org.apache.spark.sql.functions._
   *     scoring kernel's embed bound ([[KernelModelMaxRows]]) collect to
   *     bounded driver arrays ([[BigramLm]]); caps beyond it NEVER touch the
   *     driver — the trimmed count tables persist as cluster-resident
-  *     DataFrames ([[DistributedLm]], scored through the broadcast-join
-  *     path), so a tens-of-millions-of-grams CCNet-scale fit cannot OOM
-  *     the driver. Either way there are no lazy-lineage refits.
+  *     DataFrames ([[DistributedLm]], scored through the shuffled-hash
+  *     join path), so a tens-of-millions-of-grams CCNet-scale fit cannot
+  *     OOM the driver. Either way there are no lazy-lineage refits.
   *   - SCORE is the fused [[BigramLmScore]] kernel by default: the whole
   *     per-document readout (gram count, OOV count, integer score) is ONE
   *     codegen'd projection with ZERO shuffle — no explode, no joins, no
   *     aggregation. The bounded model rides the expression (its caps are
-  *     what make that sound); [[scoreDocsJoined]] keeps the broadcast-join
-  *     formulation for models too large to embed, and the two paths are
-  *     spec-pinned row-equal.
+  *     what make that sound); [[scoreDocsJoined]] keeps the join
+  *     formulation for models too large to embed (broadcast for bounded
+  *     driver-array models, shuffled-hash for [[DistributedLm]]), and the
+  *     two paths are spec-pinned row-equal.
   *   - EXACTNESS: each per-bigram log-probability is scaled to micro-nats
   *     and rounded to a LONG **before** summation, so the per-document
   *     score is an integer sum — order-independent, retry-stable, and
@@ -105,8 +106,10 @@ object NgramLm {
     * trimmed count tables are PERSISTED (memory-and-disk) DataFrames,
     * materialized eagerly at fit — the model never lands on the driver,
     * so a CCNet-scale fit (tens of millions of grams) stays sound where
-    * driver arrays would OOM. Scoring always takes the broadcast-join
-    * path (the tables are still cap-bounded, hence broadcastable).
+    * driver arrays would OOM. Scoring always takes the join path, routed
+    * as a SHUFFLED hash join — a broadcast would rebuild the model on the
+    * driver (BroadcastExchange collects the build side), exactly what
+    * this representation exists to avoid.
     */
   final case class DistributedLm(uni: DataFrame, bi: DataFrame,
                                  ctxCap: Int, gramCap: Int,
@@ -117,7 +120,7 @@ object NgramLm {
 
   /** Caps up to this total embed the model in the fused scoring kernel
     * AND materialize as driver arrays; larger models stay distributed
-    * ([[DistributedLm]]) and score through the broadcast-join path. Sized
+    * ([[DistributedLm]]) and score through the shuffled-hash join path. Sized
     * so the serialized expression stays a few tens of MB at worst.
     */
   val KernelModelMaxRows: Int = 1 << 20
@@ -172,11 +175,19 @@ object NgramLm {
       // caps beyond the kernel-embed bound: the exact per-n trim replays
       // the same (count desc, gram asc) order as a rank over the ≤ 2k
       // GroupedTopK survivors (2 window partitions, each bounded by k —
-      // never the raw gram table), and the model persists cluster-side
-      DistributedLm(
-        distTable(top, order - 1, ctxCap, "w"),
-        distTable(top, order, gramCap, "b"),
-        ctxCap, gramCap, order)
+      // never the raw gram table), and the model persists cluster-side.
+      // The survivors are PERSISTED for the two trims — without this, each
+      // distTable call re-runs the full corpus aggregation off the lazy
+      // GroupedTopK lineage and the "ONE scan" fit silently becomes two
+      // (r11 ADVICE). The bounded (≤ 2k rows) frame is released once both
+      // trimmed tables have materialized.
+      val survivors = top.persist()
+      try
+        DistributedLm(
+          distTable(survivors, order - 1, ctxCap, "w"),
+          distTable(survivors, order, gramCap, "b"),
+          ctxCap, gramCap, order)
+      finally survivors.unpersist()
     }
   }
 
@@ -220,8 +231,8 @@ object NgramLm {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(
-      (s"""{"ctxCap": ${model.ctxCap}, "gramCap": ${model.gramCap}, """ +
-        s""""order": ${model.order}}""")
+      (s"""{"fmt": 2, "ctxCap": ${model.ctxCap}, """ +
+        s""""gramCap": ${model.gramCap}, "order": ${model.order}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -239,11 +250,21 @@ object NgramLm {
     val metaTxt = new String(
       org.apache.commons.io.IOUtils.toByteArray(fs.open(p)),
       java.nio.charset.StandardCharsets.UTF_8)
-    def meta(k: String): Int =
-      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(metaTxt)
-        .getOrElse(throw new IllegalArgumentException(
-          s"malformed LM meta at $p: $metaTxt")).group(1).toInt
-    val (ctxCap, gramCap, order) = (meta("ctxCap"), meta("gramCap"), meta("order"))
+    def metaOpt(k: String): Option[Int] =
+      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(metaTxt).map(_.group(1).toInt)
+    def meta(k: String): Int = metaOpt(k)
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed LM meta at $p: $metaTxt"))
+    // format v2 writes ctxCap/gramCap and tags rows n = order−1 / order;
+    // the v1 (pre-r11) artifacts wrote uniCap/biCap and FIXED tags 1/2
+    // regardless of order — accept both so old saved models keep loading
+    // (r11 ADVICE: no silent misread, no "malformed meta" on a valid v1
+    // artifact). Anything else is a genuinely foreign file.
+    val v2 = metaOpt("fmt").contains(2) || metaOpt("ctxCap").isDefined
+    val (ctxCap, gramCap, order) =
+      if (v2) (meta("ctxCap"), meta("gramCap"), meta("order"))
+      else (meta("uniCap"), meta("biCap"), metaOpt("order").getOrElse(2))
+    val (ctxTag, gramTag) = if (v2) (order - 1, order) else (1, 2)
     val table = spark.read.parquet(s"$path/counts")
     if (ctxCap.toLong + gramCap.toLong <= KernelModelMaxRows) {
       val rows = table.collect()
@@ -252,11 +273,11 @@ object NgramLm {
         .map(r => (r.getString(1), r.getLong(2)))
         .toArray
         .sortBy { case (g, c) => (-c, g) }
-      BigramLm(counts(order - 1), counts(order), ctxCap, gramCap, order)
+      BigramLm(counts(ctxTag), counts(gramTag), ctxCap, gramCap, order)
     } else
       DistributedLm(
-        table.where(col("n") === order - 1).select(col("gram").as("w"), col("c")),
-        table.where(col("n") === order).select(col("gram").as("b"), col("c")),
+        table.where(col("n") === ctxTag).select(col("gram").as("w"), col("c")),
+        table.where(col("n") === gramTag).select(col("gram").as("b"), col("c")),
         ctxCap, gramCap, order)
   }
 
@@ -310,8 +331,20 @@ object NgramLm {
         if (model.order == 2) split(col("b"), " ").getItem(0)
         else array_join(
           slice(split(col("b"), " "), 1, model.order - 1), " "))
-    val uni = broadcast(model.uniDF(spark).withColumnRenamed("c", "__c1"))
-    val bi = broadcast(model.biDF(spark).withColumnRenamed("c", "__c2"))
+    // join-strategy routing: a kernel-overflow BigramLm is still a bounded
+    // driver-array model — broadcast is right. A DistributedLm exists
+    // precisely because the model must NOT land on the driver, and
+    // BroadcastExchange builds its hashed relation driver-side — so the
+    // distributed model routes through a shuffled hash join instead (the
+    // model side is the build side; the 8 GB broadcast limit and driver
+    // heap never see it). r11 ADVICE: the previous unconditional
+    // broadcast() quietly violated the "never lands on the driver" claim.
+    def routed(df: DataFrame): DataFrame = model match {
+      case _: BigramLm => broadcast(df)
+      case _: DistributedLm => df.hint("shuffle_hash")
+    }
+    val uni = routed(model.uniDF(spark).withColumnRenamed("c", "__c1"))
+    val bi = routed(model.biDF(spark).withColumnRenamed("c", "__c2"))
     val joined = grams
       .join(uni, grams("w1") === uni("w"), "left")
       .join(bi, grams("b") === bi("b"), "left")

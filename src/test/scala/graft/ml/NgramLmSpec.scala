@@ -82,6 +82,40 @@ class NgramLmSpec extends SparkSpec {
     assert(kept(m2) == kept(m))
   }
 
+  test("load accepts the v1 (pre-r11) artifact format: uniCap/biCap meta, fixed 1/2 tags") {
+    // hand-write a v1 artifact: meta keys uniCap/biCap (no fmt, no ctxCap)
+    // and parquet n-tags FIXED at 1 (contexts) / 2 (grams) even at order 3
+    def writeV1(dir: String, metaJson: String,
+                rows: Seq[(Int, String, Long)]): Unit = {
+      rows.toDF("n", "gram", "c").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/counts")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "meta.json"),
+        metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    val d2 = java.nio.file.Files.createTempDirectory("ngramlm_v1o2").toString
+    writeV1(d2, """{"uniCap": 10, "biCap": 10, "order": 2}""",
+      Seq((1, "a", 5L), (1, "b", 3L), (2, "a b", 3L), (2, "b a", 2L)))
+    val m2 = loadB(spark, d2)
+    assert(m2.uniCap == 10 && m2.biCap == 10 && m2.order == 2)
+    assert(m2.uniArr.toSeq == Seq("a" -> 5L, "b" -> 3L))
+    assert(m2.biArr.toSeq == Seq("a b" -> 3L, "b a" -> 2L))
+    // trigram v1: contexts still tagged 1, grams still tagged 2 — a v2
+    // reader keying on order−1/order would misread this as empty
+    val d3 = java.nio.file.Files.createTempDirectory("ngramlm_v1o3").toString
+    writeV1(d3, """{"uniCap": 10, "biCap": 10, "order": 3}""",
+      Seq((1, "a b", 4L), (2, "a b c", 2L)))
+    val m3 = loadB(spark, d3)
+    assert(m3.order == 3)
+    assert(m3.uniArr.toSeq == Seq("a b" -> 4L))
+    assert(m3.biArr.toSeq == Seq("a b c" -> 2L))
+    // a genuinely foreign meta still fails loudly
+    val dBad = java.nio.file.Files.createTempDirectory("ngramlm_bad").toString
+    writeV1(dBad, """{"something": 1}""", Seq((1, "a", 1L)))
+    intercept[IllegalArgumentException] { NgramLm.load(spark, dBad) }
+  }
+
   test("halfUp matches functions.round HALF_UP semantics on the boundary") {
     import graft.expressions.BigramLmScore.halfUp
     def ref(x: Double): Long =
@@ -267,9 +301,26 @@ class NgramLmSpec extends SparkSpec {
     // ctxCap + gramCap above KernelModelMaxRows must NEVER collect to the
     // driver (r10 ADVICE: a CCNet-scale fit would OOM it) — the model is a
     // DistributedLm over persisted frames and scores through the join path
+    spark.sharedState.cacheManager.clearCache()
     val big = NgramLm.fitOrder(corpus, col("text"), order = 2,
       ctxCap = NgramLm.KernelModelMaxRows, gramCap = 1)
     val d = big.asInstanceOf[NgramLm.DistributedLm]
+    // the fit-scoped GroupedTopK-survivors persist is released by the time
+    // fitOrder returns — only the model's own two count tables stay cached
+    // (model-lifetime by contract), so repeated fits never accumulate
+    // intermediate frames (r11 ADVICE: the double-derive off the lazy
+    // lineage is gone, and so is its persist)
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    d.uni.unpersist(); d.bi.unpersist()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "fitOrder left a non-model frame cached")
+    // the distributed model scores through a SHUFFLED hash join, never a
+    // broadcast — BroadcastExchange would rebuild the model on the driver
+    // (r11 ADVICE)
+    val distPlan = NgramLm.scoreDocs(corpus, col("doc_id"), col("text"), big)
+      .queryExecution.executedPlan.toString
+    assert(distPlan.contains("ShuffledHashJoin") &&
+      !distPlan.contains("BroadcastHashJoin"), distPlan)
     assert(d.uniDF(spark).collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1).toSeq == Seq("a" -> 5L, "b" -> 3L))
     // gramCap = 1 binds through the distributed trim: top-1 by (c desc, g)

@@ -59,4 +59,18 @@ class RetrievalSpec extends SparkSpec {
         Seq("spark", "spark"), 5)
     }
   }
+
+  test("bm25TopK: the stats persist is call-scoped — no cached frame survives") {
+    // drain any cache left by other suites sharing the session first
+    spark.sharedState.cacheManager.clearCache()
+    val out = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("spark", "merge"), k = 10)
+    assert(out.count() == 3) // result stays usable after the unpersist
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "bm25TopK leaked a cached frame past its own call")
+    // and the empty-corpus early return releases it too
+    Retrieval.bm25TopK(docs.limit(0), col("doc_id"), col("text"),
+      Seq("spark"), k = 5).count()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
