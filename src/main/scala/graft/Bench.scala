@@ -227,10 +227,17 @@ object Bench {
                               sfDir: String,
                               phases: Map[String, Double] = Map.empty): String = {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // per-query values at 2 dp: the one-line artifact must fit the
-    // driver's 2000-char tail window at 115+ queries (full-precision
-    // per-query walls live in BENCH_DETAIL.json)
-    def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // per-query values: 2 dp under 10 s, 1 dp above (a 63-second query
+    // does not need cent precision), trailing zeros stripped ("0.50" →
+    // "0.5", "1.00" → "1") — the one-line artifact must fit the driver's
+    // 2000-char tail window, which 124 queries outgrew at fixed 2 dp
+    // (full-precision per-query walls live in BENCH_DETAIL.json)
+    def r2(v: Double): String = {
+      val s = (if (math.abs(v) >= 10) "%.1f" else "%.2f")
+        .formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    }
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")

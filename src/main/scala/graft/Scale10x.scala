@@ -183,17 +183,24 @@ object Scale10x {
     // BPE merges prefit ONCE on the 1x corpus (the copies repeat the same
     // vocabulary, so the learned merges are scale-invariant); the probe
     // times the steady-state segmentation kernel over the scaled corpus
-    lazy val bpeMerges = graft.ml.BpeTokenizer.fit(
+    lazy val bpeModel = graft.ml.BpeTokenizer.fitModel(
       spark.read.parquet(docs1P), col("text"), vocabCap = 25, nMerges = 12)
+    lazy val bpeMerges = bpeModel.merges
     def bpeShape(p: String): Long =                       // q5z shape
       force(graft.queries.LmQueries.bpeTokens(
         spark.read.parquet(p), bpeMerges))
+    def bpePackShape(p: String): Long =                   // q6e shape
+      force(graft.queries.LmQueries.bpePack(
+        spark.read.parquet(p), bpeModel, budget = 4000L))
     def lmKn3Shape(p: String): Long =                     // q5w shape
       force(graft.queries.LmQueries.kn3Score(spark.read.parquet(p)))
     def bm25Shape(p: String): Long =                      // q5x shape
       force(graft.queries.TextQueries.bm25(spark.read.parquet(p)))
     def contamShape(p: String): Long =                    // q5r shape
       force(graft.queries.TextQueries.contaminationReport(spark.read.parquet(p)))
+    def substrShape(p: String): Long =                    // q6f shape
+      force(graft.operators.Dedup.duplicatedSpans(
+        spark.read.parquet(p), "doc_id", "text", k = 8, minDocs = 2))
     def rankBucketsShape(p: String): Long =               // q5q operator shape
       force(graft.operators.Curate.rankBuckets(
         spark.read.parquet(p)
@@ -479,9 +486,11 @@ object Scale10x {
       "lm_backoff" -> graft.queries.LmQueries.backoffOracleSql(docs),
       "lm_kn" -> graft.queries.LmQueries.knOracleSql(docs),
       "bpe_tokens" -> graft.queries.LmQueries.bpeOracleSql(bpeMerges, docs),
+      "bpe_pack" -> graft.queries.LmQueries.bpePackOracleSql(bpeModel, docs, 4000L),
       "lm_kn3" -> graft.queries.LmQueries.kn3OracleSql(docs),
       "bm25_topk" -> graft.queries.TextQueries.bm25OracleSql(docs),
       "contam_report" -> graft.queries.TextQueries.contaminationOracleSql(docs),
+      "exact_substr" -> graft.queries.TextQueries.exactSubstrSpansOracleSql(docs),
       "rank_buckets" ->
         s"""WITH d AS (SELECT doc_id, doc_id % 64 AS g, length(text) AS v
            |           FROM $docs),
@@ -554,10 +563,13 @@ object Scale10x {
         () => lmBackoffShape(docs10P)),
       Probe("lm_kn", () => lmKnShape(docs1P), () => lmKnShape(docs10P)),
       Probe("bpe_tokens", () => bpeShape(docs1P), () => bpeShape(docs10P)),
+      Probe("bpe_pack", () => bpePackShape(docs1P), () => bpePackShape(docs10P)),
       Probe("lm_kn3", () => lmKn3Shape(docs1P), () => lmKn3Shape(docs10P)),
       Probe("bm25_topk", () => bm25Shape(docs1P), () => bm25Shape(docs10P)),
       Probe("contam_report", () => contamShape(docs1P),
         () => contamShape(docs10P)),
+      Probe("exact_substr", () => substrShape(docs1P),
+        () => substrShape(docs10P)),
       Probe("rank_buckets", () => rankBucketsShape(docs1P),
         () => rankBucketsShape(docs10P)),
       Probe("sessionize_stats", () => sessionShape(ev1P), () => sessionShape(evNP)),

@@ -94,6 +94,98 @@ case class BpeStats(child: Expression,
     copy(child = newChild)
 }
 
+/** Per-document BPE token-ID segmentation as ONE fused scalar kernel:
+  * array<int> of subword token ids in reading order — the sequence a
+  * trainer (and [[graft.operators.Curate.packSequences]]) consumes,
+  * where [[BpeStats]] only counts. Same merge semantics, same bracketed
+  * SQL-replay contract (the oracle maps each replayed symbol to its id
+  * through the model's bounded vocab embedded as a literal VALUES
+  * table); unseen codepoints emit [[graft.ml.BpeTokenizer.UnkId]].
+  *
+  * Same bounded per-task word memoization as [[BpeStats]] — here the
+  * cached value is the word's id array (bounded: ≤ word codepoints).
+  */
+case class BpeTokenIds(child: Expression,
+                       model: graft.ml.BpeTokenizer.BpeModel)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if model.merges.forall { case (l, r) =>
+        l.nonEmpty && r.nonEmpty && !(l + r).exists(c => c == '[' || c == ']') } =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_token_ids requires STRING and bracket-free non-empty merge " +
+        s"pairs, got ${t.simpleString} / ${model.merges.length} merges")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private val CacheCap = 1 << 16
+
+  // see BpeStats.cache for why ConcurrentHashMap
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[UTF8String, Array[Int]](4096)
+  @transient private lazy val mergeArr = model.merges.toArray
+  @transient private lazy val ids = model.vocabIds
+
+  private def wordIds(w: UTF8String): Array[Int] = {
+    val hit = cache.get(w)
+    if (hit != null) return hit
+    var syms = BpeStats.codepointSyms(w.toString)
+    var i = 0
+    while (i < mergeArr.length && syms.length > 1) {
+      syms = BpeStats.applyMerge(syms, mergeArr(i)._1, mergeArr(i)._2)
+      i += 1
+    }
+    val out = new Array[Int](syms.length)
+    i = 0
+    while (i < syms.length) {
+      out(i) = ids.getOrElse(syms(i), graft.ml.BpeTokenizer.UnkId)
+      i += 1
+    }
+    if (cache.size < CacheCap) cache.put(w.clone(), out)
+    out
+  }
+
+  def segment(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = WordShinglesKernel.tokenize(text)
+    var n = 0
+    var i = 0
+    val perWord = new Array[Array[Int]](toks.length)
+    while (i < toks.length) {
+      perWord(i) = wordIds(toks(i))
+      n += perWord(i).length
+      i += 1
+    }
+    val flat = new Array[Any](n)
+    var o = 0
+    i = 0
+    while (i < toks.length) {
+      val w = perWord(i)
+      var j = 0
+      while (j < w.length) { flat(o) = w(j); o += 1; j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(flat)
+  }
+
+  override def nullSafeEval(v: Any): Any = segment(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTokenIds", this, classOf[BpeTokenIds].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.segment($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenIds =
+    copy(child = newChild)
+}
+
+object BpeTokenIds {
+  def apply(text: Column, model: graft.ml.BpeTokenizer.BpeModel): Column =
+    ColumnBridge.column(
+      new BpeTokenIds(ColumnBridge.expression(text), model))
+}
+
 object BpeStats {
   def apply(text: Column, merges: Array[(String, String)]): Column =
     ColumnBridge.column(

@@ -257,13 +257,31 @@ object LmQueries {
     */
   private val BpeVocabCap = 25
   private val BpeNMerges = 12
-  private val bpeCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+  /** q6e pack budget, in BPE tokens — larger than q4h's whitespace budget
+    * because subword segmentation multiplies the per-doc token count.
+    */
+  private val BpePackBudget = 4000L
+  /** The SERVED tokenizer is the fit→save→load round trip (the CCNet
+    * fit-once/segment-forever deployment shape, ml/BpeTokenizer.scala
+    * save/load): q5z and q6e both consume the loaded artifact, so the
+    * correctness gate exercises persistence end-to-end on every run
+    * (BpeSpec additionally pins loaded == fitted bit-for-bit). One fit
+    * job per sf dir serves both queries.
+    */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[String, graft.ml.BpeTokenizer.BpeModel]
+  private def ensureBpeModel(s: org.apache.spark.sql.SparkSession,
+                             d: String): graft.ml.BpeTokenizer.BpeModel =
+    bpeCache.getOrElseUpdate(d, {
+      val fitted = graft.ml.BpeTokenizer.fitModel(Tables.documents(s, d),
+        col("text"), vocabCap = BpeVocabCap, nMerges = BpeNMerges)
+      val path = sessionTmp(s, "bpe_model", d)
+      graft.ml.BpeTokenizer.save(s, fitted, path)
+      graft.ml.BpeTokenizer.load(s, path)
+    })
   private def ensureBpeMerges(s: org.apache.spark.sql.SparkSession,
                               d: String): Seq[(String, String)] =
-    bpeCache.getOrElseUpdate(d,
-      graft.ml.BpeTokenizer.fit(Tables.documents(s, d), col("text"),
-        vocabCap = BpeVocabCap, nMerges = BpeNMerges))
+    ensureBpeModel(s, d).merges
 
   /** The q5z BPE-segmentation replay as ONE SQL text parameterized on the
     * learned merges and the documents table — shared with the Scale10x
@@ -292,6 +310,69 @@ object LmQueries {
   def bpeTokens(docs: org.apache.spark.sql.DataFrame,
                 merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
     graft.ml.BpeTokenizer.tokenStats(docs, col("doc_id"), col("text"), merges)
+
+  /** The q6e BPE-ids + sequence-packing replay as ONE SQL text
+    * parameterized on the fitted model and table — shared with the
+    * Scale10x `bpe_pack` twin. Extends the q5z bracketed-replace
+    * segmentation replay three steps: (1) split each word's replayed
+    * bracketed form back into symbols, (2) map each symbol to its token
+    * id through the model's BOUNDED vocab embedded as a literal VALUES
+    * table (alphabet then merge products — BpeModel.vocabIds verbatim;
+    * unseen symbols → −1), (3) re-run the q4q pack replay over the
+    * resulting per-doc id sequences. Exact integers end to end.
+    */
+  def bpePackOracleSql(model: graft.ml.BpeTokenizer.BpeModel,
+                       table: String, budget: Long): String = {
+    def q(s: String) = s.replace("'", "''")
+    val base = """regexp_replace(word, '(.)', '[\1]', 'g')"""
+    val seg = model.merges.foldLeft(base) { case (acc, (l, r)) =>
+      s"replace($acc, '[${q(l)}][${q(r)}]', '[${q(l)}${q(r)}]')"
+    }
+    val vocabRows = model.vocabIds.toSeq.sortBy(_._2)
+      .map { case (s, i) => s"('${q(s)}', $i)" }.mkString(", ")
+    s"""WITH w AS (SELECT doc_id, unnest(t) AS word,
+       |             unnest(range(len(t))) AS wp
+       |           FROM (SELECT doc_id, string_split(text, ' ') AS t
+       |                 FROM $table)),
+       |seg AS (SELECT doc_id, wp, $seg AS s FROM w),
+       |sym AS (SELECT doc_id, wp,
+       |          unnest(string_split(substr(s, 2, length(s) - 2), '][')) AS sym,
+       |          unnest(range(len(string_split(substr(s, 2, length(s) - 2),
+       |            '][')))) AS sp
+       |        FROM seg),
+       |vocab(sym, id) AS (VALUES $vocabRows),
+       |tok AS (SELECT t.doc_id, t.wp, t.sp, coalesce(v.id, -1) AS id
+       |        FROM sym t LEFT JOIN vocab v USING (sym)),
+       |docseq AS (SELECT doc_id, count(*) AS n,
+       |             string_agg(CAST(id AS VARCHAR), ' ' ORDER BY wp, sp)
+       |               AS ids_text
+       |           FROM tok GROUP BY doc_id),
+       |c AS (SELECT doc_id, n, ids_text,
+       |        coalesce(sum(n) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |      FROM docseq)
+       |SELECT CAST(floor(cum / $budget.0) AS BIGINT) AS pack_id,
+       |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  string_agg(ids_text, '<|eos|>' ORDER BY doc_id) AS text
+       |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin
+  }
+
+  /** The q6e Spark side against any documents frame with a prefit model
+    * (Scale10x twin): segment to token ids, pack on the REAL subword
+    * token counts, materialize the id-sequence packs.
+    */
+  def bpePack(docs: org.apache.spark.sql.DataFrame,
+              model: graft.ml.BpeTokenizer.BpeModel,
+              budget: Long): org.apache.spark.sql.DataFrame = {
+    val seg = graft.ml.BpeTokenizer
+      .segmentIds(docs, col("doc_id"), col("text"), model)
+      .select(col("doc_id"),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("token_ids").cast("array<string>")).as("ids_text"))
+    graft.operators.Curate.materializePacks(seg, "n_tokens", "doc_id",
+        "ids_text", budget)
+      .select(col("pack_id"), col("n_docs"), col("n_tokens"), col("text"))
+  }
 
   /** One session-scoped tmp root per Spark application, deleted
     * recursively by a single JVM shutdown hook — q5m/q5p write fixture
@@ -752,6 +833,26 @@ object LmQueries {
       graft.ml.BpeTokenizer.tokenStats(Tables.documents(s, d),
           col("doc_id"), col("text"), ensureBpeMerges(s, d))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- BPE end-to-end: fit -> save -> load -> token-id segmentation ->
+    //      sequence packing (the r11 verdict's "finish the tokenizer
+    //      story") ----------------------------------------------------------
+    // The served model is the fit->save->load ROUND TRIP (ensureBpeModel),
+    // segmentation emits the real subword id sequences (BpeTokenIds
+    // kernel), and packing runs on the REAL token counts — where q4h/q4q
+    // packed whitespace-token counts, this packs what a trainer actually
+    // consumes. The oracle replays segmentation (q5z's bracketed-replace
+    // chain), maps symbols to ids through the embedded vocab, and re-runs
+    // the q4q pack replay over the id sequences — merge list, id
+    // assignment, UNK handling, pack boundaries, and the EOS-joined pack
+    // text all hash-pinned at once.
+    QueryDef.dynamicSql("q6e_bpe_pack") { (s, d) =>
+      bpePackOracleSql(ensureBpeModel(s, d), "documents", BpePackBudget)
+    } { (s, d) =>
+      bpePack(Tables.documents(s, d).select(col("doc_id"), col("text")),
+          ensureBpeModel(s, d), BpePackBudget)
+        .orderBy(col("pack_id"))
     },
 
     // ---- STREAMING perplexity gate (the CCNet filter on an ingest stream) -

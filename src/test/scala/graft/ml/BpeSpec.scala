@@ -76,6 +76,73 @@ class BpeSpec extends SparkSpec {
         s"word=$w chain=$ch kernel=${kernel(w, ch)} sql=${sqlReplay(w, ch)}")
   }
 
+  test("fitModel: alphabet is the capped vocab's sorted symbols; vocabIds first-wins") {
+    val docs = Seq((1L, "low lower low"), (2L, "lowest low"))
+      .toDF("doc_id", "text")
+    val m = BpeTokenizer.fitModel(docs, col("text"), vocabCap = 10, nMerges = 8)
+    assert(m.merges == Seq(("l", "o"), ("lo", "w"), ("low", "e")))
+    assert(m.alphabet.toSeq == Seq("e", "l", "o", "r", "s", "t", "w"))
+    // ids: alphabet 0..6 sorted, then merge products in rank order
+    assert(m.vocabIds == Map("e" -> 0, "l" -> 1, "o" -> 2, "r" -> 3,
+      "s" -> 4, "t" -> 5, "w" -> 6, "lo" -> 7, "low" -> 8, "lowe" -> 9))
+    // first-wins: a merge whose product collides with an existing token
+    // does not reassign the id
+    val collide = BpeTokenizer.BpeModel(Array("a", "aa"),
+      Seq(("a", "a"), ("aa", "a")))
+    assert(collide.vocabIds == Map("a" -> 0, "aa" -> 1, "aaa" -> 2))
+  }
+
+  test("save/load round-trips the model bit-for-bit") {
+    val docs = Seq((1L, "low lower low"), (2L, "lowest low"))
+      .toDF("doc_id", "text")
+    val m = BpeTokenizer.fitModel(docs, col("text"), 10, 8)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_rt").toString
+    BpeTokenizer.save(spark, m, dir)
+    val m2 = BpeTokenizer.load(spark, dir)
+    assert(m2.alphabet.sameElements(m.alphabet))
+    assert(m2.merges == m.merges)
+    assert(m2.vocabIds == m.vocabIds)
+    // a loaded model segments identically to the fitted one
+    val probe = Seq((1L, "low lower lowest xyz")).toDF("doc_id", "text")
+    def ids(mm: BpeTokenizer.BpeModel) =
+      BpeTokenizer.segmentIds(probe, col("doc_id"), col("text"), mm)
+        .collect().head.getSeq[Int](1)
+    assert(ids(m2) == ids(m))
+    // torn artifact (meta disagrees with rows) fails loudly — rewrite the
+    // sidecar through the same Hadoop FS save() used (a raw java.nio write
+    // would orphan the local FS checksum file)
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(mp, true)
+    try o.write("""{"fmt": 1, "nAlphabet": 99, "nMerges": 3}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally o.close()
+    intercept[IllegalArgumentException] { BpeTokenizer.load(spark, dir) }
+  }
+
+  test("segmentIds: hand-computed id sequences, UNK for unseen codepoints") {
+    val docs = Seq((1L, "low lower low"), (2L, "lowest low"))
+      .toDF("doc_id", "text")
+    val m = BpeTokenizer.fitModel(docs, col("text"), 10, 8)
+    // low -> [low=8]; lower -> [lowe=9, r=3]; lowest -> [lowe=9, s=4, t=5];
+    // xyz (codepoints outside the alphabet) -> [-1, -1, -1]
+    val probe = Seq((1L, "low lower lowest xyz")).toDF("doc_id", "text")
+    val out = BpeTokenizer.segmentIds(probe, col("doc_id"), col("text"), m)
+      .collect().head.getSeq[Int](1)
+    assert(out == Seq(8, 9, 3, 9, 4, 5, -1, -1, -1))
+    // the ids kernel is a pure projection (zero shuffle, no joins)
+    val plan = BpeTokenizer.segmentIds(probe, col("doc_id"), col("text"), m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+    // token count agrees with BpeStats on every doc (two kernels, one
+    // segmentation semantics)
+    val both = BpeTokenizer.tokenStats(docs, col("doc_id"), col("text"), m.merges)
+      .join(BpeTokenizer.segmentIds(docs, col("doc_id"), col("text"), m), "doc_id")
+      .select(col("n_tokens"), size(col("token_ids")).cast("long"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("BpeStats kernel is a pure projection; rejects bracket symbols") {
     val docs = Seq((1L, "ab ba")).toDF("doc_id", "text")
     val plan = BpeTokenizer.tokenStats(docs, col("doc_id"), col("text"),
