@@ -896,4 +896,118 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  // --------------------------------------------------------------------
+  // Substring-level exact dedup (ExactSubstr, Lee et al. 2021 "Dedupli-
+  // cating Training Data Makes Language Models Better"): remove token
+  // SPANS duplicated across documents, the axis doc-level (exact),
+  // line-level (dedupLines), and near-dup (MinHash/SimHash) all miss.
+  // Lee et al. build a corpus suffix array; the Spark-native shape is
+  // the decontamination machinery turned corpus×corpus — every k-token
+  // window fingerprints to 8 bytes, a window is DUPLICATED when its
+  // fingerprint occurs in >= minDocs distinct documents, and runs of
+  // duplicated windows merge into maximal spans. Within-document
+  // repetition is deliberately NOT this operator's axis (repetitionStats
+  // covers it): minDocs counts distinct documents.
+  // --------------------------------------------------------------------
+
+  /** Duplicated k-token windows: (id, __pos, __fp) for every window whose
+    * fingerprint occurs in >= `minDocs` distinct documents.
+    *
+    * Scale shape: windows reduce to (id, pos, 64-bit fp) before any
+    * exchange — the gram text never shuffles. The hot-fingerprint table
+    * comes from one hash aggregation on fp (map-side partial distinct),
+    * and membership is a fp equi-join (shuffle-hash/sort-merge — the hot
+    * side is corpus-sized in the worst case, so it is NOT broadcast).
+    * The corpus is scanned twice (window explode feeds both sides), the
+    * [[decontaminate]] trade: recomputing a pruned scan beats
+    * materializing a corpus-sized window table.
+    */
+  private def duplicatedWindows(corpus: DataFrame, id: String, text: String,
+                                k: Int, minDocs: Int): DataFrame = {
+    import graft.expressions.WordShingles
+    val w = Par.spread(corpus.select(col(id), col(text)))
+      .select(col(id),
+        posexplode(WordShingles.ngrams(col(text), k)).as(Seq("__pos", "__g")))
+      .select(col(id), col("__pos").cast("long").as("__pos"),
+        xxhash64(col("__g")).as("__fp"))
+    val hot = w.groupBy(col("__fp"))
+      .agg(countDistinct(col(id)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__fp"))
+    w.join(hot, Seq("__fp"), "left_semi")
+  }
+
+  /** Per-document duplicated-span REPORT: one row per maximal run of
+    * duplicated k-token windows — (id, span_start, span_end, span_tokens,
+    * n_windows), token positions 0-based inclusive. Windows at positions
+    * p < p' belong to one span when p' − p <= k (their covered ranges
+    * overlap or touch — a contiguous duplicated region). Documents
+    * shorter than k tokens collapse to a single whole-document window
+    * ([[graft.expressions.WordShingles]] short-text rule), so span_end
+    * clamps to the document's last token.
+    *
+    * Scale shape: after [[duplicatedWindows]], one exchange on the
+    * document id serves both the island window functions (PARTITIONED —
+    * never a global window) and the span aggregate; the per-doc length
+    * join adds a second corpus-pruned scan of two columns.
+    */
+  def duplicatedSpans(corpus: DataFrame, id: String, text: String,
+                      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2 && minDocs >= 2,
+      s"bad ExactSubstr geometry: k=$k minDocs=$minDocs")
+    val byDoc = Window.partitionBy(col(id)).orderBy(col("__pos"))
+    val runW = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nw = corpus.select(col(id),
+      size(split(col(text), " ")).cast("long").as("__nw"))
+    val end = least(col("__endRaw"), col("__nw") - 1)
+    duplicatedWindows(corpus, id, text, k, minDocs)
+      .withColumn("__new",
+        when(col("__pos") - lag(col("__pos"), 1).over(byDoc) > k, 1)
+          .otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(runW))
+      .groupBy(col(id), col("__isl"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + lit(k - 1).cast("long")).as("__endRaw"),
+        count(lit(1)).as("n_windows"))
+      .join(nw, Seq(id))
+      .select(col(id), col("span_start"), end.as("span_end"),
+        (end - col("span_start") + 1).as("span_tokens"), col("n_windows"))
+  }
+
+  /** ExactSubstr span REMOVAL: every token covered by a duplicated span is
+    * dropped from every document (the [[dedupLines]] hot-content
+    * semantics applied at substring granularity; surviving tokens rejoin
+    * in order). Returns one row per input document — (id, text,
+    * n_removed) — fully-duplicated documents survive as empty text with
+    * n_removed = their token count.
+    *
+    * Scale shape: spans explode to covered positions (bounded by document
+    * length), tokens anti-join them on (id, pos) — co-partitioned by the
+    * same id exchange the span build already required — and the rebuild
+    * is the [[dedupLines]] per-doc sort-rejoin aggregate. No global sort,
+    * no window without a partition, nothing driver-side.
+    */
+  def removeDuplicatedSpans(corpus: DataFrame, id: String, text: String,
+                            k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val cover = duplicatedSpans(corpus, id, text, k, minDocs)
+      .select(col(id),
+        explode(sequence(col("span_start"), col("span_end"))).as("__pos"))
+    val kept = corpus
+      .select(col(id),
+        posexplode(split(col(text), " ")).as(Seq("__pos", "__w")))
+      .select(col(id), col("__pos").cast("long").as("__pos"), col("__w"))
+      .join(cover, Seq(id, "__pos"), "left_anti")
+      .groupBy(col(id))
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
+            x => x.getField("__w"))).as("__kept"),
+        count(lit(1)).as("__nKept"))
+    corpus
+      .select(col(id), size(split(col(text), " ")).cast("long").as("__nw"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), coalesce(col("__kept"), lit("")).as(text),
+        (col("__nw") - coalesce(col("__nKept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -1334,8 +1334,92 @@ object TextQueries {
       Curate.chunkDocs(Tables.documents(s, d), "doc_id", "text",
           chunkTokens = 64, overlap = 16)
         .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // ---- substring-level exact dedup (ExactSubstr, Lee et al. 2021) --------
+    // The dedup axis doc/line/near-dup all miss: token SPANS duplicated
+    // across >= 2 documents. q6f reports every maximal duplicated span
+    // (island-merged runs of duplicated 8-token windows, short-doc clamp
+    // included); q6g removes the covered tokens from every document and
+    // rebuilds the text. The oracle replays windows by gram TEXT (fp
+    // equality == gram equality), the island merge as the identical
+    // partitioned lag/running-sum pair, and the rebuild as the q4m
+    // ordered string_agg.
+    QueryDef.sql("q6f_dup_spans", exactSubstrSpansOracleSql("documents")) {
+      (s, d) =>
+        Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+            k = 8, minDocs = 2)
+          .orderBy(col("doc_id"), col("span_start"))
+    },
+    QueryDef.sql("q6g_substr_dedup", exactSubstrRemoveOracleSql("documents")) {
+      (s, d) =>
+        Dedup.removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+            k = 8, minDocs = 2)
+          .orderBy(col("doc_id"))
     }
   )
+
+  /** Shared windows→islands CTE chain for the ExactSubstr oracles (k=8,
+    * minDocs=2): per-doc 0-based window positions by zipped unnest, hot
+    * grams by distinct-doc count, islands by the identical partitioned
+    * lag/running-sum the Spark side uses. Shared with the Scale10x
+    * `exact_substr` twin so probe and oracle can never drift.
+    */
+  private def exactSubstrIslandsCte(table: String): String =
+    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM $table),
+       |g AS (SELECT doc_id, len(t) AS nw,
+       |        CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+       |             ELSE list_transform(range(1, len(t) - 6),
+       |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |                      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]) END AS gs
+       |      FROM sp),
+       |u AS (SELECT doc_id, nw, unnest(gs) AS gram,
+       |        unnest(range(len(gs))) AS pos
+       |      FROM g),
+       |hot AS (SELECT gram FROM u GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |dw AS (SELECT doc_id, nw, pos FROM u
+       |       WHERE gram IN (SELECT gram FROM hot)),
+       |brk AS (SELECT doc_id, nw, pos,
+       |          CASE WHEN pos - lag(pos) OVER
+       |                 (PARTITION BY doc_id ORDER BY pos) > 8
+       |               THEN 1 ELSE 0 END AS brk
+       |        FROM dw),
+       |isl AS (SELECT doc_id, nw, pos,
+       |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |        FROM brk),
+       |spans AS (SELECT doc_id, min(pos) AS span_start,
+       |            least(max(pos) + 7, any_value(nw) - 1) AS span_end,
+       |            count(*) AS n_windows
+       |          FROM isl GROUP BY doc_id, isl)""".stripMargin
+
+  /** q6f oracle: the maximal-span report. (Parts stripMargin separately
+    * and concatenate — re-stripping the embedded CTE would eat one pipe
+    * of its `||` continuation lines.)
+    */
+  def exactSubstrSpansOracleSql(table: String): String =
+    exactSubstrIslandsCte(table) + "\n" +
+      """SELECT doc_id, span_start, span_end,
+        |  span_end - span_start + 1 AS span_tokens, n_windows
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  /** q6g oracle: span removal + per-doc text rebuild. */
+  def exactSubstrRemoveOracleSql(table: String): String =
+    exactSubstrIslandsCte(table) + ",\n" +
+      """cover AS (SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos
+        |          FROM spans),
+        |w AS (SELECT doc_id, unnest(t) AS word, unnest(range(len(t))) AS pos
+        |      FROM sp),
+        |kept AS (SELECT w.doc_id, w.pos, w.word FROM w
+        |         LEFT JOIN cover c ON w.doc_id = c.doc_id AND w.pos = c.pos
+        |         WHERE c.pos IS NULL),
+        |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text,
+        |          count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT sp.doc_id, coalesce(agg.text, '') AS text,
+        |  len(sp.t) - coalesce(agg.n_kept, 0) AS n_removed
+        |FROM sp LEFT JOIN agg USING (doc_id) ORDER BY sp.doc_id""".stripMargin
 
   /** The q5r oracle as a function of the documents table/view name — shared
     * with the Scale10x `contam_report` twin so the probe and the

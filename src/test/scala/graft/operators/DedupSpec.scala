@@ -463,4 +463,80 @@ class DedupSpec extends SparkSpec {
       (3L, 4L, 4L, 1000000L)))
   }
 
+  // ---- ExactSubstr (substring-level exact dedup) ------------------------
+
+  // k=3 hand corpus: hot 3-grams are "a b c" (docs 1,2,4), "b c d" (1,2),
+  // "c d e" (1,2), "f g h" (1,4); docs 5/6 share a whole-doc short window
+  private def substrDocs = Seq(
+    (1L, "a b c d e f g h"),
+    (2L, "x y a b c d e q"),
+    (3L, "p q r s t u v w"),
+    (4L, "f g h z z a b c"),
+    (5L, "a b"),
+    (6L, "a b")
+  ).toDF("doc_id", "text")
+
+  test("duplicatedSpans: island merge incl. touching windows, gaps split, short-doc clamp") {
+    val out = Dedup.duplicatedSpans(substrDocs, "doc_id", "text",
+        k = 3, minDocs = 2)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      // doc 1: dup windows at 0,1,2 and 5 — 5−2 = k merges (touching
+      // coverage [2..4]/[5..7]), one maximal span over the whole doc
+      (1L, 0L, 7L, 8L, 4L),
+      // doc 2: run at 2,3,4 -> span [2..6]
+      (2L, 2L, 6L, 5L, 3L),
+      // doc 4: windows at 0 and 5, gap 5 > k -> TWO spans
+      (4L, 0L, 2L, 3L, 1L),
+      (4L, 5L, 7L, 3L, 1L),
+      // docs 5/6: whole-doc short window, span_end clamps to n_words−1
+      (5L, 0L, 1L, 2L, 1L),
+      (6L, 0L, 1L, 2L, 1L)))
+  }
+
+  test("duplicatedSpans: minDocs raises the duplication bar") {
+    // only "a b c" lives in >= 3 docs
+    val out = Dedup.duplicatedSpans(substrDocs, "doc_id", "text",
+        k = 3, minDocs = 3)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 0L, 2L), (2L, 2L, 4L), (4L, 5L, 7L)))
+  }
+
+  test("removeDuplicatedSpans: covered tokens drop everywhere, untouched docs survive intact") {
+    val out = Dedup.removeDuplicatedSpans(substrDocs, "doc_id", "text",
+        k = 3, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "", 8L),                   // fully covered -> empty, row kept
+      (2L, "x y q", 5L),
+      (3L, "p q r s t u v w", 0L),    // no dup spans -> unchanged
+      (4L, "z z", 6L),
+      (5L, "", 2L),
+      (6L, "", 2L)))
+  }
+
+  test("ExactSubstr plans: no cartesian products, every window partitioned") {
+    for (df <- Seq(
+        Dedup.duplicatedSpans(substrDocs, "doc_id", "text", 3, 2),
+        Dedup.removeDuplicatedSpans(substrDocs, "doc_id", "text", 3, 2))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"), plan)
+      assert(!plan.contains("Window [") ||
+        plan.linesIterator.filter(_.contains("Window")).forall { l =>
+          !l.contains("windowspecdefinition()") }, plan)
+    }
+    // the duplicated-window membership join carries 8-byte fingerprints,
+    // never gram text: the semi-join condition references __fp only
+    val spansPlan = Dedup.duplicatedSpans(substrDocs, "doc_id", "text", 3, 2)
+      .queryExecution.executedPlan.toString
+    val semiLine = spansPlan.linesIterator
+      .find(_.contains("LeftSemi")).getOrElse("")
+    assert(semiLine.contains("__fp") && !semiLine.contains("__g"), spansPlan)
+  }
+
 }
