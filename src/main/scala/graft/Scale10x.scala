@@ -282,6 +282,15 @@ object Scale10x {
         spark.read.parquet(p).where(col("vec_id") >= 20), "vec_id",
         annQueries.select(col("query_id"), col("qe").as("embedding")),
         "query_id", k = 5, pqCbs))
+    // IVF-PQ fit follows the same prefit-once discipline; the twin
+    // replays coarse + codebooks via the shared ivfPqReplaySql text
+    lazy val ivfPqFit = Similarity.fitIvfPq(
+      spark.read.parquet(emb1P).where(col("vec_id") >= 20))
+    def annIvfPqShape(p: String): Long =                  // q6h IVFADC path
+      force(Similarity.ivfPqTopK(
+        spark.read.parquet(p).where(col("vec_id") >= 20), "vec_id",
+        annQueries.select(col("query_id"), col("qe").as("embedding")),
+        "query_id", k = 5, nProbe = 3, ivfPqFit._1, ivfPqFit._2))
 
     // ---- the incremental near-dup gate (writeBandTable →
     // nearDupesAgainstTable → appendBandTable), the steady-state ingest
@@ -577,7 +586,9 @@ object Scale10x {
       Probe("range_join", () => rangeShape(ev1P), () => rangeShape(evNP)),
       Probe("ann_brute", () => annBruteShape(emb1P), () => annBruteShape(embNP)),
       Probe("ann_ivf", () => annIvfShape(emb1P), () => annIvfShape(embNP)),
-      Probe("ann_pq", () => annPqShape(emb1P), () => annPqShape(embNP))) ++
+      Probe("ann_pq", () => annPqShape(emb1P), () => annPqShape(embNP)),
+      Probe("ann_ivfpq", () => annIvfPqShape(emb1P),
+        () => annIvfPqShape(embNP))) ++
       nearDupProbes :+
       Probe("multimodel_eval", () => multiEvalShape(li1P, ord1P),
         () => multiEvalShape(li10P, ord10P))
@@ -640,10 +651,14 @@ object Scale10x {
     val duck: Map[String, Double] = try {
       def pqTwin(embv: String) = graft.queries.SimilarityQueries.pqReplaySql(
         pqCbs, s"$embv WHERE vec_id >= 20", "emb1v WHERE vec_id < 20", k = 5)
+      def ivfPqTwin(embv: String) =
+        graft.queries.SimilarityQueries.ivfPqReplaySql(
+          ivfPqFit._1, ivfPqFit._2, s"$embv WHERE vec_id >= 20",
+          "emb1v WHERE vec_id < 20", k = 5, nProbe = 3)
       val sql1 = duckSql("docs1v", "li1v", "ord1v", "ev1v", "gbv", "emb1v") +
-        ("ann_pq" -> pqTwin("emb1v"))
+        ("ann_pq" -> pqTwin("emb1v")) + ("ann_ivfpq" -> ivfPqTwin("emb1v"))
       val sqlN = duckSql("docsNv", "liNv", "ordNv", "evNv", "gbv", "embNv") +
-        ("ann_pq" -> pqTwin("embNv"))
+        ("ann_pq" -> pqTwin("embNv")) + ("ann_ivfpq" -> ivfPqTwin("embNv"))
       val views = Map("docs1v" -> docs1P, "docsNv" -> docs10P,
         "li1v" -> li1P, "liNv" -> li10P, "ord1v" -> ord1P, "ordNv" -> ord10P,
         "ev1v" -> ev1P, "evNv" -> evNP, "gbv" -> gateBatchP,

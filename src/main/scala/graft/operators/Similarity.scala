@@ -323,6 +323,111 @@ object Similarity {
         col("__dist").as("dist"))
   }
 
+  /** Fit an IVF-PQ index (Jégou et al. 2011 §IV — the FAISS IVFADC
+    * production shape): ONE bounded reservoir sample feeds both halves —
+    * the coarse quantizer is Lloyd on the full vectors, then every
+    * sample point is assigned to its coarse cell by the kernel's exact
+    * fixed-point argmin ([[graft.expressions.PqKernel.nearestCellLocal]]
+    * — fit-time assignment must replay the search-time rule or the
+    * codebooks train against a different sample partition than the one
+    * search encodes), and per-subspace Lloyd runs on the RESIDUALS
+    * (point − its coarse centroid). One Spark job total, deterministic
+    * for a given (corpus, seed). Returns (coarse cells, residual
+    * codebooks(m)(codebookSize)(dim/m)).
+    */
+  def fitIvfPq(corpus: DataFrame, nCentroids: Int = 8, m: Int = 4,
+               codebookSize: Int = 16, seed: Long = 42L,
+               fitSampleCap: Int = 4000)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    require(nCentroids > 1 && m > 0 && codebookSize > 1,
+      s"bad IVF-PQ geometry: nCentroids=$nCentroids m=$m k=$codebookSize")
+    val sample = reservoirSample(
+      corpus.select(col("embedding").cast("array<double>")),
+      fitSampleCap, seed)
+    require(sample.nonEmpty, "IVF-PQ fit needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val ds = dim / m
+    val coarse = localLloyd(sample, nCentroids, seed, iters = 20)
+    val residuals = sample.map { v =>
+      val cc = coarse(graft.expressions.PqKernel.nearestCellLocal(v, coarse))
+      val r = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { r(i) = v(i) - cc(i); i += 1 }
+      r
+    }
+    val codebooks = (0 until m).map { j =>
+      val sub = residuals.map(v =>
+        java.util.Arrays.copyOfRange(v, j * ds, (j + 1) * ds))
+      localLloyd(sub, codebookSize, seed + 31 + j, iters = 20)
+        .map(_.toSeq).toSeq
+    }
+    (coarse.map(_.toSeq).toSeq, codebooks)
+  }
+
+  /** IVF-PQ/ADC top-k (FAISS IVFADC): the corpus is encoded ONCE to a
+    * coarse cell + m residual codes by the fused [[graft.expressions
+    * .IvfPqEncode]] kernel (the residual folds into each candidate's
+    * distance chain — no per-row residual array); queries rank the
+    * coarse cells by the same fixed-point grid ([[graft.expressions
+    * .FpSqDist]] against the broadcast centroid table) and probe the
+    * `nProbe` nearest; scoring joins probes to the encoded corpus on
+    * the CELL equi-key — at nProbe < nCentroids the corpus-side scan
+    * prunes to the probed cells' rows — with the exact integer residual
+    * ADC total, then bounded-heap top-k on (dist, id).
+    *
+    * Everything — cell assignment ties, probe ranking, ADC sums, top-k
+    * order — is integer on the nano-unit grid, so the WHOLE index
+    * replays row-for-row in SQL at its APPROXIMATE operating point
+    * (q6h embeds the fitted coarse/codebooks as literals): the
+    * approximation lives in the codebooks and the probe set, not in
+    * any float nondeterminism.
+    *
+    * Scale shape: encode is a pure projection (5 small ints per
+    * vector); the probe side is |queries| × nProbe rows — broadcast by
+    * the planner when the batch is small, shuffle-joined on the cell
+    * key when it is not; the corpus never shuffles. Returns an
+    * UNORDERED row set — sort downstream if rank order matters.
+    */
+  def ivfPqTopK(corpus: DataFrame, corpusId: String,
+                queries: DataFrame, queryId: String,
+                k: Int, nProbe: Int,
+                coarse: Seq[Seq[Double]],
+                codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(nProbe > 0 && nProbe <= coarse.size,
+      s"bad probe count: nProbe=$nProbe of ${coarse.size} cells")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val enc0 = corpus.select(col(corpusId).as("__cid"),
+        graft.expressions.IvfPqEncode(col("embedding"), coarse, codebooks)
+          .as("__s"))
+      .filter(col("__s").isNotNull)
+    val enc = enc0.select(col("__cid"),
+      col("__s").getField("cell").as("__cell"),
+      col("__s").getField("codes").as("__codes"))
+    val centroids = coarse.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq
+      .toDF("__pcell", "__centroid")
+    val qd = queries
+      .select(col(queryId).as("__qid"), col("embedding").as("__qe"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__d",
+        graft.expressions.FpSqDist(col("__qe"), col("__centroid")))
+      .filter(col("__d").isNotNull)
+    val probes = graft.plans.GroupedTopK.perGroup(qd,
+        Seq(col("__qid")), struct(col("__d"), col("__pcell")), nProbe)
+      .select(col("__qid"), col("__qe"), col("__pcell").as("__cell"))
+    val scored = enc.join(probes, Seq("__cell"))
+      .withColumn("__dist",
+        graft.expressions.IvfPqAdcDist(col("__codes"), col("__qe"),
+          col("__cell"), coarse, codebooks))
+      .filter(col("__dist").isNotNull)
+    graft.plans.GroupedTopK.perGroup(scored, Seq(col("__qid")),
+        struct(col("__dist"), col("__cid")), k)
+      .select(col("__qid").as(queryId), col("__cid").as(corpusId),
+        col("__dist").as("dist"))
+  }
+
   /** Driver-local Lloyd over a bounded in-memory sample: seeded k-means++
     * init, `iters` assignment/update rounds, empty clusters keep their
     * previous center. Fully deterministic for a given (sample, seed) —

@@ -291,6 +291,30 @@ object SimilarityQueries {
       Similarity.pqTopK(emb.where(col("vec_id") >= 5), "vec_id",
           queries, "query_id", k = 5, ensurePqCodebooks(s, d))
         .orderBy(col("query_id"), col("vec_id"))
+    },
+
+    // ---- IVF-PQ/ADC ANN (the FAISS IVFADC production composition) ---------
+    // Coarse cells prune the candidate set (nProbe=3 of 8 — a genuinely
+    // APPROXIMATE operating point), PQ codes compress the residuals, and
+    // because cell assignment, probe ranking, residual encoding, and ADC
+    // totals all live on the same fixed-point nano-unit grid, the ENTIRE
+    // index — including which cells each query probes — replays
+    // row-for-row in SQL from the fitted coarse/codebook literals. The
+    // q5y discipline, extended to a two-level index: no nProbe=all
+    // weakening needed for exactness.
+    QueryDef.dynamicSql("q6h_ivfpq_ann") { (s, d) =>
+      val (coarse, cbs) = ensureIvfPq(s, d)
+      ivfPqReplaySql(coarse, cbs,
+        "embeddings WHERE vec_id >= 5",
+        "embeddings WHERE vec_id < 5", k = 5, nProbe = 3)
+    } { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (coarse, cbs) = ensureIvfPq(s, d)
+      Similarity.ivfPqTopK(emb.where(col("vec_id") >= 5), "vec_id",
+          queries, "query_id", k = 5, nProbe = 3, coarse, cbs)
+        .orderBy(col("query_id"), col("vec_id"))
     }
   )
 
@@ -305,6 +329,16 @@ object SimilarityQueries {
                                 d: String): Seq[Seq[Seq[Double]]] =
     pqCache.getOrElseUpdate(d,
       Similarity.fitPq(Tables.embeddings(s, d).where(col("vec_id") >= 5)))
+
+  /** The q6h IVF-PQ fit (coarse cells + residual codebooks), memoized per
+    * sf dir — same ensure discipline as the PQ codebooks above.
+    */
+  private val ivfPqCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[Seq[Double]], Seq[Seq[Seq[Double]]])]
+  private def ensureIvfPq(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) =
+    ivfPqCache.getOrElseUpdate(d,
+      Similarity.fitIvfPq(Tables.embeddings(s, d).where(col("vec_id") >= 5)))
 
   /** The PQ/ADC replay as ONE SQL text parameterized on the fitted
     * codebooks and the corpus/query FROM clauses (table + predicate) —
@@ -353,6 +387,98 @@ object SimilarityQueries {
        |        AS BIGINT)
        |       for i in range($ds)]) AS BIGINT) AS d
        |  FROM q CROSS JOIN enc
+       |  JOIN cb ON cb.sub = enc.sub AND cb.cid = enc.cid),
+       |adc AS (SELECT query_id, vec_id, CAST(sum(d) AS BIGINT) AS dist
+       |        FROM adc0 GROUP BY query_id, vec_id),
+       |r AS (SELECT query_id, vec_id, dist,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY dist, vec_id) AS rn
+       |      FROM adc)
+       |SELECT query_id, vec_id, dist FROM r WHERE rn <= $k
+       |ORDER BY query_id, vec_id""".stripMargin
+  }
+
+  private def doubleListLit(c: Seq[Double]): String =
+    c.map(x => s"CAST(${java.lang.Double.toString(x)} AS DOUBLE)")
+      .mkString("[", ", ", "]")
+
+  /** The IVF-PQ/ADC replay as ONE SQL text parameterized on the fitted
+    * coarse cells + residual codebooks and the corpus/query FROM clauses —
+    * shared by the q6h oracle and the Scale10x ann_ivfpq twin. Replays
+    * the kernel's exact chains on the nano-unit grid: coarse cell =
+    * full-dim fixed-point argmin (ties to the low cell), residual code =
+    * per-subspace argmin of ((e − cc) − c)² terms (ties to the low cid),
+    * probe set = each query's nProbe lowest coarse distances (ties to
+    * the low cell), ADC = integer residual sums, top-k ties on vec_id.
+    */
+  def ivfPqReplaySql(coarse: Seq[Seq[Double]], cbs: Seq[Seq[Seq[Double]]],
+                     corpusFrom: String, queryFrom: String,
+                     k: Int, nProbe: Int): String = {
+    val dim = coarse.head.size
+    val ds = cbs.head.head.size
+    val ccValues = coarse.zipWithIndex
+      .map { case (c, i) => s"  ($i, ${doubleListLit(c)})" }
+      .mkString(",\n")
+    val cbValues = cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, i) => s"  ($j, $i, ${doubleListLit(c)})" }
+    }.mkString(",\n")
+    // the ((e − cc) − c)² fixed-point term over subspace `sub` of vector
+    // column `v` — the kernel's residSubDist chain, verbatim
+    def residTerm(v: String): String =
+      s"""CAST(list_sum(
+         |      [CAST(round(1e9 *
+         |         (((CAST($v[cb.sub * $ds + i + 1] AS DOUBLE)
+         |             - cc.c[cb.sub * $ds + i + 1]) - cb.c[i + 1])
+         |          * ((CAST($v[cb.sub * $ds + i + 1] AS DOUBLE)
+         |             - cc.c[cb.sub * $ds + i + 1]) - cb.c[i + 1])))
+         |        AS BIGINT)
+         |       for i in range($ds)]) AS BIGINT)""".stripMargin
+    def coarseTerm(v: String): String =
+      s"""CAST(list_sum(
+         |      [CAST(round(1e9 *
+         |         ((CAST($v[i + 1] AS DOUBLE) - cc.c[i + 1])
+         |          * (CAST($v[i + 1] AS DOUBLE) - cc.c[i + 1])))
+         |        AS BIGINT)
+         |       for i in range($dim)]) AS BIGINT)""".stripMargin
+    s"""WITH cc(cell, c) AS (VALUES
+       |$ccValues),
+       |cb(sub, cid, c) AS (VALUES
+       |$cbValues),
+       |e AS (SELECT vec_id, embedding FROM $corpusFrom),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM $queryFrom),
+       |cell0 AS (
+       |  SELECT e.vec_id, cc.cell, ${coarseTerm("e.embedding")} AS d
+       |  FROM e CROSS JOIN cc),
+       |cella AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |    FROM cell0) WHERE rn = 1),
+       |enc0 AS (
+       |  SELECT e.vec_id, cella.cell, cb.sub, cb.cid,
+       |    ${residTerm("e.embedding")} AS d
+       |  FROM e JOIN cella USING (vec_id)
+       |  JOIN cc ON cc.cell = cella.cell CROSS JOIN cb),
+       |enc AS (
+       |  SELECT vec_id, cell, sub, cid FROM (
+       |    SELECT vec_id, cell, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |                         ORDER BY d, cid) AS rn
+       |    FROM enc0) WHERE rn = 1),
+       |qp0 AS (
+       |  SELECT q.query_id, cc.cell, ${coarseTerm("q.qe")} AS d
+       |  FROM q CROSS JOIN cc),
+       |qp AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT query_id, cell,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY d, cell) AS rn
+       |    FROM qp0) WHERE rn <= $nProbe),
+       |adc0 AS (
+       |  SELECT qp.query_id, enc.vec_id, ${residTerm("q.qe")} AS d
+       |  FROM qp JOIN q USING (query_id)
+       |  JOIN enc ON enc.cell = qp.cell
+       |  JOIN cc ON cc.cell = qp.cell
        |  JOIN cb ON cb.sub = enc.sub AND cb.cid = enc.cid),
        |adc AS (SELECT query_id, vec_id, CAST(sum(d) AS BIGINT) AS dist
        |        FROM adc0 GROUP BY query_id, vec_id),

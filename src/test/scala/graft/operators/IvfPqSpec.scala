@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // dim=4, m=2 subspaces of 2; two well-separated coarse cells and
+  // hand-built residual codebooks shared by both subspaces
+  private val coarse: Seq[Seq[Double]] = Seq(
+    Seq(0.0, 0.0, 0.0, 0.0), Seq(10.0, 10.0, 10.0, 10.0))
+  private val cbs: Seq[Seq[Seq[Double]]] = Seq(
+    Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+    Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)))
+
+  private def vecs = Seq(
+    (1L, Seq(0.9f, 0.9f, 1.1f, 1.1f)),     // cell 0, residual codes (1, 1)
+    (2L, Seq(10.9f, 10.9f, 11.1f, 11.1f)), // cell 1, SAME residual codes
+    (3L, Seq(0.1f, 0.1f, 0.1f, 0.1f))      // cell 0, residual codes (0, 0)
+  ).toDF("vec_id", "embedding")
+
+  // the kernel's exact fixed-point chain over a residual
+  private def residD(a: Seq[Float], cc: Seq[Double], c: Seq[Double]): Long =
+    a.indices.map { i =>
+      val d = (a(i).toDouble - cc(i)) - c(i)
+      graft.expressions.BigramLmScore.halfUp(1e9 * (d * d))
+    }.sum
+
+  test("IvfPqEncode: coarse cell + residual codes in one pass; geometry -> null") {
+    val out = vecs.select(col("vec_id"),
+        graft.expressions.IvfPqEncode(col("embedding"), coarse, cbs).as("s"))
+      .select(col("vec_id"), col("s.cell"), col("s.codes"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq))
+    assert(out.toSeq == Seq(
+      (1L, 0, Seq(1, 1)), (2L, 1, Seq(1, 1)), (3L, 0, Seq(0, 0))))
+    val bad = Seq((9L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+      .select(graft.expressions.IvfPqEncode(col("embedding"), coarse, cbs)
+        .as("s")).collect().head
+    assert(bad.isNullAt(0))
+  }
+
+  test("FpSqDist: the nano-unit grid on a column pair; length mismatch -> null") {
+    val q = Seq((Seq(1.0f, 1.0f, 1.0f, 1.0f), Seq(0.0, 0.0, 0.0, 0.0)),
+        (Seq(1.0f, 1.0f, 1.0f, 1.0f), Seq(10.0, 10.0, 10.0, 10.0)))
+      .toDF("a", "b")
+    val out = q.select(graft.expressions.FpSqDist(col("a"), col("b")))
+      .as[Long].collect().toSeq
+    assert(out == Seq(4L * 1000000000L, 4L * 81L * 1000000000L))
+    val bad = Seq((Seq(1.0f, 2.0f), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(graft.expressions.FpSqDist(col("a"), col("b")))
+      .collect().head
+    assert(bad.isNullAt(0))
+  }
+
+  test("ivfPqTopK: probe pruning is real (nProbe=1 excludes the far cell), ADC exact") {
+    val q = Seq((100L, Seq(1.0f, 1.0f, 1.0f, 1.0f))).toDF("query_id", "embedding")
+    val qv = Seq(1.0f, 1.0f, 1.0f, 1.0f)
+    // hand ADC: v1 = 0 (exact residual-centroid hit), v3 = 4e9, v2 = 400e9
+    val d1 = residD(qv.take(2), coarse(0).take(2), cbs(0)(1)) +
+      residD(qv.drop(2), coarse(0).drop(2), cbs(1)(1))
+    val d3 = residD(qv.take(2), coarse(0).take(2), cbs(0)(0)) +
+      residD(qv.drop(2), coarse(0).drop(2), cbs(1)(0))
+    val d2 = residD(qv.take(2), coarse(1).take(2), cbs(0)(1)) +
+      residD(qv.drop(2), coarse(1).drop(2), cbs(1)(1))
+    assert(d1 == 0L && d3 == 4L * 1000000000L && d2 == 400L * 1000000000L)
+    val pruned = Similarity.ivfPqTopK(vecs, "vec_id", q, "query_id",
+        k = 3, nProbe = 1, coarse, cbs)
+      .orderBy("dist", "vec_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(pruned.toSeq == Seq((1L, d1), (3L, d3))) // v2's cell unprobed
+    val full = Similarity.ivfPqTopK(vecs, "vec_id", q, "query_id",
+        k = 3, nProbe = 2, coarse, cbs)
+      .orderBy("dist", "vec_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(full.toSeq == Seq((1L, d1), (3L, d3), (2L, d2)))
+  }
+
+  test("fitIvfPq: deterministic refit, geometry enforced") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.fitIvfPq(emb, nCentroids = 8, m = 4, codebookSize = 8)
+    val b = Similarity.fitIvfPq(emb, nCentroids = 8, m = 4, codebookSize = 8)
+    assert(a == b, "refit must be bit-identical")
+    assert(a._1.size == 8 && a._1.forall(_.size == 64))
+    assert(a._2.size == 4 && a._2.forall(_.size == 8) &&
+      a._2.forall(_.forall(_.size == 16)))
+    intercept[IllegalArgumentException] {
+      Similarity.fitIvfPq(emb, nCentroids = 8, m = 7) // 64 % 7 != 0
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(vecs, "vec_id",
+        Seq((1L, Seq(1.0f))).toDF("query_id", "embedding"), "query_id",
+        k = 1, nProbe = 3, coarse, cbs) // nProbe > nCentroids
+    }
+  }
+
+  test("ivfPqTopK recall: probing beats chance, all-cells covers the identical vector") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (cc, cb) = Similarity.fitIvfPq(emb.where(col("vec_id") >= 5),
+      nCentroids = 8, m = 4, codebookSize = 16)
+    // every corpus vector queried against the corpus itself must find
+    // ITSELF at dist <= any other candidate when its own cell is probed —
+    // with nProbe = all cells, self is always a candidate and ADC(self)
+    // is the minimal ADC for its codes, so self appears in the top-k
+    val queries = emb.where(col("vec_id") >= 5 && col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val hits = Similarity.ivfPqTopK(emb.where(col("vec_id") >= 5), "vec_id",
+        queries, "query_id", k = 5, nProbe = 8, cc, cb)
+      .where(col("query_id") === col("vec_id")).count()
+    assert(hits >= 15L, s"self-recall $hits/20 under all-cells probing")
+    // approximate operating point still recalls most selves
+    val hitsApprox = Similarity.ivfPqTopK(emb.where(col("vec_id") >= 5),
+        "vec_id", queries, "query_id", k = 5, nProbe = 3, cc, cb)
+      .where(col("query_id") === col("vec_id")).count()
+    assert(hitsApprox >= 10L, s"self-recall $hitsApprox/20 at nProbe=3")
+  }
+
+  test("ivfPqTopK plan: broadcast probe side, no sort-merge join, no window") {
+    val q = Seq((100L, Seq(1.0f, 1.0f, 1.0f, 1.0f))).toDF("query_id", "embedding")
+    val plan = Similarity.ivfPqTopK(vecs, "vec_id", q, "query_id",
+        k = 2, nProbe = 2, coarse, cbs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+}
