@@ -286,6 +286,18 @@ object Scale10x {
     // replays coarse + codebooks via the shared ivfPqReplaySql text
     lazy val ivfPqFit = Similarity.fitIvfPq(
       spark.read.parquet(emb1P).where(col("vec_id") >= 20))
+    // DSIR model prefit once on the 1x corpus (identical deltas at both
+    // scales — the copies are the same docs); the probe times the
+    // steady-state zero-shuffle scoring + rank cut, not the fit
+    lazy val dsirModel = {
+      val d1 = spark.read.parquet(docs1P)
+      graft.ml.Dsir.fit(d1.where(col("doc_id") % 7 === 0),
+        d1.where(col("doc_id") % 7 =!= 0), "text", buckets = 256)
+    }
+    def dsirShape(p: String): Long =                      // q6j shape
+      force(graft.ml.Dsir.select(
+        spark.read.parquet(p).where(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", dsirModel, k = 50))
     def annIvfPqShape(p: String): Long =                  // q6h IVFADC path
       force(Similarity.ivfPqTopK(
         spark.read.parquet(p).where(col("vec_id") >= 20), "vec_id",
@@ -553,9 +565,18 @@ object Scale10x {
     // near-dup probes plant `copies` near-identical texts per doc, so their
     // true-pair OUTPUT grows quadratically in the copy factor - meaningful
     // at 10x, pure output-size measurement beyond it. Skip them past 10x.
+    // semdedup joins them: the scaled corpus duplicates every vector
+    // `copies` times, so within-cell pairs grow quadratically in the copy
+    // factor — meaningful at 10x, pure output-size measurement beyond
+    lazy val semCents = Similarity.fitSemDedupCentroids(
+      spark.read.parquet(emb1P))
+    def semDedupShape(p: String): Long =                  // q6i shape
+      force(Similarity.semDedup(
+        spark.read.parquet(p), "vec_id", threshold = 0.15, semCents))
     val nearDupProbes = if (copies <= 10) Seq(
       Probe("neardup_lsh_e2e", () => nearDupShape(docs1P), () => nearDupShape(docs10P)),
-      Probe("neardup_clusters", () => clusterShape(docs1P), () => clusterShape(docs10P)))
+      Probe("neardup_clusters", () => clusterShape(docs1P), () => clusterShape(docs10P)),
+      Probe("semdedup", () => semDedupShape(emb1P), () => semDedupShape(embNP)))
     else Seq.empty
     val allProbes = Seq(
       Probe("agg_6m_rows", () => aggShape(li1P), () => aggShape(li10P)),
@@ -588,7 +609,8 @@ object Scale10x {
       Probe("ann_ivf", () => annIvfShape(emb1P), () => annIvfShape(embNP)),
       Probe("ann_pq", () => annPqShape(emb1P), () => annPqShape(embNP)),
       Probe("ann_ivfpq", () => annIvfPqShape(emb1P),
-        () => annIvfPqShape(embNP))) ++
+        () => annIvfPqShape(embNP)),
+      Probe("dsir", () => dsirShape(docs1P), () => dsirShape(docs10P))) ++
       nearDupProbes :+
       Probe("multimodel_eval", () => multiEvalShape(li1P, ord1P),
         () => multiEvalShape(li10P, ord10P))
@@ -655,10 +677,21 @@ object Scale10x {
         graft.queries.SimilarityQueries.ivfPqReplaySql(
           ivfPqFit._1, ivfPqFit._2, s"$embv WHERE vec_id >= 20",
           "emb1v WHERE vec_id < 20", k = 5, nProbe = 3)
+      // only fit/emit the semdedup twin when its probe actually ran
+      // (copies <= 10 — the quadratic-output class above)
+      def semTwin(embv: String): Map[String, String] =
+        if (copies <= 10)
+          Map("semdedup" -> graft.queries.SimilarityQueries
+            .semDedupReplaySql(semCents, embv, threshold = "0.15"))
+        else Map.empty
+      def dsirTwin(docsv: String) = graft.queries.TextQueries.dsirReplaySql(
+        dsirModel, s"$docsv WHERE doc_id % 7 <> 0", k = 50)
       val sql1 = duckSql("docs1v", "li1v", "ord1v", "ev1v", "gbv", "emb1v") +
-        ("ann_pq" -> pqTwin("emb1v")) + ("ann_ivfpq" -> ivfPqTwin("emb1v"))
+        ("ann_pq" -> pqTwin("emb1v")) + ("ann_ivfpq" -> ivfPqTwin("emb1v")) +
+        ("dsir" -> dsirTwin("docs1v")) ++ semTwin("emb1v")
       val sqlN = duckSql("docsNv", "liNv", "ordNv", "evNv", "gbv", "embNv") +
-        ("ann_pq" -> pqTwin("embNv")) + ("ann_ivfpq" -> ivfPqTwin("embNv"))
+        ("ann_pq" -> pqTwin("embNv")) + ("ann_ivfpq" -> ivfPqTwin("embNv")) +
+        ("dsir" -> dsirTwin("docsNv")) ++ semTwin("embNv")
       val views = Map("docs1v" -> docs1P, "docsNv" -> docs10P,
         "li1v" -> li1P, "liNv" -> li10P, "ord1v" -> ord1P, "ordNv" -> ord10P,
         "ev1v" -> ev1P, "evNv" -> evNP, "gbv" -> gateBatchP,

@@ -1,0 +1,132 @@
+package graft.ml
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection with Importance Resampling (Xie et al. 2023):
+  * select raw-corpus documents whose hashed n-gram distribution looks
+  * like a TARGET corpus. Fit = two bounded bag-of-hashed-ngram models
+  * (unigrams + adjacent bigrams hashed into `buckets` buckets); the
+  * per-bucket importance delta is the smoothed log-probability ratio
+  * log p_target(b) − log p_raw(b). A document's importance weight is the
+  * sum of its features' deltas; selection takes the top-k weights.
+  *
+  * Exactness (the oracle-house-style contract):
+  * - features are ENGINE-PORTABLE by construction — token bucket =
+  *   md5-60-bit mod buckets, the cross-engine hash q47/q57 already prove
+  *   both engines compute identically;
+  * - the transcendental (ln) happens ONCE, DRIVER-SIDE, at fit time:
+  *   deltas round to integer micro-nats and ride into both the Column
+  *   chain and the SQL replay as the SAME literals, so scoring and
+  *   selection are pure integer sums + integer comparisons — no
+  *   cross-engine float anywhere;
+  * - ranking ties break on ascending id (total order, replayable).
+  *
+  * The paper's Gumbel-perturbed sampling variant stays engine-side (a
+  * per-doc transcendental at the compare boundary is the documented
+  * cross-engine float limit — the fusion-tail class); rank-based top-k
+  * selection is the deterministic deployment shape verified here.
+  *
+  * Scale shape: each fit is ONE explode + hash-aggregate whose shuffle
+  * carries at most `buckets` rows per partition (map-side combine), and
+  * the two bucket tables collect exactly `buckets` bounded rows to the
+  * driver (the q5l bounded-fit discipline). Scoring is a zero-shuffle
+  * pure projection — tokens, bigrams via slice+zip_with, one
+  * aggregate(element_at(delta_literal_array, bucket)) fold, all
+  * codegen'd builtins. Selection is TakeOrdered (no global sort).
+  */
+object Dsir {
+
+  /** Fitted DSIR model: per-bucket importance deltas in integer
+    * micro-nats. `deltaMicro(b)` = round(1e6 · (ln p_t(b) − ln p_r(b)))
+    * with add-1 smoothing on both sides.
+    */
+  case class DsirModel(buckets: Int, deltaMicro: Seq[Long]) {
+    require(deltaMicro.size == buckets, "delta table must cover all buckets")
+  }
+
+  /** Unigrams + adjacent-pair bigrams of a whitespace-tokenized text —
+    * the hashed feature universe, shared by fit and scoring.
+    */
+  private[graft] def featureCol(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val bigr = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    concat(toks, bigr)
+  }
+
+  /** The engine-portable feature bucket (q57's md5-60-bit discipline). */
+  private[graft] def bucketCol(feature: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(feature), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Per-bucket feature counts of a corpus: exactly `buckets` rows on the
+    * driver (absent buckets count 0).
+    */
+  private def bucketCounts(corpus: DataFrame, text: String,
+                           buckets: Int): Array[Long] = {
+    val rows = corpus
+      .select(explode(featureCol(col(text))).as("__f"))
+      .select(bucketCol(col("__f"), buckets).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .collect() // bounded: <= buckets rows by construction
+    val out = new Array[Long](buckets)
+    rows.foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+    out
+  }
+
+  /** Fit the importance model: one bounded aggregation per corpus, then
+    * driver-local smoothing + log-ratio (deterministic — integer counts
+    * in, integer micro-nats out).
+    */
+  def fit(target: DataFrame, raw: DataFrame, text: String,
+          buckets: Int = 256): DsirModel = {
+    require(buckets > 1 && buckets <= 65536,
+      s"bucket count out of range: $buckets")
+    val tc = bucketCounts(target, text, buckets)
+    val rc = bucketCounts(raw, text, buckets)
+    val tTot = tc.sum + buckets
+    val rTot = rc.sum + buckets
+    require(tTot > buckets && rTot > buckets,
+      "DSIR fit needs non-empty target and raw corpora")
+    val delta = (0 until buckets).map { b =>
+      val lt = math.log((tc(b) + 1).toDouble / tTot)
+      val lr = math.log((rc(b) + 1).toDouble / rTot)
+      graft.expressions.BigramLmScore.halfUp(1e6 * (lt - lr))
+    }
+    DsirModel(buckets, delta)
+  }
+
+  /** Importance weight in integer micro-nats, as a zero-shuffle Column
+    * over the text — Σ_features deltaMicro(bucket(f)), an exact integer
+    * fold over the literal delta array.
+    */
+  def logwMicroCol(text: Column, model: DsirModel): Column = {
+    val dl = lit(model.deltaMicro.toArray)
+    aggregate(
+      transform(featureCol(text), f =>
+        element_at(dl, (bucketCol(f, model.buckets) + 1).cast("int"))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Per-document importance weights: (id, logw_micro). */
+  def scores(corpus: DataFrame, id: String, text: String,
+             model: DsirModel): DataFrame =
+    corpus.select(col(id),
+      logwMicroCol(col(text), model).as("logw_micro"))
+
+  /** Rank-based DSIR selection: the k documents whose hashed n-gram
+    * profile is most target-like — top-k by (logw_micro desc, id asc),
+    * TakeOrdered (bounded heap, no global sort).
+    */
+  def select(corpus: DataFrame, id: String, text: String,
+             model: DsirModel, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    scores(corpus, id, text, model)
+      .orderBy(col("logw_micro").desc, col(id))
+      .limit(k)
+  }
+}

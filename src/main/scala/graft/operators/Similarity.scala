@@ -428,6 +428,76 @@ object Similarity {
         col("__dist").as("dist"))
   }
 
+  /** Fit the SemDeDup cluster centroids (Abbas et al. 2023 §3: k-means
+    * over the embeddings, dedup WITHIN each cluster) — the same bounded
+    * reservoir + driver-local Lloyd as the IVF/PQ fits, deterministic
+    * for a given (corpus, seed).
+    */
+  def fitSemDedupCentroids(corpus: DataFrame, nClusters: Int = 8,
+                           seed: Long = 42L, fitSampleCap: Int = 4000)
+      : Seq[Seq[Double]] = {
+    require(nClusters > 1, s"bad cluster count: $nClusters")
+    val sample = reservoirSample(
+      corpus.select(col("embedding").cast("array<double>")),
+      fitSampleCap, seed)
+    require(sample.nonEmpty, "SemDeDup fit needs a non-empty corpus")
+    localLloyd(sample, nClusters, seed, iters = 20).map(_.toSeq).toSeq
+  }
+
+  /** SemDeDup (Abbas et al. 2023 — the LAION/DataComp semantic-dedup
+    * discipline): cluster the embeddings, and within each cluster drop
+    * every document whose cosine to a LOWER-ID cluster-mate reaches the
+    * threshold (the deterministic keep-one rule; the paper keeps an
+    * arbitrary representative per duplicate group). Unlike
+    * [[cosineNearDupes]] (SRP-banded, near-identical pairs), SemDeDup
+    * targets semantic redundancy at much lower thresholds, with k-means
+    * cells as the blocking structure — the published algorithm's shape.
+    *
+    * Returns one row per input document: (id, cell, kept). Exactness:
+    * cell assignment is the fixed-point integer argmin ([[graft
+    * .expressions.PqEncode]] with the centroid set as a single
+    * full-vector subspace — ties to the lowest cell, the q5y contract),
+    * and the pair test compares `round(cos, 6) >= threshold` (the q4z
+    * round-before-compare discipline), so the kept set replays
+    * row-for-row in SQL from the fitted centroid literals. Zero-norm
+    * embeddings (cosine undefined) are always kept and never block
+    * others.
+    *
+    * Scale shape: cell assignment + norm is a pure codegen projection
+    * (recomputed per consumer, the [[Dedup.duplicatedWindows]] trade —
+    * re-scanning a pruned projection beats materializing a corpus-wide
+    * cache); the pair test is a cell EQUI-join (never corpus all-pairs —
+    * within-cell quadratic cost is the algorithm's published trade,
+    * tuned by nClusters, which the paper scales with the corpus) into a
+    * distinct on the dropped id; survivors come from one left join back
+    * on the id. No windows, no driver collects.
+    */
+  def semDedup(corpus: DataFrame, id: String, threshold: Double,
+               centroids: Seq[Seq[Double]]): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"bad SemDeDup threshold: $threshold")
+    val assigned = corpus.select(col(id).as("__id"),
+        col("embedding").as("__e"),
+        graft.expressions.PqEncode(col("embedding"), Seq(centroids))
+          .getItem(0).as("__cell"),
+        norm(col("embedding")).as("__n"))
+      .filter(col("__cell").isNotNull)
+    val a = assigned.filter(col("__n") > 0)
+      .select(col("__cell"), col("__id").as("__ida"),
+        col("__e").as("__ea"), col("__n").as("__na"))
+    val b = assigned.filter(col("__n") > 0)
+      .select(col("__cell"), col("__id").as("__idb"),
+        col("__e").as("__eb"), col("__n").as("__nb"))
+    val dups = a.join(b, Seq("__cell"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(round(dot(col("__ea"), col("__eb"))
+        / (col("__na") * col("__nb")), 6) >= threshold)
+      .select(col("__idb").as("__dup")).distinct()
+    assigned.join(dups, col("__id") === col("__dup"), "left")
+      .select(col("__id").as(id), col("__cell").cast("int").as("cell"),
+        col("__dup").isNull.as("kept"))
+  }
+
   /** Driver-local Lloyd over a bounded in-memory sample: seeded k-means++
     * init, `iters` assignment/update rounds, empty clusters keep their
     * previous center. Fully deterministic for a given (sample, seed) —

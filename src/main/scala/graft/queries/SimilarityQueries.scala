@@ -315,6 +315,22 @@ object SimilarityQueries {
       Similarity.ivfPqTopK(emb.where(col("vec_id") >= 5), "vec_id",
           queries, "query_id", k = 5, nProbe = 3, coarse, cbs)
         .orderBy(col("query_id"), col("vec_id"))
+    },
+
+    // ---- SemDeDup (Abbas et al. 2023 — cluster-blocked semantic dedup,
+    // the LAION/DataComp discipline). Cell assignment replays as the q5y
+    // integer argmin with ONE full-vector subspace; the within-cell pair
+    // test is the q4l cosine chain under the q4z round-6-before-compare
+    // rule; keep-one = drop any doc with a qualifying lower-id cluster
+    // mate. The kept SET is the result — fully SQL-replayable from the
+    // fitted centroid literals.
+    QueryDef.dynamicSql("q6i_semdedup") { (s, d) =>
+      semDedupReplaySql(ensureSemCentroids(s, d), "embeddings",
+        threshold = "0.15")
+    } { (s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d), "vec_id",
+          threshold = 0.15, ensureSemCentroids(s, d))
+        .orderBy(col("vec_id"))
     }
   )
 
@@ -339,6 +355,14 @@ object SimilarityQueries {
       : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) =
     ivfPqCache.getOrElseUpdate(d,
       Similarity.fitIvfPq(Tables.embeddings(s, d).where(col("vec_id") >= 5)))
+
+  /** The q6i SemDeDup centroid fit, memoized per sf dir. */
+  private val semCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+  private def ensureSemCentroids(s: org.apache.spark.sql.SparkSession,
+                                 d: String): Seq[Seq[Double]] =
+    semCache.getOrElseUpdate(d,
+      Similarity.fitSemDedupCentroids(Tables.embeddings(s, d)))
 
   /** The PQ/ADC replay as ONE SQL text parameterized on the fitted
     * codebooks and the corpus/query FROM clauses (table + predicate) —
@@ -488,5 +512,49 @@ object SimilarityQueries {
        |      FROM adc)
        |SELECT query_id, vec_id, dist FROM r WHERE rn <= $k
        |ORDER BY query_id, vec_id""".stripMargin
+  }
+
+  /** The SemDeDup replay as ONE SQL text parameterized on the fitted
+    * centroids and the corpus FROM clause — shared by the q6i oracle and
+    * the Scale10x semdedup twin. Cell assignment replays the kernel's
+    * exact fixed-point argmin (the q5y enc CTE with one full-vector
+    * subspace, ties to the low cell); the pair test is the q4l cosine
+    * chain rounded to 6 before the threshold compare; kept = no
+    * qualifying lower-id cluster mate. `threshold` is passed as SQL text
+    * so both engines parse the identical literal.
+    */
+  def semDedupReplaySql(centroids: Seq[Seq[Double]], corpusFrom: String,
+                        threshold: String): String = {
+    val dim = centroids.head.size
+    val ccValues = centroids.zipWithIndex
+      .map { case (c, i) => s"  ($i, ${doubleListLit(c)})" }
+      .mkString(",\n")
+    s"""WITH cc(cell, c) AS (VALUES
+       |$ccValues),
+       |e AS (SELECT vec_id, embedding FROM $corpusFrom),
+       |cell0 AS (
+       |  SELECT e.vec_id, cc.cell,
+       |    CAST(list_sum(
+       |      [CAST(round(1e9 *
+       |         ((CAST(e.embedding[i + 1] AS DOUBLE) - cc.c[i + 1])
+       |          * (CAST(e.embedding[i + 1] AS DOUBLE) - cc.c[i + 1])))
+       |        AS BIGINT)
+       |       for i in range($dim)]) AS BIGINT) AS d
+       |  FROM e CROSS JOIN cc),
+       |m AS (
+       |  SELECT e.vec_id, x.cell, e.embedding FROM e JOIN (
+       |    SELECT vec_id, cell FROM (
+       |      SELECT vec_id, cell,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |      FROM cell0) WHERE rn = 1) x USING (vec_id)),
+       |p AS (
+       |  SELECT y.vec_id AS idb,
+       |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+       |                                 CAST(y.embedding AS DOUBLE[])), 6) AS c
+       |  FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+       |d AS (SELECT DISTINCT idb FROM p WHERE c >= $threshold)
+       |SELECT m.vec_id, m.cell, (d.idb IS NULL) AS kept
+       |FROM m LEFT JOIN d ON m.vec_id = d.idb
+       |ORDER BY m.vec_id""".stripMargin
   }
 }

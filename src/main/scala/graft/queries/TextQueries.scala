@@ -1356,8 +1356,64 @@ object TextQueries {
         Dedup.removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
             k = 8, minDocs = 2)
           .orderBy(col("doc_id"))
+    },
+
+    // ---- DSIR data selection (Xie et al. 2023: importance resampling on
+    // hashed n-grams). Fit = two bounded bucket aggregations (target =
+    // every 7th doc, raw = the rest); the ln happens ONCE driver-side and
+    // rides into BOTH engines as the same micro-nat integer literals, so
+    // scoring (Σ delta[bucket]) and the rank-based top-50 selection are
+    // pure integer arithmetic — the md5-60-bit bucket is the q47/q57
+    // engine-portable hash. The Gumbel sampling variant stays engine-side
+    // (transcendental at the compare boundary — the fusion-tail class).
+    QueryDef.dynamicSql("q6j_dsir_select") { (s, d) =>
+      dsirReplaySql(ensureDsirModel(s, d),
+        "documents WHERE doc_id % 7 <> 0", k = 50)
+    } { (s, d) =>
+      graft.ml.Dsir.select(
+        Tables.documents(s, d).where(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", ensureDsirModel(s, d), k = 50)
     }
   )
+
+  /** The DSIR selection replay as ONE SQL text parameterized on the
+    * fitted model and the corpus FROM clause — shared by the q6j oracle
+    * and the Scale10x dsir twin. The delta table rides as a BIGINT list
+    * literal; bucket = the q57 md5-60-bit idiom; logw = integer sum;
+    * selection = rank cut with the id tie-break.
+    */
+  def dsirReplaySql(m: graft.ml.Dsir.DsirModel, corpusFrom: String,
+                    k: Int): String =
+    s"""WITH dl AS (SELECT [${m.deltaMicro.mkString(", ")}]::BIGINT[] AS d),
+       |r AS (SELECT doc_id, text FROM $corpusFrom),
+       |sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM r),
+       |f AS (SELECT doc_id,
+       |        unnest(t || [t[i] || ' ' || t[i+1]
+       |                     for i in range(1, len(t))]) AS f
+       |      FROM sp),
+       |s AS (SELECT doc_id,
+       |        CAST(sum(dl.d[(CAST('0x' || substr(md5(f), 1, 15) AS BIGINT)
+       |                       % ${m.buckets}) + 1]) AS BIGINT) AS logw_micro
+       |      FROM f CROSS JOIN dl GROUP BY doc_id),
+       |rk AS (SELECT doc_id, logw_micro,
+       |         row_number() OVER (ORDER BY logw_micro DESC, doc_id) AS rn
+       |       FROM s)
+       |SELECT doc_id, logw_micro FROM rk WHERE rn <= $k
+       |ORDER BY logw_micro DESC, doc_id""".stripMargin
+
+  /** Memoized per-sf-dir DSIR fit (target = every 7th doc) — the query
+    * and its dynamic oracle must embed the identical delta table.
+    */
+  private val dsirCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ml.Dsir.DsirModel]
+  private def ensureDsirModel(s: org.apache.spark.sql.SparkSession,
+                              d: String): graft.ml.Dsir.DsirModel =
+    dsirCache.getOrElseUpdate(d, {
+      val docs = Tables.documents(s, d)
+      graft.ml.Dsir.fit(
+        docs.where(col("doc_id") % 7 === 0),
+        docs.where(col("doc_id") % 7 =!= 0), "text", buckets = 256)
+    })
 
   /** Shared windows→islands CTE chain for the ExactSubstr oracles (k=8,
     * minDocs=2): per-doc 0-based window positions by zipped unnest, hot

@@ -1,0 +1,69 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq(
+    (1L, "alpha beta alpha beta"),
+    (2L, "alpha beta gamma")
+  ).toDF("doc_id", "text")
+
+  private def raw = Seq(
+    (10L, "delta epsilon delta"),
+    (11L, "delta epsilon zeta"),
+    (12L, "alpha beta alpha"),   // target-like raw doc
+    (13L, "alpha beta alpha")    // identical twin -> tie on logw
+  ).toDF("doc_id", "text")
+
+  test("fit: deterministic, bounded delta table, empty-corpus guard") {
+    val a = Dsir.fit(target, raw, "text", buckets = 64)
+    val b = Dsir.fit(target, raw, "text", buckets = 64)
+    assert(a == b, "refit must be bit-identical")
+    assert(a.deltaMicro.size == 64)
+    intercept[IllegalArgumentException] {
+      Dsir.fit(target, raw, "text", buckets = 1)
+    }
+  }
+
+  test("scores: the projection fold equals an explode+join recomputation") {
+    val m = Dsir.fit(target, raw, "text", buckets = 32)
+    val fast = Dsir.scores(raw, "doc_id", "text", m)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent formulation: explode features, look the delta up per
+    // row, aggregate — must equal the zero-shuffle element_at fold
+    val dl = m.deltaMicro.zipWithIndex.map { case (v, b) => (b.toLong, v) }
+      .toDF("b", "delta")
+    val slow = raw
+      .select(col("doc_id"), explode(Dsir.featureCol(col("text"))).as("f"))
+      .select(col("doc_id"), Dsir.bucketCol(col("f"), m.buckets).as("b"))
+      .join(dl, Seq("b"))
+      .groupBy("doc_id").agg(sum("delta").as("logw_micro"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.toSeq == slow.toSeq)
+  }
+
+  test("target-like documents outscore raw-like ones; selection ties break on id") {
+    val m = Dsir.fit(target, raw, "text", buckets = 64)
+    val s = Dsir.scores(raw, "doc_id", "text", m).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s(12L) > s(10L), s"target-like ${s(12L)} !> raw-like ${s(10L)}")
+    assert(s(12L) == s(13L), "identical texts must score identically")
+    val top = Dsir.select(raw, "doc_id", "text", m, k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top == Seq(12L, 13L), s"tie must break on ascending id: $top")
+    intercept[IllegalArgumentException] {
+      Dsir.select(raw, "doc_id", "text", m, k = 0)
+    }
+  }
+
+  test("scores plan: zero-shuffle pure projection") {
+    val m = Dsir.fit(target, raw, "text", buckets = 32)
+    val plan = Dsir.scores(raw, "doc_id", "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+}

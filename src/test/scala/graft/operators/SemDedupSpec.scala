@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // dim-4, two orthogonal centroids; threshold 0.9 in the tests
+  private val cents: Seq[Seq[Double]] = Seq(
+    Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0))
+
+  private def docs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // cell 0, keeper
+    (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),   // cell 0, cos(1,2)=0.994 -> dropped
+    (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // equidistant -> tie to cell 0; kept
+    (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),   // cell 1, keeper
+    (5L, Seq(0.0f, 0.0f, 0.9f, 0.1f)),   // cell 1, cos(4,5)=0.994 -> dropped
+    // near-parallel pair STRADDLING the cell boundary: cos(6,7)=0.9999
+    // but cells differ -> blocking keeps both (the algorithm's trade)
+    (6L, Seq(0.71f, 0.0f, 0.70f, 0.0f)), // cell 0 (0.5741 vs 0.5941)
+    (7L, Seq(0.70f, 0.0f, 0.71f, 0.0f)), // cell 1 (0.5941 vs 0.5741)
+    (8L, Seq(0.0f, 0.0f, 0.0f, 0.0f))    // zero norm: kept, blocks no one
+  ).toDF("vec_id", "embedding")
+
+  test("semDedup: within-cell lower-id rule, tie-to-low-cell assignment, cross-cell pairs survive") {
+    val out = Similarity.semDedup(docs, "vec_id", threshold = 0.9, cents)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0, true), (2L, 0, false), (3L, 0, true),
+      (4L, 1, true), (5L, 1, false),
+      (6L, 0, true), (7L, 1, true),   // cos 0.9999 but different cells
+      (8L, 0, true)))                  // zero-norm: tie cell, always kept
+  }
+
+  test("semDedup: threshold gates the drop; zero-norm rows never block") {
+    // at threshold 1.0 nothing reaches the bar except exact duplicates
+    val none = Similarity.semDedup(docs, "vec_id", threshold = 1.0, cents)
+      .filter(!col("kept")).count()
+    assert(none == 0L)
+    intercept[IllegalArgumentException] {
+      Similarity.semDedup(docs, "vec_id", threshold = 0.0, cents)
+    }
+  }
+
+  test("fitSemDedupCentroids: deterministic refit, bounded sample") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.fitSemDedupCentroids(emb, nClusters = 8)
+    val b = Similarity.fitSemDedupCentroids(emb, nClusters = 8)
+    assert(a == b, "refit must be bit-identical")
+    assert(a.size == 8 && a.forall(_.size == 64))
+    intercept[IllegalArgumentException] {
+      Similarity.fitSemDedupCentroids(emb, nClusters = 1)
+    }
+  }
+
+  test("semDedup plan: the pair test is a cell equi-join, never corpus all-pairs") {
+    val plan = Similarity.semDedup(docs, "vec_id", threshold = 0.9, cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+}
