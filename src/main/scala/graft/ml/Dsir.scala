@@ -58,10 +58,13 @@ object Dsir {
     concat(toks, bigr)
   }
 
-  /** The engine-portable feature bucket (q57's md5-60-bit discipline). */
+  /** The engine-portable feature bucket (q57's md5-60-bit discipline),
+    * computed by the fused [[graft.expressions.Md5Bucket]] kernel —
+    * bit-identical to the composed pmod/conv/substring/md5 chain
+    * (spec-pinned) without its per-feature hex/decimal string churn.
+    */
   private[graft] def bucketCol(feature: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(feature), 1, 15), 16, 10).cast("long"),
-      lit(buckets.toLong))
+    graft.expressions.Md5Bucket(feature, buckets)
 
   /** Per-bucket feature counts of a corpus: exactly `buckets` rows on the
     * driver (absent buckets count 0).

@@ -59,6 +59,22 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("Md5Bucket kernel == the composed pmod/conv/substring/md5 chain") {
+    // the fused kernel must stay bit-identical to the q57 idiom the
+    // oracle replays — over varied tokens and bucket counts
+    val words = (0 until 500).map(i => s"w$i token-$i é$i").mkString(" ")
+    val df = Seq((1L, words)).toDF("doc_id", "text")
+      .select(explode(Dsir.featureCol(col("text"))).as("f"))
+    for (k <- Seq(2, 64, 256, 65536)) {
+      val mismatch = df.select(
+          graft.expressions.Md5Bucket(col("f"), k).as("fused"),
+          pmod(conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"),
+            lit(k.toLong)).as("composed"))
+        .filter(col("fused") =!= col("composed")).count()
+      assert(mismatch == 0L, s"k=$k: $mismatch mismatching buckets")
+    }
+  }
+
   test("scores plan: zero-shuffle pure projection") {
     val m = Dsir.fit(target, raw, "text", buckets = 32)
     val plan = Dsir.scores(raw, "doc_id", "text", m)
