@@ -103,6 +103,49 @@ object Dsir {
     DsirModel(buckets, delta)
   }
 
+  /** Persist a fitted model — the BpeTokenizer/NgramLm artifact-store
+    * discipline: ONE coalesced bucket-tagged parquet write + a job-free
+    * meta.json sidecar (fit once / select forever is the deployment
+    * shape: the same delta table gates every future ingest batch).
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: DsirModel,
+           path: String): Unit = {
+    import spark.implicits._
+    model.deltaMicro.zipWithIndex
+      .map { case (v, b) => (b, v) }
+      .toDF("bucket", "delta_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/deltas")
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"fmt": 1, "buckets": ${model.buckets}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a model written by [[save]] (one read job + the sidecar).
+    * Rows re-sort by bucket so the loaded model is bit-identical to the
+    * fitted one regardless of parquet row order; the sidecar's bucket
+    * count guards against a torn or foreign artifact.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): DsirModel = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaTxt = new String(
+      org.apache.commons.io.IOUtils.toByteArray(fs.open(p)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val buckets = """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(metaTxt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed DSIR meta at $p: $metaTxt")).group(1).toInt
+    val rows = spark.read.parquet(s"$path/deltas").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    require(rows.length == buckets &&
+      rows.map(_._1).sameElements(0 until buckets),
+      s"torn DSIR artifact at $path: ${rows.length} rows vs meta $buckets")
+    DsirModel(buckets, rows.map(_._2).toIndexedSeq)
+  }
+
   /** Importance weight in integer micro-nats, as a zero-shuffle Column
     * over the text — Σ_features deltaMicro(bucket(f)), an exact integer
     * fold over the literal delta array.

@@ -379,7 +379,7 @@ object LmQueries {
     * directories here, so a bench/verify session no longer leaks one
     * per-applicationId tree per run on the host (r10 ADVICE).
     */
-  private def sessionTmp(s: org.apache.spark.sql.SparkSession, tag: String,
+  private[queries] def sessionTmp(s: org.apache.spark.sql.SparkSession, tag: String,
                          d: String): String = {
     val root = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_session_${s.sparkContext.applicationId}")

@@ -1373,17 +1373,38 @@ object TextQueries {
       graft.ml.Dsir.select(
         Tables.documents(s, d).where(col("doc_id") % 7 =!= 0),
         "doc_id", "text", ensureDsirModel(s, d), k = 50)
+    },
+
+    // ---- streaming DSIR gate (q6k): the fitted importance filter riding
+    // an ingest stream — stateless per-row integer decision (the q6d
+    // discipline), replayed in 2 micro-batches through the MemoryStream
+    // harness. The SERVED model is a save→load round trip, putting DSIR
+    // persistence inside the correctness gate (the q6e pattern); the
+    // oracle is the same scoring CTE as q6j under the threshold instead
+    // of the rank cut — streaming vs batch divergence breaks the hash.
+    QueryDef.dynamicSql("q6k_stream_dsir_gate") { (s, d) =>
+      // the ORACLE embeds the PRE-SAVE deltas while the Spark side serves
+      // the save->load round trip: artifact corruption breaks the hash
+      dsirGateReplaySql(ensureDsirModel(s, d),
+        "documents WHERE doc_id % 7 <> 0", minLogwMicro = 0L)
+    } { (s, d) =>
+      val docs = Tables.documents(s, d).where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"))
+      graft.streaming.DocStream.replayDsirGatedIngest(docs,
+          ensureDsirLoaded(s, d), "doc_id", "text",
+          LmQueries.sessionTmp(s, "q6k_dsirgate", d), nBatches = 2,
+          minLogwMicro = 0L)
+        .select(col("doc_id")).orderBy(col("doc_id"))
     }
   )
 
-  /** The DSIR selection replay as ONE SQL text parameterized on the
-    * fitted model and the corpus FROM clause — shared by the q6j oracle
-    * and the Scale10x dsir twin. The delta table rides as a BIGINT list
-    * literal; bucket = the q57 md5-60-bit idiom; logw = integer sum;
-    * selection = rank cut with the id tie-break.
+  /** The DSIR scoring CTE chain (delta list literal → feature unnest →
+    * md5-60-bit bucket → integer logw sum, ending in a CTE named `s`) —
+    * shared by the q6j rank-cut oracle, the q6k threshold-gate oracle,
+    * and the Scale10x dsir twin, so no two replays can drift.
     */
-  def dsirReplaySql(m: graft.ml.Dsir.DsirModel, corpusFrom: String,
-                    k: Int): String =
+  private def dsirScoreCte(m: graft.ml.Dsir.DsirModel,
+                           corpusFrom: String): String =
     s"""WITH dl AS (SELECT [${m.deltaMicro.mkString(", ")}]::BIGINT[] AS d),
        |r AS (SELECT doc_id, text FROM $corpusFrom),
        |sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM r),
@@ -1394,12 +1415,27 @@ object TextQueries {
        |s AS (SELECT doc_id,
        |        CAST(sum(dl.d[(CAST('0x' || substr(md5(f), 1, 15) AS BIGINT)
        |                       % ${m.buckets}) + 1]) AS BIGINT) AS logw_micro
-       |      FROM f CROSS JOIN dl GROUP BY doc_id),
-       |rk AS (SELECT doc_id, logw_micro,
-       |         row_number() OVER (ORDER BY logw_micro DESC, doc_id) AS rn
-       |       FROM s)
-       |SELECT doc_id, logw_micro FROM rk WHERE rn <= $k
-       |ORDER BY logw_micro DESC, doc_id""".stripMargin
+       |      FROM f CROSS JOIN dl GROUP BY doc_id)""".stripMargin
+
+  /** q6j / dsir-twin replay: top-k selection with the id tie-break. */
+  def dsirReplaySql(m: graft.ml.Dsir.DsirModel, corpusFrom: String,
+                    k: Int): String =
+    dsirScoreCte(m, corpusFrom) + ",\n" +
+      s"""rk AS (SELECT doc_id, logw_micro,
+         |         row_number() OVER (ORDER BY logw_micro DESC, doc_id) AS rn
+         |       FROM s)
+         |SELECT doc_id, logw_micro FROM rk WHERE rn <= $k
+         |ORDER BY logw_micro DESC, doc_id""".stripMargin
+
+  /** q6k replay: the streaming gate's kept set — per-row integer
+    * threshold, so the streaming/batch distinction cannot exist in the
+    * oracle (any divergence breaks the hash).
+    */
+  def dsirGateReplaySql(m: graft.ml.Dsir.DsirModel, corpusFrom: String,
+                        minLogwMicro: Long): String =
+    dsirScoreCte(m, corpusFrom) + "\n" +
+      s"""SELECT doc_id FROM s WHERE logw_micro >= $minLogwMicro
+         |ORDER BY doc_id""".stripMargin
 
   /** Memoized per-sf-dir DSIR fit (target = every 7th doc) — the query
     * and its dynamic oracle must embed the identical delta table.
@@ -1413,6 +1449,21 @@ object TextQueries {
       graft.ml.Dsir.fit(
         docs.where(col("doc_id") % 7 === 0),
         docs.where(col("doc_id") % 7 =!= 0), "text", buckets = 256)
+    })
+
+  /** The q6k served model: [[ensureDsirModel]] round-tripped through
+    * save→load once per sf dir, so persistence sits inside the
+    * correctness gate (load is spec-pinned bit-identical, hence the
+    * oracle may embed the pre-save deltas).
+    */
+  private val dsirLoadedCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ml.Dsir.DsirModel]
+  private def ensureDsirLoaded(s: org.apache.spark.sql.SparkSession,
+                               d: String): graft.ml.Dsir.DsirModel =
+    dsirLoadedCache.getOrElseUpdate(d, {
+      val path = LmQueries.sessionTmp(s, "q6k_dsir_model", d)
+      graft.ml.Dsir.save(s, ensureDsirModel(s, d), path)
+      graft.ml.Dsir.load(s, path)
     })
 
   /** Shared windows→islands CTE chain for the ExactSubstr oracles (k=8,

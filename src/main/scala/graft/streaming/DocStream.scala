@@ -301,6 +301,37 @@ object DocStream {
         pplGatedIngest(in, model, "gate_text", maxPpl, sink, ckpt)
     }
 
+  /** Streaming DSIR selection gate ([[graft.ml.Dsir]]): keep a stream
+    * document iff its importance weight (integer micro-nats, the fitted
+    * delta table riding the expression as literals) reaches the bar —
+    * the same STATELESS shape as [[pplGatedIngest]]: a pure filter in
+    * append mode, zero state-store state, zero joins, batch boundaries
+    * invisible by construction (per-row integer decision). This is the
+    * DSIR deployment loop: fit once offline, gate every ingest batch
+    * forever ([[graft.ml.Dsir.save]]/`load`).
+    */
+  def dsirGatedIngest(docs: DataFrame, model: graft.ml.Dsir.DsirModel,
+                      textCol: String, minLogwMicro: Long,
+                      sinkPath: String, ckptPath: String): StreamingQuery =
+    docs.filter(graft.ml.Dsir.logwMicroCol(col(textCol), model)
+        >= minLogwMicro)
+      .writeStream.format("parquet")
+      .option("path", sinkPath).option("checkpointLocation", ckptPath)
+      .outputMode("append").start()
+
+  /** Bounded replay of [[dsirGatedIngest]] — the [[replayGate]] harness
+    * with the importance gate (corpus side unused: stateless).
+    */
+  def replayDsirGatedIngest(docs: DataFrame,
+                            model: graft.ml.Dsir.DsirModel,
+                            id: String, textCol: String, workDir: String,
+                            nBatches: Int = 2,
+                            minLogwMicro: Long = 0L): DataFrame =
+    replayGate(docs, docs.limit(0), id, textCol, workDir, nBatches) {
+      (in, _, sink, ckpt) =>
+        dsirGatedIngest(in, model, "gate_text", minLogwMicro, sink, ckpt)
+    }
+
   /** The shared bounded-replay harness behind the two gate replays. */
   private def replayGate(docs: DataFrame, corpus: DataFrame, id: String,
                          textCol: String, workDir: String, nBatches: Int)(

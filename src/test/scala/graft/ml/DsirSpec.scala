@@ -75,6 +75,22 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("save/load: bit-identical round trip; torn artifact refused") {
+    val m = Dsir.fit(target, raw, "text", buckets = 64)
+    val dir = java.nio.file.Files.createTempDirectory("dsir_model").toString
+    Dsir.save(spark, m, s"$dir/ok")
+    val loaded = Dsir.load(spark, s"$dir/ok")
+    assert(loaded == m, "round trip must be bit-identical")
+    // torn artifact: deltas from a DIFFERENT bucket count than the meta
+    Dsir.save(spark, Dsir.fit(target, raw, "text", buckets = 32), s"$dir/torn")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/torn/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write("""{"fmt": 1, "buckets": 64}""".getBytes)
+    finally out.close()
+    intercept[IllegalArgumentException] { Dsir.load(spark, s"$dir/torn") }
+  }
+
   test("scores plan: zero-shuffle pure projection") {
     val m = Dsir.fit(target, raw, "text", buckets = 32)
     val plan = Dsir.scores(raw, "doc_id", "text", m)

@@ -206,4 +206,29 @@ class DocStreamSpec extends SparkSpec {
     assert(run(2, 2) == expected)
     assert(run(4, 3) == expected)
   }
+
+  test("streaming DSIR gate == batch threshold filter; batch split cannot change it") {
+    val target = Seq((100L, "alpha beta alpha"), (101L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha"),   // target-like -> passes the 0 bar
+      (2L, "delta epsilon zeta"), // raw-like -> negative logw, drops
+      (3L, "alpha beta gamma"),
+      (4L, "epsilon delta delta")
+    ).toDF("doc_id", "text")
+    val m = graft.ml.Dsir.fit(target, raw, "text", buckets = 64)
+    val expected = graft.ml.Dsir.scores(raw, "doc_id", "text", m)
+      .filter(col("logw_micro") >= 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty && expected.size < 4, s"must split: $expected")
+    val dir = java.nio.file.Files
+      .createTempDirectory("dsir_stream_gate").toString
+    def run(nBatches: Int, tag: Int) = DocStream.replayDsirGatedIngest(
+        raw, m, "doc_id", "text", s"$dir/$tag", nBatches,
+        minLogwMicro = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(run(1, 1) == expected)
+    assert(run(2, 2) == expected)
+    assert(run(4, 3) == expected)
+  }
 }
