@@ -201,6 +201,12 @@ object Scale10x {
     def substrShape(p: String): Long =                    // q6f shape
       force(graft.operators.Dedup.duplicatedSpans(
         spark.read.parquet(p), "doc_id", "text", k = 8, minDocs = 2))
+    def substrDecontamShape(p: String): Long = {          // q6m shape
+      val docs = spark.read.parquet(p)
+      force(graft.operators.Dedup.removeContaminatedSpans(
+        docs.where(col("doc_id") % 31 =!= 0), "doc_id", "text",
+        docs.where(col("doc_id") % 31 === 0), "text", k = 8))
+    }
     def rankBucketsShape(p: String): Long =               // q5q operator shape
       force(graft.operators.Curate.rankBuckets(
         spark.read.parquet(p)
@@ -512,6 +518,8 @@ object Scale10x {
       "bm25_topk" -> graft.queries.TextQueries.bm25OracleSql(docs),
       "contam_report" -> graft.queries.TextQueries.contaminationOracleSql(docs),
       "exact_substr" -> graft.queries.TextQueries.exactSubstrSpansOracleSql(docs),
+      "substr_decontam" -> graft.queries.TextQueries.contamRemoveOracleSql(
+        s"$docs WHERE doc_id % 31 <> 0", s"$docs WHERE doc_id % 31 = 0"),
       "rank_buckets" ->
         s"""WITH d AS (SELECT doc_id, doc_id % 64 AS g, length(text) AS v
            |           FROM $docs),
@@ -600,6 +608,8 @@ object Scale10x {
         () => contamShape(docs10P)),
       Probe("exact_substr", () => substrShape(docs1P),
         () => substrShape(docs10P)),
+      Probe("substr_decontam", () => substrDecontamShape(docs1P),
+        () => substrDecontamShape(docs10P)),
       Probe("rank_buckets", () => rankBucketsShape(docs1P),
         () => rankBucketsShape(docs10P)),
       Probe("sessionize_stats", () => sessionShape(ev1P), () => sessionShape(evNP)),

@@ -952,17 +952,22 @@ object Dedup {
     * never a global window) and the span aggregate; the per-doc length
     * join adds a second corpus-pruned scan of two columns.
     */
-  def duplicatedSpans(corpus: DataFrame, id: String, text: String,
-                      k: Int = 8, minDocs: Int = 2): DataFrame = {
+  /** Shared island-merge + clamp behind the two span reports: flagged
+    * windows (id, __pos) become maximal spans. One exchange on the
+    * document id serves both the PARTITIONED window functions and the
+    * span aggregate; the per-doc length join adds a corpus-pruned
+    * two-column scan for the short-doc clamp.
+    */
+  private def spansFromFlaggedWindows(windows: DataFrame, corpus: DataFrame,
+                                      id: String, text: String,
+                                      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(k >= 2 && minDocs >= 2,
-      s"bad ExactSubstr geometry: k=$k minDocs=$minDocs")
     val byDoc = Window.partitionBy(col(id)).orderBy(col("__pos"))
     val runW = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nw = corpus.select(col(id),
       size(split(col(text), " ")).cast("long").as("__nw"))
     val end = least(col("__endRaw"), col("__nw") - 1)
-    duplicatedWindows(corpus, id, text, k, minDocs)
+    windows
       .withColumn("__new",
         when(col("__pos") - lag(col("__pos"), 1).over(byDoc) > k, 1)
           .otherwise(0))
@@ -974,6 +979,38 @@ object Dedup {
       .join(nw, Seq(id))
       .select(col(id), col("span_start"), end.as("span_end"),
         (end - col("span_start") + 1).as("span_tokens"), col("n_windows"))
+  }
+
+  def duplicatedSpans(corpus: DataFrame, id: String, text: String,
+                      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2 && minDocs >= 2,
+      s"bad ExactSubstr geometry: k=$k minDocs=$minDocs")
+    spansFromFlaggedWindows(
+      duplicatedWindows(corpus, id, text, k, minDocs), corpus, id, text, k)
+  }
+
+  /** Per-document CONTAMINATED-span report: maximal runs of k-token
+    * windows that occur anywhere in the eval/benchmark set — the
+    * [[duplicatedSpans]] machinery with the [[decontaminate]] membership
+    * rule (the eval set's distinct 8-byte fingerprints broadcast; the
+    * corpus side never shuffles gram text). The surgical counterpart of
+    * the document-level [[decontaminate]] drop.
+    */
+  def contaminatedSpans(corpus: DataFrame, id: String, text: String,
+                        eval_ : DataFrame, evalText: String,
+                        k: Int = 8): DataFrame = {
+    import graft.expressions.WordShingles
+    require(k >= 2, s"bad span-decontamination geometry: k=$k")
+    val evalFps = eval_
+      .select(explode(WordShingles.ngrams(col(evalText), k)).as("__g"))
+      .select(xxhash64(col("__g")).as("__fp")).distinct()
+    val hit = Par.spread(corpus.select(col(id), col(text)))
+      .select(col(id),
+        posexplode(WordShingles.ngrams(col(text), k)).as(Seq("__pos", "__g")))
+      .select(col(id), col("__pos").cast("long").as("__pos"),
+        xxhash64(col("__g")).as("__fp"))
+      .join(broadcast(evalFps), Seq("__fp"), "left_semi")
+    spansFromFlaggedWindows(hit, corpus, id, text, k)
   }
 
   /** ExactSubstr span REMOVAL: every token covered by a duplicated span is
@@ -989,11 +1026,15 @@ object Dedup {
     * is the [[dedupLines]] per-doc sort-rejoin aggregate. No global sort,
     * no window without a partition, nothing driver-side.
     */
-  def removeDuplicatedSpans(corpus: DataFrame, id: String, text: String,
-                            k: Int = 8, minDocs: Int = 2): DataFrame = {
-    val cover = duplicatedSpans(corpus, id, text, k, minDocs)
-      .select(col(id),
-        explode(sequence(col("span_start"), col("span_end"))).as("__pos"))
+  /** Shared span-removal rebuild: every token covered by `spans` drops
+    * from its document, survivors rejoin in order (the [[dedupLines]]
+    * sort-rejoin aggregate at substring granularity); one row per input
+    * document — fully-covered docs survive as empty text.
+    */
+  private def removeSpanCover(corpus: DataFrame, id: String, text: String,
+                              spans: DataFrame): DataFrame = {
+    val cover = spans.select(col(id),
+      explode(sequence(col("span_start"), col("span_end"))).as("__pos"))
     val kept = corpus
       .select(col(id),
         posexplode(split(col(text), " ")).as(Seq("__pos", "__w")))
@@ -1010,4 +1051,20 @@ object Dedup {
       .select(col(id), coalesce(col("__kept"), lit("")).as(text),
         (col("__nw") - coalesce(col("__nKept"), lit(0L))).as("n_removed"))
   }
+
+  def removeDuplicatedSpans(corpus: DataFrame, id: String, text: String,
+                            k: Int = 8, minDocs: Int = 2): DataFrame =
+    removeSpanCover(corpus, id, text,
+      duplicatedSpans(corpus, id, text, k, minDocs))
+
+  /** SURGICAL decontamination: remove the eval-overlapping spans but keep
+    * the documents ([[decontaminate]] drops whole docs; this excises the
+    * k-token-window runs [[contaminatedSpans]] reports and rebuilds the
+    * text). Returns one row per input document — (id, text, n_removed).
+    */
+  def removeContaminatedSpans(corpus: DataFrame, id: String, text: String,
+                              eval_ : DataFrame, evalText: String,
+                              k: Int = 8): DataFrame =
+    removeSpanCover(corpus, id, text,
+      contaminatedSpans(corpus, id, text, eval_, evalText, k))
 }

@@ -1358,6 +1358,32 @@ object TextQueries {
           .orderBy(col("doc_id"))
     },
 
+    // ---- surgical decontamination (q6l report / q6m removal): the
+    // ExactSubstr span machinery with the q4s/q5r membership rule — spans
+    // whose 8-token windows occur ANYWHERE in the eval set (every 31st
+    // doc, the q5r convention) are reported and excised while the
+    // documents survive. decontaminate() drops whole docs; this is the
+    // span-level counterpart a training pipeline runs when the corpus is
+    // too valuable to drop.
+    QueryDef.sql("q6l_contam_spans",
+      contamSpansOracleSql("documents WHERE doc_id % 31 <> 0",
+        "documents WHERE doc_id % 31 = 0")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.contaminatedSpans(docs.where(col("doc_id") % 31 =!= 0),
+          "doc_id", "text",
+          docs.where(col("doc_id") % 31 === 0), "text", k = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    QueryDef.sql("q6m_contam_removal",
+      contamRemoveOracleSql("documents WHERE doc_id % 31 <> 0",
+        "documents WHERE doc_id % 31 = 0")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.removeContaminatedSpans(docs.where(col("doc_id") % 31 =!= 0),
+          "doc_id", "text",
+          docs.where(col("doc_id") % 31 === 0), "text", k = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- DSIR data selection (Xie et al. 2023: importance resampling on
     // hashed n-grams). Fit = two bounded bucket aggregations (target =
     // every 7th doc, raw = the rest); the ln happens ONCE driver-side and
@@ -1472,13 +1498,42 @@ object TextQueries {
     * lag/running-sum the Spark side uses. Shared with the Scale10x
     * `exact_substr` twin so probe and oracle can never drift.
     */
+  /** The 8-token window expansion over a split-token column `t` (short
+    * docs collapse to one whole-doc window — the WordShingles rule),
+    * shared by every substring-span oracle.
+    */
+  // NOTE: interpolated into stripMargin templates — no line here may start
+  // with '|' (the outer stripMargin would eat it), so the || operators sit
+  // at line ends
+  private lazy val substrWindowsGs: String =
+    """CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+      |             ELSE list_transform(range(1, len(t) - 6),
+      |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] ||
+      |                         ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]) END""".stripMargin
+
+  /** The island-merge + span tail (dw → brk → isl → spans), shared by the
+    * self-dup and contaminated-span oracles — `dw` must exist upstream as
+    * (doc_id, nw, pos).
+    */
+  private lazy val substrSpanTail: String =
+    """brk AS (SELECT doc_id, nw, pos,
+      |          CASE WHEN pos - lag(pos) OVER
+      |                 (PARTITION BY doc_id ORDER BY pos) > 8
+      |               THEN 1 ELSE 0 END AS brk
+      |        FROM dw),
+      |isl AS (SELECT doc_id, nw, pos,
+      |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |        FROM brk),
+      |spans AS (SELECT doc_id, min(pos) AS span_start,
+      |            least(max(pos) + 7, any_value(nw) - 1) AS span_end,
+      |            count(*) AS n_windows
+      |          FROM isl GROUP BY doc_id, isl)""".stripMargin
+
   private def exactSubstrIslandsCte(table: String): String =
     s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM $table),
        |g AS (SELECT doc_id, len(t) AS nw,
-       |        CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
-       |             ELSE list_transform(range(1, len(t) - 6),
-       |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-       |                      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]) END AS gs
+       |        $substrWindowsGs AS gs
        |      FROM sp),
        |u AS (SELECT doc_id, nw, unnest(gs) AS gram,
        |        unnest(range(len(gs))) AS pos
@@ -1487,46 +1542,72 @@ object TextQueries {
        |        HAVING count(DISTINCT doc_id) >= 2),
        |dw AS (SELECT doc_id, nw, pos FROM u
        |       WHERE gram IN (SELECT gram FROM hot)),
-       |brk AS (SELECT doc_id, nw, pos,
-       |          CASE WHEN pos - lag(pos) OVER
-       |                 (PARTITION BY doc_id ORDER BY pos) > 8
-       |               THEN 1 ELSE 0 END AS brk
-       |        FROM dw),
-       |isl AS (SELECT doc_id, nw, pos,
-       |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-       |        FROM brk),
-       |spans AS (SELECT doc_id, min(pos) AS span_start,
-       |            least(max(pos) + 7, any_value(nw) - 1) AS span_end,
-       |            count(*) AS n_windows
-       |          FROM isl GROUP BY doc_id, isl)""".stripMargin
+       |""".stripMargin + substrSpanTail
+
+  /** The q6l/q6m windows→islands chain: hot = grams occurring ANYWHERE in
+    * the eval set ([[graft.operators.Dedup.contaminatedSpans]]'s
+    * membership rule — fp equality == gram equality, so the oracle
+    * replays by gram text). Shared by both contamination-span oracles
+    * and the Scale10x substr_decontam twin.
+    */
+  private def contamSpanIslandsCte(corpusFrom: String,
+                                   evalFrom: String): String =
+    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM $corpusFrom),
+       |g AS (SELECT doc_id, len(t) AS nw,
+       |        $substrWindowsGs AS gs
+       |      FROM sp),
+       |u AS (SELECT doc_id, nw, unnest(gs) AS gram,
+       |        unnest(range(len(gs))) AS pos
+       |      FROM g),
+       |esp AS (SELECT string_split(text, ' ') AS t FROM $evalFrom),
+       |eg AS (SELECT $substrWindowsGs AS gs FROM esp),
+       |hot AS (SELECT DISTINCT unnest(gs) AS gram FROM eg),
+       |dw AS (SELECT doc_id, nw, pos FROM u
+       |       WHERE gram IN (SELECT gram FROM hot)),
+       |""".stripMargin + substrSpanTail
+
+  /** The span-report finisher (over the `spans` CTE). */
+  private lazy val substrSpansSelect: String =
+    """SELECT doc_id, span_start, span_end,
+      |  span_end - span_start + 1 AS span_tokens, n_windows
+      |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  /** The span-removal + per-doc rebuild finisher (over `spans` + `sp`). */
+  private lazy val substrRemoveTail: String =
+    """cover AS (SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos
+      |          FROM spans),
+      |w AS (SELECT doc_id, unnest(t) AS word, unnest(range(len(t))) AS pos
+      |      FROM sp),
+      |kept AS (SELECT w.doc_id, w.pos, w.word FROM w
+      |         LEFT JOIN cover c ON w.doc_id = c.doc_id AND w.pos = c.pos
+      |         WHERE c.pos IS NULL),
+      |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text,
+      |          count(*) AS n_kept
+      |        FROM kept GROUP BY doc_id)
+      |SELECT sp.doc_id, coalesce(agg.text, '') AS text,
+      |  len(sp.t) - coalesce(agg.n_kept, 0) AS n_removed
+      |FROM sp LEFT JOIN agg USING (doc_id) ORDER BY sp.doc_id""".stripMargin
 
   /** q6f oracle: the maximal-span report. (Parts stripMargin separately
     * and concatenate — re-stripping the embedded CTE would eat one pipe
     * of its `||` continuation lines.)
     */
   def exactSubstrSpansOracleSql(table: String): String =
-    exactSubstrIslandsCte(table) + "\n" +
-      """SELECT doc_id, span_start, span_end,
-        |  span_end - span_start + 1 AS span_tokens, n_windows
-        |FROM spans ORDER BY doc_id, span_start""".stripMargin
+    exactSubstrIslandsCte(table) + "\n" + substrSpansSelect
 
   /** q6g oracle: span removal + per-doc text rebuild. */
   def exactSubstrRemoveOracleSql(table: String): String =
-    exactSubstrIslandsCte(table) + ",\n" +
-      """cover AS (SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos
-        |          FROM spans),
-        |w AS (SELECT doc_id, unnest(t) AS word, unnest(range(len(t))) AS pos
-        |      FROM sp),
-        |kept AS (SELECT w.doc_id, w.pos, w.word FROM w
-        |         LEFT JOIN cover c ON w.doc_id = c.doc_id AND w.pos = c.pos
-        |         WHERE c.pos IS NULL),
-        |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text,
-        |          count(*) AS n_kept
-        |        FROM kept GROUP BY doc_id)
-        |SELECT sp.doc_id, coalesce(agg.text, '') AS text,
-        |  len(sp.t) - coalesce(agg.n_kept, 0) AS n_removed
-        |FROM sp LEFT JOIN agg USING (doc_id) ORDER BY sp.doc_id""".stripMargin
+    exactSubstrIslandsCte(table) + ",\n" + substrRemoveTail
+
+  /** q6l oracle: the contaminated-span report. */
+  def contamSpansOracleSql(corpusFrom: String, evalFrom: String): String =
+    contamSpanIslandsCte(corpusFrom, evalFrom) + "\n" + substrSpansSelect
+
+  /** q6m oracle: surgical decontamination — contaminated-span removal +
+    * per-doc rebuild.
+    */
+  def contamRemoveOracleSql(corpusFrom: String, evalFrom: String): String =
+    contamSpanIslandsCte(corpusFrom, evalFrom) + ",\n" + substrRemoveTail
 
   /** The q5r oracle as a function of the documents table/view name — shared
     * with the Scale10x `contam_report` twin so the probe and the

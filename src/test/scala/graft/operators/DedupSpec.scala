@@ -519,6 +519,43 @@ class DedupSpec extends SparkSpec {
       (6L, "", 2L)))
   }
 
+  test("contaminatedSpans/removeContaminatedSpans: eval windows excise surgically") {
+    // k=3; eval doc windows: "a b c", "b c d"
+    val evalSet = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x a b c d y"),            // hits at pos 1,2 -> one span [1..4]
+      (2L, "a b c q q q q b c d"),    // hits at 0 and 7, gap > k -> two spans
+      (3L, "p q r s"),                // clean
+      (4L, "a b c"),                  // fully covered -> empty survivor
+      (5L, "b c")                     // short-doc window "b c" not in eval
+    ).toDF("doc_id", "text")
+    val spans = Dedup.contaminatedSpans(corpus, "doc_id", "text",
+        evalSet, "text", k = 3)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(spans.toSeq == Seq(
+      (1L, 1L, 4L, 4L, 2L),
+      (2L, 0L, 2L, 3L, 1L), (2L, 7L, 9L, 3L, 1L),
+      (4L, 0L, 2L, 3L, 1L)))
+    val removed = Dedup.removeContaminatedSpans(corpus, "doc_id", "text",
+        evalSet, "text", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(removed.toSeq == Seq(
+      (1L, "x y", 4L),
+      (2L, "q q q q", 6L),
+      (3L, "p q r s", 0L),
+      (4L, "", 3L),
+      (5L, "b c", 0L)))
+    // the eval membership is a BROADCAST fp semi-join (eval sets are
+    // small by contract — the decontaminate() shape)
+    val plan = Dedup.contaminatedSpans(corpus, "doc_id", "text",
+      evalSet, "text", k = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("ExactSubstr plans: no cartesian products, every window partitioned") {
     for (df <- Seq(
         Dedup.duplicatedSpans(substrDocs, "doc_id", "text", 3, 2),
