@@ -309,6 +309,27 @@ object Scale10x {
         spark.read.parquet(p).where(col("vec_id") >= 20), "vec_id",
         annQueries.select(col("query_id"), col("qe").as("embedding")),
         "query_id", k = 5, nProbe = 3, ivfPqFit._1, ivfPqFit._2))
+    // the persisted-index search (q6n): the index builds ONCE per scale
+    // (the one-time corpus job the disk index amortizes); the probe times
+    // the steady-state partition-pruned search only
+    lazy val ivfPqIdx1 = {
+      val path = s"$work/ivfpq_idx1"
+      Similarity.writeIvfPqIndex(
+        spark.read.parquet(emb1P).where(col("vec_id") >= 20), "vec_id",
+        path, ivfPqFit._1, ivfPqFit._2)
+      path
+    }
+    lazy val ivfPqIdxN = {
+      val path = s"$work/ivfpq_idx$copies"
+      Similarity.writeIvfPqIndex(
+        spark.read.parquet(embNP).where(col("vec_id") >= 20), "vec_id",
+        path, ivfPqFit._1, ivfPqFit._2)
+      path
+    }
+    def annIvfPqIdxShape(idx: String): Long =             // q6n search path
+      force(Similarity.ivfPqTopKFromIndex(spark, idx,
+        annQueries.select(col("query_id"), col("qe").as("embedding")),
+        "query_id", k = 5, nProbe = 3))
 
     // ---- the incremental near-dup gate (writeBandTable →
     // nearDupesAgainstTable → appendBandTable), the steady-state ingest
@@ -620,6 +641,8 @@ object Scale10x {
       Probe("ann_pq", () => annPqShape(emb1P), () => annPqShape(embNP)),
       Probe("ann_ivfpq", () => annIvfPqShape(emb1P),
         () => annIvfPqShape(embNP)),
+      Probe("ann_ivfpq_idx", () => annIvfPqIdxShape(ivfPqIdx1),
+        () => annIvfPqIdxShape(ivfPqIdxN)),
       Probe("dsir", () => dsirShape(docs1P), () => dsirShape(docs10P))) ++
       nearDupProbes :+
       Probe("multimodel_eval", () => multiEvalShape(li1P, ord1P),
@@ -698,9 +721,11 @@ object Scale10x {
         dsirModel, s"$docsv WHERE doc_id % 7 <> 0", k = 50)
       val sql1 = duckSql("docs1v", "li1v", "ord1v", "ev1v", "gbv", "emb1v") +
         ("ann_pq" -> pqTwin("emb1v")) + ("ann_ivfpq" -> ivfPqTwin("emb1v")) +
+        ("ann_ivfpq_idx" -> ivfPqTwin("emb1v")) +
         ("dsir" -> dsirTwin("docs1v")) ++ semTwin("emb1v")
       val sqlN = duckSql("docsNv", "liNv", "ordNv", "evNv", "gbv", "embNv") +
         ("ann_pq" -> pqTwin("embNv")) + ("ann_ivfpq" -> ivfPqTwin("embNv")) +
+        ("ann_ivfpq_idx" -> ivfPqTwin("embNv")) +
         ("dsir" -> dsirTwin("docsNv")) ++ semTwin("embNv")
       val views = Map("docs1v" -> docs1P, "docsNv" -> docs10P,
         "li1v" -> li1P, "liNv" -> li10P, "ord1v" -> ord1P, "ordNv" -> ord10P,

@@ -428,6 +428,120 @@ object Similarity {
         col("__dist").as("dist"))
   }
 
+  /** Persist an IVF-PQ index (the FAISS index-on-disk shape, and the
+    * band-table discipline applied to ANN): the corpus encodes ONCE —
+    * (id, codes) PARTITIONED BY CELL, so a search touches only its
+    * probed cells' directories — plus a model sidecar (coarse +
+    * codebooks as one kind/index-tagged parquet + job-free meta.json).
+    * At 100 TB the encode is the one corpus-sized job; every later
+    * search reads a few small integer-coded directories.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, corpusId: String, path: String,
+                      coarse: Seq[Seq[Double]],
+                      codebooks: Seq[Seq[Seq[Double]]]): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(corpusId).as("vec_id"),
+        graft.expressions.IvfPqEncode(col("embedding"), coarse, codebooks)
+          .as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col("vec_id"), col("__s").getField("codes").as("codes"),
+        col("__s").getField("cell").as("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/encoded")
+    val rows =
+      coarse.zipWithIndex.map { case (v, i) => (0, i, 0, v) } ++
+      codebooks.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (c, i) => (1, j, i, c) } }
+    rows.toDF("kind", "i", "j", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      (s"""{"fmt": 1, "nCentroids": ${coarse.size}, """ +
+        s""""m": ${codebooks.size}, "codebookSize": ${codebooks.head.size}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load the (coarse, codebooks) sidecar written by [[writeIvfPqIndex]]
+    * — rows re-sort to canonical order (bit-identical to the fitted
+    * model); the sidecar's section sizes guard torn/foreign artifacts.
+    */
+  def loadIvfPqModel(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaTxt = new String(
+      org.apache.commons.io.IOUtils.toByteArray(fs.open(p)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def meta(k: String): Int =
+      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(metaTxt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"malformed IVF-PQ meta at $p: $metaTxt")).group(1).toInt
+    val (nc, m, cs) = (meta("nCentroids"), meta("m"), meta("codebookSize"))
+    val rows = spark.read.parquet(s"$path/model").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Double](3).toIndexedSeq))
+      .sortBy(t => (t._1, t._2, t._3))
+    val (cRows, bRows) = rows.partition(_._1 == 0)
+    require(cRows.length == nc && bRows.length == m * cs,
+      s"torn IVF-PQ artifact at $path: ${cRows.length}/${bRows.length} " +
+        s"rows vs meta $nc/${m * cs}")
+    val coarse = cRows.map(_._4).toIndexedSeq
+    val cbs = (0 until m).map(j =>
+      bRows.filter(_._2 == j).sortBy(_._3).map(_._4).toIndexedSeq)
+    (coarse, cbs)
+  }
+
+  /** IVF-PQ search OVER THE PERSISTED INDEX — result rows are identical
+    * to [[ivfPqTopK]] on the same corpus/model (spec-pinned; the q6n
+    * oracle replays the from-scratch computation, so index corruption
+    * breaks the hash), but the corpus side reads only the PROBED CELLS'
+    * partition directories: the distinct probed cells (≤ nCentroids, a
+    * small bounded driver read by contract) become an `isin` partition
+    * filter, so the scan prunes to nProbe-ish directories of m-int
+    * codes — the steady-state search cost is independent of how many
+    * raw embeddings exist.
+    */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queries: DataFrame, queryId: String,
+                         k: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val (coarse, cbs) = loadIvfPqModel(spark, path)
+    require(nProbe > 0 && nProbe <= coarse.size,
+      s"bad probe count: nProbe=$nProbe of ${coarse.size} cells")
+    val centroids = coarse.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("__pcell", "__centroid")
+    val qd = queries
+      .select(col(queryId).as("__qid"), col("embedding").as("__qe"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__d",
+        graft.expressions.FpSqDist(col("__qe"), col("__centroid")))
+      .filter(col("__d").isNotNull)
+    val probes = graft.plans.GroupedTopK.perGroup(qd,
+        Seq(col("__qid")), struct(col("__d"), col("__pcell")), nProbe)
+      .select(col("__qid"), col("__qe"), col("__pcell").as("__cell"))
+    // bounded driver read: DISTINCT probed cells <= nCentroids by
+    // construction — becomes the partition-pruning filter on the index
+    val cells = probes.select(col("__cell")).distinct()
+      .as[Int].collect().toSeq
+    val enc = spark.read.parquet(s"$path/encoded")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id").as("__cid"), col("codes").as("__codes"),
+        col("cell").cast("int").as("__cell"))
+    val scored = enc.join(probes, Seq("__cell"))
+      .withColumn("__dist",
+        graft.expressions.IvfPqAdcDist(col("__codes"), col("__qe"),
+          col("__cell"), coarse, cbs))
+      .filter(col("__dist").isNotNull)
+    graft.plans.GroupedTopK.perGroup(scored, Seq(col("__qid")),
+        struct(col("__dist"), col("__cid")), k)
+      .select(col("__qid").as(queryId), col("__cid").as("vec_id"),
+        col("__dist").as("dist"))
+  }
+
   /** Fit the SemDeDup cluster centroids (Abbas et al. 2023 §3: k-means
     * over the embeddings, dedup WITHIN each cluster) — the same bounded
     * reservoir + driver-local Lloyd as the IVF/PQ fits, deterministic

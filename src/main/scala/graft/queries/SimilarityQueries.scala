@@ -317,6 +317,26 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("vec_id"))
     },
 
+    // ---- IVF-PQ search over the PERSISTED index (q6n): the q6h search
+    // served from disk — encode once, write partitioned by cell, search
+    // reads only the probed cells' directories (partition pruning,
+    // spec-pinned). The oracle is EXACTLY q6h's from-scratch replay, so
+    // any encode/write/load/prune divergence breaks the hash (the q5i
+    // "table probe == live gate" discipline applied to ANN).
+    QueryDef.dynamicSql("q6n_ivfpq_index") { (s, d) =>
+      val (coarse, cbs) = ensureIvfPq(s, d)
+      ivfPqReplaySql(coarse, cbs,
+        "embeddings WHERE vec_id >= 5",
+        "embeddings WHERE vec_id < 5", k = 5, nProbe = 3)
+    } { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfPqTopKFromIndex(s, ensureIvfPqIndex(s, d),
+          queries, "query_id", k = 5, nProbe = 3)
+        .orderBy(col("query_id"), col("vec_id"))
+    },
+
     // ---- SemDeDup (Abbas et al. 2023 — cluster-blocked semantic dedup,
     // the LAION/DataComp discipline). Cell assignment replays as the q5y
     // integer argmin with ONE full-vector subspace; the within-cell pair
@@ -355,6 +375,23 @@ object SimilarityQueries {
       : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) =
     ivfPqCache.getOrElseUpdate(d,
       Similarity.fitIvfPq(Tables.embeddings(s, d).where(col("vec_id") >= 5)))
+
+  /** The q6n persisted index: the q6h model encoded + written once per
+    * sf dir (fit → write → serve-from-disk sits inside the correctness
+    * gate; the oracle replays from the PRE-WRITE model literals).
+    */
+  private val ivfPqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureIvfPqIndex(s: org.apache.spark.sql.SparkSession,
+                               d: String): String =
+    ivfPqIndexCache.getOrElseUpdate(d, {
+      val path = LmQueries.sessionTmp(s, "q6n_ivfpq_index", d)
+      val (coarse, cbs) = ensureIvfPq(s, d)
+      Similarity.writeIvfPqIndex(
+        Tables.embeddings(s, d).where(col("vec_id") >= 5), "vec_id",
+        path, coarse, cbs)
+      path
+    })
 
   /** The q6i SemDeDup centroid fit, memoized per sf dir. */
   private val semCache =

@@ -116,6 +116,45 @@ class IvfPqSpec extends SparkSpec {
     assert(hitsApprox >= 10L, s"self-recall $hitsApprox/20 at nProbe=3")
   }
 
+  test("persisted index: search == in-memory search row-for-row; probes prune partitions; torn sidecar refused") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.where(col("vec_id") >= 5)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (cc, cb) = Similarity.fitIvfPq(corpus, nCentroids = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Similarity.writeIvfPqIndex(corpus, "vec_id", s"$dir/ok", cc, cb)
+    // model sidecar round-trips bit-identically
+    val (lc, lb) = Similarity.loadIvfPqModel(spark, s"$dir/ok")
+    assert(lc == cc && lb == cb, "sidecar round trip must be bit-identical")
+    // from-index search equals the from-scratch search exactly
+    val fromIdx = Similarity.ivfPqTopKFromIndex(spark, s"$dir/ok",
+        queries, "query_id", k = 5, nProbe = 3)
+      .orderBy("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val inMem = Similarity.ivfPqTopK(corpus, "vec_id", queries, "query_id",
+        k = 5, nProbe = 3, cc, cb)
+      .orderBy("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fromIdx.toSeq == inMem.toSeq)
+    // the encoded scan carries a partition filter on the probed cells
+    val plan = Similarity.ivfPqTopKFromIndex(spark, s"$dir/ok",
+      queries, "query_id", k = 5, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+    // torn sidecar: meta disagrees with the model rows
+    Similarity.writeIvfPqIndex(corpus, "vec_id", s"$dir/torn", cc, cb)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/torn/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      """{"fmt": 1, "nCentroids": 16, "m": 4, "codebookSize": 16}""".getBytes)
+    finally out.close()
+    intercept[IllegalArgumentException] {
+      Similarity.loadIvfPqModel(spark, s"$dir/torn")
+    }
+  }
+
   test("ivfPqTopK plan: broadcast probe side, no sort-merge join, no window") {
     val q = Seq((100L, Seq(1.0f, 1.0f, 1.0f, 1.0f))).toDF("query_id", "embedding")
     val plan = Similarity.ivfPqTopK(vecs, "vec_id", q, "query_id",
