@@ -612,6 +612,45 @@ object Similarity {
         col("__dup").isNull.as("kept"))
   }
 
+  /** SemDeDup INGEST GATE — the cross-corpus form of [[semDedup]]
+    * (the fingerprint-table / band-table / perplexity / DSIR gate
+    * discipline, semantic axis): a batch document drops iff ANY corpus
+    * document in its cluster cell reaches the cosine threshold. No
+    * batch-internal comparison (run [[semDedup]] on the batch first if
+    * in-batch dedup is also wanted), no id ordering — the corpus is
+    * prior art. Returns one row per batch document: (id, cell, kept).
+    *
+    * Scale shape: both sides assign cells by the same fixed-point
+    * kernel projection; the pair test joins batch-cells to corpus-cells
+    * on the CELL equi-key — per-batch cost is |batch| × (corpus members
+    * of the batch's cells), never corpus², and the corpus side is a
+    * pruned two-column-plus-embedding scan with no exchange beyond the
+    * cell join. Zero-norm batch docs are kept; zero-norm corpus docs
+    * never block.
+    */
+  def semDedupAgainst(batch: DataFrame, corpus: DataFrame, id: String,
+                      threshold: Double,
+                      centroids: Seq[Seq[Double]]): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"bad SemDeDup threshold: $threshold")
+    def assigned(df: DataFrame) = df.select(col(id).as("__id"),
+        col("embedding").as("__e"),
+        graft.expressions.PqEncode(col("embedding"), Seq(centroids))
+          .getItem(0).as("__cell"),
+        norm(col("embedding")).as("__n"))
+      .filter(col("__cell").isNotNull)
+    val b = assigned(batch)
+    val c = assigned(corpus).filter(col("__n") > 0)
+      .select(col("__cell"), col("__e").as("__ec"), col("__n").as("__nc"))
+    val dups = b.filter(col("__n") > 0).join(c, Seq("__cell"))
+      .filter(round(dot(col("__e"), col("__ec"))
+        / (col("__n") * col("__nc")), 6) >= threshold)
+      .select(col("__id").as("__dup")).distinct()
+    b.join(dups, col("__id") === col("__dup"), "left")
+      .select(col("__id").as(id), col("__cell").cast("int").as("cell"),
+        col("__dup").isNull.as("kept"))
+  }
+
   /** Driver-local Lloyd over a bounded in-memory sample: seeded k-means++
     * init, `iters` assignment/update rounds, empty clusters keep their
     * previous center. Fully deterministic for a given (sample, seed) —

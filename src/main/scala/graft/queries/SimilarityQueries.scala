@@ -351,6 +351,25 @@ object SimilarityQueries {
       Similarity.semDedup(Tables.embeddings(s, d), "vec_id",
           threshold = 0.15, ensureSemCentroids(s, d))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- semantic ingest gate (q6o): the cross-corpus SemDeDup — the
+    // fp-table/band-table/ppl/DSIR gate discipline on the semantic axis.
+    // A batch doc (every 11th vector) drops iff ANY corpus doc in its
+    // cell reaches the threshold; centroids fit on the CORPUS side (the
+    // deployment shape: the blocking model exists before the batch
+    // arrives). Same exactness contract as q6i.
+    QueryDef.dynamicSql("q6o_semdedup_gate") { (s, d) =>
+      semDedupGateReplaySql(ensureSemGateCentroids(s, d),
+        "embeddings WHERE vec_id % 11 = 0",
+        "embeddings WHERE vec_id % 11 <> 0", threshold = "0.15")
+    } { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.semDedupAgainst(
+          emb.where(col("vec_id") % 11 === 0),
+          emb.where(col("vec_id") % 11 =!= 0),
+          "vec_id", threshold = 0.15, ensureSemGateCentroids(s, d))
+        .orderBy(col("vec_id"))
     }
   )
 
@@ -400,6 +419,17 @@ object SimilarityQueries {
                                  d: String): Seq[Seq[Double]] =
     semCache.getOrElseUpdate(d,
       Similarity.fitSemDedupCentroids(Tables.embeddings(s, d)))
+
+  /** The q6o gate centroid fit — corpus side only (the blocking model
+    * exists before any batch arrives), memoized per sf dir.
+    */
+  private val semGateCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+  private def ensureSemGateCentroids(s: org.apache.spark.sql.SparkSession,
+                                     d: String): Seq[Seq[Double]] =
+    semGateCache.getOrElseUpdate(d,
+      Similarity.fitSemDedupCentroids(
+        Tables.embeddings(s, d).where(col("vec_id") % 11 =!= 0)))
 
   /** The PQ/ADC replay as ONE SQL text parameterized on the fitted
     * codebooks and the corpus/query FROM clauses (table + predicate) —
@@ -593,5 +623,50 @@ object SimilarityQueries {
        |SELECT m.vec_id, m.cell, (d.idb IS NULL) AS kept
        |FROM m LEFT JOIN d ON m.vec_id = d.idb
        |ORDER BY m.vec_id""".stripMargin
+  }
+
+  /** The q6o semantic-gate replay: the [[semDedupReplaySql]] chain with
+    * TWO assignment passes (batch + corpus through the identical
+    * integer-argmin CTE) and the pair test joining batch cells to CORPUS
+    * cells only — no id ordering, the corpus is prior art.
+    */
+  def semDedupGateReplaySql(centroids: Seq[Seq[Double]], batchFrom: String,
+                            corpusFrom: String, threshold: String): String = {
+    val dim = centroids.head.size
+    val ccValues = centroids.zipWithIndex
+      .map { case (c, i) => s"  ($i, ${doubleListLit(c)})" }
+      .mkString(",\n")
+    def assignCtes(tag: String, from: String): String =
+      s"""${tag}e AS (SELECT vec_id, embedding FROM $from),
+         |${tag}c0 AS (
+         |  SELECT ${tag}e.vec_id, cc.cell,
+         |    CAST(list_sum(
+         |      [CAST(round(1e9 *
+         |         ((CAST(${tag}e.embedding[i + 1] AS DOUBLE) - cc.c[i + 1])
+         |          * (CAST(${tag}e.embedding[i + 1] AS DOUBLE) - cc.c[i + 1])))
+         |        AS BIGINT)
+         |       for i in range($dim)]) AS BIGINT) AS d
+         |  FROM ${tag}e CROSS JOIN cc),
+         |${tag}m AS (
+         |  SELECT ${tag}e.vec_id, x.cell, ${tag}e.embedding
+         |  FROM ${tag}e JOIN (
+         |    SELECT vec_id, cell FROM (
+         |      SELECT vec_id, cell,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |      FROM ${tag}c0) WHERE rn = 1) x USING (vec_id))""".stripMargin
+    s"""WITH cc(cell, c) AS (VALUES
+       |$ccValues),
+       |""".stripMargin +
+      assignCtes("b", batchFrom) + ",\n" + assignCtes("k", corpusFrom) +
+      s""",
+         |p AS (
+         |  SELECT bm.vec_id AS idb,
+         |    round(list_cosine_similarity(CAST(bm.embedding AS DOUBLE[]),
+         |                                 CAST(km.embedding AS DOUBLE[])), 6) AS c
+         |  FROM bm JOIN km ON bm.cell = km.cell),
+         |d AS (SELECT DISTINCT idb FROM p WHERE c >= $threshold)
+         |SELECT bm.vec_id, bm.cell, (d.idb IS NULL) AS kept
+         |FROM bm LEFT JOIN d ON bm.vec_id = d.idb
+         |ORDER BY bm.vec_id""".stripMargin
   }
 }

@@ -55,6 +55,35 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("semDedupAgainst: corpus-only comparison, cell blocking, zero-norm conduct") {
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),  // cell 0
+      (11L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),  // cell 1
+      (12L, Seq(0.70f, 0.0f, 0.71f, 0.0f)) // cell 1 (boundary straddler)
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (1L, Seq(0.95f, 0.05f, 0.0f, 0.0f)), // cell 0, cos(.,10)=0.9986 -> drop
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // tie cell 0, no corpus mate -> keep
+      // cell 0, cos(.,12)=0.9999 but 12 is in cell 1 -> blocking keeps it
+      (3L, Seq(0.71f, 0.0f, 0.70f, 0.0f)),
+      // batch-INTERNAL near-dup of doc 2 (cos 0.9986, same cell 0) — the
+      // gate compares against the corpus only, so both 2 and 5 survive
+      (5L, Seq(0.05f, 0.95f, 0.0f, 0.0f)),
+      (6L, Seq(0.0f, 0.0f, 0.0f, 0.0f))    // zero norm -> kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedupAgainst(batch, corpus, "vec_id",
+        threshold = 0.9, cents)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0, false), (2L, 0, true), (3L, 0, true),
+      (5L, 0, true), (6L, 0, true)))
+    val plan = Similarity.semDedupAgainst(batch, corpus, "vec_id", 0.9, cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("semDedup plan: the pair test is a cell equi-join, never corpus all-pairs") {
     val plan = Similarity.semDedup(docs, "vec_id", threshold = 0.9, cents)
       .queryExecution.executedPlan.toString
