@@ -602,10 +602,18 @@ object Scale10x {
     def semDedupShape(p: String): Long =                  // q6i shape
       force(Similarity.semDedup(
         spark.read.parquet(p), "vec_id", threshold = 0.15, semCents))
+    def semGateShape(p: String): Long = {                 // q6o shape
+      val e = spark.read.parquet(p)
+      force(Similarity.semDedupAgainst(
+        e.where(col("vec_id") % 11 === 0), e.where(col("vec_id") % 11 =!= 0),
+        "vec_id", threshold = 0.15, semCents))
+    }
     val nearDupProbes = if (copies <= 10) Seq(
       Probe("neardup_lsh_e2e", () => nearDupShape(docs1P), () => nearDupShape(docs10P)),
       Probe("neardup_clusters", () => clusterShape(docs1P), () => clusterShape(docs10P)),
-      Probe("semdedup", () => semDedupShape(emb1P), () => semDedupShape(embNP)))
+      Probe("semdedup", () => semDedupShape(emb1P), () => semDedupShape(embNP)),
+      Probe("semdedup_gate", () => semGateShape(emb1P),
+        () => semGateShape(embNP)))
     else Seq.empty
     val allProbes = Seq(
       Probe("agg_6m_rows", () => aggShape(li1P), () => aggShape(li10P)),
@@ -715,7 +723,11 @@ object Scale10x {
       def semTwin(embv: String): Map[String, String] =
         if (copies <= 10)
           Map("semdedup" -> graft.queries.SimilarityQueries
-            .semDedupReplaySql(semCents, embv, threshold = "0.15"))
+              .semDedupReplaySql(semCents, embv, threshold = "0.15"),
+            "semdedup_gate" -> graft.queries.SimilarityQueries
+              .semDedupGateReplaySql(semCents,
+                s"$embv WHERE vec_id % 11 = 0",
+                s"$embv WHERE vec_id % 11 <> 0", threshold = "0.15"))
         else Map.empty
       def dsirTwin(docsv: String) = graft.queries.TextQueries.dsirReplaySql(
         dsirModel, s"$docsv WHERE doc_id % 7 <> 0", k = 50)
