@@ -731,18 +731,31 @@ object Scale10x {
         else Map.empty
       def dsirTwin(docsv: String) = graft.queries.TextQueries.dsirReplaySql(
         dsirModel, s"$docsv WHERE doc_id % 7 <> 0", k = 50)
+      // the index probe's twin serves from the SAME prebuilt encoded
+      // parquet (probe ranking + ADC + top-k only) — apples-to-apples
+      // index serving vs index serving (r12 ADVICE: the full-replay twin
+      // re-derived cell assignment + residual codes, i.e. a rebuild).
+      // Only emitted when the probe ran, so filtered runs never force the
+      // lazy index build just to build its twin SQL.
+      val idxRan = results.exists(_._1 == "ann_ivfpq_idx")
+      def idxTwin(encv: String): Map[String, String] =
+        if (!idxRan) Map.empty
+        else Map("ann_ivfpq_idx" -> graft.queries.SimilarityQueries
+          .ivfPqIdxReplaySql(ivfPqFit._1, ivfPqFit._2, encv,
+            "emb1v WHERE vec_id < 20", k = 5, nProbe = 3))
       val sql1 = duckSql("docs1v", "li1v", "ord1v", "ev1v", "gbv", "emb1v") +
         ("ann_pq" -> pqTwin("emb1v")) + ("ann_ivfpq" -> ivfPqTwin("emb1v")) +
-        ("ann_ivfpq_idx" -> ivfPqTwin("emb1v")) +
-        ("dsir" -> dsirTwin("docs1v")) ++ semTwin("emb1v")
+        ("dsir" -> dsirTwin("docs1v")) ++ semTwin("emb1v") ++ idxTwin("enc1v")
       val sqlN = duckSql("docsNv", "liNv", "ordNv", "evNv", "gbv", "embNv") +
         ("ann_pq" -> pqTwin("embNv")) + ("ann_ivfpq" -> ivfPqTwin("embNv")) +
-        ("ann_ivfpq_idx" -> ivfPqTwin("embNv")) +
-        ("dsir" -> dsirTwin("docsNv")) ++ semTwin("embNv")
+        ("dsir" -> dsirTwin("docsNv")) ++ semTwin("embNv") ++ idxTwin("encNv")
       val views = Map("docs1v" -> docs1P, "docsNv" -> docs10P,
         "li1v" -> li1P, "liNv" -> li10P, "ord1v" -> ord1P, "ordNv" -> ord10P,
         "ev1v" -> ev1P, "evNv" -> evNP, "gbv" -> gateBatchP,
-        "emb1v" -> emb1P, "embNv" -> embNP)
+        "emb1v" -> emb1P, "embNv" -> embNP) ++
+        (if (idxRan) Map("enc1v" -> s"$ivfPqIdx1/encoded/*/*.parquet",
+          "encNv" -> s"$ivfPqIdxN/encoded/*/*.parquet")
+        else Map.empty)
       def j(m: Map[String, String]): String = m.toSeq.sortBy(_._1)
         .map { case (k, v) =>
           "\"" + k + "\": \"" + v.replace("\\", "\\\\").replace("\"", "\\\"")

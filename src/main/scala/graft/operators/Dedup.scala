@@ -964,8 +964,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col(id)).orderBy(col("__pos"))
     val runW = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val nw = corpus.select(col(id),
-      size(split(col(text), " ")).cast("long").as("__nw"))
+    // token count from the SAME tokenization the windows use (WordShingles:
+    // trim + split on \s+) — a plain split-on-space would mis-clamp spans on
+    // documents with leading/repeated whitespace or embedded newlines
+    val nw = corpus.select(col(id), spanTokens(col(text)))
     val end = least(col("__endRaw"), col("__nw") - 1)
     windows
       .withColumn("__new",
@@ -1036,8 +1038,11 @@ object Dedup {
     val cover = spans.select(col(id),
       explode(sequence(col("span_start"), col("span_end"))).as("__pos"))
     val kept = corpus
+      // positions MUST come from the windows' tokenization (WordShingles:
+      // trim + split on \s+) or the anti-join would excise the wrong tokens
+      // on any document with irregular whitespace
       .select(col(id),
-        posexplode(split(col(text), " ")).as(Seq("__pos", "__w")))
+        posexplode(spanTokenArr(col(text))).as(Seq("__pos", "__w")))
       .select(col(id), col("__pos").cast("long").as("__pos"), col("__w"))
       .join(cover, Seq(id, "__pos"), "left_anti")
       .groupBy(col(id))
@@ -1046,11 +1051,24 @@ object Dedup {
             x => x.getField("__w"))).as("__kept"),
         count(lit(1)).as("__nKept"))
     corpus
-      .select(col(id), size(split(col(text), " ")).cast("long").as("__nw"))
+      .select(col(id), spanTokens(col(text)))
       .join(kept, Seq(id), "left")
       .select(col(id), coalesce(col("__kept"), lit("")).as(text),
         (col("__nw") - coalesce(col("__nKept"), lit(0L))).as("n_removed"))
   }
+
+  /** The ExactSubstr family's ONE tokenization, byte-identical to
+    * [[graft.expressions.WordShinglesKernel.tokenize]] (which backs the
+    * window grams): trim, then split on runs of whitespace. Every position
+    * and token count in the span report/removal derives from this — mixing
+    * it with a plain split-on-space misaligns positions on multi-line or
+    * multi-space documents.
+    */
+  private def spanTokenArr(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  private def spanTokens(text: Column): Column =
+    size(spanTokenArr(text)).cast("long").as("__nw")
 
   def removeDuplicatedSpans(corpus: DataFrame, id: String, text: String,
                             k: Int = 8, minDocs: Int = 2): DataFrame =

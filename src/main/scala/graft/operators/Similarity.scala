@@ -499,11 +499,15 @@ object Similarity {
     * to [[ivfPqTopK]] on the same corpus/model (spec-pinned; the q6n
     * oracle replays the from-scratch computation, so index corruption
     * breaks the hash), but the corpus side reads only the PROBED CELLS'
-    * partition directories: the distinct probed cells (≤ nCentroids, a
-    * small bounded driver read by contract) become an `isin` partition
-    * filter, so the scan prunes to nProbe-ish directories of m-int
-    * codes — the steady-state search cost is independent of how many
-    * raw embeddings exist.
+    * partition directories: the probe ranking runs ONCE — its
+    * (query, cell) pairs are a small bounded driver read by the serving
+    * contract (≤ |queries| × nProbe rows) whose distinct cells become
+    * the `isin` partition filter and whose rows re-enter the scored join
+    * as a local relation — so the scan prunes to nProbe-ish directories
+    * of m-int codes and the steady-state search cost is independent of
+    * how many raw embeddings exist. The returned plan carries no coarse
+    * distance computation (spec-pinned): FpSqDist lives only in the
+    * probe job.
     */
   def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, queries: DataFrame, queryId: String,
@@ -520,13 +524,22 @@ object Similarity {
       .withColumn("__d",
         graft.expressions.FpSqDist(col("__qe"), col("__centroid")))
       .filter(col("__d").isNotNull)
-    val probes = graft.plans.GroupedTopK.perGroup(qd,
+    // ONE probe job (r12: this GroupedTopK used to run twice — once for
+    // the distinct-cell collect, again inside the scored join): the
+    // (query, cell) pairs land on the driver — |queries| × nProbe rows,
+    // bounded because a serving batch is small by the same contract that
+    // already bounded the distinct-cell read; the corpus side is what
+    // scales — and serve BOTH the partition-pruning filter and, as a
+    // local relation re-joined to the query embeddings, the scored join.
+    val probeFrame = graft.plans.GroupedTopK.perGroup(qd,
         Seq(col("__qid")), struct(col("__d"), col("__pcell")), nProbe)
-      .select(col("__qid"), col("__qe"), col("__pcell").as("__cell"))
-    // bounded driver read: DISTINCT probed cells <= nCentroids by
-    // construction — becomes the partition-pruning filter on the index
-    val cells = probes.select(col("__cell")).distinct()
-      .as[Int].collect().toSeq
+      .select(col("__qid"), col("__pcell").as("__cell"))
+    val probeRows = probeFrame.collect()
+    val cells = probeRows.map(_.getInt(1)).distinct.toSeq
+    val probes = spark.createDataFrame(
+        java.util.Arrays.asList(probeRows: _*), probeFrame.schema)
+      .join(queries.select(col(queryId).as("__qid"),
+        col("embedding").as("__qe")), Seq("__qid"))
     val enc = spark.read.parquet(s"$path/encoded")
       .filter(col("cell").isin(cells: _*))
       .select(col("vec_id").as("__cid"), col("codes").as("__codes"),

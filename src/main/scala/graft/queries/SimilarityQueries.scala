@@ -502,6 +502,28 @@ object SimilarityQueries {
     * probe set = each query's nProbe lowest coarse distances (ties to
     * the low cell), ADC = integer residual sums, top-k ties on vec_id.
     */
+  /** The ((e − cc) − c)² fixed-point term over subspace `sub` of vector
+    * column `v` — the kernel's residSubDist chain, verbatim. Shared by
+    * the full replay and the serving-tail twin so they cannot drift.
+    */
+  private def residTermSql(v: String, ds: Int): String =
+    s"""CAST(list_sum(
+       |      [CAST(round(1e9 *
+       |         (((CAST($v[cb.sub * $ds + i + 1] AS DOUBLE)
+       |             - cc.c[cb.sub * $ds + i + 1]) - cb.c[i + 1])
+       |          * ((CAST($v[cb.sub * $ds + i + 1] AS DOUBLE)
+       |             - cc.c[cb.sub * $ds + i + 1]) - cb.c[i + 1])))
+       |        AS BIGINT)
+       |       for i in range($ds)]) AS BIGINT)""".stripMargin
+
+  private def coarseTermSql(v: String, dim: Int): String =
+    s"""CAST(list_sum(
+       |      [CAST(round(1e9 *
+       |         ((CAST($v[i + 1] AS DOUBLE) - cc.c[i + 1])
+       |          * (CAST($v[i + 1] AS DOUBLE) - cc.c[i + 1])))
+       |        AS BIGINT)
+       |       for i in range($dim)]) AS BIGINT)""".stripMargin
+
   def ivfPqReplaySql(coarse: Seq[Seq[Double]], cbs: Seq[Seq[Seq[Double]]],
                      corpusFrom: String, queryFrom: String,
                      k: Int, nProbe: Int): String = {
@@ -513,24 +535,8 @@ object SimilarityQueries {
     val cbValues = cbs.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (c, i) => s"  ($j, $i, ${doubleListLit(c)})" }
     }.mkString(",\n")
-    // the ((e − cc) − c)² fixed-point term over subspace `sub` of vector
-    // column `v` — the kernel's residSubDist chain, verbatim
-    def residTerm(v: String): String =
-      s"""CAST(list_sum(
-         |      [CAST(round(1e9 *
-         |         (((CAST($v[cb.sub * $ds + i + 1] AS DOUBLE)
-         |             - cc.c[cb.sub * $ds + i + 1]) - cb.c[i + 1])
-         |          * ((CAST($v[cb.sub * $ds + i + 1] AS DOUBLE)
-         |             - cc.c[cb.sub * $ds + i + 1]) - cb.c[i + 1])))
-         |        AS BIGINT)
-         |       for i in range($ds)]) AS BIGINT)""".stripMargin
-    def coarseTerm(v: String): String =
-      s"""CAST(list_sum(
-         |      [CAST(round(1e9 *
-         |         ((CAST($v[i + 1] AS DOUBLE) - cc.c[i + 1])
-         |          * (CAST($v[i + 1] AS DOUBLE) - cc.c[i + 1])))
-         |        AS BIGINT)
-         |       for i in range($dim)]) AS BIGINT)""".stripMargin
+    def residTerm(v: String): String = residTermSql(v, ds)
+    def coarseTerm(v: String): String = coarseTermSql(v, dim)
     s"""WITH cc(cell, c) AS (VALUES
        |$ccValues),
        |cb(sub, cid, c) AS (VALUES
@@ -581,6 +587,60 @@ object SimilarityQueries {
        |ORDER BY query_id, vec_id""".stripMargin
   }
 
+  /** The ann_ivfpq_idx twin: the index SERVING tail only — probe ranking +
+    * ADC + top-k over a PRE-MATERIALIZED encoded relation `encFrom` with
+    * columns (vec_id, codes, cell), i.e. the persisted index's `encoded/`
+    * parquet read back. Unlike [[ivfPqReplaySql]] it never re-derives cell
+    * assignment or residual codes, so the Scale10x index probe compares
+    * index serving against index serving (the r12 ADVICE asymmetry: the
+    * full-replay twin compared a prebuilt-index search to a from-scratch
+    * rebuild). Distances are the identical shared fixed-point terms.
+    */
+  def ivfPqIdxReplaySql(coarse: Seq[Seq[Double]], cbs: Seq[Seq[Seq[Double]]],
+                        encFrom: String, queryFrom: String,
+                        k: Int, nProbe: Int): String = {
+    val dim = coarse.head.size
+    val ds = cbs.head.head.size
+    val ccValues = coarse.zipWithIndex
+      .map { case (c, i) => s"  ($i, ${doubleListLit(c)})" }
+      .mkString(",\n")
+    val cbValues = cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, i) => s"  ($j, $i, ${doubleListLit(c)})" }
+    }.mkString(",\n")
+    s"""WITH cc(cell, c) AS (VALUES
+       |$ccValues),
+       |cb(sub, cid, c) AS (VALUES
+       |$cbValues),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM $queryFrom),
+       |enc AS (
+       |  SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+       |    unnest(range(len(codes))) AS sub, unnest(codes) AS cid
+       |  FROM $encFrom),
+       |qp0 AS (
+       |  SELECT q.query_id, cc.cell, ${coarseTermSql("q.qe", dim)} AS d
+       |  FROM q CROSS JOIN cc),
+       |qp AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT query_id, cell,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY d, cell) AS rn
+       |    FROM qp0) WHERE rn <= $nProbe),
+       |adc0 AS (
+       |  SELECT qp.query_id, enc.vec_id, ${residTermSql("q.qe", ds)} AS d
+       |  FROM qp JOIN q USING (query_id)
+       |  JOIN enc ON enc.cell = qp.cell
+       |  JOIN cc ON cc.cell = qp.cell
+       |  JOIN cb ON cb.sub = enc.sub AND cb.cid = enc.cid),
+       |adc AS (SELECT query_id, vec_id, CAST(sum(d) AS BIGINT) AS dist
+       |        FROM adc0 GROUP BY query_id, vec_id),
+       |r AS (SELECT query_id, vec_id, dist,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY dist, vec_id) AS rn
+       |      FROM adc)
+       |SELECT query_id, vec_id, dist FROM r WHERE rn <= $k
+       |ORDER BY query_id, vec_id""".stripMargin
+  }
+
   /** The SemDeDup replay as ONE SQL text parameterized on the fitted
     * centroids and the corpus FROM clause — shared by the q6i oracle and
     * the Scale10x semdedup twin. Cell assignment replays the kernel's
@@ -588,7 +648,12 @@ object SimilarityQueries {
     * subspace, ties to the low cell); the pair test is the q4l cosine
     * chain rounded to 6 before the threshold compare; kept = no
     * qualifying lower-id cluster mate. `threshold` is passed as SQL text
-    * so both engines parse the identical literal.
+    * so both engines parse the identical literal. Both sides of the pair
+    * CTE carry a positive-norm guard mirroring the Spark side's `__n > 0`
+    * filter: DuckDB's list_cosine_similarity on a zero vector yields NaN,
+    * and NaN >= threshold is TRUE under its total order — without the
+    * guard a zero-norm row would drop (and block cell-mates) in the
+    * oracle only. Zero-norm rows stay in the final left-join output.
     */
   def semDedupReplaySql(centroids: Seq[Seq[Double]], corpusFrom: String,
                         threshold: String): String = {
@@ -618,7 +683,11 @@ object SimilarityQueries {
        |  SELECT y.vec_id AS idb,
        |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
        |                                 CAST(y.embedding AS DOUBLE[])), 6) AS c
-       |  FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+       |  FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE list_sum(list_transform(CAST(x.embedding AS DOUBLE[]),
+       |          v -> v * v)) > 0
+       |    AND list_sum(list_transform(CAST(y.embedding AS DOUBLE[]),
+       |          v -> v * v)) > 0),
        |d AS (SELECT DISTINCT idb FROM p WHERE c >= $threshold)
        |SELECT m.vec_id, m.cell, (d.idb IS NULL) AS kept
        |FROM m LEFT JOIN d ON m.vec_id = d.idb
@@ -663,7 +732,11 @@ object SimilarityQueries {
          |  SELECT bm.vec_id AS idb,
          |    round(list_cosine_similarity(CAST(bm.embedding AS DOUBLE[]),
          |                                 CAST(km.embedding AS DOUBLE[])), 6) AS c
-         |  FROM bm JOIN km ON bm.cell = km.cell),
+         |  FROM bm JOIN km ON bm.cell = km.cell
+         |  WHERE list_sum(list_transform(CAST(bm.embedding AS DOUBLE[]),
+         |          v -> v * v)) > 0
+         |    AND list_sum(list_transform(CAST(km.embedding AS DOUBLE[]),
+         |          v -> v * v)) > 0),
          |d AS (SELECT DISTINCT idb FROM p WHERE c >= $threshold)
          |SELECT bm.vec_id, bm.cell, (d.idb IS NULL) AS kept
          |FROM bm LEFT JOIN d ON bm.vec_id = d.idb

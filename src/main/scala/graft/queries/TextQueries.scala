@@ -1530,8 +1530,13 @@ object TextQueries {
       |            count(*) AS n_windows
       |          FROM isl GROUP BY doc_id, isl)""".stripMargin
 
+  // token column `t` replays WordShingles' tokenization exactly (trim +
+  // split on \s+) — the span positions, token counts, AND window grams all
+  // derive from it, mirroring the Spark side's single spanTokenArr source
   private def exactSubstrIslandsCte(table: String): String =
-    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM $table),
+    s"""WITH sp AS (SELECT doc_id,
+       |              regexp_split_to_array(trim(text), '\\s+') AS t
+       |            FROM $table),
        |g AS (SELECT doc_id, len(t) AS nw,
        |        $substrWindowsGs AS gs
        |      FROM sp),
@@ -1552,14 +1557,17 @@ object TextQueries {
     */
   private def contamSpanIslandsCte(corpusFrom: String,
                                    evalFrom: String): String =
-    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM $corpusFrom),
+    s"""WITH sp AS (SELECT doc_id,
+       |              regexp_split_to_array(trim(text), '\\s+') AS t
+       |            FROM $corpusFrom),
        |g AS (SELECT doc_id, len(t) AS nw,
        |        $substrWindowsGs AS gs
        |      FROM sp),
        |u AS (SELECT doc_id, nw, unnest(gs) AS gram,
        |        unnest(range(len(gs))) AS pos
        |      FROM g),
-       |esp AS (SELECT string_split(text, ' ') AS t FROM $evalFrom),
+       |esp AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+       |        FROM $evalFrom),
        |eg AS (SELECT $substrWindowsGs AS gs FROM esp),
        |hot AS (SELECT DISTINCT unnest(gs) AS gram FROM eg),
        |dw AS (SELECT doc_id, nw, pos FROM u

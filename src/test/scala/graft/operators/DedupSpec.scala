@@ -556,6 +556,38 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("ExactSubstr: positions and clamps align with the window tokenization on irregular whitespace") {
+    // docs 1/2 tokenize to the SAME five tokens (leading/trailing blanks,
+    // newline, tab, multi-space all collapse — WordShingles semantics);
+    // docs 3/4 are whitespace-variant short-doc twins. A split-on-space
+    // position source would mis-clamp doc 1 (nw=8, not 5) and excise the
+    // wrong tokens from doc 2 ("b\nc" as one token).
+    val messy = Seq(
+      (1L, "  a b c d e  "),
+      (2L, "a b\nc   d\te"),
+      (3L, " x  y "),
+      (4L, "x\ty"),
+      (5L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(messy, "doc_id", "text",
+        k = 3, minDocs = 2)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(spans.toSeq == Seq(
+      (1L, 0L, 4L, 5L, 3L),
+      (2L, 0L, 4L, 5L, 3L),
+      (3L, 0L, 1L, 2L, 1L),
+      (4L, 0L, 1L, 2L, 1L)))
+    val removed = Dedup.removeDuplicatedSpans(messy, "doc_id", "text",
+        k = 3, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(removed.toSeq == Seq(
+      (1L, "", 5L), (2L, "", 5L), (3L, "", 2L), (4L, "", 2L),
+      (5L, "p q r s t", 0L)))
+  }
+
   test("ExactSubstr plans: no cartesian products, every window partitioned") {
     for (df <- Seq(
         Dedup.duplicatedSpans(substrDocs, "doc_id", "text", 3, 2),

@@ -142,6 +142,12 @@ class IvfPqSpec extends SparkSpec {
       queries, "query_id", k = 5, nProbe = 3)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell"), plan)
+    // the probe ranking ran ONCE, at call time: the served plan joins the
+    // collected (query, cell) pairs as a local relation and carries NO
+    // coarse-distance computation (r12 verdict: the queries×centroids
+    // GroupedTopK used to execute twice)
+    assert(plan.contains("LocalTableScan"), plan)
+    assert(!plan.contains("fp_sq_dist") && !plan.contains("FpSqDist"), plan)
     // torn sidecar: meta disagrees with the model rows
     Similarity.writeIvfPqIndex(corpus, "vec_id", s"$dir/torn", cc, cb)
     val p = new org.apache.hadoop.fs.Path(s"$dir/torn/meta.json")
