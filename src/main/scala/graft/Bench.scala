@@ -227,13 +227,14 @@ object Bench {
                               sfDir: String,
                               phases: Map[String, Double] = Map.empty): String = {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // per-query values: 2 dp under 10 s, 1 dp above (a 63-second query
-    // does not need cent precision), trailing zeros stripped ("0.50" →
-    // "0.5", "1.00" → "1") — the one-line artifact must fit the driver's
-    // 2000-char tail window, which 124 queries outgrew at fixed 2 dp
+    // per-query values: 2 dp under 10 s, whole seconds above (a 63-second
+    // query is broken regardless of cents; any healthy query is sub-10 s),
+    // trailing zeros stripped ("0.50" → "0.5", "1.00" → "1") — the
+    // one-line artifact must fit the driver's 2000-char tail window, which
+    // 124 queries outgrew at fixed 2 dp and 135 outgrew at 1 dp-above-10
     // (full-precision per-query walls live in BENCH_DETAIL.json)
     def r2(v: Double): String = {
-      val s = (if (math.abs(v) >= 10) "%.1f" else "%.2f")
+      val s = (if (math.abs(v) >= 10) "%.0f" else "%.2f")
         .formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
       else s

@@ -608,12 +608,35 @@ object Scale10x {
         e.where(col("vec_id") % 11 === 0), e.where(col("vec_id") % 11 =!= 0),
         "vec_id", threshold = 0.15, semCents))
     }
+    // the SELF-MAINTAINING semantic gate (q6p): corpus cell table built
+    // ONCE per scale (the amortized one-time job — lazy init lands in the
+    // discarded warm pass); the probe times the 2-batch stream replay.
+    // Batch fixed from the 1x copy at both scales, so per-batch steady
+    // state vs corpus size is what varies. Joined to the <=10-copies
+    // class: the scaled corpus duplicates every batch vector, so gate
+    // matches (and within-cell pair work) grow with the copy factor.
+    def semCellTable(p: String, tag: String): String = {
+      val r = s"$work/semcell_$tag"
+      Similarity.writeSemCellSegment(
+        spark.read.parquet(p).where(col("vec_id") % 11 =!= 0),
+        "vec_id", semCents, r, "corpus")
+      r
+    }
+    lazy val semCell1 = semCellTable(emb1P, "c1")
+    lazy val semCellN = semCellTable(embNP, s"c$copies")
+    def semSmShape(root: String, wd: String): Long =      // q6p shape
+      force(graft.streaming.DocStream.replaySemGatedIngest(
+        spark.read.parquet(emb1P).where(col("vec_id") % 11 === 0),
+        root, "vec_id", semCents, threshold = 0.6,
+        s"$work/$wd", nBatches = 2))
     val nearDupProbes = if (copies <= 10) Seq(
       Probe("neardup_lsh_e2e", () => nearDupShape(docs1P), () => nearDupShape(docs10P)),
       Probe("neardup_clusters", () => clusterShape(docs1P), () => clusterShape(docs10P)),
       Probe("semdedup", () => semDedupShape(emb1P), () => semDedupShape(embNP)),
       Probe("semdedup_gate", () => semGateShape(emb1P),
-        () => semGateShape(embNP)))
+        () => semGateShape(embNP)),
+      Probe("semgate_sm", () => semSmShape(semCell1, "semsm_wd1"),
+        () => semSmShape(semCellN, s"semsm_wd$copies")))
     else Seq.empty
     val allProbes = Seq(
       Probe("agg_6m_rows", () => aggShape(li1P), () => aggShape(li10P)),
@@ -727,7 +750,14 @@ object Scale10x {
             "semdedup_gate" -> graft.queries.SimilarityQueries
               .semDedupGateReplaySql(semCents,
                 s"$embv WHERE vec_id % 11 = 0",
-                s"$embv WHERE vec_id % 11 <> 0", threshold = "0.15"))
+                s"$embv WHERE vec_id % 11 <> 0", threshold = "0.15"),
+            // same two-round chained computation as the q6p probe
+            // (batch fixed from the 1x copy at both scales)
+            "semgate_sm" -> graft.queries.SimilarityQueries
+              .semSelfMaintainReplaySql(semCents,
+                s"$embv WHERE vec_id % 11 <> 0",
+                "SELECT vec_id, embedding FROM emb1v WHERE vec_id % 11 = 0",
+                threshold = "0.6"))
         else Map.empty
       def dsirTwin(docsv: String) = graft.queries.TextQueries.dsirReplaySql(
         dsirModel, s"$docsv WHERE doc_id % 7 <> 0", k = 50)

@@ -664,6 +664,58 @@ object Similarity {
         col("__dup").isNull.as("kept"))
   }
 
+  /** Write one SEGMENT of a persisted cell-blocked corpus table — the
+    * SemDeDup ingest gate's GROWING state (the q6n cell-partitioned layout
+    * applied to raw embeddings): (vec_id, embedding) PARTITIONED BY CELL
+    * under `root/seg=<seg>`, cells assigned by the same fixed-point kernel
+    * the gate's pair test uses. Segments make the state appendable AND
+    * idempotent: the base corpus writes `seg=corpus` once; each stream
+    * batch overwrites its own `seg=b<id>` with its survivors, so a
+    * crash-replayed batch rewrites the same directory instead of
+    * duplicating state. Readers discover (seg, cell) as partition columns
+    * and prune on cell. Rows whose embedding fails the centroid geometry
+    * (null cell) are never written — they cannot block anything.
+    */
+  def writeSemCellSegment(df: DataFrame, id: String,
+                          centroids: Seq[Seq[Double]], root: String,
+                          seg: String): Unit =
+    df.select(col(id).as("vec_id"), col("embedding"),
+        graft.expressions.PqEncode(col("embedding"), Seq(centroids))
+          .getItem(0).as("cell"))
+      .filter(col("cell").isNotNull)
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$root/seg=$seg")
+
+  /** Cell-blocked semantic dup ids of a batch against an ALREADY-ASSIGNED
+    * state frame (columns `cell`, `embedding` — e.g. segments of the
+    * persisted cell table written by [[writeSemCellSegment]]): batch ids
+    * with SOME state row in their cell at round(cos, 6) >= threshold —
+    * the [[semDedupAgainst]] pair rule over pre-blocked state. Zero-norm
+    * batch rows never match (always kept by the caller's anti-join);
+    * zero-norm state rows never block. May emit an id more than once
+    * (one per matching state row's shuffle side) — the consuming
+    * anti-join ignores duplicates, so no distinct exchange is spent.
+    */
+  def semDupIdsAgainstCells(batch: DataFrame, id: String, state: DataFrame,
+                            threshold: Double,
+                            centroids: Seq[Seq[Double]]): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"bad SemDeDup threshold: $threshold")
+    val b = batch.select(col(id).as("__id"), col("embedding").as("__e"),
+        graft.expressions.PqEncode(col("embedding"), Seq(centroids))
+          .getItem(0).as("__cell"),
+        norm(col("embedding")).as("__n"))
+      .filter(col("__cell").isNotNull)
+      .filter(col("__n") > 0)
+    val c = state.select(col("cell").cast("int").as("__cell"),
+        col("embedding").as("__ec"), norm(col("embedding")).as("__nc"))
+      .filter(col("__nc") > 0)
+    b.join(c, Seq("__cell"))
+      .filter(round(dot(col("__e"), col("__ec"))
+        / (col("__n") * col("__nc")), 6) >= threshold)
+      .select(col("__id").as(id))
+  }
+
   /** Driver-local Lloyd over a bounded in-memory sample: seeded k-means++
     * init, `iters` assignment/update rounds, empty clusters keep their
     * previous center. Fully deterministic for a given (sample, seed) —

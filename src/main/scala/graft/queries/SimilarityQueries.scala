@@ -370,8 +370,88 @@ object SimilarityQueries {
           emb.where(col("vec_id") % 11 =!= 0),
           "vec_id", threshold = 0.15, ensureSemGateCentroids(s, d))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- SELF-MAINTAINING semantic gate (q6p): the q6c growing-state
+    // discipline on the SemDeDup axis — each micro-batch's survivors
+    // append their (id, cell, embedding) to the persisted cell table, so
+    // batch-1 twins of batch-0 SURVIVORS drop too. Pinned by the planted
+    // 9000000/9000001 pair (same novel vector, split across batches),
+    // which only a state-growing gate separates; 9000002 (an exact corpus
+    // copy) drops in round 0 either way. The oracle chains two gate
+    // rounds (round 1's state = corpus ∪ round 0's survivors) through
+    // the identical integer-argmin + round-6-cosine machinery. At
+    // threshold 0.6 the natural data is inert (max batch-corpus cosine
+    // 0.53 at sf0.1) — the margin is float-safe by construction.
+    QueryDef.dynamicSql("q6p_stream_semgate_sm") { (s, d) =>
+      semSelfMaintainReplaySql(ensureSemGateCentroids(s, d),
+        "embeddings WHERE vec_id % 11 <> 0", semSmBatchSql,
+        threshold = "0.6")
+    } { (s, d) =>
+      graft.streaming.DocStream.replaySemGatedIngest(
+          semSmBatch(s, d), ensureSemCellTable(s, d), "vec_id",
+          ensureSemGateCentroids(s, d), threshold = 0.6,
+          LmQueries.sessionTmp(s, "q6p_semgate", d), nBatches = 2)
+        .select(col("vec_id")).orderBy(col("vec_id"))
     }
   )
+
+  /** The q6p planted vector: exact-binary sixteenths, so the decimal
+    * literal round-trips bit-identically through FLOAT in both engines.
+    * An arbitrary fixed direction — measured max cosine to any sf0.1
+    * corpus vector is 0.47, far under the 0.6 gate.
+    */
+  private lazy val plantedVec: Seq[Float] =
+    (0 until 64).map(i => (i % 4) match {
+      case 0 => 0.1875f
+      case 1 => -0.0625f
+      case 2 => 0.0625f
+      case _ => -0.1875f
+    })
+
+  private lazy val plantedVecSql: String =
+    plantedVec.map(java.lang.Float.toString)
+      .mkString("CAST([", ", ", "] AS FLOAT[])")
+
+  /** The q6p batch as SQL: the q6o batch class plus the planted rows
+    * (see the q6p entry comment). Lines must not begin with `|` — this
+    * interpolates into an outer stripMargin template.
+    */
+  private def semSmBatchSql: String =
+    s"""SELECT vec_id, embedding FROM embeddings WHERE vec_id % 11 = 0
+       |  UNION ALL SELECT 9000000, $plantedVecSql
+       |  UNION ALL SELECT 9000001, $plantedVecSql
+       |  UNION ALL SELECT 9000002, embedding
+       |            FROM embeddings WHERE vec_id = 1""".stripMargin
+
+  /** The Spark twin of [[semSmBatchSql]]. */
+  private def semSmBatch(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    emb.where(col("vec_id") % 11 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((9000000L, plantedVec), (9000001L, plantedVec))
+        .toDF("vec_id", "embedding"))
+      .unionByName(emb.where(col("vec_id") === 1)
+        .select(lit(9000002L).as("vec_id"), col("embedding")))
+  }
+
+  /** The q6p persisted cell table: the CORPUS segment (seg=corpus) built
+    * once per sf dir per session at a deterministic tmp root; the replay
+    * clears and rewrites only the survivor segments (seg=b*) under it.
+    */
+  private val semCellCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureSemCellTable(s: org.apache.spark.sql.SparkSession,
+                                 d: String): String =
+    semCellCache.getOrElseUpdate(d, {
+      val root = LmQueries.sessionTmp(s, "q6p_celltable", d)
+      Similarity.writeSemCellSegment(
+        Tables.embeddings(s, d).where(col("vec_id") % 11 =!= 0),
+        "vec_id", ensureSemGateCentroids(s, d), root, "corpus")
+      root
+    })
 
   /** The q5y PQ codebook fit, memoized per sf dir — the query and its
     * dynamic oracle must embed the IDENTICAL codebook (the ensureSelfModel
@@ -699,6 +779,35 @@ object SimilarityQueries {
     * integer-argmin CTE) and the pair test joining batch cells to CORPUS
     * cells only — no id ordering, the corpus is prior art.
     */
+  /** The cell-assignment CTE triple (`${tag}e`/`${tag}c0`/`${tag}m` —
+    * rows, fixed-point distances, integer-argmin members) shared by the
+    * q6o gate replay and the q6p two-round self-maintaining replay.
+    */
+  private def semAssignCtes(tag: String, from: String, dim: Int): String =
+    s"""${tag}e AS (SELECT vec_id, embedding FROM $from),
+       |${tag}c0 AS (
+       |  SELECT ${tag}e.vec_id, cc.cell,
+       |    CAST(list_sum(
+       |      [CAST(round(1e9 *
+       |         ((CAST(${tag}e.embedding[i + 1] AS DOUBLE) - cc.c[i + 1])
+       |          * (CAST(${tag}e.embedding[i + 1] AS DOUBLE) - cc.c[i + 1])))
+       |        AS BIGINT)
+       |       for i in range($dim)]) AS BIGINT) AS d
+       |  FROM ${tag}e CROSS JOIN cc),
+       |${tag}m AS (
+       |  SELECT ${tag}e.vec_id, x.cell, ${tag}e.embedding
+       |  FROM ${tag}e JOIN (
+       |    SELECT vec_id, cell FROM (
+       |      SELECT vec_id, cell,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |      FROM ${tag}c0) WHERE rn = 1) x USING (vec_id))""".stripMargin
+
+  /** The positive-norm guard mirroring Spark's `__n > 0` filter (DuckDB
+    * NaN-cosine total-order hazard — see [[semDedupReplaySql]]).
+    */
+  private def posNormSql(vec: String): String =
+    s"list_sum(list_transform(CAST($vec AS DOUBLE[]), v -> v * v)) > 0"
+
   def semDedupGateReplaySql(centroids: Seq[Seq[Double]], batchFrom: String,
                             corpusFrom: String, threshold: String): String = {
     val dim = centroids.head.size
@@ -706,23 +815,7 @@ object SimilarityQueries {
       .map { case (c, i) => s"  ($i, ${doubleListLit(c)})" }
       .mkString(",\n")
     def assignCtes(tag: String, from: String): String =
-      s"""${tag}e AS (SELECT vec_id, embedding FROM $from),
-         |${tag}c0 AS (
-         |  SELECT ${tag}e.vec_id, cc.cell,
-         |    CAST(list_sum(
-         |      [CAST(round(1e9 *
-         |         ((CAST(${tag}e.embedding[i + 1] AS DOUBLE) - cc.c[i + 1])
-         |          * (CAST(${tag}e.embedding[i + 1] AS DOUBLE) - cc.c[i + 1])))
-         |        AS BIGINT)
-         |       for i in range($dim)]) AS BIGINT) AS d
-         |  FROM ${tag}e CROSS JOIN cc),
-         |${tag}m AS (
-         |  SELECT ${tag}e.vec_id, x.cell, ${tag}e.embedding
-         |  FROM ${tag}e JOIN (
-         |    SELECT vec_id, cell FROM (
-         |      SELECT vec_id, cell,
-         |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-         |      FROM ${tag}c0) WHERE rn = 1) x USING (vec_id))""".stripMargin
+      semAssignCtes(tag, from, dim)
     s"""WITH cc(cell, c) AS (VALUES
        |$ccValues),
        |""".stripMargin +
@@ -741,5 +834,55 @@ object SimilarityQueries {
          |SELECT bm.vec_id, bm.cell, (d.idb IS NULL) AS kept
          |FROM bm LEFT JOIN d ON bm.vec_id = d.idb
          |ORDER BY bm.vec_id""".stripMargin
+  }
+
+  /** The q6p SELF-MAINTAINING semantic-gate replay: TWO chained gate
+    * rounds — batch 0 (even ids) gates against the corpus, batch 1 (odd
+    * ids) against corpus ∪ BATCH 0'S SURVIVORS — exactly the 2-batch
+    * stream replay's semantics (the q6c selfMaintainOracleSql shape on
+    * the semantic axis). `batchSql` is a full SELECT yielding (vec_id,
+    * embedding); output = the surviving ids of both batches. Cell
+    * assignment, round-6 cosine, and the positive-norm guards are the
+    * identical [[semDedupGateReplaySql]] machinery; only a gate whose
+    * state GREW by round 0's survivors drops a batch-1 twin of a batch-0
+    * survivor. Shared by the q6p oracle and the Scale10x semgate_sm twin.
+    */
+  def semSelfMaintainReplaySql(centroids: Seq[Seq[Double]],
+                               corpusFrom: String, batchSql: String,
+                               threshold: String): String = {
+    val dim = centroids.head.size
+    val ccValues = centroids.zipWithIndex
+      .map { case (c, i) => s"  ($i, ${doubleListLit(c)})" }
+      .mkString(",\n")
+    def round(tag: String, batchM: String, stateM: String): String =
+      s"""p$tag AS (
+         |  SELECT $batchM.vec_id AS idb,
+         |    round(list_cosine_similarity(CAST($batchM.embedding AS DOUBLE[]),
+         |                                 CAST($stateM.embedding AS DOUBLE[])),
+         |      6) AS c
+         |  FROM $batchM JOIN $stateM ON $batchM.cell = $stateM.cell
+         |  WHERE ${posNormSql(s"$batchM.embedding")}
+         |    AND ${posNormSql(s"$stateM.embedding")}),
+         |d$tag AS (SELECT DISTINCT idb FROM p$tag WHERE c >= $threshold),
+         |s$tag AS (SELECT vec_id, cell, embedding FROM $batchM
+         |          WHERE vec_id NOT IN (SELECT idb FROM d$tag))""".stripMargin
+    s"""WITH cc(cell, c) AS (VALUES
+       |$ccValues),
+       |batch AS ($batchSql),
+       |b0 AS (SELECT * FROM batch WHERE vec_id % 2 = 0),
+       |b1 AS (SELECT * FROM batch WHERE vec_id % 2 = 1),
+       |""".stripMargin +
+      semAssignCtes("k", corpusFrom, dim) + ",\n" +
+      semAssignCtes("x", "b0", dim) + ",\n" +
+      semAssignCtes("y", "b1", dim) + ",\n" +
+      round("0", "xm", "km") + ",\n" +
+      s"""st1 AS (SELECT vec_id, cell, embedding FROM km
+         |        UNION ALL SELECT vec_id, cell, embedding FROM s0),
+         |""".stripMargin +
+      round("1", "ym", "st1") +
+      s"""
+         |SELECT vec_id FROM s0
+         |UNION ALL SELECT vec_id FROM s1
+         |ORDER BY vec_id""".stripMargin
   }
 }

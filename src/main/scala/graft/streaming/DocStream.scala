@@ -220,10 +220,131 @@ object DocStream {
       .start()
   }
 
+  /** SELF-MAINTAINING streaming SemDeDup gate — the q6c growing-state
+    * discipline on the SEMANTIC axis: each micro-batch drops documents
+    * whose embedding reaches the cosine threshold against the historical
+    * corpus PLUS every earlier batch's survivors, then appends its own
+    * survivors to the state. State is the persisted CELL-PARTITIONED
+    * table rooted at `cellRoot` ([[graft.operators.Similarity
+    * .writeSemCellSegment]] — write the base corpus as `seg=corpus`
+    * before starting the stream); each batch:
+    *
+    *   1. collects its DISTINCT cells (a bounded driver read — at most
+    *      nClusters values by construction) and reads the state pruned to
+    *      those cell directories, EXCLUDING its own `seg=b<batchId>`
+    *      segment — a batch compares against strictly prior state, which
+    *      makes crash replay exact (a replayed batch whose survivors were
+    *      already appended would otherwise match itself);
+    *   2. drops batch docs with any state row in their cell at
+    *      round(cos, 6) >= threshold ([[graft.operators.Similarity
+    *      .semDupIdsAgainstCells]]); zero-norm docs pass and never block;
+    *      wrong-geometry embeddings (null cell) are dropped — they cannot
+    *      be gated or blocked;
+    *   3. survivors overwrite their own sink `batch=<id>` partition and
+    *      their own state segment `seg=b<id>` (both idempotent on replay).
+    *
+    * Within-batch semantic dups still pass (same contract as the q6c
+    * gate); split batches at the granularity you want deduped. At scale
+    * the per-batch cost is |batch| × (state rows in the batch's cells) —
+    * never state², and the state read is partition-pruned parquet with no
+    * exchange beyond the cell join. Like the band table, the cell table
+    * grows with the stream: storage-resident state, never state-store
+    * state. Compact segments periodically on long streams — correctness
+    * needs only "corpus ∪ prior survivors", not the segment layout.
+    */
+  def selfMaintainingSemGatedIngest(docs: DataFrame, cellRoot: String,
+                                    id: String,
+                                    centroids: Seq[Seq[Double]],
+                                    threshold: Double, sinkPath: String,
+                                    checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Similarity
+        val b = batch.toDF()
+          .filter(graft.expressions.PqEncode(col("embedding"),
+            Seq(centroids)).getItem(0).isNotNull)
+        // bounded driver read: <= nClusters distinct cells — becomes the
+        // state read's partition-pruning filter
+        val cells = b.select(graft.expressions.PqEncode(col("embedding"),
+              Seq(centroids)).getItem(0).as("__cell"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val state = spark.read.parquet(cellRoot)
+          .filter(col("seg") =!= s"b$batchId")
+          .filter(col("cell").isin(cells: _*))
+        val dups = Similarity.semDupIdsAgainstCells(
+          b, id, state, threshold, centroids)
+        // persist so the sink write and the state append share ONE gate
+        // execution (released before the trigger returns)
+        val surv = b.join(dups, Seq(id), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          surv.write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+          Similarity.writeSemCellSegment(surv, id, centroids, cellRoot,
+            s"b$batchId")
+        } finally { surv.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   // NOT private: a private case class makes the generated encoder
   // projection fail Janino compilation ("Private member cannot be
   // accessed") and silently fall back to interpreted mode on every replay
   case class GateDoc(gate_doc_id: Long, gate_text: String)
+
+  // see GateDoc's visibility note
+  case class GateVec(gate_doc_id: Long, gate_emb: Array[Float])
+
+  /** Bounded replay of [[selfMaintainingSemGatedIngest]] for verification
+    * (the [[replayGate]] harness shape with an embedding payload): splits
+    * `docs` into `nBatches` micro-batches by id hash, clears the sink /
+    * checkpoint AND any prior replay's survivor segments under `cellRoot`
+    * (`seg=b*` — the base `seg=corpus` segment stays, built once), streams
+    * the batches through the gate, and returns the surviving (id,
+    * embedding) rows read back from the sink. Because each batch gates
+    * against corpus ∪ earlier batches' survivors, the result equals two
+    * chained batch gate rounds — exactly what the q6p oracle replays.
+    */
+  def replaySemGatedIngest(docs: DataFrame, cellRoot: String, id: String,
+                           centroids: Seq[Seq[Double]], threshold: Double,
+                           workDir: String, nBatches: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    require(nBatches >= 1, s"need at least one batch, got $nBatches")
+    val rows = docs
+      .select(col(id).cast("long").as("gate_doc_id"),
+        col("embedding").cast("array<float>").as("gate_emb"))
+      .as[GateVec].collect() // bounded input only, by construction
+    def clear(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.delete(f); () })
+    clear(java.nio.file.Paths.get(workDir))
+    val rootF = new java.io.File(cellRoot)
+    val segs = rootF.listFiles()
+    if (segs != null) segs.filter(_.getName.startsWith("seg=b"))
+      .foreach(f => clear(f.toPath))
+    if (rows.isEmpty)
+      return spark.emptyDataset[GateVec].toDF()
+        .select(col("gate_doc_id").as(id), col("gate_emb").as("embedding"))
+    val in = MemoryStream[GateVec]
+    val q = selfMaintainingSemGatedIngest(
+      in.toDF().select(col("gate_doc_id"), col("gate_emb").as("embedding")),
+      cellRoot, "gate_doc_id", centroids, threshold,
+      s"$workDir/out", s"$workDir/ckpt")
+    try {
+      (0 until nBatches).foreach { b =>
+        val batch = rows.filter(r =>
+          math.floorMod(r.gate_doc_id, nBatches.toLong) == b.toLong)
+        if (batch.nonEmpty) { in.addData(batch.toSeq: _*); q.processAllAvailable() }
+      }
+    } finally q.stop()
+    spark.read.parquet(s"$workDir/out")
+      .select(col("gate_doc_id").as(id), col("embedding"))
+  }
 
   /** Bounded replay of [[nearDedupedIngest]] for verification: collects
     * `docs` (BOUNDED input only by construction — MemoryStream takes local

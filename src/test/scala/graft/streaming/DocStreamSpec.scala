@@ -163,6 +163,44 @@ class DocStreamSpec extends SparkSpec {
     }
   }
 
+  test("self-maintaining SEMANTIC gate drops cross-batch twins the static gate passes") {
+    import graft.operators.Similarity
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val corpus = Seq((10L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, Seq(0.8f, 0.6f)),  // cos 0.8 vs corpus -> drops in round 0
+      (200L, Seq(0.0f, 1.0f)),  // even -> replay batch 0; novel, survives
+      (201L, Seq(0.0f, 1.0f)),  // odd -> batch 1: a twin of the 200 SURVIVOR
+      (202L, Seq(0.0f, 0.0f)),  // zero-norm, batch 0: kept, never blocks
+      (203L, Seq(0.0f, 0.0f))   // zero-norm, batch 1: kept though 202 is in state
+    ).toDF("vec_id", "embedding")
+    // the static gate (q6o semantics): state never grows -> 201 passes
+    val static = Similarity.semDedupAgainst(batch, corpus, "vec_id",
+        threshold = 0.7, cents)
+      .where(col("kept")).select("vec_id").as[Long].collect().sorted.toSeq
+    assert(static == Seq(200L, 201L, 202L, 203L), s"got $static")
+    val work = java.nio.file.Files.createTempDirectory("graft-semsm").toString
+    Similarity.writeSemCellSegment(corpus, "vec_id", cents,
+      s"$work/cells", "corpus")
+    val grown = DocStream.replaySemGatedIngest(batch, s"$work/cells",
+        "vec_id", cents, threshold = 0.7, s"$work/replay", nBatches = 2)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(grown == Seq(200L, 202L, 203L),
+      s"self-maintaining gate must drop the cross-batch twin, got $grown")
+    // a second replay over the SAME cell root is bit-identical: stale
+    // survivor segments are cleared and each batch compares against
+    // strictly prior state (crash/replay idempotency)
+    val again = DocStream.replaySemGatedIngest(batch, s"$work/cells",
+        "vec_id", cents, threshold = 0.7, s"$work/replay", nBatches = 2)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(again == grown, s"replay over reused cell root diverged: $again")
+    // the scale contract behind the state read: the cell-partitioned
+    // layout prunes to the probed cells
+    val scan = spark.read.parquet(s"$work/cells")
+      .filter(col("cell").isin(1)).queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") && scan.contains("cell"), scan)
+  }
+
   test("stream gate matches the batch gate's keeper set on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val batch = Seq(
