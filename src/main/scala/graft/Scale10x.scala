@@ -731,7 +731,37 @@ object Scale10x {
         }
         rows
       }
-    val results = genericResults ++ gateResults
+    // ---- incremental IVF-PQ index append (q6q): a FIXED batch (1x-derived,
+    // ids shifted to a disjoint range) appended to the 1x and the Nx index.
+    // Timed once per scale (append MUTATES the index, so no best-of-2);
+    // appends go to DEDICATED index copies so the ann_ivfpq_idx twin's
+    // encoded view is never polluted. The claim under test: append cost =
+    // one batch-sized encode + partitioned write, flat in index size. No
+    // DuckDB twin (a write-path op over Spark's index layout).
+    val appendOn = only.forall(_.exists("ivfpq_append".startsWith))
+    val appendResults: Seq[(String, Double, Double, Long, Long)] =
+      if (!appendOn) Seq.empty
+      else {
+        def appIdx(p: String, tag: String): String = {
+          val path = s"$work/ivfpq_app_$tag"
+          Similarity.writeIvfPqIndex(
+            spark.read.parquet(p).where(col("vec_id") >= 20), "vec_id",
+            path, ivfPqFit._1, ivfPqFit._2)
+          path
+        }
+        val app1 = appIdx(emb1P, "c1")
+        val appN = appIdx(embNP, s"c$copies")
+        val batch = spark.read.parquet(emb1P).where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+        val n = batch.count()
+        val (t1, _) = time(
+          graft.operators.Similarity.appendIvfPqIndex(batch, "vec_id", app1))
+        val (tN, _) = time(
+          graft.operators.Similarity.appendIvfPqIndex(batch, "vec_id", appN))
+        println(f"[scale10x] ivfpq_append         1x=${t1}%.2fs/$n rows  ${copies}x=${tN}%.2fs/$n rows  time-ratio=${tN / t1}%.1f")
+        Seq(("ivfpq_append", t1, tN, n, n))
+      }
+    val results = genericResults ++ gateResults ++ appendResults
 
     // ---- time the DuckDB twins over the same files ------------------------
     val duck: Map[String, Double] = try {

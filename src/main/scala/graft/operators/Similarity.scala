@@ -465,6 +465,36 @@ object Similarity {
     finally out.close()
   }
 
+  /** INCREMENTAL append to a persisted IVF-PQ index — the
+    * appendFingerprintTable/appendBandTable steady-state-ingest
+    * discipline applied to ANN: encode ONLY the new batch with the SAVED
+    * model (the sidecar is loaded first and its geometry enforced, so a
+    * torn or foreign index refuses before any write) and append the
+    * coded rows to the existing cell partitions. The corpus-sized encode
+    * stays the one-time initial build ([[writeIvfPqIndex]]); each later
+    * embedding batch costs one batch-sized codegen projection plus a
+    * partitioned append, independent of how large the index already is.
+    * append == rebuild row-for-row (q6q reuses q6h's from-scratch oracle
+    * over a two-batch index; spec pins that existing files are never
+    * touched). NOT idempotent under producer replay (parquet append) —
+    * wrap in the caller's exactly-once machinery when batches can
+    * replay. The model is FROZEN by construction: append while the data
+    * distribution holds, rebuild (refit) on drift — recall degradation
+    * of new batches against the fixed codebooks is the drift signal.
+    */
+  def appendIvfPqIndex(batch: DataFrame, id: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    val (coarse, cbs) = loadIvfPqModel(spark, path)
+    batch.select(col(id).as("vec_id"),
+        graft.expressions.IvfPqEncode(col("embedding"), coarse, cbs)
+          .as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col("vec_id"), col("__s").getField("codes").as("codes"),
+        col("__s").getField("cell").as("cell"))
+      .write.partitionBy("cell").mode("append")
+      .parquet(s"$path/encoded")
+  }
+
   /** Load the (coarse, codebooks) sidecar written by [[writeIvfPqIndex]]
     * — rows re-sort to canonical order (bit-identical to the fitted
     * model); the sidecar's section sizes guard torn/foreign artifacts.

@@ -337,6 +337,27 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("vec_id"))
     },
 
+    // ---- incremental IVF-PQ index append (q6q): the persisted index
+    // built from HALF the corpus, the other half APPENDED with the saved
+    // model (appendIvfPqIndex — the appendBandTable discipline on ANN),
+    // then searched from disk. The oracle is EXACTLY q6h's from-scratch
+    // replay over the FULL corpus: append == rebuild row-for-row, or the
+    // hash breaks (the q5i table==live discipline, steady-state-ingest
+    // form).
+    QueryDef.dynamicSql("q6q_ivfpq_append") { (s, d) =>
+      val (coarse, cbs) = ensureIvfPq(s, d)
+      ivfPqReplaySql(coarse, cbs,
+        "embeddings WHERE vec_id >= 5",
+        "embeddings WHERE vec_id < 5", k = 5, nProbe = 3)
+    } { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfPqTopKFromIndex(s, ensureIvfPqAppendedIndex(s, d),
+          queries, "query_id", k = 5, nProbe = 3)
+        .orderBy(col("query_id"), col("vec_id"))
+    },
+
     // ---- SemDeDup (Abbas et al. 2023 — cluster-blocked semantic dedup,
     // the LAION/DataComp discipline). Cell assignment replays as the q5y
     // integer argmin with ONE full-vector subspace; the within-cell pair
@@ -489,6 +510,25 @@ object SimilarityQueries {
       Similarity.writeIvfPqIndex(
         Tables.embeddings(s, d).where(col("vec_id") >= 5), "vec_id",
         path, coarse, cbs)
+      path
+    })
+
+  /** The q6q two-batch index: built from the even corpus half, the odd
+    * half appended with the saved model — once per sf dir, so the search
+    * serves a genuinely incrementally-built index.
+    */
+  private val ivfPqAppendCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureIvfPqAppendedIndex(s: org.apache.spark.sql.SparkSession,
+                                       d: String): String =
+    ivfPqAppendCache.getOrElseUpdate(d, {
+      val path = LmQueries.sessionTmp(s, "q6q_ivfpq_append", d)
+      val (coarse, cbs) = ensureIvfPq(s, d)
+      val corpus = Tables.embeddings(s, d).where(col("vec_id") >= 5)
+      Similarity.writeIvfPqIndex(corpus.where(col("vec_id") % 2 === 0),
+        "vec_id", path, coarse, cbs)
+      Similarity.appendIvfPqIndex(corpus.where(col("vec_id") % 2 =!= 0),
+        "vec_id", path)
       path
     })
 

@@ -161,6 +161,64 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("appendIvfPqIndex: append == rebuild, existing files untouched, torn sidecar refused") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.where(col("vec_id") >= 5)
+    val (cc, cb) = Similarity.fitIvfPq(corpus, nCentroids = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    // full one-shot build vs half-build + append of the other half
+    Similarity.writeIvfPqIndex(corpus, "vec_id", s"$dir/full", cc, cb)
+    Similarity.writeIvfPqIndex(corpus.where(col("vec_id") % 2 === 0),
+      "vec_id", s"$dir/inc", cc, cb)
+    def files(p: String): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(p)
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      java.nio.file.Files.walk(root).forEach { f =>
+        if (f.toString.endsWith(".parquet"))
+          out(root.relativize(f).toString) = java.nio.file.Files.size(f)
+      }
+      out.toMap
+    }
+    val before = files(s"$dir/inc/encoded")
+    Similarity.appendIvfPqIndex(corpus.where(col("vec_id") % 2 =!= 0),
+      "vec_id", s"$dir/inc")
+    val after = files(s"$dir/inc/encoded")
+    // the append only ADDS files: every pre-existing file survives
+    // byte-identical in size — the batch was encoded, the index was not
+    // rewritten (the steady-state cost contract)
+    assert(before.forall { case (f, sz) => after.get(f).contains(sz) },
+      s"append rewrote existing index files:\n$before\nvs\n$after")
+    assert(after.size > before.size, "append added no files")
+    // append == rebuild row-for-row
+    def rows(p: String) = spark.read.parquet(s"$p/encoded")
+      .select(col("vec_id"), col("cell").cast("int"), col("codes"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$dir/inc") == rows(s"$dir/full"))
+    // ...and the served search over the appended index equals the live one
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val inc = Similarity.ivfPqTopKFromIndex(spark, s"$dir/inc",
+        queries, "query_id", k = 5, nProbe = 3)
+      .orderBy("query_id", "vec_id").collect().map(_.toString).toSeq
+    val live = Similarity.ivfPqTopK(corpus, "vec_id", queries, "query_id",
+        k = 5, nProbe = 3, cc, cb)
+      .orderBy("query_id", "vec_id").collect().map(_.toString).toSeq
+    assert(inc == live)
+    // a torn sidecar refuses the append BEFORE any write
+    val p = new org.apache.hadoop.fs.Path(s"$dir/inc/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      """{"fmt": 1, "nCentroids": 16, "m": 4, "codebookSize": 16}""".getBytes)
+    finally out.close()
+    val preTear = files(s"$dir/inc/encoded")
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqIndex(corpus, "vec_id", s"$dir/inc")
+    }
+    assert(files(s"$dir/inc/encoded") == preTear,
+      "refused append must not have written anything")
+  }
+
   test("ivfPqTopK plan: broadcast probe side, no sort-merge join, no window") {
     val q = Seq((100L, Seq(1.0f, 1.0f, 1.0f, 1.0f))).toDF("query_id", "embedding")
     val plan = Similarity.ivfPqTopK(vecs, "vec_id", q, "query_id",
