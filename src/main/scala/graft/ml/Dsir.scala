@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   *   cross-engine float anywhere;
   * - ranking ties break on ascending id (total order, replayable).
   *
-  * The paper's Gumbel-perturbed sampling variant stays engine-side (a
-  * per-doc transcendental at the compare boundary is the documented
-  * cross-engine float limit — the fusion-tail class); rank-based top-k
-  * selection is the deterministic deployment shape verified here.
+  * The paper's Gumbel-perturbed sampling variant ([[selectGumbel]]) is
+  * ALSO engine-replayable: its noise is a deterministic projection of the
+  * hash-derived uniform (no engine RNG), so the per-doc transcendental is
+  * the same −ln(−ln(u)) chain in both engines — q6r pins the replay; the
+  * residual cross-engine surface is ln's last ulp, ~1e-10 of a micro-nat
+  * from any round boundary.
   *
   * Scale shape: each fit is ONE explode + hash-aggregate whose shuffle
   * carries at most `buckets` rows per partition (map-side combine), and
@@ -173,6 +175,30 @@ object Dsir {
     require(k > 0, s"need k > 0, got $k")
     scores(corpus, id, text, model)
       .orderBy(col("logw_micro").desc, col(id))
+      .limit(k)
+  }
+
+  /** Gumbel-perturbed DSIR selection — the paper's SAMPLING variant
+    * (importance resampling rather than the deterministic rank cut) made
+    * engine-replayable by the D6 seeded-determinism discipline: no engine
+    * RNG — each document's Gumbel noise derives from the hash uniform
+    * u = (pseudoRand(id + seed) + 1) / (M + 1) via g = −ln(−ln(u)), and
+    * the Gumbel-max trick makes top-k of logw_micro + round(1e6·g) a
+    * weighted sample without replacement from softmax(logw). u is an
+    * exact integer ratio (one correctly-rounded IEEE division, identical
+    * in any engine), so the only cross-engine float surface is ln's last
+    * ulp — ~1e-10 of a micro-nat from any round boundary; q6r pins the
+    * replay at all three SFs. Same TakeOrdered shape as [[select]].
+    */
+  def selectGumbel(corpus: DataFrame, id: String, text: String,
+                   model: DsirModel, k: Int, seed: Long): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val u = (graft.operators.Sampling.pseudoRand(col(id) + lit(seed)) + 1)
+      .cast("double") / lit(1000000008.0)
+    val keyMicro = logwMicroCol(col(text), model) +
+      round(lit(1e6) * -log(-log(u))).cast("long")
+    corpus.select(col(id), keyMicro.as("key_micro"))
+      .orderBy(col("key_micro").desc, col(id))
       .limit(k)
   }
 }

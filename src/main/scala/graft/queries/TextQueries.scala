@@ -1401,6 +1401,22 @@ object TextQueries {
         "doc_id", "text", ensureDsirModel(s, d), k = 50)
     },
 
+    // ---- Gumbel-sampled DSIR selection (q6r): the paper's importance-
+    // RESAMPLING variant. Noise = −ln(−ln(u)) over the hash-derived
+    // uniform (the D6 seeded discipline — no engine RNG), rounded to
+    // integer micro-nats and added to the q6j weights; top-k of the
+    // noisy key is a weighted sample without replacement (Gumbel-max).
+    // Fully oracle-replayed: both engines compute the identical chain
+    // from the same integer inputs.
+    QueryDef.dynamicSql("q6r_dsir_gumbel") { (s, d) =>
+      dsirGumbelReplaySql(ensureDsirModel(s, d),
+        "documents WHERE doc_id % 7 <> 0", k = 50, seed = 17L)
+    } { (s, d) =>
+      graft.ml.Dsir.selectGumbel(
+        Tables.documents(s, d).where(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", ensureDsirModel(s, d), k = 50, seed = 17L)
+    },
+
     // ---- streaming DSIR gate (q6k): the fitted importance filter riding
     // an ingest stream — stateless per-row integer decision (the q6d
     // discipline), replayed in 2 micro-batches through the MemoryStream
@@ -1452,6 +1468,28 @@ object TextQueries {
          |       FROM s)
          |SELECT doc_id, logw_micro FROM rk WHERE rn <= $k
          |ORDER BY logw_micro DESC, doc_id""".stripMargin
+
+  /** q6r replay: the Gumbel-perturbed selection — the q6j scoring CTE
+    * plus the identical hash-uniform → −ln(−ln(u)) noise chain rounded
+    * onto the micro-nat grid. The naive multiplicative-hash form equals
+    * the engine's overflow-safe pmod form for every fixture id (the q4y/
+    * q57 precedent); u is an exact integer ratio, so ln is the only
+    * float surface.
+    */
+  def dsirGumbelReplaySql(m: graft.ml.Dsir.DsirModel, corpusFrom: String,
+                          k: Int, seed: Long): String =
+    dsirScoreCte(m, corpusFrom) + ",\n" +
+      s"""gk AS (SELECT doc_id, logw_micro +
+         |         CAST(round(1e6 * (-ln(-ln(
+         |           CAST(((doc_id + $seed) * 2654435761) % 1000000007 + 1
+         |                AS DOUBLE)
+         |             / CAST(1000000008 AS DOUBLE))))) AS BIGINT) AS key_micro
+         |       FROM s),
+         |rk AS (SELECT doc_id, key_micro,
+         |         row_number() OVER (ORDER BY key_micro DESC, doc_id) AS rn
+         |       FROM gk)
+         |SELECT doc_id, key_micro FROM rk WHERE rn <= $k
+         |ORDER BY key_micro DESC, doc_id""".stripMargin
 
   /** q6k replay: the streaming gate's kept set — per-row integer
     * threshold, so the streaming/batch distinction cannot exist in the

@@ -59,6 +59,38 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("selectGumbel: seeded-deterministic, seed-sensitive, noise is the spelled chain") {
+    val m = Dsir.fit(target, raw, "text", buckets = 64)
+    val a = Dsir.selectGumbel(raw, "doc_id", "text", m, k = 3, seed = 17L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Dsir.selectGumbel(raw, "doc_id", "text", m, k = 3, seed = 17L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b, "same seed must reproduce the same sample bit-for-bit")
+    // the noisy keys equal logw + the hand-computed Gumbel term: the
+    // noise chain is a pure function of (id, seed), no engine RNG
+    val logw = Dsir.scores(raw, "doc_id", "text", m).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    def gumbelMicro(id: Long, seed: Long): Long = {
+      val r = math.floorMod(math.floorMod(id + seed, 1000000007L)
+        * 2654435761L, 1000000007L)
+      val u = (r + 1).toDouble / 1000000008.0
+      BigDecimal(1e6 * -math.log(-math.log(u)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    a.foreach { case (id, key) =>
+      assert(key == logw(id) + gumbelMicro(id, 17L),
+        s"doc $id: key $key != ${logw(id)} + ${gumbelMicro(id, 17L)}")
+    }
+    // a different seed permutes the noise — on the tied twin pair (12/13
+    // share logw) SOME seed must order them differently than seed 17
+    val order17 = a.map(_._1)
+    val flipped = (1L to 50L).exists { s =>
+      Dsir.selectGumbel(raw, "doc_id", "text", m, k = 3, seed = s)
+        .collect().map(_.getLong(0)).toSeq != order17
+    }
+    assert(flipped, "50 seeds all produced the identical sample — noise inert?")
+  }
+
   test("Md5Bucket kernel == the composed pmod/conv/substring/md5 chain") {
     // the fused kernel must stay bit-identical to the q57 idiom the
     // oracle replays — over varied tokens and bucket counts
