@@ -449,6 +449,16 @@ object Similarity {
         col("__s").getField("cell").as("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$path/encoded")
+    // the drift baseline ([[ivfPqDriftStats]]): exact integer sum of each
+    // build vector's min coarse distance — a second corpus scan, but a
+    // pure zero-shuffle projection + one bounded agg, paid once at build
+    val st = corpus
+      .select(minCoarseDist(col("embedding"), coarse).as("__d"))
+      .filter(col("__d").isNotNull)
+      .agg(count(lit(1)).as("n"), sum(col("__d")).as("s"))
+      .collect().head
+    val (statN, statSum) =
+      (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
     val rows =
       coarse.zipWithIndex.map { case (v, i) => (0, i, 0, v) } ++
       codebooks.zipWithIndex.flatMap { case (cb, j) =>
@@ -460,9 +470,53 @@ object Similarity {
     val out = fs.create(p, true)
     try out.write(
       (s"""{"fmt": 1, "nCentroids": ${coarse.size}, """ +
-        s""""m": ${codebooks.size}, "codebookSize": ${codebooks.head.size}}""")
+        s""""m": ${codebooks.size}, "codebookSize": ${codebooks.head.size}, """ +
+        s""""statN": $statN, "statSumNano": $statSum}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Min fixed-point coarse distance of an embedding to the centroid set
+    * — a pure projection (the centroid table rides the expression as a
+    * literal; no join, no shuffle): min_c Σ_i round(1e9·(e_i − c_i)²).
+    * Null on geometry mismatch (every per-centroid term nulls out).
+    */
+  private def minCoarseDist(emb: Column, coarse: Seq[Seq[Double]]): Column =
+    array_min(transform(
+      typedlit(coarse.map(_.toIndexedSeq).toIndexedSeq),
+      c => graft.expressions.FpSqDist(emb, c)))
+
+  /** DRIFT stats — the refit contract that completes the frozen-model
+    * append loop ([[appendIvfPqIndex]]): one row per source,
+    * (src, n, sum_dist_nano), where `build` is the index corpus's stat
+    * stored in the sidecar at build time and `batch` is computed live
+    * over the candidate batch — sum over vectors of the min fixed-point
+    * coarse distance (how far the data sits from the frozen cells).
+    * All-integer, so the q6s oracle replays BOTH rows from the raw
+    * tables: a corrupted sidecar stat breaks the hash. The decision rule
+    * is the caller's (e.g. refit when batch mean = sum/n exceeds the
+    * build mean by some factor) — these are its exact, replayable
+    * inputs. Batch cost is one zero-shuffle projection + a bounded agg,
+    * independent of index and corpus size.
+    */
+  def ivfPqDriftStats(spark: org.apache.spark.sql.SparkSession,
+                      path: String, batch: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (coarse, _) = loadIvfPqModel(spark, path)
+    val metaTxt = readIndexMeta(spark, path)
+    def metaLong(k: String): Long =
+      (s""""$k"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(metaTxt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"index at $path predates drift stats: no $k in meta")).group(1).toLong
+    val st = batch
+      .select(minCoarseDist(col("embedding"), coarse).as("__d"))
+      .filter(col("__d").isNotNull)
+      .agg(count(lit(1)).as("n"), sum(col("__d")).as("s"))
+      .collect().head
+    val (bn, bs) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
+    Seq(("batch", bn, bs),
+      ("build", metaLong("statN"), metaLong("statSumNano")))
+      .toDF("src", "n", "sum_dist_nano")
   }
 
   /** INCREMENTAL append to a persisted IVF-PQ index — the
@@ -499,13 +553,18 @@ object Similarity {
     * — rows re-sort to canonical order (bit-identical to the fitted
     * model); the sidecar's section sizes guard torn/foreign artifacts.
     */
+  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                            path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new String(org.apache.commons.io.IOUtils.toByteArray(fs.open(p)),
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   def loadIvfPqModel(spark: org.apache.spark.sql.SparkSession, path: String)
       : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
     val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val metaTxt = new String(
-      org.apache.commons.io.IOUtils.toByteArray(fs.open(p)),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val metaTxt = readIndexMeta(spark, path)
     def meta(k: String): Int =
       s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(metaTxt)
         .getOrElse(throw new IllegalArgumentException(

@@ -358,6 +358,24 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("vec_id"))
     },
 
+    // ---- IVF-PQ drift stats (q6s): the refit contract that completes
+    // the frozen-model append loop — (src, n, sum_dist_nano) for the
+    // sidecar-stored BUILD corpus stat vs the live candidate batch (the
+    // q6q odd half, "check drift before appending"). All integer, so the
+    // oracle recomputes BOTH rows from raw tables and a corrupted stored
+    // stat breaks the hash.
+    QueryDef.dynamicSql("q6s_ivfpq_drift") { (s, d) =>
+      val (coarse, _) = ensureIvfPq(s, d)
+      ivfPqDriftReplaySql(coarse,
+        "embeddings WHERE vec_id >= 5 AND vec_id % 2 = 0",
+        "embeddings WHERE vec_id >= 5 AND vec_id % 2 <> 0")
+    } { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqDriftStats(s, ensureIvfPqAppendedIndex(s, d),
+          emb.where(col("vec_id") >= 5 && col("vec_id") % 2 =!= 0))
+        .orderBy(col("src"))
+    },
+
     // ---- SemDeDup (Abbas et al. 2023 — cluster-blocked semantic dedup,
     // the LAION/DataComp discipline). Cell assignment replays as the q5y
     // integer argmin with ONE full-vector subspace; the within-cell pair
@@ -759,6 +777,34 @@ object SimilarityQueries {
        |      FROM adc)
        |SELECT query_id, vec_id, dist FROM r WHERE rn <= $k
        |ORDER BY query_id, vec_id""".stripMargin
+  }
+
+  /** The q6s drift replay: BOTH rows recomputed from the RAW tables —
+    * per-vector min over the centroid values of the shared fixed-point
+    * coarse term, summed as exact BIGINTs. The Spark side reads its
+    * `build` row from the index sidecar, so a corrupted or stale stored
+    * stat breaks the hash (the q6n artifact-binding discipline).
+    */
+  def ivfPqDriftReplaySql(coarse: Seq[Seq[Double]], buildFrom: String,
+                          batchFrom: String): String = {
+    val dim = coarse.head.size
+    val ccValues = coarse.zipWithIndex
+      .map { case (c, i) => s"  ($i, ${doubleListLit(c)})" }.mkString(",\n")
+    def side(tag: String, from: String): String =
+      s"""${tag}e AS (SELECT vec_id, embedding FROM $from),
+         |${tag}d AS (SELECT vec_id, min(d) AS d FROM (
+         |    SELECT ${tag}e.vec_id,
+         |      ${coarseTermSql(s"${tag}e.embedding", dim)} AS d
+         |    FROM ${tag}e CROSS JOIN cc) GROUP BY vec_id)""".stripMargin
+    s"""WITH cc(cell, c) AS (VALUES
+       |$ccValues),
+       |""".stripMargin + side("b", batchFrom) + ",\n" + side("k", buildFrom) +
+      s"""
+         |SELECT 'batch' AS src, count(*) AS n,
+         |  CAST(sum(d) AS BIGINT) AS sum_dist_nano FROM bd
+         |UNION ALL
+         |SELECT 'build', count(*), CAST(sum(d) AS BIGINT) FROM kd
+         |ORDER BY src""".stripMargin
   }
 
   /** The SemDeDup replay as ONE SQL text parameterized on the fitted

@@ -219,6 +219,56 @@ class IvfPqSpec extends SparkSpec {
       "refused append must not have written anything")
   }
 
+  test("ivfPqDriftStats: exact hand-computed sums, sidecar-bound build row, predates-stats refusal") {
+    // coarse distance of v to its NEAREST cell on the nano grid
+    def minD(v: Seq[Float]): Long = coarse.map(cc =>
+      v.indices.map { i =>
+        val d = v(i).toDouble - cc(i)
+        graft.expressions.BigramLmScore.halfUp(1e9 * (d * d))
+      }.sum).min
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_drift").toString
+    Similarity.writeIvfPqIndex(vecs, "vec_id", s"$dir/idx", coarse, cbs)
+    // an in-distribution row and a drifted one (far from both cells)
+    val batch = Seq(
+      (50L, Seq(0.2f, 0.2f, 0.2f, 0.2f)),
+      (51L, Seq(5.0f, 5.0f, 5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqDriftStats(spark, s"$dir/idx", batch)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val buildSum = Seq(
+      Seq(0.9f, 0.9f, 1.1f, 1.1f), Seq(10.9f, 10.9f, 11.1f, 11.1f),
+      Seq(0.1f, 0.1f, 0.1f, 0.1f)).map(minD).sum
+    val batchSum = minD(Seq(0.2f, 0.2f, 0.2f, 0.2f)) +
+      minD(Seq(5.0f, 5.0f, 5.0f, 5.0f))
+    assert(out.toSeq == Seq(
+      ("batch", 2L, batchSum), ("build", 3L, buildSum)))
+    // the drifted row dominates: the refit signal is visible in the means
+    assert(batchSum / 2 > buildSum / 3,
+      "drifted batch must read a larger mean distance than the build corpus")
+    // the build row comes from the SIDECAR, not a recompute: a doctored
+    // stat surfaces verbatim (the oracle's hash would catch it)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/idx/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txt = new String(org.apache.commons.io.IOUtils.toByteArray(fs.open(p)))
+    val out2 = fs.create(p, true)
+    try out2.write(txt.replace(s""""statSumNano": $buildSum""",
+      """"statSumNano": 12345""").getBytes)
+    finally out2.close()
+    val doctored = Similarity.ivfPqDriftStats(spark, s"$dir/idx", batch)
+      .where(col("src") === "build").collect().head.getLong(2)
+    assert(doctored == 12345L, s"build row must come from the sidecar: $doctored")
+    // a pre-stats index (no statN key) refuses with a clear message
+    val out3 = fs.create(p, true)
+    try out3.write(
+      """{"fmt": 1, "nCentroids": 2, "m": 2, "codebookSize": 2}""".getBytes)
+    finally out3.close()
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqDriftStats(spark, s"$dir/idx", batch)
+    }
+    assert(e.getMessage.contains("predates drift stats"), e.getMessage)
+  }
+
   test("ivfPqTopK plan: broadcast probe side, no sort-merge join, no window") {
     val q = Seq((100L, Seq(1.0f, 1.0f, 1.0f, 1.0f))).toDF("query_id", "embedding")
     val plan = Similarity.ivfPqTopK(vecs, "vec_id", q, "query_id",
