@@ -805,6 +805,70 @@ object Similarity {
       .select(col("__id").as(id))
   }
 
+  /** [[semDedupAgainst]] served from PRE-BLOCKED state (`cell`,
+    * `embedding` columns — the persisted cell table): one row per batch
+    * doc, (id, cell, kept), same contract as the live gate (zero-norm
+    * batch docs kept; zero-norm state never blocks; wrong-geometry batch
+    * rows excluded). q6t pins table-served == live via the identical
+    * q6o oracle text.
+    */
+  def semDedupAgainstCells(batch: DataFrame, id: String, state: DataFrame,
+                           threshold: Double,
+                           centroids: Seq[Seq[Double]]): DataFrame = {
+    val assigned = batch.select(col(id).as("__id"),
+        graft.expressions.PqEncode(col("embedding"), Seq(centroids))
+          .getItem(0).as("__cell"))
+      .filter(col("__cell").isNotNull)
+    // distinct IS needed here (unlike the anti-join consumer): the left
+    // join below would duplicate a batch row per matching state row
+    val dups = semDupIdsAgainstCells(batch, id, state, threshold, centroids)
+      .select(col(id).as("__dup")).distinct()
+    assigned.join(dups, col("__id") === col("__dup"), "left")
+      .select(col("__id").as(id), col("__cell").cast("int").as("cell"),
+        col("__dup").isNull.as("kept"))
+  }
+
+  /** COMPACT a cell-table root: rewrite every segment's rows into one NEW
+    * segment `into`, then delete the old segments. Long streams grow one
+    * seg=b<id> directory per trigger ([[graft.streaming.DocStream
+    * .selfMaintainingSemGatedIngest]]); compaction collapses the listing
+    * cost — the gate's correctness needs only "corpus ∪ prior
+    * survivors", never the segment layout.
+    *
+    * Crash tolerance comes from GATE SEMANTICS rather than atomicity:
+    * the combined segment is staged OUTSIDE the root and renamed in
+    * BEFORE the old segments are deleted, so a reader in any crash
+    * window sees the old layout, old + combined (duplicated state rows —
+    * which cannot change a gate decision: "some state row ≥ threshold"
+    * is duplication-insensitive), or the compacted layout; rows are
+    * never absent. `into` must be fresh and must not enter the stream's
+    * `b*` namespace (a segment named like a batch id would be invisible
+    * to that batch's own-segment exclusion).
+    */
+  def compactSemCellTable(spark: org.apache.spark.sql.SparkSession,
+                          root: String, into: String): Unit = {
+    require(into.nonEmpty && !into.startsWith("b") &&
+      into.forall(c => c.isLetterOrDigit || c == '_' || c == '.' || c == '-'),
+      s"bad target segment name: '$into' (fresh, not in the b* namespace)")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(rootPath)
+      .filter(_.getPath.getName.startsWith("seg="))
+    require(segs.nonEmpty, s"no segments under $root")
+    require(!segs.exists(_.getPath.getName == s"seg=$into"),
+      s"target segment seg=$into already exists under $root")
+    val staging = new org.apache.hadoop.fs.Path(s"$root.compact_tmp")
+    fs.delete(staging, true)
+    // materialize the combined rows fully (the write) BEFORE any delete
+    spark.read.parquet(root)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(staging.toString)
+    require(fs.rename(staging,
+      new org.apache.hadoop.fs.Path(rootPath, s"seg=$into")),
+      s"rename of the compacted segment into $root failed")
+    segs.foreach(s => fs.delete(s.getPath, true))
+  }
+
   /** Driver-local Lloyd over a bounded in-memory sample: seeded k-means++
     * init, `iters` assignment/update rounds, empty clusters keep their
     * previous center. Fully deterministic for a given (sample, seed) —

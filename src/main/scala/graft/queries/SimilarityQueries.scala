@@ -411,6 +411,26 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     },
 
+    // ---- compacted cell-table gate (q6t): the q6o gate SERVED from a
+    // persisted cell table that was written as TWO segments and then
+    // COMPACTED into one — the oracle is EXACTLY q6o's replay over the
+    // full corpus (the q5i table==live discipline): a compaction that
+    // loses rows, mis-assigns cells, or mangles embeddings breaks the
+    // hash. (Duplication alone cannot — gate decisions are duplication-
+    // insensitive — so SemDedupSpec pins the exact row multiset too.)
+    QueryDef.dynamicSql("q6t_semgate_compacted") { (s, d) =>
+      semDedupGateReplaySql(ensureSemGateCentroids(s, d),
+        "embeddings WHERE vec_id % 11 = 0",
+        "embeddings WHERE vec_id % 11 <> 0", threshold = "0.15")
+    } { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.semDedupAgainstCells(
+          emb.where(col("vec_id") % 11 === 0), "vec_id",
+          s.read.parquet(ensureCompactedCellTable(s, d)),
+          threshold = 0.15, ensureSemGateCentroids(s, d))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- SELF-MAINTAINING semantic gate (q6p): the q6c growing-state
     // discipline on the SemDeDup axis — each micro-batch's survivors
     // append their (id, cell, embedding) to the persisted cell table, so
@@ -548,6 +568,26 @@ object SimilarityQueries {
       Similarity.appendIvfPqIndex(corpus.where(col("vec_id") % 2 =!= 0),
         "vec_id", path)
       path
+    })
+
+  /** The q6t cell table: the q6o corpus written as TWO segments (a base
+    * and a survivor-style increment) then compacted into one — built once
+    * per sf dir, so the gate genuinely serves post-compaction state.
+    */
+  private val semCompactCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureCompactedCellTable(s: org.apache.spark.sql.SparkSession,
+                                       d: String): String =
+    semCompactCache.getOrElseUpdate(d, {
+      val root = LmQueries.sessionTmp(s, "q6t_celltable", d)
+      val corpus = Tables.embeddings(s, d).where(col("vec_id") % 11 =!= 0)
+      val cents = ensureSemGateCentroids(s, d)
+      Similarity.writeSemCellSegment(corpus.where(col("vec_id") % 2 === 0),
+        "vec_id", cents, root, "corpus")
+      Similarity.writeSemCellSegment(corpus.where(col("vec_id") % 2 =!= 0),
+        "vec_id", cents, root, "b7")
+      Similarity.compactSemCellTable(s, root, "corpus2")
+      root
     })
 
   /** The q6i SemDeDup centroid fit, memoized per sf dir. */

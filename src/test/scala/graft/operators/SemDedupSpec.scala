@@ -84,6 +84,54 @@ class SemDedupSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("compactSemCellTable: multiset preserved, one segment remains, gate unchanged, guards") {
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (12L, Seq(0.70f, 0.0f, 0.71f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (1L, Seq(0.95f, 0.05f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.71f, 0.0f, 0.70f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("semcompact").toString + "/cells"
+    Similarity.writeSemCellSegment(corpus.where(col("vec_id") =!= 12),
+      "vec_id", cents, root, "corpus")
+    Similarity.writeSemCellSegment(corpus.where(col("vec_id") === 12),
+      "vec_id", cents, root, "b3")
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("cell").cast("int"),
+        col("embedding").cast("array<float>"))
+      .collect().map(_.toString).sorted.toSeq
+    def gate(p: String) = Similarity.semDedupAgainstCells(batch, "vec_id",
+        spark.read.parquet(p), threshold = 0.9, cents)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    val before = rows(root)
+    val gateBefore = gate(root)
+    // a mid-crash reader may see old + combined (duplicated rows): the
+    // gate decision must be duplication-insensitive
+    Similarity.writeSemCellSegment(corpus, "vec_id", cents, root, "dup")
+    assert(gate(root) == gateBefore, "duplicated state rows changed the gate")
+    def rm(p: java.nio.file.Path): Unit =
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.delete(f); () })
+    rm(java.nio.file.Paths.get(s"$root/seg=dup"))
+    Similarity.compactSemCellTable(spark, root, "corpus2")
+    assert(rows(root) == before, "compaction changed the row multiset")
+    assert(gate(root) == gateBefore, "compaction changed the gate")
+    val segs = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("seg=")).toSeq
+    assert(segs == Seq("seg=corpus2"), s"old segments survive: $segs")
+    // guards: existing target, b* namespace, empty root
+    intercept[IllegalArgumentException] {
+      Similarity.compactSemCellTable(spark, root, "corpus2")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.compactSemCellTable(spark, root, "b9")
+    }
+  }
+
   test("semDedup plan: the pair test is a cell equi-join, never corpus all-pairs") {
     val plan = Similarity.semDedup(docs, "vec_id", threshold = 0.9, cents)
       .queryExecution.executedPlan.toString
