@@ -864,7 +864,7 @@ object Scale10x {
       }
       f"""  "$n": {"t1_sec": $t1%.3f, "t10_sec": $t10%.3f, "ratio": ${t10 / t1}%.2f, "rows1": $r1, "rows10": $r10$duckPart}"""
     }.mkString(
-      s"""{\n  "_meta": {"sf": "$sfDir", "copies": $copies, "layout": "32-way multi-row-group parquet for BOTH scales", "note": "ratio ~<=copies = linear-or-better (sub-linear = the 1x run is scheduling-floor-bound, not compute-bound); the neardup probes (10x artifact only) are OUTPUT-bound - the scaled build plants near-identical copies per doc, so true pairs (rows10) grow quadratically in the duplication factor, and honest scaling is time vs output rows. duck*_sec = DuckDB computing the SAME RESULT over the SAME parquet files (best of 2, all cores); the near-dup twins use DuckDB's natural exact shingle-join algorithm - the q46/q4f oracles prove both formulations emit identical sets. spark_over_duck_${copies}x > 1 means DuckDB is faster at the scaled size. minhash_signatures has no twin (xxhash64 kernel is Spark-internal). gate_* rows = the incremental near-dup ingest gate: gate_table_build is the one-time corpus banding (amortized across every later batch), gate_probe/gate_reprobe the per-batch steady state (probe asserted exchange-free bucketed on the corpus side at ${copies}x before timing), gate_append the survivor band append; gate_probe's twin computes the SAME survivors via DuckDB's exact shingle join, which must re-derive corpus shingles every batch - the amortization the persisted band table buys. events probes (sessionize_stats/asof_join/range_join) scale horizontally: ${copies}x adds USERS, per-user history constant."},\n""",
+      s"""{\n  "_meta": {"sf": "$sfDir", "copies": $copies, "layout": "32-way multi-row-group parquet for BOTH scales", "note": "ratio ~<=copies = linear-or-better (sub-linear = the 1x run is scheduling-floor-bound, not compute-bound); the neardup probes (10x artifact only) are OUTPUT-bound - the scaled build plants near-identical copies per doc, so true pairs (rows10) grow quadratically in the duplication factor, and honest scaling is time vs output rows. duck*_sec = DuckDB computing the SAME RESULT over the SAME parquet files (best of 2, all cores); the near-dup twins use DuckDB's natural exact shingle-join algorithm - the q46/q4f oracles prove both formulations emit identical sets. spark_over_duck_${copies}x > 1 means DuckDB is faster at the scaled size. minhash_signatures has no twin (xxhash64 kernel is Spark-internal). gate_* rows = the incremental near-dup ingest gate: gate_table_build is the one-time corpus banding (amortized across every later batch), gate_probe/gate_reprobe the per-batch steady state (probe asserted exchange-free bucketed on the corpus side at ${copies}x before timing), gate_append the survivor band append; gate_probe's twin computes the SAME survivors via DuckDB's exact shingle join, which must re-derive corpus shingles every batch - the amortization the persisted band table buys. events probes (sessionize_stats/asof_join/range_join) scale horizontally: ${copies}x adds USERS, per-user history constant. ann_ivfpq_idx's twin is the SERVING TAIL over the same prebuilt encoded parquet (probe+ADC+top-k, no rebuild - apples-to-apples index serving). semgate_sm (<=10x class) times the 2-trigger self-maintaining semantic-gate stream replay against a two-round chained twin; its floor is the streaming machinery (see PERF.md ledger). ivfpq_append/ivfpq_drift have no twins (write-path / sidecar-read ops); their claim is cost FLAT in index+corpus size, measured by the absolutes."},\n""",
       ",\n", "\n}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(s"[scale10x] wrote $outPath")
