@@ -330,6 +330,11 @@ object Scale10x {
       force(Similarity.ivfPqTopKFromIndex(spark, idx,
         annQueries.select(col("query_id"), col("qe").as("embedding")),
         "query_id", k = 5, nProbe = 3))
+    def annRecallShape(p: String): Long =                 // q6u quality metric
+      force(Similarity.ivfPqRecallAtK(
+        spark.read.parquet(p).where(col("vec_id") >= 20), "vec_id",
+        annQueries.select(col("query_id"), col("qe").as("embedding")),
+        "query_id", k = 5, nProbe = 3, ivfPqFit._1, ivfPqFit._2))
 
     // ---- the incremental near-dup gate (writeBandTable →
     // nearDupesAgainstTable → appendBandTable), the steady-state ingest
@@ -674,6 +679,8 @@ object Scale10x {
         () => annIvfPqShape(embNP)),
       Probe("ann_ivfpq_idx", () => annIvfPqIdxShape(ivfPqIdx1),
         () => annIvfPqIdxShape(ivfPqIdxN)),
+      Probe("ann_recall", () => annRecallShape(emb1P),
+        () => annRecallShape(embNP)),
       Probe("dsir", () => dsirShape(docs1P), () => dsirShape(docs10P))) ++
       nearDupProbes :+
       Probe("multimodel_eval", () => multiEvalShape(li1P, ord1P),
@@ -817,11 +824,17 @@ object Scale10x {
         else Map("ann_ivfpq_idx" -> graft.queries.SimilarityQueries
           .ivfPqIdxReplaySql(ivfPqFit._1, ivfPqFit._2, encv,
             "emb1v WHERE vec_id < 20", k = 5, nProbe = 3))
+      def recallTwin(embv: String) =
+        graft.queries.SimilarityQueries.ivfPqRecallReplaySql(
+          ivfPqFit._1, ivfPqFit._2, s"$embv WHERE vec_id >= 20",
+          "emb1v WHERE vec_id < 20", k = 5, nProbe = 3)
       val sql1 = duckSql("docs1v", "li1v", "ord1v", "ev1v", "gbv", "emb1v") +
         ("ann_pq" -> pqTwin("emb1v")) + ("ann_ivfpq" -> ivfPqTwin("emb1v")) +
+        ("ann_recall" -> recallTwin("emb1v")) +
         ("dsir" -> dsirTwin("docs1v")) ++ semTwin("emb1v") ++ idxTwin("enc1v")
       val sqlN = duckSql("docsNv", "liNv", "ordNv", "evNv", "gbv", "embNv") +
         ("ann_pq" -> pqTwin("embNv")) + ("ann_ivfpq" -> ivfPqTwin("embNv")) +
+        ("ann_recall" -> recallTwin("embNv")) +
         ("dsir" -> dsirTwin("docsNv")) ++ semTwin("embNv") ++ idxTwin("encNv")
       val views = Map("docs1v" -> docs1P, "docsNv" -> docs10P,
         "li1v" -> li1P, "liNv" -> li10P, "ord1v" -> ord1P, "ordNv" -> ord10P,

@@ -644,6 +644,48 @@ object Similarity {
         col("__dist").as("dist"))
   }
 
+  /** ANN quality metric — RECALL@k of the approximate IVF-PQ search
+    * against the exact cosine top-k, per query: (query_id, n_hits) with
+    * n_hits = |[[ivfPqTopK]](k, nProbe) ∩ exact top-k|. The evaluation
+    * loop that pairs with [[ivfPqDriftStats]]: drift says the data moved
+    * away from the frozen cells; recall says what that costs the search.
+    * Exact side: cosine over the same [[dot]]/[[norm]] kernels, top-k by
+    * (cos desc, id asc) through the bounded-heap GroupedTopK (zero-norm
+    * rows excluded — cosine undefined); approximate side: the integer-
+    * grid IVFADC search. n_hits is an exact integer, so the q6u oracle
+    * replays both chains and the intersection row-for-row (the only
+    * float surface is the exact side's rank-k cosine boundary — the q4d
+    * precedent). Queries with zero norm emit no row.
+    */
+  def ivfPqRecallAtK(corpus: DataFrame, corpusId: String,
+                     queries: DataFrame, queryId: String,
+                     k: Int, nProbe: Int,
+                     coarse: Seq[Seq[Double]],
+                     codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val approx = ivfPqTopK(corpus, corpusId, queries, queryId,
+        k, nProbe, coarse, codebooks)
+      .select(col(queryId).as("__aqid"), col(corpusId).as("__acid"))
+    val q = queries.select(col(queryId).as("__qid"),
+        col("embedding").as("__qe"), norm(col("embedding")).as("__qn"))
+      .filter(col("__qn") > 0)
+    val c = corpus.select(col(corpusId).as("__cid"),
+        col("embedding").as("__ce"), norm(col("embedding")).as("__cn"))
+      .filter(col("__cn") > 0)
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("__qid"), col("__cid"),
+        (dot(col("__ce"), col("__qe")) / (col("__cn") * col("__qn")))
+          .as("__cos"))
+    val exact = graft.plans.GroupedTopK.perGroup(scored, Seq(col("__qid")),
+      struct((-col("__cos")).as("negcos"), col("__cid")), k)
+    val hits = exact.join(approx,
+        col("__qid") === col("__aqid") && col("__cid") === col("__acid"),
+        "left_semi")
+      .groupBy(col("__qid")).agg(count(lit(1)).as("n_hits"))
+    q.select(col("__qid")).join(hits, Seq("__qid"), "left")
+      .select(col("__qid").as(queryId),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   /** Fit the SemDeDup cluster centroids (Abbas et al. 2023 §3: k-means
     * over the embeddings, dedup WITHIN each cluster) — the same bounded
     * reservoir + driver-local Lloyd as the IVF/PQ fits, deterministic

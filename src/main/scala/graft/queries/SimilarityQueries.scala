@@ -358,6 +358,26 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("vec_id"))
     },
 
+    // ---- ANN recall@k (q6u): the quality metric that pairs with the
+    // drift contract — per-query |approximate IVF-PQ top-k ∩ exact
+    // cosine top-k| at the REAL operating point (nProbe=3 of 8). Both
+    // chains replay (integer grid; q4d float pattern), so the measured
+    // recall itself is oracle-pinned — not a rows-only claim.
+    QueryDef.dynamicSql("q6u_ann_recall") { (s, d) =>
+      val (coarse, cbs) = ensureIvfPq(s, d)
+      ivfPqRecallReplaySql(coarse, cbs,
+        "embeddings WHERE vec_id >= 5",
+        "embeddings WHERE vec_id < 5", k = 5, nProbe = 3)
+    } { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (coarse, cbs) = ensureIvfPq(s, d)
+      Similarity.ivfPqRecallAtK(emb.where(col("vec_id") >= 5), "vec_id",
+          queries, "query_id", k = 5, nProbe = 3, coarse, cbs)
+        .orderBy(col("query_id"))
+    },
+
     // ---- IVF-PQ drift stats (q6s): the refit contract that completes
     // the frozen-model append loop — (src, n, sum_dist_nano) for the
     // sidecar-stored BUILD corpus stat vs the live candidate batch (the
@@ -817,6 +837,47 @@ object SimilarityQueries {
        |      FROM adc)
        |SELECT query_id, vec_id, dist FROM r WHERE rn <= $k
        |ORDER BY query_id, vec_id""".stripMargin
+  }
+
+  /** The q6u recall replay: the exact cosine top-k chain (the q4d float
+    * pattern, positive-norm-guarded on both sides) joined against the
+    * FULL integer-grid IVF-PQ replay (nested as a subquery — DuckDB
+    * allows WITH inside parentheses), counted per query. n_hits is an
+    * exact integer; the only float surface is the exact side's rank-k
+    * cosine boundary (the accepted q4d precedent).
+    */
+  def ivfPqRecallReplaySql(coarse: Seq[Seq[Double]],
+                           cbs: Seq[Seq[Seq[Double]]],
+                           corpusFrom: String, queryFrom: String,
+                           k: Int, nProbe: Int): String = {
+    val approxSql = ivfPqReplaySql(coarse, cbs, corpusFrom, queryFrom,
+        k, nProbe)
+      .linesIterator.mkString("\n   ") // keep '|'-free continuation lines
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+       |           FROM $queryFrom),
+       |b AS (SELECT vec_id, embedding FROM $corpusFrom),
+       |p AS (
+       |  SELECT q.query_id, b.vec_id,
+       |    list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+       |                           CAST(q.qe AS DOUBLE[])) AS c
+       |  FROM b, q
+       |  WHERE ${posNormSql("b.embedding")}
+       |    AND ${posNormSql("q.qe")}),
+       |r AS (SELECT query_id, vec_id,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY c DESC, vec_id) AS rn
+       |      FROM p),
+       |exact AS (SELECT query_id, vec_id FROM r WHERE rn <= $k),
+       |approx AS (SELECT query_id, vec_id FROM (
+       |   $approxSql)),
+       |hits AS (SELECT e.query_id, count(*) AS n FROM exact e
+       |         JOIN approx a ON e.query_id = a.query_id
+       |                      AND e.vec_id = a.vec_id
+       |         GROUP BY e.query_id)
+       |SELECT query_id, CAST(coalesce(n, 0) AS BIGINT) AS n_hits
+       |FROM (SELECT DISTINCT query_id FROM exact) x
+       |LEFT JOIN hits USING (query_id)
+       |ORDER BY query_id""".stripMargin
   }
 
   /** The q6s drift replay: BOTH rows recomputed from the RAW tables —

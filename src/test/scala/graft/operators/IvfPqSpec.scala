@@ -269,6 +269,27 @@ class IvfPqSpec extends SparkSpec {
     assert(e.getMessage.contains("predates drift stats"), e.getMessage)
   }
 
+  test("ivfPqRecallAtK: exhaustive probing recalls everything; pruned probing shows the miss") {
+    // query near cell 0: exact cosine top-2 vs IVFADC top-2
+    val q = Seq((100L, Seq(1.0f, 1.0f, 1.0f, 1.0f))).toDF("query_id", "embedding")
+    // nProbe = all cells: the approximate set == candidates from every
+    // cell, and with k covering the corpus the intersection is full
+    val full = Similarity.ivfPqRecallAtK(vecs, "vec_id", q, "query_id",
+        k = 3, nProbe = 2, coarse, cbs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(full.toSeq == Seq((100L, 3L)), s"got ${full.toSeq}")
+    // nProbe=1 prunes v2's cell: the exact top-3 contains v2, the
+    // approximate top-3 cannot -> exactly one miss
+    val pruned = Similarity.ivfPqRecallAtK(vecs, "vec_id", q, "query_id",
+        k = 3, nProbe = 1, coarse, cbs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pruned.toSeq == Seq((100L, 2L)), s"got ${pruned.toSeq}")
+    // zero-norm query emits no row (cosine undefined)
+    val zq = Seq((7L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("query_id", "embedding")
+    assert(Similarity.ivfPqRecallAtK(vecs, "vec_id", zq, "query_id",
+      k = 2, nProbe = 2, coarse, cbs).count() == 0L)
+  }
+
   test("ivfPqTopK plan: broadcast probe side, no sort-merge join, no window") {
     val q = Seq((100L, Seq(1.0f, 1.0f, 1.0f, 1.0f))).toDF("query_id", "embedding")
     val plan = Similarity.ivfPqTopK(vecs, "vec_id", q, "query_id",
