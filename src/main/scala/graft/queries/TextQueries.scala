@@ -136,6 +136,47 @@ object TextQueries {
        |UNION ALL SELECT doc_id FROM surv1
        |ORDER BY doc_id""".stripMargin
 
+  /** The planted q6v rows: a cross-batch exact pair (4000000 even →
+    * replay batch 0, survives as novel; 4000001 odd → batch 1, the SAME
+    * text — drops only against grown state) and an in-batch pair
+    * (4000002/4000004, both even — keep-lowest-id inside one batch).
+    * Texts are synthetic so they match nothing in the corpus.
+    */
+  private val plantedExactA: String =
+    "planted exact gate document about tidal resonance chambers and " +
+      "deterministic replay anchors in distributed ingest pipelines"
+  private val plantedExactB: String =
+    "second planted exact gate document describing bucket local " +
+      "fingerprint probes over append only storage"
+
+  /** Two sequential EXACT gate rounds — the q6v replay's semantics:
+    * batch 0 (even ids) dedups against the corpus (within-batch
+    * keep-lowest-id), batch 1 (odd ids) against corpus ∪ batch 0's
+    * survivors. Text equality == fingerprint equality (the q4t/q5i
+    * collision-free precedent).
+    */
+  private def selfMaintainExactOracleSql: String =
+    s"""WITH corpus AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+       |batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT 4000000, '$plantedExactA'
+       |  UNION ALL SELECT 4000001, '$plantedExactA'
+       |  UNION ALL SELECT 4000002, '$plantedExactB'
+       |  UNION ALL SELECT 4000004, '$plantedExactB'),
+       |b0 AS (SELECT * FROM batch WHERE doc_id % 2 = 0),
+       |b1 AS (SELECT * FROM batch WHERE doc_id % 2 = 1),
+       |f0 AS (SELECT * FROM b0
+       |       WHERE text NOT IN (SELECT text FROM corpus)),
+       |s0 AS (SELECT min(doc_id) AS doc_id, text FROM f0 GROUP BY text),
+       |st1 AS (SELECT text FROM corpus
+       |        UNION ALL SELECT text FROM s0),
+       |f1 AS (SELECT * FROM b1
+       |       WHERE text NOT IN (SELECT text FROM st1)),
+       |s1 AS (SELECT min(doc_id) AS doc_id FROM f1 GROUP BY text)
+       |SELECT doc_id FROM s0
+       |UNION ALL SELECT doc_id FROM s1
+       |ORDER BY doc_id""".stripMargin
+
   /** One exact-dup ingest-gate oracle, shared by q4t (live corpus probe)
     * and q5i (persisted bucketed fingerprint-table probe): green on both
     * proves the table path computes the identical gate.
@@ -1097,6 +1138,39 @@ object TextQueries {
           nBatches = 2, threshold = 0.5)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- SELF-MAINTAINING streaming EXACT gate (q6v): the q6c/q6p
+    // growing-state discipline on the exact axis — batch survivors'
+    // fingerprints append to the persisted fp table, so batch-1 exact
+    // copies of batch-0 SURVIVORS drop with UNBOUNDED horizon and zero
+    // state-store state. Pinned by the planted 4000000/4000001 pair
+    // (same novel text split across batches — only a state-growing gate
+    // separates it; a per-batch-independent probe passes both) and the
+    // 4000002/4000004 in-batch pair (keep-lowest-id). The oracle chains
+    // two exact text-equality rounds (round 1's state = corpus ∪ round
+    // 0's survivors). The fp table is built once per session; repeat
+    // replays are bit-stable via the sink-anchor rule (DocStreamSpec).
+    QueryDef.sql("q6v_stream_selfmaintain_exact", selfMaintainExactOracleSql) {
+      (s, d) =>
+        import s.implicits._
+        val tag = "sf" + d.replaceAll("[^0-9]", "").takeRight(8)
+        val table = s"graft_fps_selfm_$tag"
+        if (!s.catalog.tableExists(table))
+          Dedup.writeFingerprintTable(
+            Tables.documents(s, d).where(col("doc_id") % 3 =!= 0), "text",
+            table, buckets = 8,
+            path = Some(s"${sys.props("java.io.tmpdir")}/graft_fps_selfm_$tag"))
+        val batch = Tables.documents(s, d).where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(Seq(
+            (4000000L, plantedExactA), (4000001L, plantedExactA),
+            (4000002L, plantedExactB), (4000004L, plantedExactB))
+            .toDF("doc_id", "text"))
+        graft.streaming.DocStream.replaySelfMaintainingExactIngest(
+            batch, table, "doc_id", "text",
+            LmQueries.sessionTmp(s, "q6v_exactgate", d), nBatches = 2)
+          .select(col("doc_id")).orderBy(col("doc_id"))
     },
 
     // ---- learned corpus-filter classifier (fastText-style: logistic

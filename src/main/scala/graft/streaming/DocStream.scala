@@ -220,6 +220,104 @@ object DocStream {
       .start()
   }
 
+  /** SELF-MAINTAINING streaming EXACT-dup gate — the growing-state
+    * discipline (q6c near-dup, q6p semantic) on the exact axis, with
+    * UNBOUNDED horizon and ZERO state-store state: [[dedupedIngest]]'s
+    * within-stream dedup is bounded by its watermark horizon, while this
+    * gate's state is the persisted bucketed fingerprint table — a batch
+    * drops exact dupes of the corpus AND of every earlier batch's
+    * survivors (plus within-batch re-sends, keep-lowest-id — the
+    * [[graft.operators.Dedup.dropDupesAgainstTable]] contract), then
+    * appends its survivors' fingerprints
+    * ([[graft.operators.Dedup.appendFingerprintTable]] — doc-level
+    * idempotent). Steady-state per-batch cost: one bucket-local fp-table
+    * probe + O(new fps) append, independent of corpus and stream length.
+    *
+    * Crash-replay exactness WITHOUT provenance: unlike band rows (doc
+    * ids, q6c's strictly-prior exclusion) and cell segments (seg names,
+    * q6p's own-segment exclusion), fingerprints carry nothing to exclude
+    * by — a replayed batch re-probing after its own append would match
+    * ITSELF and drop every survivor. The sink partition is therefore the
+    * exactly-once anchor: survivors commit to `batch=<id>` (with
+    * _SUCCESS) strictly BEFORE the fp append, and a batch whose sink
+    * partition already committed skips the probe, trusts the sink (it
+    * was computed against strictly-prior state), and redoes only the
+    * idempotent append. Every crash window replays exactly: before the
+    * sink commit → clean re-probe (no fps appended yet); after it → the
+    * committed survivors are re-appended as a no-op.
+    */
+  def selfMaintainingDedupedIngest(docs: DataFrame, fpTable: String,
+                                   id: String, textCol: String,
+                                   sinkPath: String,
+                                   checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val part = s"$sinkPath/batch=$batchId"
+        val ok = new org.apache.hadoop.fs.Path(part, "_SUCCESS")
+        val fs = ok.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(ok)) {
+          Dedup.appendFingerprintTable(
+            spark.read.parquet(part).select(col(textCol)), textCol, fpTable)
+        } else {
+          // persist: the sink write and the fp append share ONE probe
+          val surv = Dedup.dropDupesAgainstTable(batch.toDF(), fpTable,
+              id, textCol)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            surv.write.mode("overwrite").parquet(part)
+            Dedup.appendFingerprintTable(surv, textCol, fpTable)
+          } finally { surv.unpersist(); () }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Bounded replay of [[selfMaintainingDedupedIngest]] — the
+    * [[replayGate]] harness shape, EXCEPT the sink is NOT cleared
+    * between replays: committed `batch=<id>` partitions are the gate's
+    * exactly-once anchors (see the gate's scaladoc), so a re-replay over
+    * the grown fp table reads them back instead of re-probing (which
+    * would self-match) — the result is bit-stable across repeat replays
+    * in a session (spec-pinned). Only the checkpoint is cleared (a new
+    * MemoryStream cannot resume a stale one's offsets).
+    */
+  def replaySelfMaintainingExactIngest(docs: DataFrame, fpTable: String,
+                                       id: String, textCol: String,
+                                       workDir: String,
+                                       nBatches: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    require(nBatches >= 1, s"need at least one batch, got $nBatches")
+    val rows = docs
+      .select(col(id).cast("long").as("gate_doc_id"),
+        col(textCol).as("gate_text"))
+      .as[GateDoc].collect() // bounded input only, by construction
+    def clear(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.delete(f); () })
+    clear(java.nio.file.Paths.get(s"$workDir/ckpt"))
+    if (rows.isEmpty)
+      return spark.emptyDataset[GateDoc].toDF()
+        .select(col("gate_doc_id").as(id), col("gate_text").as(textCol))
+    val in = MemoryStream[GateDoc]
+    val q = selfMaintainingDedupedIngest(in.toDF(), fpTable,
+      "gate_doc_id", "gate_text", s"$workDir/out", s"$workDir/ckpt")
+    try {
+      (0 until nBatches).foreach { b =>
+        val batch = rows.filter(r =>
+          math.floorMod(r.gate_doc_id, nBatches.toLong) == b.toLong)
+        if (batch.nonEmpty) { in.addData(batch.toSeq: _*); q.processAllAvailable() }
+      }
+    } finally q.stop()
+    spark.read.parquet(s"$workDir/out")
+      .select(col("gate_doc_id").as(id), col("gate_text").as(textCol))
+  }
+
   /** SELF-MAINTAINING streaming SemDeDup gate — the q6c growing-state
     * discipline on the SEMANTIC axis: each micro-batch drops documents
     * whose embedding reaches the cosine threshold against the historical

@@ -163,6 +163,51 @@ class DocStreamSpec extends SparkSpec {
     }
   }
 
+  test("self-maintaining EXACT gate: cross-batch copies drop, sink anchors make replays exact") {
+    val corpus = Seq((10L, "historical text alpha")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "historical text alpha"),     // corpus dup -> drops round 0
+      (200L, "novel text beta"),           // even -> batch 0, survives
+      (201L, "novel text beta"),           // odd -> batch 1: exact copy of a SURVIVOR
+      (202L, "novel text gamma"),          // in-batch pair with 204:
+      (204L, "novel text gamma"),          //   keep-lowest-id -> 202 only
+      (203L, "novel text delta")           // odd, novel -> survives
+    ).toDF("doc_id", "text")
+    def freshTable(name: String): String = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      Dedup.writeFingerprintTable(corpus, "text", name, buckets = 4)
+      name
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft-exsm").toString
+    // per-batch-INDEPENDENT probing (no append) passes the cross-batch
+    // copy — the discrimination a growing fp table provides
+    val independent = batch
+      .withColumn("__b", pmod(col("doc_id"), lit(2L)))
+    val indKept = Seq(0L, 1L).flatMap { b =>
+      Dedup.dropDupesAgainstTable(
+          independent.where(col("__b") === b).drop("__b"),
+          freshTable("exsm_static"), "doc_id", "text")
+        .select("doc_id").as[Long].collect()
+    }.sorted
+    assert(indKept == Seq(200L, 201L, 202L, 203L), s"got $indKept")
+    // the self-maintaining gate drops 201 (a batch-0 survivor's copy)
+    val grown = DocStream.replaySelfMaintainingExactIngest(batch,
+        freshTable("exsm_grow"), "doc_id", "text", s"$work/grow",
+        nBatches = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(grown == Seq(200L, 202L, 203L), s"got $grown")
+    // repeat replay over the GROWN table + intact sink is bit-stable:
+    // committed sink partitions anchor the result (re-probing would
+    // self-match and drop everything — the exact axis has no provenance
+    // to exclude by)
+    val again = DocStream.replaySelfMaintainingExactIngest(batch,
+        "exsm_grow", "doc_id", "text", s"$work/grow", nBatches = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == grown, s"replay over grown state diverged: $again")
+    spark.sql("DROP TABLE IF EXISTS exsm_static")
+    spark.sql("DROP TABLE IF EXISTS exsm_grow")
+  }
+
   test("self-maintaining SEMANTIC gate drops cross-batch twins the static gate passes") {
     import graft.operators.Similarity
     val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
