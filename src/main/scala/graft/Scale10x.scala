@@ -480,6 +480,11 @@ object Scale10x {
       "agg_6m_rows" ->
         s"""SELECT l_returnflag, l_linestatus, sum(l_quantity), sum(l_extendedprice),
            |avg(l_discount), count(*) FROM $li GROUP BY 1, 2""".stripMargin,
+      "fpgate_probe" ->
+        s"""WITH fresh AS (SELECT b.* FROM $gb b
+           |  WHERE b.text NOT IN (SELECT text FROM $docs)),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY text)
+           |SELECT f.* FROM fresh f JOIN keep USING (doc_id)""".stripMargin,
       "exact_dedup" ->
         s"""SELECT d.* FROM $docs d
            |JOIN (SELECT min(doc_id) AS k FROM $docs GROUP BY text) g ON d.doc_id = g.k""".stripMargin,
@@ -634,6 +639,23 @@ object Scale10x {
         spark.read.parquet(emb1P).where(col("vec_id") % 11 === 0),
         root, "vec_id", semCents, threshold = 0.6,
         s"$work/$wd", nBatches = 2))
+    // the q6v steady-state probe component: a fixed batch anti-joins the
+    // persisted bucketed fp table (read-only, so warm best-of-2 applies;
+    // the streaming replay around it is the accepted q6a-class floor,
+    // probed via semgate_sm's twin discipline)
+    import graft.operators.Dedup
+    def fpTable(docsP: String, name: String): String = {
+      val t = s"graft_scale_fps_$name"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      Dedup.writeFingerprintTable(spark.read.parquet(docsP), "text", t,
+        buckets = 32, path = Some(s"$work/fps_$name"))
+      t
+    }
+    lazy val fpT1 = fpTable(docs1P, "c1")
+    lazy val fpTN = fpTable(docs10P, s"c$copies")
+    def fpGateProbeShape(table: String): Long =           // q6v probe path
+      force(Dedup.dropDupesAgainstTable(
+        spark.read.parquet(gateBatchP), table, "doc_id", "text"))
     val nearDupProbes = if (copies <= 10) Seq(
       Probe("neardup_lsh_e2e", () => nearDupShape(docs1P), () => nearDupShape(docs10P)),
       Probe("neardup_clusters", () => clusterShape(docs1P), () => clusterShape(docs10P)),
@@ -681,6 +703,8 @@ object Scale10x {
         () => annIvfPqIdxShape(ivfPqIdxN)),
       Probe("ann_recall", () => annRecallShape(emb1P),
         () => annRecallShape(embNP)),
+      Probe("fpgate_probe", () => fpGateProbeShape(fpT1),
+        () => fpGateProbeShape(fpTN)),
       Probe("dsir", () => dsirShape(docs1P), () => dsirShape(docs10P))) ++
       nearDupProbes :+
       Probe("multimodel_eval", () => multiEvalShape(li1P, ord1P),
