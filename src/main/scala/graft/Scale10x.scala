@@ -304,6 +304,10 @@ object Scale10x {
       force(graft.ml.Dsir.select(
         spark.read.parquet(p).where(col("doc_id") % 7 =!= 0),
         "doc_id", "text", dsirModel, k = 50))
+    def dsirGumbelShape(p: String): Long =                // q6r shape
+      force(graft.ml.Dsir.selectGumbel(
+        spark.read.parquet(p).where(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", dsirModel, k = 50, seed = 17L))
     def annIvfPqShape(p: String): Long =                  // q6h IVFADC path
       force(Similarity.ivfPqTopK(
         spark.read.parquet(p).where(col("vec_id") >= 20), "vec_id",
@@ -634,6 +638,12 @@ object Scale10x {
     }
     lazy val semCell1 = semCellTable(emb1P, "c1")
     lazy val semCellN = semCellTable(embNP, s"c$copies")
+    def semTableShape(root: String): Long = {            // q6t shape
+      val e = spark.read.parquet(emb1P)
+      force(Similarity.semDedupAgainstCells(
+        e.where(col("vec_id") % 11 === 0), "vec_id",
+        spark.read.parquet(root), threshold = 0.15, semCents))
+    }
     def semSmShape(root: String, wd: String): Long =      // q6p shape
       force(graft.streaming.DocStream.replaySemGatedIngest(
         spark.read.parquet(emb1P).where(col("vec_id") % 11 === 0),
@@ -663,7 +673,12 @@ object Scale10x {
       Probe("semdedup_gate", () => semGateShape(emb1P),
         () => semGateShape(embNP)),
       Probe("semgate_sm", () => semSmShape(semCell1, "semsm_wd1"),
-        () => semSmShape(semCellN, s"semsm_wd$copies")))
+        () => semSmShape(semCellN, s"semsm_wd$copies")),
+      // q6t serving path: the same gate math as semdedup_gate, served
+      // from the persisted cell table (read-only, best-of-2) — its twin
+      // IS semdedup_gate's oracle text (table-served == live)
+      Probe("semgate_table", () => semTableShape(semCell1),
+        () => semTableShape(semCellN)))
     else Seq.empty
     val allProbes = Seq(
       Probe("agg_6m_rows", () => aggShape(li1P), () => aggShape(li10P)),
@@ -705,7 +720,9 @@ object Scale10x {
         () => annRecallShape(embNP)),
       Probe("fpgate_probe", () => fpGateProbeShape(fpT1),
         () => fpGateProbeShape(fpTN)),
-      Probe("dsir", () => dsirShape(docs1P), () => dsirShape(docs10P))) ++
+      Probe("dsir", () => dsirShape(docs1P), () => dsirShape(docs10P)),
+      Probe("dsir_gumbel", () => dsirGumbelShape(docs1P),
+        () => dsirGumbelShape(docs10P))) ++
       nearDupProbes :+
       Probe("multimodel_eval", () => multiEvalShape(li1P, ord1P),
         () => multiEvalShape(li10P, ord10P))
@@ -828,6 +845,10 @@ object Scale10x {
                 s"$embv WHERE vec_id % 11 <> 0", threshold = "0.15"),
             // same two-round chained computation as the q6p probe
             // (batch fixed from the 1x copy at both scales)
+            "semgate_table" -> graft.queries.SimilarityQueries
+              .semDedupGateReplaySql(semCents,
+                "emb1v WHERE vec_id % 11 = 0",
+                s"$embv WHERE vec_id % 11 <> 0", threshold = "0.15"),
             "semgate_sm" -> graft.queries.SimilarityQueries
               .semSelfMaintainReplaySql(semCents,
                 s"$embv WHERE vec_id % 11 <> 0",
@@ -836,6 +857,9 @@ object Scale10x {
         else Map.empty
       def dsirTwin(docsv: String) = graft.queries.TextQueries.dsirReplaySql(
         dsirModel, s"$docsv WHERE doc_id % 7 <> 0", k = 50)
+      def dsirGumbelTwin(docsv: String) =
+        graft.queries.TextQueries.dsirGumbelReplaySql(
+          dsirModel, s"$docsv WHERE doc_id % 7 <> 0", k = 50, seed = 17L)
       // the index probe's twin serves from the SAME prebuilt encoded
       // parquet (probe ranking + ADC + top-k only) — apples-to-apples
       // index serving vs index serving (r12 ADVICE: the full-replay twin
@@ -855,11 +879,15 @@ object Scale10x {
       val sql1 = duckSql("docs1v", "li1v", "ord1v", "ev1v", "gbv", "emb1v") +
         ("ann_pq" -> pqTwin("emb1v")) + ("ann_ivfpq" -> ivfPqTwin("emb1v")) +
         ("ann_recall" -> recallTwin("emb1v")) +
-        ("dsir" -> dsirTwin("docs1v")) ++ semTwin("emb1v") ++ idxTwin("enc1v")
+        ("dsir" -> dsirTwin("docs1v")) +
+        ("dsir_gumbel" -> dsirGumbelTwin("docs1v")) ++
+        semTwin("emb1v") ++ idxTwin("enc1v")
       val sqlN = duckSql("docsNv", "liNv", "ordNv", "evNv", "gbv", "embNv") +
         ("ann_pq" -> pqTwin("embNv")) + ("ann_ivfpq" -> ivfPqTwin("embNv")) +
         ("ann_recall" -> recallTwin("embNv")) +
-        ("dsir" -> dsirTwin("docsNv")) ++ semTwin("embNv") ++ idxTwin("encNv")
+        ("dsir" -> dsirTwin("docsNv")) +
+        ("dsir_gumbel" -> dsirGumbelTwin("docsNv")) ++
+        semTwin("embNv") ++ idxTwin("encNv")
       val views = Map("docs1v" -> docs1P, "docsNv" -> docs10P,
         "li1v" -> li1P, "liNv" -> li10P, "ord1v" -> ord1P, "ordNv" -> ord10P,
         "ev1v" -> ev1P, "evNv" -> evNP, "gbv" -> gateBatchP,

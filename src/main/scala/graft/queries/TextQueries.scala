@@ -1545,17 +1545,19 @@ object TextQueries {
 
   /** q6r replay: the Gumbel-perturbed selection — the q6j scoring CTE
     * plus the identical hash-uniform → −ln(−ln(u)) noise chain rounded
-    * onto the micro-nat grid. The naive multiplicative-hash form equals
-    * the engine's overflow-safe pmod form for every fixture id (the q4y/
-    * q57 precedent); u is an exact integer ratio, so ln is the only
-    * float surface.
+    * onto the micro-nat grid. The hash uses the engine's OVERFLOW-SAFE
+    * pmod-first form verbatim (((k mod M)·C) mod M == (k·C) mod M, but
+    * the naive product overflows BIGINT past ~3.5e9 ids — the 100×
+    * probe twin hit exactly that); u is an exact integer ratio, so ln
+    * is the only float surface.
     */
   def dsirGumbelReplaySql(m: graft.ml.Dsir.DsirModel, corpusFrom: String,
                           k: Int, seed: Long): String =
     dsirScoreCte(m, corpusFrom) + ",\n" +
       s"""gk AS (SELECT doc_id, logw_micro +
          |         CAST(round(1e6 * (-ln(-ln(
-         |           CAST(((doc_id + $seed) * 2654435761) % 1000000007 + 1
+         |           CAST((((doc_id + $seed) % 1000000007) * 2654435761)
+         |                  % 1000000007 + 1
          |                AS DOUBLE)
          |             / CAST(1000000008 AS DOUBLE))))) AS BIGINT) AS key_micro
          |       FROM s),
