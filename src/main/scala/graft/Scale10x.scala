@@ -640,9 +640,16 @@ object Scale10x {
     lazy val semCellN = semCellTable(embNP, s"c$copies")
     def semTableShape(root: String): Long = {            // q6t shape
       val e = spark.read.parquet(emb1P)
+      // corpus segment ONLY: the root is shared with semgate_sm, whose
+      // replay appends survivor segments (seg=b*) — reading them would
+      // gate the batch against its own survivors (every row self-matches
+      // and drops), diverging from the duck twin's live-gate result and
+      // making the timing depend on probe order. The filter is a
+      // partition prune, so this also mirrors the serving plan.
       force(Similarity.semDedupAgainstCells(
         e.where(col("vec_id") % 11 === 0), "vec_id",
-        spark.read.parquet(root), threshold = 0.15, semCents))
+        spark.read.parquet(root).where(col("seg") === "corpus"),
+        threshold = 0.15, semCents))
     }
     def semSmShape(root: String, wd: String): Long =      // q6p shape
       force(graft.streaming.DocStream.replaySemGatedIngest(

@@ -488,8 +488,10 @@ object Similarity {
 
   /** DRIFT stats — the refit contract that completes the frozen-model
     * append loop ([[appendIvfPqIndex]]): one row per source,
-    * (src, n, sum_dist_nano), where `build` is the index corpus's stat
-    * stored in the sidecar at build time and `batch` is computed live
+    * (src, n, sum_dist_nano), where `build` is the INDEXED corpus's stat
+    * from the sidecar — written at build time and accumulated by every
+    * append, so it describes base ∪ appended batches — and `batch` is
+    * computed live
     * over the candidate batch — sum over vectors of the min fixed-point
     * coarse distance (how far the data sits from the frozen cells).
     * All-integer, so the q6s oracle replays BOTH rows from the raw
@@ -533,20 +535,59 @@ object Similarity {
     * touched). NOT idempotent under producer replay (parquet append) —
     * wrap in the caller's exactly-once machinery when batches can
     * replay. The model is FROZEN by construction: append while the data
-    * distribution holds, rebuild (refit) on drift — recall degradation
-    * of new batches against the fixed codebooks is the drift signal.
+    * distribution holds, rebuild ([[refitIvfPqIndex]]) on drift — recall
+    * degradation of new batches against the fixed codebooks is the
+    * drift signal.
+    *
+    * The sidecar's drift baseline (statN/statSumNano) ACCUMULATES the
+    * batch's (count, min-coarse-distance sum), so
+    * [[ivfPqDriftStats]]' `build` row keeps describing the corpus the
+    * index actually serves, not just the initial build — a caller's
+    * mean-ratio refit rule stays anchored to the served data. The meta
+    * rewrite follows the data append; a crash between the two leaves
+    * the baseline stale by exactly one batch (self-heals on the
+    * caller's replay, since the replayed append re-accumulates with
+    * the re-appended rows).
     */
   def appendIvfPqIndex(batch: DataFrame, id: String, path: String): Unit = {
     val spark = batch.sparkSession
     val (coarse, cbs) = loadIvfPqModel(spark, path)
-    batch.select(col(id).as("vec_id"),
+    // read + validate the sidecar stat BEFORE any write, so a pre-stats
+    // or torn index refuses with nothing appended
+    val metaTxt = readIndexMeta(spark, path)
+    def metaLong(k: String): Long =
+      (s""""$k"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(metaTxt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"index at $path predates drift stats: no $k in meta — rebuild " +
+            "with writeIvfPqIndex before appending")).group(1).toLong
+    val (oldN, oldSum) = (metaLong("statN"), metaLong("statSumNano"))
+    // ONE batch scan feeds both the encoded rows and the stat terms
+    // (IvfPqEncode and the coarse term null out on the same geometry
+    // mismatches, so the stat counts exactly the appended rows)
+    val enc = batch.select(col(id).as("vec_id"),
         graft.expressions.IvfPqEncode(col("embedding"), coarse, cbs)
-          .as("__s"))
+          .as("__s"),
+        minCoarseDist(col("embedding"), coarse).as("__d"))
       .filter(col("__s").isNotNull)
-      .select(col("vec_id"), col("__s").getField("codes").as("codes"),
-        col("__s").getField("cell").as("cell"))
-      .write.partitionBy("cell").mode("append")
-      .parquet(s"$path/encoded")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      enc.select(col("vec_id"), col("__s").getField("codes").as("codes"),
+          col("__s").getField("cell").as("cell"))
+        .write.partitionBy("cell").mode("append")
+        .parquet(s"$path/encoded")
+      val st = enc.agg(count(lit(1)).as("n"), sum(col("__d")).as("s"))
+        .collect().head
+      val (bn, bs) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
+      val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(metaTxt
+        .replace(s""""statN": $oldN""", s""""statN": ${oldN + bn}""")
+        .replace(s""""statSumNano": $oldSum""",
+          s""""statSumNano": ${oldSum + bs}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } finally { enc.unpersist(); () }
   }
 
   /** Load the (coarse, codebooks) sidecar written by [[writeIvfPqIndex]]
@@ -600,11 +641,13 @@ object Similarity {
     */
   def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, queries: DataFrame, queryId: String,
-                         k: Int, nProbe: Int): DataFrame = {
+                         k: Int, nProbe: Int,
+                         maxProbeRows: Int = 1 << 22): DataFrame = {
     import spark.implicits._
     val (coarse, cbs) = loadIvfPqModel(spark, path)
     require(nProbe > 0 && nProbe <= coarse.size,
       s"bad probe count: nProbe=$nProbe of ${coarse.size} cells")
+    require(maxProbeRows > 0, s"bad probe-row cap: $maxProbeRows")
     val centroids = coarse.zipWithIndex
       .map { case (v, i) => (i, v) }.toDF("__pcell", "__centroid")
     val qd = queries
@@ -623,7 +666,17 @@ object Similarity {
     val probeFrame = graft.plans.GroupedTopK.perGroup(qd,
         Seq(col("__qid")), struct(col("__d"), col("__pcell")), nProbe)
       .select(col("__qid"), col("__pcell").as("__cell"))
-    val probeRows = probeFrame.collect()
+    // the "bounded serving batch" contract, ENFORCED: collect at most
+    // cap+1 rows (CollectLimit — no extra job) and fail loudly when the
+    // query frame exceeds it, instead of silently scaling driver memory
+    // with an oversized batch. Callers with a genuinely larger serving
+    // batch raise the cap explicitly (each row is ~12 bytes) or split
+    // the batch.
+    val probeRows = probeFrame.limit(maxProbeRows + 1).collect()
+    require(probeRows.length <= maxProbeRows,
+      s"serving batch too large: > $maxProbeRows (query, cell) probe rows " +
+        s"(|queries| × nProbe=$nProbe) would be collected to the driver — " +
+        "split the query batch or raise maxProbeRows explicitly")
     val cells = probeRows.map(_.getInt(1)).distinct.toSeq
     val probes = spark.createDataFrame(
         java.util.Arrays.asList(probeRows: _*), probeFrame.schema)
@@ -886,25 +939,50 @@ object Similarity {
     * never absent. `into` must be fresh and must not enter the stream's
     * `b*` namespace (a segment named like a batch id would be invisible
     * to that batch's own-segment exclusion).
+    *
+    * LIVE-STREAM safety (`keepLatestBatchSeg`, default true): the
+    * highest-numbered `seg=b<id>` segment is LEFT UNFOLDED. Batch N's
+    * crash replay excludes `seg=bN` (its own prior write) from the
+    * state it gates against — if compaction folded bN into `into`
+    * before N's checkpoint committed, the replay would find its own
+    * survivors inside the combined segment, self-match, and rewrite
+    * its sink with zero survivors. Every LOWER-numbered segment's
+    * batch has necessarily committed (triggers are sequential), so
+    * folding those is always safe. Pass `keepLatestBatchSeg = false`
+    * only when the stream is quiesced (stopped, or verified lagging
+    * behind the last appended segment).
     */
   def compactSemCellTable(spark: org.apache.spark.sql.SparkSession,
-                          root: String, into: String): Unit = {
+                          root: String, into: String,
+                          keepLatestBatchSeg: Boolean = true): Unit = {
     require(into.nonEmpty && !into.startsWith("b") &&
       into.forall(c => c.isLetterOrDigit || c == '_' || c == '.' || c == '-'),
       s"bad target segment name: '$into' (fresh, not in the b* namespace)")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segs = fs.listStatus(rootPath)
+    val allSegs = fs.listStatus(rootPath)
       .filter(_.getPath.getName.startsWith("seg="))
-    require(segs.nonEmpty, s"no segments under $root")
-    require(!segs.exists(_.getPath.getName == s"seg=$into"),
+    require(allSegs.nonEmpty, s"no segments under $root")
+    require(!allSegs.exists(_.getPath.getName == s"seg=$into"),
       s"target segment seg=$into already exists under $root")
+    // the possibly-uncommitted in-flight batch segment (see scaladoc)
+    val latestBatch: Option[String] =
+      if (!keepLatestBatchSeg) None
+      else allSegs.map(_.getPath.getName.stripPrefix("seg="))
+        .filter(n => n.startsWith("b") && n.drop(1).nonEmpty &&
+          n.drop(1).forall(_.isDigit))
+        .sortBy(n => n.drop(1).toLong).lastOption
+    val segs = allSegs.filterNot(s =>
+      latestBatch.contains(s.getPath.getName.stripPrefix("seg=")))
+    if (segs.isEmpty) return
     val staging = new org.apache.hadoop.fs.Path(s"$root.compact_tmp")
     fs.delete(staging, true)
     // materialize the combined rows fully (the write) BEFORE any delete
-    spark.read.parquet(root)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(staging.toString)
+    val folded = segs.map(s =>
+        spark.read.parquet(s.getPath.toString)
+          .select(col("vec_id"), col("embedding"), col("cell")))
+      .reduce(_ unionByName _)
+    folded.write.partitionBy("cell").mode("overwrite").parquet(staging.toString)
     require(fs.rename(staging,
       new org.apache.hadoop.fs.Path(rootPath, s"seg=$into")),
       s"rename of the compacted segment into $root failed")

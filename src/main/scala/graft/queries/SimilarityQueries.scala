@@ -380,14 +380,15 @@ object SimilarityQueries {
 
     // ---- IVF-PQ drift stats (q6s): the refit contract that completes
     // the frozen-model append loop — (src, n, sum_dist_nano) for the
-    // sidecar-stored BUILD corpus stat vs the live candidate batch (the
-    // q6q odd half, "check drift before appending"). All integer, so the
-    // oracle recomputes BOTH rows from raw tables and a corrupted stored
-    // stat breaks the hash.
+    // sidecar-stored INDEXED-corpus stat (even half at build time,
+    // accumulated by the odd-half append) vs the live candidate batch
+    // (the q6q odd half, "check drift before appending"). All integer,
+    // so the oracle recomputes BOTH rows from raw tables and a corrupted
+    // stored or mis-accumulated stat breaks the hash.
     QueryDef.dynamicSql("q6s_ivfpq_drift") { (s, d) =>
       val (coarse, _) = ensureIvfPq(s, d)
       ivfPqDriftReplaySql(coarse,
-        "embeddings WHERE vec_id >= 5 AND vec_id % 2 = 0",
+        "embeddings WHERE vec_id >= 5",
         "embeddings WHERE vec_id >= 5 AND vec_id % 2 <> 0")
     } { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -606,7 +607,11 @@ object SimilarityQueries {
         "vec_id", cents, root, "corpus")
       Similarity.writeSemCellSegment(corpus.where(col("vec_id") % 2 =!= 0),
         "vec_id", cents, root, "b7")
-      Similarity.compactSemCellTable(s, root, "corpus2")
+      // the stream that wrote b7 is quiesced by construction here, so the
+      // full fold is safe (the default keeps the latest b* segment for
+      // crash-replay correctness under a live stream)
+      Similarity.compactSemCellTable(s, root, "corpus2",
+        keepLatestBatchSeg = false)
       root
     })
 

@@ -204,6 +204,16 @@ class IvfPqSpec extends SparkSpec {
         k = 5, nProbe = 3, cc, cb)
       .orderBy("query_id", "vec_id").collect().map(_.toString).toSeq
     assert(inc == live)
+    // the append ACCUMULATED the sidecar drift stat: the incremental
+    // index's build row must equal the one-shot full build's (the q6s
+    // oracle recomputes it over the full corpus)
+    val batch = emb.where(col("vec_id") < 5)
+    def buildRow(p: String) =
+      Similarity.ivfPqDriftStats(spark, p, batch)
+        .where(col("src") === "build").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).head
+    assert(buildRow(s"$dir/inc") == buildRow(s"$dir/full"),
+      "append must accumulate statN/statSumNano to the full-corpus stat")
     // a torn sidecar refuses the append BEFORE any write
     val p = new org.apache.hadoop.fs.Path(s"$dir/inc/meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -117,12 +117,34 @@ class SemDedupSpec extends SparkSpec {
       java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => { java.nio.file.Files.delete(f); () })
     rm(java.nio.file.Paths.get(s"$root/seg=dup"))
-    Similarity.compactSemCellTable(spark, root, "corpus2")
+    // DEFAULT (live-stream-safe) compaction: the highest-numbered b*
+    // segment is the possibly-uncommitted in-flight batch — it stays
+    // unfolded so its crash replay's own-segment exclusion keeps working
+    Similarity.compactSemCellTable(spark, root, "corpus1")
     assert(rows(root) == before, "compaction changed the row multiset")
     assert(gate(root) == gateBefore, "compaction changed the gate")
+    val segs1 = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("seg=")).sorted.toSeq
+    assert(segs1 == Seq("seg=b3", "seg=corpus1"),
+      s"default compaction must keep the latest b* segment: $segs1")
+    // QUIESCED full fold: everything (including b3 and the previous
+    // compacted segment) collapses into one segment
+    Similarity.compactSemCellTable(spark, root, "corpus2",
+      keepLatestBatchSeg = false)
+    assert(rows(root) == before, "full fold changed the row multiset")
+    assert(gate(root) == gateBefore, "full fold changed the gate")
     val segs = new java.io.File(root).listFiles()
       .map(_.getName).filter(_.startsWith("seg=")).toSeq
     assert(segs == Seq("seg=corpus2"), s"old segments survive: $segs")
+    // a root whose ONLY segment is the in-flight batch: default compaction
+    // is a safe no-op
+    val root2 = java.nio.file.Files.createTempDirectory("semcompact2")
+      .toString + "/cells"
+    Similarity.writeSemCellSegment(corpus, "vec_id", cents, root2, "b5")
+    Similarity.compactSemCellTable(spark, root2, "corpus1")
+    val segs2 = new java.io.File(root2).listFiles()
+      .map(_.getName).filter(_.startsWith("seg=")).toSeq
+    assert(segs2 == Seq("seg=b5"), s"lone in-flight segment folded: $segs2")
     // guards: existing target, b* namespace, empty root
     intercept[IllegalArgumentException] {
       Similarity.compactSemCellTable(spark, root, "corpus2")
