@@ -91,6 +91,30 @@ class DsirSpec extends SparkSpec {
     assert(flipped, "50 seeds all produced the identical sample — noise inert?")
   }
 
+  test("DsirScore kernel == the composed element_at fold, bit-for-bit") {
+    val m = Dsir.fit(target, raw, "text", buckets = 256)
+    // edge cases the tokenizer's collapse rules produce: empty text and
+    // whitespace-only both yield ONE empty token (split(trim(s)) = [""]),
+    // single token has no bigrams, runs of whitespace collapse, unicode
+    // bytes hash as written, null stays null
+    val edges = Seq(
+      (1L, Some("")), (2L, Some("   ")), (3L, Some("one")),
+      (4L, Some("a  b\t c\nd")), (5L, Some("é ü 東京 a-b")),
+      (6L, Some((0 until 400).map(i => s"tok$i").mkString(" "))),
+      (7L, None: Option[String])
+    ).toDF("doc_id", "text")
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edges, real)) {
+      val mismatch = df.select(
+          Dsir.logwMicroCol(col("text"), m).as("fused"),
+          Dsir.logwMicroColComposed(col("text"), m).as("composed"))
+        .filter(not(col("fused") <=> col("composed"))).count()
+      assert(mismatch == 0L, s"$mismatch rows diverge from the composed fold")
+    }
+  }
+
   test("Md5Bucket kernel == the composed pmod/conv/substring/md5 chain") {
     // the fused kernel must stay bit-identical to the q57 idiom the
     // oracle replays — over varied tokens and bucket counts
