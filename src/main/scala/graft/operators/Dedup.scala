@@ -535,6 +535,90 @@ object Dedup {
     } finally { fresh.unpersist(); () }
   }
 
+  /** COMPACT a bucketed gate-state table (the fingerprint table of
+    * [[writeFingerprintTable]] or the band table of [[writeBandTable]]) —
+    * the [[graft.operators.Similarity.compactSemCellTable]] discipline
+    * applied to the two remaining unboundedly-growing state stores: a
+    * long-running ingest stream appends one parquet file per bucket per
+    * batch ([[appendFingerprintTable]] / [[appendBandTable]]), and after
+    * thousands of triggers the probe pays file-listing and
+    * per-file-footer costs for state that fits in a handful of files.
+    * Compaction rewrites today's rows into ≤ numBuckets files (one task
+    * per bucket: the rewrite repartitions by the bucket column with the
+    * bucket hash, so bucket assignment is preserved by construction and
+    * each bucket lands in exactly one file).
+    *
+    * The swap is FILE-LEVEL, so the catalog entry — including the LSH
+    * geometry TBLPROPERTIES the append/probe guards read — is never
+    * touched: the combined segment is staged as an external table
+    * BESIDE the data directory, its part files are renamed in, and only
+    * then are the old files (listed BEFORE the rewrite read, and read
+    * explicitly BY THAT LIST) deleted. Crash tolerance comes from GATE
+    * SEMANTICS rather than atomicity (the compactSemCellTable argument):
+    * a reader in any crash window sees the old files, old + combined
+    * (duplicated state rows — which cannot change a gate decision:
+    * fingerprint anti-joins and band-candidate joins are
+    * duplication-insensitive), or the compacted set; rows are never
+    * absent. A concurrent append between the listing and the delete is
+    * also safe: its files are not in the delete list and survive
+    * untouched. Re-running after any crash completes the compaction.
+    *
+    * The fold applies a whole-row distinct: state rows are membership
+    * facts (both appenders anti-join before writing, so a healthy table
+    * is duplicate-free already), and the only duplicates that can exist
+    * — a compaction crash after rename-in, re-compacted over old +
+    * combined — are exactly what the distinct heals. On a healthy table
+    * the row multiset is therefore preserved verbatim (spec-pinned).
+    */
+  def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
+                           table: String): Unit = {
+    val cat = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = cat.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table is not bucketed — compactBucketedTable preserves bucket " +
+        "layout and refuses tables without one"))
+    val loc = new org.apache.hadoop.fs.Path(cat.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldFiles = fs.listStatus(loc)
+      .filter(f => f.isFile && { val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") })
+      .map(_.getPath)
+    if (oldFiles.length <= spec.numBuckets) return // already compact
+    val stagingTable = table + "__compact_tmp"
+    val stagingDir = new org.apache.hadoop.fs.Path(loc.toString + ".compact_tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+    fs.delete(stagingDir, true)
+    // read the listed files EXPLICITLY (not the catalog table), so the
+    // folded set and the delete set are the same files even if a batch
+    // appends concurrently; repartition on the bucket hash so each
+    // bucket's rows land in one task -> one file per bucket
+    val bucketCols = spec.bucketColumnNames.map(col)
+    val w0 = spark.read.schema(cat.dataSchema)
+      .parquet(oldFiles.map(_.toString): _*)
+      .dropDuplicates() // heals crash-window folds; no-op on a healthy table
+      .repartition(spec.numBuckets, bucketCols: _*)
+      .write.mode("overwrite")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    val w1 = if (spec.sortColumnNames.isEmpty) w0
+      else w0.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    w1.format("parquet").option("path", stagingDir.toString)
+      .saveAsTable(stagingTable)
+    // the combined rows are fully materialized on disk: rename them in
+    // (names carry a fresh write-job UUID — no collision with old files),
+    // THEN delete the old files
+    val staged = fs.listStatus(stagingDir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getPath)
+    staged.foreach(p => require(
+      fs.rename(p, new org.apache.hadoop.fs.Path(loc, p.getName)),
+      s"rename of compacted file $p into $loc failed"))
+    oldFiles.foreach(p => fs.delete(p, false))
+    spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+    fs.delete(stagingDir, true)
+    spark.catalog.refreshTable(table)
+  }
+
   /** [[nearDupesAgainst]] probing a PERSISTED band table (from
     * [[writeBandTable]]) instead of re-banding the corpus: only the batch
     * is scanned and banded per ingest; the corpus side is a bucketed read

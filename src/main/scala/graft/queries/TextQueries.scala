@@ -209,6 +209,53 @@ object TextQueries {
     table
   }
 
+  /** The q6w compacted fingerprint table: the q4t/q5i corpus built as
+    * write → append×2 → COMPACT (the full table lifecycle), once per sf
+    * dir per session. The q6w probe then shares q4t/q5i's FULL oracle —
+    * green proves the compacted table computes the identical gate, i.e.
+    * no lifecycle step lost, duplicated-into-divergence, or mis-bucketed
+    * a fingerprint.
+    */
+  private def ensureCompactedFpTable(s: org.apache.spark.sql.SparkSession,
+                                     d: String): String = {
+    val tag = "sf" + d.replaceAll("[^0-9]", "").takeRight(8)
+    val table = s"graft_fps_cmp_$tag"
+    if (!s.catalog.tableExists(table)) {
+      val corpus = Tables.documents(s, d).where(col("doc_id") % 3 =!= 0)
+      Dedup.writeFingerprintTable(corpus.where(col("doc_id") % 2 === 0),
+        "text", table, buckets = 8,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_fps_cmp_$tag"))
+      Dedup.appendFingerprintTable(corpus.where(col("doc_id") % 4 === 1),
+        "text", table)
+      Dedup.appendFingerprintTable(corpus.where(col("doc_id") % 4 === 3),
+        "text", table)
+      Dedup.compactBucketedTable(s, table)
+    }
+    table
+  }
+
+  /** The q6x compacted band table — [[ensureCompactedFpTable]]'s
+    * lifecycle on the near-dup axis, over the q4w/q5f corpus (all
+    * documents), sharing their exact all-pairs oracle.
+    */
+  private def ensureCompactedBandTable(s: org.apache.spark.sql.SparkSession,
+                                       d: String): String = {
+    val tag = "sf" + d.replaceAll("[^0-9]", "").takeRight(8)
+    val table = s"graft_bands_cmp_$tag"
+    if (!s.catalog.tableExists(table)) {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      Dedup.writeBandTable(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", table, buckets = 8,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bands_cmp_$tag"))
+      Dedup.appendBandTable(docs.where(col("doc_id") % 4 === 1),
+        "doc_id", "text", table)
+      Dedup.appendBandTable(docs.where(col("doc_id") % 4 === 3),
+        "doc_id", "text", table)
+      Dedup.compactBucketedTable(s, table)
+    }
+    table
+  }
+
   /** The Spark-side twin of [[nearGateOracleSql]]'s `batch` CTE. */
   private def nearGateBatch(s: org.apache.spark.sql.SparkSession,
                             d: String): org.apache.spark.sql.DataFrame = {
@@ -1171,6 +1218,40 @@ object TextQueries {
             batch, table, "doc_id", "text",
             LmQueries.sessionTmp(s, "q6v_exactgate", d), nBatches = 2)
           .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
+    // ---- COMPACTED fingerprint-table gate (q6w): the q5i probe served
+    // from a table that lived the full lifecycle — write one corpus half,
+    // append the rest in two batches, COMPACT to <= numBuckets files
+    // (compactBucketedTable: the q6t stage-rename-delete discipline at
+    // the file level, catalog entry untouched). The oracle is EXACTLY
+    // q4t/q5i's live-gate replay over the full corpus: a compaction that
+    // loses, duplicates-into-divergence, or mis-buckets a fingerprint
+    // breaks the hash. Closes the last unboundedly-growing state store
+    // (DedupSpec pins multiset preservation + crash windows; the gate
+    // probe cost pre/post compaction is probed in Scale10x).
+    QueryDef.sql("q6w_fptable_compacted", exactGateOracleSql) { (s, d) =>
+      Dedup.dropDupesAgainstTable(
+          Tables.documents(s, d).where(col("doc_id") % 3 === 0),
+          ensureCompactedFpTable(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- COMPACTED band-table gate (q6x): q6w's lifecycle on the
+    // near-dup axis — write/append×2/compact, then the q5f probe over the
+    // compacted table, against q4w's exact all-pairs Jaccard oracle.
+    // Geometry TBLPROPERTIES survive the compaction by construction
+    // (file-level swap), so the probe's silent-miss guard still engages.
+    QueryDef.sql("q6x_bandtable_compacted", nearGateOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val batch = nearGateBatch(s, d)
+      val dupIds = Dedup.nearDupesAgainstTable(batch, docs,
+          ensureCompactedBandTable(s, d), "doc_id", "text", threshold = 0.5)
+        .select(col("doc_a").as("doc_id")).distinct()
+      batch.join(dupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     },
 
     // ---- learned corpus-filter classifier (fastText-style: logistic

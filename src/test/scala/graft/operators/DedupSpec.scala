@@ -418,6 +418,107 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("compactBucketedTable: write->append->compact preserves rows, probe, geometry; crash windows gate-safe") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    def dataFiles(table: String): Seq[org.apache.hadoop.fs.Path] = {
+      val cat = spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+      val loc = new org.apache.hadoop.fs.Path(cat.location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).filter(f => f.isFile && { val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") }).map(_.getPath).toSeq
+    }
+    val corpusA = Seq.tabulate(6)(i => (i.toLong, s"corpus text number $i about topic $i"))
+      .toDF("doc_id", "text")
+    val corpusB = Seq.tabulate(4)(i => (100L + i, s"appended text batch one item $i"))
+      .toDF("doc_id", "text")
+    val corpusC = Seq.tabulate(4)(i => (200L + i, s"appended text batch two item $i"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (300L, "corpus text number 3 about topic 3"),    // dup of base
+      (301L, "appended text batch one item 2"),        // dup of append 1
+      (302L, "appended text batch two item 0"),        // dup of append 2
+      (303L, "genuinely novel probe text")).toDF("doc_id", "text")
+    // --- fingerprint table ------------------------------------------------
+    Dedup.writeFingerprintTable(corpusA, "text", "cmp_fps", buckets = 2)
+    // --- band table (same lifecycle, one assertion pass below) ------------
+    Dedup.writeBandTable(corpusA, "doc_id", "text", "cmp_bands",
+      buckets = 2, bands = 16, rowsPerBand = 2)
+    try {
+      Dedup.appendFingerprintTable(corpusB, "text", "cmp_fps")
+      Dedup.appendFingerprintTable(corpusC, "text", "cmp_fps")
+      Dedup.appendBandTable(corpusB, "doc_id", "text", "cmp_bands")
+      Dedup.appendBandTable(corpusC, "doc_id", "text", "cmp_bands")
+      def fpRows() = spark.table("cmp_fps").as[Long].collect().sorted.toSeq
+      def bandRows() = spark.table("cmp_bands")
+        .select("doc", "band", "bh").as[(Long, Int, Long)]
+        .collect().sorted.toSeq
+      def fpGate() = Dedup.dropDupesAgainstTable(batch, "cmp_fps", "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      def bandGate() = Dedup.nearDupesAgainstTable(batch,
+          corpusA.unionByName(corpusB).unionByName(corpusC), "cmp_bands",
+          "doc_id", "text", threshold = 0.5, bands = 16, rowsPerBand = 2)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val (fpBefore, bandBefore) = (fpRows(), bandRows())
+      val (fpGateBefore, bandGateBefore) = (fpGate(), bandGate())
+      assert(fpGateBefore == Seq(303L), s"fixture drifted: $fpGateBefore")
+      assert(bandGateBefore.nonEmpty)
+      val (fpFiles0, bandFiles0) = (dataFiles("cmp_fps").size, dataFiles("cmp_bands").size)
+      assert(fpFiles0 > 2 && bandFiles0 > 2,
+        s"appends must have fragmented the tables: $fpFiles0 / $bandFiles0 files")
+      Dedup.compactBucketedTable(spark, "cmp_fps")
+      Dedup.compactBucketedTable(spark, "cmp_bands")
+      // healthy-table contract: row multiset, probe results, bucketed plan
+      // and geometry properties all unchanged; files collapse to <= buckets
+      assert(fpRows() == fpBefore, "fp compaction changed the row multiset")
+      assert(bandRows() == bandBefore, "band compaction changed the row multiset")
+      assert(fpGate() == fpGateBefore && bandGate() == bandGateBefore,
+        "compaction changed a gate decision")
+      assert(dataFiles("cmp_fps").size <= 2 && dataFiles("cmp_bands").size <= 2,
+        "compaction must leave <= numBuckets files")
+      val plan = Dedup.dropDupesAgainstTable(batch, "cmp_fps", "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true") || plan.contains("SelectedBucketsCount"),
+        s"compacted fp table must still read bucketed:\n$plan")
+      // geometry survives (file-level swap never touches the catalog entry)
+      Dedup.appendBandTable(corpusB, "doc_id", "text", "cmp_bands") // no-op re-append
+      assert(bandRows() == bandBefore)
+      // re-run on an already-compact table: no-op (file names unchanged)
+      val names = dataFiles("cmp_fps").map(_.getName).sorted
+      Dedup.compactBucketedTable(spark, "cmp_fps")
+      assert(dataFiles("cmp_fps").map(_.getName).sorted == names,
+        "compacting a compact table must be a no-op")
+      // --- crash windows ---------------------------------------------------
+      // (1) old + combined coexist (crash between rename-in and delete):
+      // reproduce by renaming a twin table's part files in WITHOUT deleting
+      val cat = spark.sessionState.catalog.getTableMetadata(TableIdentifier("cmp_fps"))
+      val loc = new org.apache.hadoop.fs.Path(cat.location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Dedup.writeFingerprintTable(
+        corpusA.unionByName(corpusB).unionByName(corpusC), "text",
+        "cmp_fps_twin", buckets = 2)
+      dataFiles("cmp_fps_twin").foreach(p =>
+        assert(fs.rename(p, new org.apache.hadoop.fs.Path(loc, p.getName))))
+      spark.catalog.refreshTable("cmp_fps")
+      assert(fpRows() == (fpBefore ++ fpBefore).sorted,
+        "crash window must show duplicated (never absent) state rows")
+      assert(fpGate() == fpGateBefore,
+        "duplicated state rows changed the gate decision")
+      // (2) re-running compaction heals the duplicates back to the set
+      Dedup.compactBucketedTable(spark, "cmp_fps")
+      assert(fpRows() == fpBefore, "recovery compaction must heal duplicates")
+      assert(fpGate() == fpGateBefore)
+      // a non-bucketed table refuses
+      Seq((1L, "x")).toDF("doc_id", "text").write.saveAsTable("cmp_plain")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.compactBucketedTable(spark, "cmp_plain")
+      }
+      assert(e.getMessage.contains("not bucketed"), e.getMessage)
+    } finally {
+      Seq("cmp_fps", "cmp_bands", "cmp_fps_twin", "cmp_plain")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("appendBandTable refuses a table without recorded geometry") {
     Seq((1L, 7L, 42L)).toDF("doc", "band", "bh")
       .write.mode("overwrite").saveAsTable("bands_nogeom")
