@@ -590,6 +590,62 @@ object Similarity {
     } finally { enc.unpersist(); () }
   }
 
+  /** REFIT-AND-SWAP — the action half of the drift contract
+    * ([[ivfPqDriftStats]] tells the caller WHEN to refit; this is HOW):
+    * rebuild the index over the served corpus with a FRESHLY FITTED
+    * model, stage the new index completely beside the live root, then
+    * swap directory names. Completes the frozen-model lifecycle
+    * (build → append while the distribution holds → refit on drift).
+    *
+    * `corpus` must be the raw rows the live index serves (base build ∪
+    * every appended batch — raw embeddings live in the caller's
+    * storage; the index holds only codes, which do not decode).
+    * Enforced with a count guard: the staged index must encode exactly
+    * as many rows as the live one serves, or the refit refuses with
+    * the live index untouched — the failure mode being caught is a
+    * caller passing a subset/superset corpus, which would silently
+    * shrink or grow the served set under a live search path.
+    *
+    * Swap discipline (the compactSemCellTable stage-rename-delete
+    * pattern, directory-atomic form): the staged index is FULLY
+    * materialized (encoded + model + sidecar) before the live root is
+    * touched; then two directory renames — live→old, staged→live —
+    * each atomic, swap it in, and the old index is deleted last. A
+    * reader in any crash window therefore loads the OLD index
+    * (consistent), the NEW index (consistent), or fails loudly on a
+    * missing sidecar during the instant between the renames — never a
+    * torn mix, because meta.json, model and encoded move together with
+    * their directory (IvfPqSpec pins all three windows). A crash
+    * leaves either the staging or the `.refit_old` directory behind;
+    * re-running the refit clears both.
+    */
+  def refitIvfPqIndex(corpus: DataFrame, id: String, path: String,
+                      coarse: Seq[Seq[Double]],
+                      codebooks: Seq[Seq[Seq[Double]]]): Unit = {
+    val spark = corpus.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta.json")),
+      s"no live index at $path to refit — writeIvfPqIndex does the " +
+        "initial build")
+    val oldCount = spark.read.parquet(s"$path/encoded").count()
+    val staging = new org.apache.hadoop.fs.Path(s"$path.refit_tmp")
+    fs.delete(staging, true)
+    writeIvfPqIndex(corpus, id, staging.toString, coarse, codebooks)
+    val newCount = spark.read.parquet(s"$staging/encoded").count()
+    require(newCount == oldCount,
+      s"refit corpus mismatch: the live index at $path serves $oldCount " +
+        s"vectors but the refit corpus encodes $newCount — pass exactly " +
+        "the rows the index serves (base build plus every appended " +
+        "batch); the live index is untouched")
+    val old = new org.apache.hadoop.fs.Path(s"$path.refit_old")
+    fs.delete(old, true)
+    require(fs.rename(root, old), s"swap-out rename of $path failed")
+    require(fs.rename(staging, root), s"swap-in rename into $path failed " +
+      s"— the previous index is preserved at $old")
+    fs.delete(old, true)
+  }
+
   /** Load the (coarse, codebooks) sidecar written by [[writeIvfPqIndex]]
     * — rows re-sort to canonical order (bit-identical to the fitted
     * model); the sidecar's section sizes guard torn/foreign artifacts.
@@ -869,6 +925,69 @@ object Similarity {
       .filter(col("cell").isNotNull)
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$root/seg=$seg")
+
+  /** Write the DRIFT BASELINE sidecar for a sem cell-table root — the
+    * q6s sidecar discipline on the semantic axis: the gate's centroids
+    * are frozen at fit time ([[fitSemDedupCentroids]]), and this records
+    * the blocking corpus's (count, Σ min fixed-point distance to the
+    * nearest centroid) as `_drift.json` under the root (underscore
+    * prefix: invisible to the engine's parquet file listing, so segment
+    * reads are unaffected). One corpus-sized zero-shuffle projection +
+    * a bounded agg, paid once at table build.
+    */
+  def writeSemDriftSidecar(spark: org.apache.spark.sql.SparkSession,
+                           root: String, corpus: DataFrame,
+                           centroids: Seq[Seq[Double]]): Unit = {
+    val st = corpus
+      .select(minCoarseDist(col("embedding"), centroids).as("__d"))
+      .filter(col("__d").isNotNull)
+      .agg(count(lit(1)).as("n"), sum(col("__d")).as("s"))
+      .collect().head
+    val (n, s) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
+    val p = new org.apache.hadoop.fs.Path(s"$root/_drift.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"fmt": 1, "statN": $n, "statSumNano": $s}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** DRIFT stats for the semantic gate's frozen centroids —
+    * [[ivfPqDriftStats]]' exact contract over the cell table's sidecar:
+    * (src, n, sum_dist_nano) with `build` read from `_drift.json`
+    * ([[writeSemDriftSidecar]]) and `batch` computed live. All-integer,
+    * so the oracle recomputes BOTH rows from the raw tables and a
+    * corrupted stored stat breaks the hash. The decision rule is the
+    * caller's (refit the centroids and rebuild the cell table when the
+    * batch mean pulls away from the build mean); batch cost is one
+    * zero-shuffle projection + a bounded agg, independent of state size.
+    */
+  def semDriftStats(spark: org.apache.spark.sql.SparkSession, root: String,
+                    batch: DataFrame,
+                    centroids: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$root/_drift.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw new IllegalArgumentException(
+      s"cell table at $root predates drift stats: no _drift.json — write " +
+        "the baseline with writeSemDriftSidecar at table build")
+    val metaTxt = new String(
+      org.apache.commons.io.IOUtils.toByteArray(fs.open(p)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def metaLong(k: String): Long =
+      (s""""$k"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(metaTxt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"malformed drift sidecar at $p: $metaTxt")).group(1).toLong
+    val st = batch
+      .select(minCoarseDist(col("embedding"), centroids).as("__d"))
+      .filter(col("__d").isNotNull)
+      .agg(count(lit(1)).as("n"), sum(col("__d")).as("s"))
+      .collect().head
+    val (bn, bs) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
+    Seq(("batch", bn, bs),
+      ("build", metaLong("statN"), metaLong("statSumNano")))
+      .toDF("src", "n", "sum_dist_nano")
+  }
 
   /** Cell-blocked semantic dup ids of a batch against an ALREADY-ASSIGNED
     * state frame (columns `cell`, `embedding` — e.g. segments of the

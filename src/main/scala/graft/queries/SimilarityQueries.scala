@@ -397,6 +397,30 @@ object SimilarityQueries {
         .orderBy(col("src"))
     },
 
+    // ---- IVF-PQ refit-and-swap (q6y): the drift contract's ACTION —
+    // the q6q incrementally-built index (even half built, odd half
+    // appended) is REBUILT with a freshly fitted model (different seed,
+    // so new != old discriminates) and atomically swapped under the
+    // serving path; the search then runs over the post-swap index. The
+    // oracle is the q6h from-scratch replay WITH THE REFITTED model
+    // literals over the full corpus: a swap that silently kept the old
+    // index, tore mid-rename, or rebuilt over the wrong corpus breaks
+    // the hash (swap == rebuild, the q6q discipline one lifecycle step
+    // further).
+    QueryDef.dynamicSql("q6y_ivfpq_refit") { (s, d) =>
+      val (coarse, cbs) = ensureIvfPqRefit(s, d)
+      ivfPqReplaySql(coarse, cbs,
+        "embeddings WHERE vec_id >= 5",
+        "embeddings WHERE vec_id < 5", k = 5, nProbe = 3)
+    } { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfPqTopKFromIndex(s, ensureIvfPqRefitIndex(s, d),
+          queries, "query_id", k = 5, nProbe = 3)
+        .orderBy(col("query_id"), col("vec_id"))
+    },
+
     // ---- SemDeDup (Abbas et al. 2023 — cluster-blocked semantic dedup,
     // the LAION/DataComp discipline). Cell assignment replays as the q5y
     // integer argmin with ONE full-vector subspace; the within-cell pair
@@ -450,6 +474,26 @@ object SimilarityQueries {
           s.read.parquet(ensureCompactedCellTable(s, d)),
           threshold = 0.15, ensureSemGateCentroids(s, d))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- SemDeDup centroid drift contract (q6z): q6s's refit signal on
+    // the semantic axis — the gate's centroids are frozen at fit time,
+    // and this emits (src, n, sum_dist_nano) for the blocking corpus
+    // (from the cell table's _drift.json sidecar, written at build) vs
+    // the live batch class. All-integer, both rows recomputed from raw
+    // tables by the oracle — a corrupted sidecar breaks the hash. With
+    // q6t (compaction) and q6p (self-maintenance) this completes the
+    // cell-table lifecycle: build → gate → grow → compact → know when
+    // to refit.
+    QueryDef.dynamicSql("q6z_semgate_drift") { (s, d) =>
+      ivfPqDriftReplaySql(ensureSemGateCentroids(s, d),
+        "embeddings WHERE vec_id % 11 <> 0",
+        "embeddings WHERE vec_id % 11 = 0")
+    } { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.semDriftStats(s, ensureSemDriftSidecar(s, d),
+          emb.where(col("vec_id") % 11 === 0), ensureSemGateCentroids(s, d))
+        .orderBy(col("src"))
     },
 
     // ---- SELF-MAINTAINING semantic gate (q6p): the q6c growing-state
@@ -533,6 +577,22 @@ object SimilarityQueries {
       root
     })
 
+  /** The q6z drift sidecar on the q6p cell table's root: the baseline
+    * stat over the gate corpus, written once per sf dir (the replays
+    * only clear seg=b* survivor segments — the sidecar persists).
+    */
+  private val semDriftCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureSemDriftSidecar(s: org.apache.spark.sql.SparkSession,
+                                    d: String): String =
+    semDriftCache.getOrElseUpdate(d, {
+      val root = ensureSemCellTable(s, d)
+      Similarity.writeSemDriftSidecar(s, root,
+        Tables.embeddings(s, d).where(col("vec_id") % 11 =!= 0),
+        ensureSemGateCentroids(s, d))
+      root
+    })
+
   /** The q5y PQ codebook fit, memoized per sf dir — the query and its
     * dynamic oracle must embed the IDENTICAL codebook (the ensureSelfModel
     * discipline; the fit itself is deterministic for a given corpus+seed,
@@ -588,6 +648,43 @@ object SimilarityQueries {
         "vec_id", path, coarse, cbs)
       Similarity.appendIvfPqIndex(corpus.where(col("vec_id") % 2 =!= 0),
         "vec_id", path)
+      path
+    })
+
+  /** The q6y refit model: a SECOND deterministic fit over the full
+    * corpus with a different seed — genuinely different centroids and
+    * codebooks than [[ensureIvfPq]]'s, so a swap that silently served
+    * the old index would produce old-model results against a new-model
+    * oracle.
+    */
+  private val ivfPqRefitCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[Seq[Double]], Seq[Seq[Seq[Double]]])]
+  private def ensureIvfPqRefit(s: org.apache.spark.sql.SparkSession,
+                               d: String)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) =
+    ivfPqRefitCache.getOrElseUpdate(d,
+      Similarity.fitIvfPq(
+        Tables.embeddings(s, d).where(col("vec_id") >= 5), seed = 43L))
+
+  /** The q6y index: the q6q lifecycle (build even half, append odd half)
+    * followed by a REFIT-AND-SWAP with the fresh model over the full
+    * corpus — once per sf dir, so the search genuinely serves the
+    * post-swap artifact.
+    */
+  private val ivfPqRefitIdxCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureIvfPqRefitIndex(s: org.apache.spark.sql.SparkSession,
+                                    d: String): String =
+    ivfPqRefitIdxCache.getOrElseUpdate(d, {
+      val path = LmQueries.sessionTmp(s, "q6y_ivfpq_refit", d)
+      val (coarse, cbs) = ensureIvfPq(s, d)
+      val corpus = Tables.embeddings(s, d).where(col("vec_id") >= 5)
+      Similarity.writeIvfPqIndex(corpus.where(col("vec_id") % 2 === 0),
+        "vec_id", path, coarse, cbs)
+      Similarity.appendIvfPqIndex(corpus.where(col("vec_id") % 2 =!= 0),
+        "vec_id", path)
+      val (c1, b1) = ensureIvfPqRefit(s, d)
+      Similarity.refitIvfPqIndex(corpus, "vec_id", path, c1, b1)
       path
     })
 

@@ -229,6 +229,63 @@ class IvfPqSpec extends SparkSpec {
       "refused append must not have written anything")
   }
 
+  test("refitIvfPqIndex: swap == fresh rebuild, wrong corpus refused, mid-swap never torn") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.where(col("vec_id") >= 5)
+    val (c0, b0) = Similarity.fitIvfPq(corpus, nCentroids = 8)
+    val (c1, b1) = Similarity.fitIvfPq(corpus, nCentroids = 8, seed = 43L)
+    assert(c0 != c1, "refit fixture needs a genuinely different model")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_refit").toString
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def search(p: String) = Similarity.ivfPqTopKFromIndex(spark, p,
+        queries, "query_id", k = 5, nProbe = 3)
+      .orderBy("query_id", "vec_id").collect().map(_.toString).toSeq
+    // the served lifecycle: build the even half, append the odd half
+    Similarity.writeIvfPqIndex(corpus.where(col("vec_id") % 2 === 0),
+      "vec_id", s"$dir/idx", c0, b0)
+    Similarity.appendIvfPqIndex(corpus.where(col("vec_id") % 2 =!= 0),
+      "vec_id", s"$dir/idx")
+    val preRefit = search(s"$dir/idx")
+    // a subset corpus refuses AFTER staging, with the live index untouched
+    val e = intercept[IllegalArgumentException] {
+      Similarity.refitIvfPqIndex(corpus.where(col("vec_id") % 3 === 0),
+        "vec_id", s"$dir/idx", c1, b1)
+    }
+    assert(e.getMessage.contains("refit corpus mismatch"), e.getMessage)
+    assert(search(s"$dir/idx") == preRefit, "refused refit touched the index")
+    // the real refit (re-run also clears the refused attempt's staging)
+    Similarity.refitIvfPqIndex(corpus, "vec_id", s"$dir/idx", c1, b1)
+    val post = search(s"$dir/idx")
+    // swap == fresh rebuild with the new model — rows AND sidecar stat
+    Similarity.writeIvfPqIndex(corpus, "vec_id", s"$dir/fresh", c1, b1)
+    assert(post == search(s"$dir/fresh"), "post-swap search != fresh rebuild")
+    assert(post != preRefit, "the new model must actually be serving")
+    val batch = emb.where(col("vec_id") < 5)
+    def buildRow(p: String) = Similarity.ivfPqDriftStats(spark, p, batch)
+      .where(col("src") === "build").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).head
+    assert(buildRow(s"$dir/idx") == buildRow(s"$dir/fresh"),
+      "swapped sidecar stat != fresh build stat")
+    // no stray staging/old dirs survive a clean refit
+    val stray = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    assert(stray == Seq("fresh", "idx"), s"stray swap dirs: $stray")
+    // mid-swap window: between the two renames the root is ABSENT — a
+    // reader fails loudly (missing sidecar), never sees a torn mix, and
+    // the swapped-out directory still serves the consistent old index
+    val root = new org.apache.hadoop.fs.Path(s"$dir/idx")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$dir/idx.refit_old")
+    assert(fs.rename(root, old))
+    intercept[java.io.FileNotFoundException] {
+      Similarity.loadIvfPqModel(spark, s"$dir/idx")
+    }
+    assert(search(s"$dir/idx.refit_old") == post,
+      "the swapped-out directory must stay internally consistent")
+    assert(fs.rename(old, root))
+    assert(search(s"$dir/idx") == post)
+  }
+
   test("ivfPqDriftStats: exact hand-computed sums, sidecar-bound build row, predates-stats refusal") {
     // coarse distance of v to its NEAREST cell on the nano grid
     def minD(v: Seq[Float]): Long = coarse.map(cc =>

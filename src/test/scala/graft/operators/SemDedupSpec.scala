@@ -154,6 +154,60 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("semDriftStats: hand-computed sums, drifted-batch discrimination, sidecar-bound, refusals") {
+    // min fixed-point distance to the nearest centroid (the shared grid)
+    def minD(v: Seq[Float]): Long = cents.map(c =>
+      v.indices.map { i =>
+        val d = v(i).toDouble - c(i)
+        graft.expressions.BigramLmScore.halfUp(1e9 * (d * d))
+      }.sum).min
+    val corpus = Seq(
+      (10L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (11L, Seq(0.0f, 0.0f, 1.1f, 0.1f)),
+      (12L, Seq(1.0f, 0.0f, 0.1f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("semdrift").toString + "/cells"
+    Similarity.writeSemCellSegment(corpus, "vec_id", cents, root, "corpus")
+    // a missing sidecar refuses with a clear message
+    val inDist = Seq((50L, Seq(0.95f, 0.05f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDriftStats(spark, root, inDist, cents)
+    }
+    assert(e.getMessage.contains("predates drift stats"), e.getMessage)
+    Similarity.writeSemDriftSidecar(spark, root, corpus, cents)
+    // the sidecar must not disturb segment reads (underscore-invisible)
+    assert(spark.read.parquet(root).count() == 3)
+    // hand-computed integer sums, both rows
+    val drifted = Seq(
+      (50L, Seq(0.95f, 0.05f, 0.0f, 0.0f)),
+      (51L, Seq(4.0f, 4.0f, 4.0f, 4.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semDriftStats(spark, root, drifted, cents)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val buildSum = Seq(Seq(0.9f, 0.1f, 0.0f, 0.0f),
+      Seq(0.0f, 0.0f, 1.1f, 0.1f), Seq(1.0f, 0.0f, 0.1f, 0.0f)).map(minD).sum
+    val batchSum = minD(Seq(0.95f, 0.05f, 0.0f, 0.0f)) +
+      minD(Seq(4.0f, 4.0f, 4.0f, 4.0f))
+    assert(out.toSeq == Seq(("batch", 2L, batchSum), ("build", 3L, buildSum)))
+    // the refit signal discriminates: drifted batch mean > build mean,
+    // in-distribution batch mean does not
+    assert(batchSum / 2 > buildSum / 3)
+    val inOut = Similarity.semDriftStats(spark, root, inDist, cents)
+      .orderBy("src").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(inOut(0)._2 / inOut(0)._1 <= buildSum / 3,
+      "in-distribution batch must not read as drifted")
+    // the build row comes from the SIDECAR: a doctored stat surfaces
+    // verbatim (the q6z oracle's recompute would break the hash)
+    val p = new org.apache.hadoop.fs.Path(s"$root/_drift.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(p, true)
+    try o.write(s"""{"fmt": 1, "statN": 3, "statSumNano": 777}""".getBytes)
+    finally o.close()
+    val doctored = Similarity.semDriftStats(spark, root, inDist, cents)
+      .where(col("src") === "build").collect().head.getLong(2)
+    assert(doctored == 777L, s"build row must come from the sidecar: $doctored")
+  }
+
   test("semDedup plan: the pair test is a cell equi-join, never corpus all-pairs") {
     val plan = Similarity.semDedup(docs, "vec_id", threshold = 0.9, cents)
       .queryExecution.executedPlan.toString
