@@ -673,12 +673,30 @@ object Scale10x {
     def fpGateProbeShape(table: String): Long =           // q6v probe path
       force(Dedup.dropDupesAgainstTable(
         spark.read.parquet(gateBatchP), table, "doc_id", "text"))
+    // the q6z drift probe: per-batch cost is ONE batch projection + a
+    // bounded agg + a sidecar read — flat in corpus size by construction
+    // (the corpus-sized baseline was paid once at sidecar write). Batch
+    // fixed from the 1x copy at both scales. Its twin recomputes the
+    // build row over the corpus — linear work the sidecar amortizes away.
+    def semDriftRoot(p: String, tag: String): String = {
+      val r = s"$work/semdrift_$tag"
+      Similarity.writeSemDriftSidecar(spark, r,
+        spark.read.parquet(p).where(col("vec_id") % 11 =!= 0), semCents)
+      r
+    }
+    lazy val semDrift1 = semDriftRoot(emb1P, "c1")
+    lazy val semDriftN = semDriftRoot(embNP, s"c$copies")
+    def semDriftShape(root: String): Long =               // q6z shape
+      force(Similarity.semDriftStats(spark, root,
+        spark.read.parquet(emb1P).where(col("vec_id") % 11 === 0), semCents))
     val nearDupProbes = if (copies <= 10) Seq(
       Probe("neardup_lsh_e2e", () => nearDupShape(docs1P), () => nearDupShape(docs10P)),
       Probe("neardup_clusters", () => clusterShape(docs1P), () => clusterShape(docs10P)),
       Probe("semdedup", () => semDedupShape(emb1P), () => semDedupShape(embNP)),
       Probe("semdedup_gate", () => semGateShape(emb1P),
         () => semGateShape(embNP)),
+      Probe("semgate_drift", () => semDriftShape(semDrift1),
+        () => semDriftShape(semDriftN)),
       Probe("semgate_sm", () => semSmShape(semCell1, "semsm_wd1"),
         () => semSmShape(semCellN, s"semsm_wd$copies")),
       // q6t serving path: the same gate math as semdedup_gate, served
@@ -753,7 +771,8 @@ object Scale10x {
     // ---- the gate cycle, timed as a unit of four steady-state steps -------
     // (not through the generic Probe harness: build and append MUTATE the
     // band table, so only the excludeCorpusDocs-probed steps are best-of-2)
-    val gateNames = Seq("gate_table_build", "gate_probe", "gate_append", "gate_reprobe")
+    val gateNames = Seq("gate_table_build", "gate_probe", "gate_append",
+      "gate_reprobe", "gate_compact", "gate_postcompact")
     val gateOn = only.forall(o => gateNames.exists(n => o.exists(n.startsWith)))
     val gateResults: Seq[(String, Double, Double, Long, Long)] =
       if (!gateOn) Seq.empty
@@ -776,11 +795,24 @@ object Scale10x {
         val (aN, _) = time(gateAppend(docs10P, tableN, gateBatchP))
         val (r1, rrows1) = bo2(gateProbeShape(docs1P, table1, gateBatch2P))
         val (rN, rrowsN) = bo2(gateProbeShape(docs10P, tableN, gateBatch2P))
+        // q6x's lifecycle close: compact the grown table (one-time
+        // maintenance job, corpus-sized by design), then re-run the SAME
+        // probe — the steady-state claim is gate_postcompact ~= gate_reprobe
+        // (compaction collapses file count without changing probe cost or
+        // results; the gate equality itself is q6x's oracle)
+        val (c1, _) = time(Dedup.compactBucketedTable(spark, table1))
+        val (cN, _) = time(Dedup.compactBucketedTable(spark, tableN))
+        val (pc1, pcrows1) = bo2(gateProbeShape(docs1P, table1, gateBatch2P))
+        val (pcN, pcrowsN) = bo2(gateProbeShape(docs10P, tableN, gateBatch2P))
+        require(pcrows1 == rrows1 && pcrowsN == rrowsN,
+          s"compaction changed the gate: $rrows1/$rrowsN -> $pcrows1/$pcrowsN")
         val rows = Seq(
           ("gate_table_build", tb1, tbN, bandRows(docs1P), bandRows(docs10P)),
           ("gate_probe", p1, pN, prows1, prowsN),
           ("gate_append", a1, aN, prows1, prowsN),
-          ("gate_reprobe", r1, rN, rrows1, rrowsN))
+          ("gate_reprobe", r1, rN, rrows1, rrowsN),
+          ("gate_compact", c1, cN, bandRows(docs1P), bandRows(docs10P)),
+          ("gate_postcompact", pc1, pcN, pcrows1, pcrowsN))
         rows.foreach { case (n, t1, tN, x1, xN) =>
           println(f"[scale10x] $n%-20s 1x=${t1}%.2fs/${x1} rows  ${copies}x=${tN}%.2fs/${xN} rows  time-ratio=${tN / t1}%.1f")
         }
@@ -793,7 +825,47 @@ object Scale10x {
     // encoded view is never polluted. The claim under test: append cost =
     // one batch-sized encode + partitioned write, flat in index size. No
     // DuckDB twin (a write-path op over Spark's index layout).
-    val appendNames = Seq("ivfpq_append", "ivfpq_drift")
+    // ---- fp-table compaction cycle (q6w): append a second batch's fps to
+    // the persisted table (fragmenting it), compact, and re-run the SAME
+    // probe — steady-state claim: fpgate_postcompact ~= fpgate_probe (the
+    // generic row above), i.e. probe cost flat before/after compaction,
+    // with identical gate results (required here; q6w's oracle pins the
+    // full lifecycle's correctness).
+    val fpcNames = Seq("fpgate_compact", "fpgate_postcompact")
+    val fpcOn = only.forall(o => fpcNames.exists(n => o.exists(n.startsWith)))
+    val fpcResults: Seq[(String, Double, Double, Long, Long)] =
+      if (!fpcOn) Seq.empty
+      else {
+        def bo2(f: => Long): (Double, Long) = {
+          val (tw, _) = time(f); val (t, rows) = time(f)
+          (math.min(tw, t), rows)
+        }
+        val (pre1, preRows1) = bo2(fpGateProbeShape(fpT1))
+        val (preN, preRowsN) = bo2(fpGateProbeShape(fpTN))
+        // a NOVEL batch (suffixed texts): genuinely appends rows — the
+        // fixture batches are corpus subsets whose fps the anti-join
+        // would drop — while leaving the probe batch's gate unchanged
+        val novel = spark.read.parquet(gateBatch2P)
+          .select(col("doc_id"), concat(col("text"),
+            lit(" fpcompact novel tail")).as("text"))
+        Dedup.appendFingerprintTable(novel, "text", fpT1)
+        Dedup.appendFingerprintTable(novel, "text", fpTN)
+        val (c1, _) = time(Dedup.compactBucketedTable(spark, fpT1))
+        val (cN, _) = time(Dedup.compactBucketedTable(spark, fpTN))
+        val (pc1, pcRows1) = bo2(fpGateProbeShape(fpT1))
+        val (pcN, pcRowsN) = bo2(fpGateProbeShape(fpTN))
+        require(pcRows1 == preRows1 && pcRowsN == preRowsN,
+          s"fp compaction changed the gate: $preRows1/$preRowsN -> " +
+            s"$pcRows1/$pcRowsN")
+        val rows = Seq(
+          ("fpgate_compact", c1, cN, preRows1, preRowsN),
+          ("fpgate_postcompact", pc1, pcN, pcRows1, pcRowsN))
+        rows.foreach { case (n, a, b, x1, xN) =>
+          println(f"[scale10x] $n%-20s 1x=${a}%.2fs/$x1 rows  ${copies}x=${b}%.2fs/$xN rows  time-ratio=${b / a}%.1f")
+        }
+        rows
+      }
+    val appendNames = Seq("ivfpq_append", "ivfpq_drift", "ivfpq_refit")
     val appendOn = only.forall(o => appendNames.exists(n => o.exists(n.startsWith)))
     val appendResults: Seq[(String, Double, Double, Long, Long)] =
       if (!appendOn) Seq.empty
@@ -824,13 +896,32 @@ object Scale10x {
           graft.operators.Similarity.appendIvfPqIndex(batch, "vec_id", app1))
         val (tN, _) = time(
           graft.operators.Similarity.appendIvfPqIndex(batch, "vec_id", appN))
-        val rows = Seq(drift, ("ivfpq_append", t1, tN, n, n))
+        // refit-and-swap (q6y): rebuild over served corpus (base ∪ the
+        // batch just appended) with a fresh model, swap atomically. The
+        // honest claim is LINEAR — refit IS the one-time corpus-sized
+        // job the drift contract schedules — with the swap itself
+        // constant (two renames); timed once (mutates the index).
+        val refitFit = Similarity.fitIvfPq(
+          spark.read.parquet(emb1P).where(col("vec_id") >= 20), seed = 43L)
+        def served(p: String) = spark.read.parquet(p)
+          .where(col("vec_id") >= 20).select(col("vec_id"), col("embedding"))
+          .unionByName(batch)
+        val (f1, _) = time(Similarity.refitIvfPqIndex(
+          served(emb1P), "vec_id", app1, refitFit._1, refitFit._2))
+        val (fN, _) = time(Similarity.refitIvfPqIndex(
+          served(embNP), "vec_id", appN, refitFit._1, refitFit._2))
+        val corpusN = spark.read.parquet(embNP)
+          .where(col("vec_id") >= 20).count() + n
+        val rows = Seq(drift, ("ivfpq_append", t1, tN, n, n),
+          ("ivfpq_refit", f1, fN,
+            spark.read.parquet(emb1P).where(col("vec_id") >= 20).count() + n,
+            corpusN))
         rows.foreach { case (nm, a, b, x1, xN) =>
           println(f"[scale10x] $nm%-20s 1x=${a}%.2fs/$x1 rows  ${copies}x=${b}%.2fs/$xN rows  time-ratio=${b / a}%.1f")
         }
         rows
       }
-    val results = genericResults ++ gateResults ++ appendResults
+    val results = genericResults ++ gateResults ++ fpcResults ++ appendResults
 
     // ---- time the DuckDB twins over the same files ------------------------
     val duck: Map[String, Double] = try {
@@ -860,7 +951,13 @@ object Scale10x {
               .semSelfMaintainReplaySql(semCents,
                 s"$embv WHERE vec_id % 11 <> 0",
                 "SELECT vec_id, embedding FROM emb1v WHERE vec_id % 11 = 0",
-                threshold = "0.6"))
+                threshold = "0.6"),
+            // recomputes the build row over the corpus — the linear work
+            // the Spark side's sidecar amortizes to a constant-time read
+            "semgate_drift" -> graft.queries.SimilarityQueries
+              .ivfPqDriftReplaySql(semCents,
+                s"$embv WHERE vec_id % 11 <> 0",
+                "emb1v WHERE vec_id % 11 = 0"))
         else Map.empty
       def dsirTwin(docsv: String) = graft.queries.TextQueries.dsirReplaySql(
         dsirModel, s"$docsv WHERE doc_id % 7 <> 0", k = 50)
@@ -936,7 +1033,7 @@ object Scale10x {
       }
       f"""  "$n": {"t1_sec": $t1%.3f, "t10_sec": $t10%.3f, "ratio": ${t10 / t1}%.2f, "rows1": $r1, "rows10": $r10$duckPart}"""
     }.mkString(
-      s"""{\n  "_meta": {"sf": "$sfDir", "copies": $copies, "layout": "32-way multi-row-group parquet for BOTH scales", "note": "ratio ~<=copies = linear-or-better (sub-linear = the 1x run is scheduling-floor-bound, not compute-bound); the neardup probes (10x artifact only) are OUTPUT-bound - the scaled build plants near-identical copies per doc, so true pairs (rows10) grow quadratically in the duplication factor, and honest scaling is time vs output rows. duck*_sec = DuckDB computing the SAME RESULT over the SAME parquet files (best of 2, all cores); the near-dup twins use DuckDB's natural exact shingle-join algorithm - the q46/q4f oracles prove both formulations emit identical sets. spark_over_duck_${copies}x > 1 means DuckDB is faster at the scaled size. minhash_signatures has no twin (xxhash64 kernel is Spark-internal). gate_* rows = the incremental near-dup ingest gate: gate_table_build is the one-time corpus banding (amortized across every later batch), gate_probe/gate_reprobe the per-batch steady state (probe asserted exchange-free bucketed on the corpus side at ${copies}x before timing), gate_append the survivor band append; gate_probe's twin computes the SAME survivors via DuckDB's exact shingle join, which must re-derive corpus shingles every batch - the amortization the persisted band table buys. events probes (sessionize_stats/asof_join/range_join) scale horizontally: ${copies}x adds USERS, per-user history constant. ann_ivfpq_idx's twin is the SERVING TAIL over the same prebuilt encoded parquet (probe+ADC+top-k, no rebuild - apples-to-apples index serving). semgate_sm (<=10x class) times the 2-trigger self-maintaining semantic-gate stream replay against a two-round chained twin; its floor is the streaming machinery (see PERF.md ledger). ivfpq_append/ivfpq_drift have no twins (write-path / sidecar-read ops); their claim is cost FLAT in index+corpus size, measured by the absolutes."},\n""",
+      s"""{\n  "_meta": {"sf": "$sfDir", "copies": $copies, "layout": "32-way multi-row-group parquet for BOTH scales", "note": "ratio ~<=copies = linear-or-better (sub-linear = the 1x run is scheduling-floor-bound, not compute-bound); the neardup probes (10x artifact only) are OUTPUT-bound - the scaled build plants near-identical copies per doc, so true pairs (rows10) grow quadratically in the duplication factor, and honest scaling is time vs output rows. duck*_sec = DuckDB computing the SAME RESULT over the SAME parquet files (best of 2, all cores); the near-dup twins use DuckDB's natural exact shingle-join algorithm - the q46/q4f oracles prove both formulations emit identical sets. spark_over_duck_${copies}x > 1 means DuckDB is faster at the scaled size. minhash_signatures has no twin (xxhash64 kernel is Spark-internal). gate_* rows = the incremental near-dup ingest gate: gate_table_build is the one-time corpus banding (amortized across every later batch), gate_probe/gate_reprobe the per-batch steady state (probe asserted exchange-free bucketed on the corpus side at ${copies}x before timing), gate_append the survivor band append; gate_probe's twin computes the SAME survivors via DuckDB's exact shingle join, which must re-derive corpus shingles every batch - the amortization the persisted band table buys. events probes (sessionize_stats/asof_join/range_join) scale horizontally: ${copies}x adds USERS, per-user history constant. ann_ivfpq_idx's twin is the SERVING TAIL over the same prebuilt encoded parquet (probe+ADC+top-k, no rebuild - apples-to-apples index serving). semgate_sm (<=10x class) times the 2-trigger self-maintaining semantic-gate stream replay against a two-round chained twin; its floor is the streaming machinery (see PERF.md ledger). ivfpq_append/ivfpq_drift have no twins (write-path / sidecar-read ops); their claim is cost FLAT in index+corpus size, measured by the absolutes. ivfpq_refit (q6y) is the drift contract's ACTION — a corpus-sized rebuild + constant swap, honestly LINEAR, timed once (no twin: write-path). gate_compact/fpgate_compact time the q6x/q6w table compactions (one-time maintenance, corpus-sized); gate_postcompact/fpgate_postcompact re-run the SAME probe over the compacted table — claim: ~= the pre-compact probe (gate_reprobe/fpgate_probe), with gate equality required in-harness and oracle-pinned by q6w/q6x. semgate_drift (q6z, <=10x class) reads the sidecar baseline + one fixed-batch projection (flat); its twin recomputes the corpus-sized build row the sidecar amortizes away."},\n""",
       ",\n", "\n}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(s"[scale10x] wrote $outPath")
