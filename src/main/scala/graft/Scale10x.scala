@@ -196,6 +196,24 @@ object Scale10x {
       force(graft.queries.LmQueries.kn3Score(spark.read.parquet(p)))
     def bm25Shape(p: String): Long =                      // q5x shape
       force(graft.queries.TextQueries.bm25(spark.read.parquet(p)))
+    // the q71 serving path: whole-vocab df table written ONCE per scale
+    // (the amortized job — lazy init lands in the discarded warm pass);
+    // the probe times the cache-free single scoring scan (bm25_topk by
+    // contrast caches a corpus-sized (id, dl, tf) frame per query — the
+    // 100 TB memory hazard the table removes). Its twin re-derives the
+    // stats per query.
+    def bm25StatsTable(docsP: String, tag: String): String = {
+      val t = s"graft_scale_bm25_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.operators.Retrieval.writeBm25StatsTable(
+        spark.read.parquet(docsP), col("doc_id"), col("text"), t,
+        buckets = 32, path = Some(s"$work/bm25_$tag"))
+      t
+    }
+    lazy val bm25T1 = bm25StatsTable(docs1P, "c1")
+    lazy val bm25TN = bm25StatsTable(docs10P, s"c$copies")
+    def bm25ServeShape(p: String, t: String): Long =      // q71 shape
+      force(graft.queries.TextQueries.bm25Served(spark.read.parquet(p), t))
     def contamShape(p: String): Long =                    // q5r shape
       force(graft.queries.TextQueries.contaminationReport(spark.read.parquet(p)))
     def substrShape(p: String): Long =                    // q6f shape
@@ -551,6 +569,9 @@ object Scale10x {
       "bpe_pack" -> graft.queries.LmQueries.bpePackOracleSql(bpeModel, docs, 4000L),
       "lm_kn3" -> graft.queries.LmQueries.kn3OracleSql(docs),
       "bm25_topk" -> graft.queries.TextQueries.bm25OracleSql(docs),
+      // the serving twin computes the SAME result but must re-derive the
+      // corpus stats per query — the fit pass the persisted table saves
+      "bm25_stats_serve" -> graft.queries.TextQueries.bm25OracleSql(docs),
       "contam_report" -> graft.queries.TextQueries.contaminationOracleSql(docs),
       "exact_substr" -> graft.queries.TextQueries.exactSubstrSpansOracleSql(docs),
       "substr_decontam" -> graft.queries.TextQueries.contamRemoveOracleSql(
@@ -723,6 +744,8 @@ object Scale10x {
       Probe("bpe_pack", () => bpePackShape(docs1P), () => bpePackShape(docs10P)),
       Probe("lm_kn3", () => lmKn3Shape(docs1P), () => lmKn3Shape(docs10P)),
       Probe("bm25_topk", () => bm25Shape(docs1P), () => bm25Shape(docs10P)),
+      Probe("bm25_stats_serve", () => bm25ServeShape(docs1P, bm25T1),
+        () => bm25ServeShape(docs10P, bm25TN)),
       Probe("contam_report", () => contamShape(docs1P),
         () => contamShape(docs10P)),
       Probe("exact_substr", () => substrShape(docs1P),

@@ -31,6 +31,64 @@ import org.apache.spark.sql.functions._
   */
 object TextClassifier {
 
+  /** The fitted model's ENGINE-INDEPENDENT surface — bucket count,
+    * intercept, per-bucket coefficients. Spark ML owns the fit; this is
+    * what deploys (and what [[save]]/[[load]] persist — the
+    * BpeTokenizer/NgramLm/Dsir artifact-store discipline applied to the
+    * corpus-filter classifier: fit once, gate every future batch).
+    */
+  case class LinearTextModel(k: Int, intercept: Double,
+                             coefficients: Seq[Double]) {
+    require(coefficients.length == k,
+      s"coefficient table must cover all $k buckets, got ${coefficients.length}")
+  }
+
+  /** Export the Spark ML fit's decision surface. */
+  def export(model: LogisticRegressionModel): LinearTextModel = {
+    val c = model.coefficients.toArray.toIndexedSeq
+    LinearTextModel(c.length, model.intercept, c)
+  }
+
+  /** Persist an exported model: ONE coalesced (j, coef) parquet write
+    * (j = -1 carries the intercept) + a job-free meta.json sidecar.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: LinearTextModel,
+           path: String): Unit = {
+    import spark.implicits._
+    ((-1, model.intercept) +: model.coefficients.zipWithIndex
+        .map { case (v, j) => (j, v) }.toIndexedSeq)
+      .toDF("j", "coef")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coefs")
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"fmt": 1, "k": ${model.k}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a model written by [[save]] — rows re-sort by j so the loaded
+    * model is bit-identical regardless of parquet row order; the
+    * sidecar's bucket count guards torn/foreign artifacts.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): LinearTextModel = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaTxt = new String(
+      org.apache.commons.io.IOUtils.toByteArray(fs.open(p)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val k = """"k"\s*:\s*(\d+)""".r.findFirstMatchIn(metaTxt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed text-classifier meta at $p: $metaTxt")).group(1).toInt
+    val rows = spark.read.parquet(s"$path/coefs").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    require(rows.length == k + 1 &&
+      rows.map(_._1).sameElements(-1 to (k - 1)),
+      s"torn text-classifier artifact at $path: ${rows.length} rows vs meta $k")
+    LinearTextModel(k, rows.head._2, rows.tail.map(_._2).toIndexedSeq)
+  }
+
   /** Appends `f0..f{k-1}` token-count feature columns (doubles — the
     * values are exact small integers; double keeps the downstream chain
     * arithmetic identical on both engines).
@@ -38,10 +96,12 @@ object TextClassifier {
   def hashedFeatures(df: DataFrame, text: String, k: Int): DataFrame = {
     require(k > 0, s"need k > 0 feature buckets, got $k")
     // engine-portable token bucket: first 15 md5 hex chars as a 60-bit
-    // integer, mod k (DuckDB: CAST('0x' || substr(md5(t),1,15) AS BIGINT))
+    // integer, mod k (DuckDB: CAST('0x' || substr(md5(t),1,15) AS BIGINT)),
+    // computed by the fused Md5Bucket kernel — bit-identical to the
+    // composed pmod/conv/substring/md5 chain (DsirSpec-pinned) without
+    // its per-token hex/decimal string churn
     val bucket = transform(TextFunctions.tokens(col(text)),
-      t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
-        lit(k.toLong)))
+      t => graft.expressions.Md5Bucket(t, k))
     df.withColumn("__bk", bucket)
       .select(col("*") +: (0 until k).map(j =>
         size(filter(col("__bk"), b => b === j)).cast("double").as(s"f$j")): _*)
@@ -72,12 +132,13 @@ object TextClassifier {
     * over the `f*` columns — `pred = margin >= 0` is the exact-arithmetic
     * form of `sigmoid(margin) >= 0.5`.
     */
-  def marginCol(model: LogisticRegressionModel): Column = {
-    val c = model.coefficients.toArray
-    c.indices.foldLeft(lit(model.intercept): Column) { (acc, j) =>
-      acc + lit(c(j)) * col(s"f$j")
+  def marginCol(model: LinearTextModel): Column =
+    model.coefficients.indices.foldLeft(lit(model.intercept): Column) {
+      (acc, j) => acc + lit(model.coefficients(j)) * col(s"f$j")
     }
-  }
+
+  def marginCol(model: LogisticRegressionModel): Column =
+    marginCol(export(model))
 
   /** The SQL twin of [[marginCol]]: identical chain, shortest-repr double
     * literals forced into scientific notation — DuckDB parses a PLAIN
@@ -86,21 +147,26 @@ object TextClassifier {
     * notation literal parses directly as an IEEE double. The fixture-weight
     * oracles (q5a/q5h) never hit this because their weights are dyadic.
     */
-  def marginSql(model: LogisticRegressionModel): String = {
+  def marginSql(model: LinearTextModel): String = {
     def dlit(x: Double): String = {
       val s = x.toString
       if (s.contains("E") || s.contains("e")) s else s + "e0"
     }
-    val c = model.coefficients.toArray
-    c.indices.foldLeft(dlit(model.intercept)) { (acc, j) =>
-      s"$acc + ${dlit(c(j))}*f$j"
+    model.coefficients.indices.foldLeft(dlit(model.intercept)) { (acc, j) =>
+      s"$acc + ${dlit(model.coefficients(j))}*f$j"
     }
   }
 
+  def marginSql(model: LogisticRegressionModel): String =
+    marginSql(export(model))
+
   /** Score `df`: adds `margin` (exact chain) and `pred` (margin >= 0). */
-  def score(model: LogisticRegressionModel, df: DataFrame, text: String,
-            k: Int): DataFrame =
-    hashedFeatures(df, text, k)
+  def score(model: LinearTextModel, df: DataFrame, text: String): DataFrame =
+    hashedFeatures(df, text, model.k)
       .withColumn("margin", marginCol(model))
       .withColumn("pred", (col("margin") >= 0).cast("int"))
+
+  def score(model: LogisticRegressionModel, df: DataFrame, text: String,
+            k: Int): DataFrame =
+    score(export(model), df, text)
 }

@@ -99,4 +99,108 @@ object Retrieval {
         java.util.Arrays.asList(rows: _*), topPlan.schema)
     } finally stats.unpersist()
   }
+
+  /** Persist the corpus's BM25 statistics — the
+    * writeFingerprintTable/writeBandTable amortization applied to
+    * retrieval: per-term document frequencies over the WHOLE vocabulary
+    * as a bucketed+sorted catalog table (df lookups push the terms'
+    * IN-filter into the scan, and the per-term sort makes row-group
+    * stats prune; the bucket layout additionally serves any future
+    * term-keyed join and [[graft.operators.Dedup.compactBucketedTable]]
+    * maintenance), with the corpus size and total token
+    * count recorded as table properties (the band-table geometry
+    * discipline — a stats probe without them refuses). [[bm25TopK]]
+    * re-fits per query by CACHING a corpus-sized (id, dl, tf) frame
+    * (MEMORY_AND_DISK) so fit and scoring share one tokenize pass —
+    * fine for one-off queries, but at 100 TB that cache IS the scale
+    * hazard (executor memory/disk pressure per query).
+    * [[bm25TopKFromStats]] over this table needs no cache and no fit
+    * job at all: a bounded df lookup + one streaming kernel scan.
+    * Refresh by re-running after corpus appends (or compact with
+    * [[graft.operators.Dedup.compactBucketedTable]] if incrementally
+    * maintained by a caller).
+    */
+  def writeBm25StatsTable(docs: DataFrame, id: Column, text: Column,
+                          table: String, buckets: Int = 32,
+                          path: Option[String] = None): Unit = {
+    val spark = docs.sparkSession
+    val toks = docs.select(graft.functions.TextFunctions.tokens(text)
+      .as("__toks"))
+    val w0 = toks
+      .select(explode(array_distinct(col("__toks"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet")
+    path.fold(w0)(w0.option("path", _)).saveAsTable(table)
+    val row = toks.agg(count(lit(1)).as("n"), sum(size(col("__toks")))
+      .as("len")).collect().head
+    val (n, len) = (row.getLong(0), if (row.getLong(0) == 0L) 0L else row.getLong(1))
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.n'='$n','graft.len'='$len')")
+  }
+
+  /** [[bm25TopK]] served from a PERSISTED stats table: the per-term df
+    * lookup is a pushed-IN-filter ≤|terms|-row read, (N, Σdl) come from the
+    * table properties, and the corpus pays exactly ONE streaming kernel
+    * scan — no fit job and, unlike [[bm25TopK]], NO corpus-sized cached
+    * intermediate (the 100 TB difference). Result rows are
+    * identical to [[bm25TopK]] on the same corpus — the stats carry the
+    * same integers, so idf/avgdl and every downstream double chain are
+    * bit-equal (q71 shares q5x's oracle; spec-pinned). Terms absent from
+    * the corpus get df = 0, same as the live fit.
+    */
+  def bm25TopKFromStats(docs: DataFrame, id: Column, text: Column,
+                        statsTable: String, terms: Seq[String], k: Int,
+                        k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32,
+      s"query term list must be 1..32 terms, got ${terms.size}")
+    require(terms.distinct.size == terms.size, "query terms must be distinct")
+    val spark = docs.sparkSession
+    val props = spark.sql(s"SHOW TBLPROPERTIES $statsTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def prop(key: String): Long = props.get("graft." + key) match {
+      case Some(v) => v.toLong
+      case None => throw new IllegalArgumentException(
+        s"$statsTable has no 'graft.$key' property — not a BM25 stats " +
+          "table; write it with writeBm25StatsTable")
+    }
+    val (n, len) = (prop("n"), prop("len"))
+    val empty = docs.sparkSession.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          docs.select(id).schema.head.dataType),
+        org.apache.spark.sql.types.StructField("matched",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    if (n == 0L) return empty
+    // bounded driver read: <= |terms| (term, df) rows, bucket-pruned
+    val dfMap = spark.table(statsTable)
+      .filter(col("term").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avgdl = len.toDouble / n.toDouble
+    val idf = terms.map { t =>
+      val df = dfMap.getOrElse(t, 0L)
+      math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    }
+    // ONE corpus pass: the same fused kernel scan + identical double
+    // chain as bm25TopK's scoring projection
+    val stats = docs.select(id.as("doc_id"),
+        Bm25TermStats(text, terms.toArray).as("__s"))
+      .select(col("doc_id"), col("__s.dl").as("dl"), col("__s.tf").as("tf"))
+    val score = terms.indices.map { i =>
+      val tf = col("tf").getItem(i)
+      round(lit(1e6) * (lit(idf(i)) * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))))
+        .cast("long")
+    }.reduce(_ + _)
+    val matched = terms.indices.map(i =>
+      when(col("tf").getItem(i) > 0, 1L).otherwise(0L)).reduce(_ + _)
+    stats.select(col("doc_id"), matched.as("matched"), score.as("score"))
+      .filter(col("matched") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

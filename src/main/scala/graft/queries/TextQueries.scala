@@ -69,6 +69,45 @@ object TextQueries {
       graft.ml.TextClassifier.fit(train, "text", "y", k = QmBuckets)
     })
 
+  /** The q57/q70 holdout-scoring replay as ONE SQL text parameterized on
+    * the exported model. f_j MUST be DOUBLE: DuckDB parses the
+    * coefficient literals as DECIMAL, and DECIMAL * BIGINT stays in
+    * decimal arithmetic — only a DOUBLE operand promotes the whole chain
+    * to IEEE doubles and makes it bit-identical to the Spark side
+    * (measured: 1-ulp margin drift with BIGINT features).
+    */
+  private def qualityScoreOracleSql(
+      m: graft.ml.TextClassifier.LinearTextModel): String = {
+    val feats = (0 until m.k).map(j =>
+      s"CAST(sum(CASE WHEN bk = $j THEN 1 ELSE 0 END) AS DOUBLE) AS f$j")
+      .mkString(",\n  ")
+    s"""WITH hold AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM hold),
+       |b AS (SELECT doc_id,
+       |        CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % ${m.k} AS bk
+       |      FROM toks),
+       |f AS (SELECT doc_id, $feats FROM b GROUP BY doc_id),
+       |m AS (SELECT doc_id, ${graft.ml.TextClassifier.marginSql(m)} AS margin FROM f)
+       |SELECT doc_id, CASE WHEN margin >= 0 THEN 1 ELSE 0 END AS pred, margin
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** The q70 served model: [[ensureQualityModel]]'s fit exported and
+    * round-tripped through save→load once per sf dir (the q6k discipline
+    * — the oracle embeds the pre-save coefficients, Spark serves these).
+    */
+  private val servedQmCache = scala.collection.concurrent.TrieMap
+    .empty[String, graft.ml.TextClassifier.LinearTextModel]
+  private def ensureServedQualityModel(s: org.apache.spark.sql.SparkSession,
+                                       d: String)
+      : graft.ml.TextClassifier.LinearTextModel =
+    servedQmCache.getOrElseUpdate(d, {
+      val path = LmQueries.sessionTmp(s, "q70_quality_model", d)
+      graft.ml.TextClassifier.save(s,
+        graft.ml.TextClassifier.export(ensureQualityModel(s, d)), path)
+      graft.ml.TextClassifier.load(s, path)
+    })
+
   /** The planted cross-batch near-dup pair for q6c: 3000000 (even → replay
     * batch 0, novel vs the corpus, survives round 0) and 3000001 (odd →
     * batch 1, a near-dup of 3000000 — ~0.92 shingle Jaccard, deep in the
@@ -1263,29 +1302,31 @@ object TextQueries {
     // identical left-associative chain — the q34 export pattern applied
     // to a linear text model. pred = margin >= 0 (exact sigmoid>=0.5). ---
     QueryDef.dynamicSql("q57_quality_classifier") { (s, d) =>
-      val m = ensureQualityModel(s, d)
-      // f_j MUST be DOUBLE: DuckDB parses the coefficient literals as
-      // DECIMAL, and DECIMAL * BIGINT stays in decimal arithmetic — only a
-      // DOUBLE operand promotes the whole chain to IEEE doubles and makes
-      // it bit-identical to the Spark side (measured: 1-ulp margin drift
-      // with BIGINT features)
-      val feats = (0 until QmBuckets).map(j =>
-        s"CAST(sum(CASE WHEN bk = $j THEN 1 ELSE 0 END) AS DOUBLE) AS f$j")
-        .mkString(",\n  ")
-      s"""WITH hold AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
-         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM hold),
-         |b AS (SELECT doc_id,
-         |        CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $QmBuckets AS bk
-         |      FROM toks),
-         |f AS (SELECT doc_id, $feats FROM b GROUP BY doc_id),
-         |m AS (SELECT doc_id, ${graft.ml.TextClassifier.marginSql(m)} AS margin FROM f)
-         |SELECT doc_id, CASE WHEN margin >= 0 THEN 1 ELSE 0 END AS pred, margin
-         |FROM m ORDER BY doc_id""".stripMargin
+      qualityScoreOracleSql(
+        graft.ml.TextClassifier.export(ensureQualityModel(s, d)))
     } { (s, d) =>
       val model = ensureQualityModel(s, d)
       graft.ml.TextClassifier.score(model,
           Tables.documents(s, d).where(col("doc_id") % 10 >= 8),
           "text", k = QmBuckets)
+        .select(col("doc_id"), col("pred"), col("margin"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- SERVED corpus-filter classifier (q70): q57's scoring through
+    // the fit→export→save→load round trip — the BpeTokenizer/NgramLm/DSIR
+    // artifact discipline applied to the quality filter (fit once, gate
+    // every future batch). The oracle embeds the PRE-SAVE exported model
+    // while Spark serves the LOADED one, so a torn write, a row-order
+    // permutation, or any load-time coefficient drift breaks the hash
+    // (the q6k served-model discipline).
+    QueryDef.dynamicSql("q70_quality_served") { (s, d) =>
+      qualityScoreOracleSql(
+        graft.ml.TextClassifier.export(ensureQualityModel(s, d)))
+    } { (s, d) =>
+      val served = ensureServedQualityModel(s, d)
+      graft.ml.TextClassifier.score(served,
+          Tables.documents(s, d).where(col("doc_id") % 10 >= 8), "text")
         .select(col("doc_id"), col("pred"), col("margin"))
         .orderBy(col("doc_id"))
     },
@@ -1307,6 +1348,19 @@ object TextQueries {
     // computes.
     QueryDef.sql("q5x_bm25_topk", bm25OracleSql("documents")) { (s, d) =>
       bm25(Tables.documents(s, d))
+    },
+
+    // ---- BM25 served from the PERSISTED stats table (q71): the
+    // writeFingerprintTable amortization applied to retrieval — the
+    // whole-vocabulary df table is written once (bucketed by term, df
+    // lookups bucket-pruned; N/Σdl ride the table properties), and each
+    // query pays ONE corpus kernel scan instead of fit + score. Shares
+    // q5x's oracle verbatim: stats-served == live fit, or the hash
+    // breaks (the q5i table==live discipline on the retrieval axis).
+    QueryDef.sql("q71_bm25_stats_table", bm25OracleSql("documents")) { (s, d) =>
+      graft.operators.Retrieval.bm25TopKFromStats(Tables.documents(s, d),
+        col("doc_id"), col("text"), ensureBm25StatsTable(s, d),
+        Bm25Terms, k = 20)
     },
 
     QueryDef.sql("q58_snapshot_diff",
@@ -1845,6 +1899,21 @@ object TextQueries {
     */
   private def Bm25Terms = Seq("merge", "query", "spark", "stream", "window")
 
+  /** The q71 persisted BM25 stats table: whole-vocabulary df + (N, Σdl)
+    * properties, written once per sf dir per session (the ensureFpTable
+    * discipline — EXTERNAL at a deterministic tmp path).
+    */
+  private def ensureBm25StatsTable(s: org.apache.spark.sql.SparkSession,
+                                   d: String): String = {
+    val tag = "sf" + d.replaceAll("[^0-9]", "").takeRight(8)
+    val table = s"graft_bm25_$tag"
+    if (!s.catalog.tableExists(table))
+      graft.operators.Retrieval.writeBm25StatsTable(Tables.documents(s, d),
+        col("doc_id"), col("text"), table, buckets = 8,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bm25_$tag"))
+    table
+  }
+
   /** The q5x oracle as a function of the documents table name — shared
     * with the Scale10x `bm25_topk` twin so the probe and the correctness
     * oracle can never drift. See the Retrieval scaladoc for the exact
@@ -1886,4 +1955,13 @@ object TextQueries {
     graft.operators.Retrieval.bm25TopK(docs,
       org.apache.spark.sql.functions.col("doc_id"),
       org.apache.spark.sql.functions.col("text"), Bm25Terms, k = 20)
+
+  /** The q71 Spark side: the same query served from a persisted stats
+    * table (Scale10x twin — one corpus pass instead of fit + score).
+    */
+  def bm25Served(docs: org.apache.spark.sql.DataFrame,
+                 statsTable: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Retrieval.bm25TopKFromStats(docs,
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"), statsTable, Bm25Terms, k = 20)
 }

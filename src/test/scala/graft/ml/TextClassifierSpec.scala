@@ -70,4 +70,30 @@ class TextClassifierSpec extends SparkSpec {
     val bare = "(?<![\\w.eE+-])\\d+\\.\\d{2,}(?![\\deE])".r.findFirstIn(sql)
     assert(bare.isEmpty, s"bare decimal literal would parse as DECIMAL: $bare")
   }
+
+  test("export/save/load: bit-identical round trip; served scoring == live; torn artifact refused") {
+    val fit = TextClassifier.fit(corpus, "text", "y", k = 32)
+    val m = TextClassifier.export(fit)
+    assert(m.k == 32 && m.coefficients.length == 32)
+    val dir = java.nio.file.Files.createTempDirectory("textclf").toString
+    TextClassifier.save(spark, m, s"$dir/ok")
+    val loaded = TextClassifier.load(spark, s"$dir/ok")
+    assert(loaded == m, "round trip must be bit-identical")
+    // served scoring equals live scoring row-for-row (the q70 contract)
+    val live = TextClassifier.score(fit, corpus, "text", k = 32)
+      .select("doc_id", "margin", "pred").collect().map(_.toString).sorted.toSeq
+    val served = TextClassifier.score(loaded, corpus, "text")
+      .select("doc_id", "margin", "pred").collect().map(_.toString).sorted.toSeq
+    assert(served == live)
+    // torn artifact: coefs from a DIFFERENT k than the meta claims
+    TextClassifier.save(spark,
+      TextClassifier.export(TextClassifier.fit(corpus, "text", "y", k = 8)),
+      s"$dir/torn")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/torn/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write("""{"fmt": 1, "k": 32}""".getBytes)
+    finally out.close()
+    intercept[IllegalArgumentException] { TextClassifier.load(spark, s"$dir/torn") }
+  }
 }

@@ -73,4 +73,52 @@ class RetrievalSpec extends SparkSpec {
       Seq("spark"), k = 5).count()
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("bm25TopKFromStats: stats-served == live fit, absent-term df=0, bucket-pruned lookup, refusals") {
+    Retrieval.writeBm25StatsTable(docs, col("doc_id"), col("text"),
+      "bm25_stats_t", buckets = 2)
+    try {
+      // served == live, including a term absent from the corpus (df=0)
+      val terms = Seq("spark", "merge", "absentterm")
+      val live = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+          terms, k = 10)
+        .collect().map(_.toString).sorted.toSeq
+      val served = Retrieval.bm25TopKFromStats(docs, col("doc_id"),
+          col("text"), "bm25_stats_t", terms, k = 10)
+        .collect().map(_.toString).sorted.toSeq
+      assert(served == live, s"stats-served diverged:\n$served\nvs\n$live")
+      // the df lookup pushes the term IN-filter into the parquet scan
+      // (sorted-by-term files => row-group stats prune; the planner
+      // rightly skips the bucketed-scan machinery for a bare filter)
+      val plan = spark.table("bm25_stats_t")
+        .filter(col("term").isin(terms: _*))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [In(term"), plan)
+      // the returned scoring plan is a single scan into the ordered
+      // limit — no joins and no aggregate (the saved fit pass)
+      val splan = Retrieval.bm25TopKFromStats(docs, col("doc_id"),
+          col("text"), "bm25_stats_t", terms, k = 10)
+        .queryExecution.executedPlan.toString
+      assert(!splan.contains("Join") && !splan.contains("HashAggregate"),
+        splan)
+      // the stats table is compactable like every other gate-state table
+      Dedup.compactBucketedTable(spark, "bm25_stats_t")
+      val postCompact = Retrieval.bm25TopKFromStats(docs, col("doc_id"),
+          col("text"), "bm25_stats_t", terms, k = 10)
+        .collect().map(_.toString).sorted.toSeq
+      assert(postCompact == live, "compaction changed the served scores")
+      // a table without the stats properties refuses
+      docs.select(col("text").as("term"), col("doc_id").as("df"))
+        .write.mode("overwrite").bucketBy(2, "term").format("parquet")
+        .saveAsTable("bm25_noprops")
+      val e = intercept[IllegalArgumentException] {
+        Retrieval.bm25TopKFromStats(docs, col("doc_id"), col("text"),
+          "bm25_noprops", terms, k = 10)
+      }
+      assert(e.getMessage.contains("not a BM25 stats table"), e.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bm25_stats_t")
+      spark.sql("DROP TABLE IF EXISTS bm25_noprops")
+    }
+  }
 }
