@@ -322,6 +322,40 @@ object Scale10x {
       force(graft.ml.Dsir.select(
         spark.read.parquet(p).where(col("doc_id") % 7 =!= 0),
         "doc_id", "text", dsirModel, k = 50))
+    // the q72/q73 drift probes: per-batch cost = one fixed-batch scan +
+    // a sidecar read — flat in corpus size (the corpus-sized baseline is
+    // paid once at sidecar write, in the lazy init the warm pass
+    // discards). Their twins recompute the build row per query — the
+    // linear work the sidecar amortizes away.
+    def dsirDriftRoot(p: String, tag: String): String = {
+      val r = s"$work/dsirdrift_$tag"
+      graft.ml.Dsir.save(spark, dsirModel, r)
+      graft.ml.Dsir.writeDriftSidecar(spark, r,
+        spark.read.parquet(p).where(col("doc_id") % 7 =!= 0), "text")
+      r
+    }
+    lazy val dsirDrift1 = dsirDriftRoot(docs1P, "c1")
+    lazy val dsirDriftN = dsirDriftRoot(docs10P, s"c$copies")
+    def dsirDriftShape(root: String): Long =              // q72 shape
+      force(graft.ml.Dsir.driftStats(spark, root,
+        spark.read.parquet(docs1P).where(col("doc_id") % 7 === 0), "text"))
+    // the q5k-cap self-fit on the 1x corpus (the dsirModel discipline:
+    // identical model at both scales; keep caps in sync with LmQueries)
+    lazy val lmDriftModel = graft.ml.NgramLm.fit(
+      spark.read.parquet(docs1P), col("text"), 25, 600)
+    def lmDriftRoot(p: String, tag: String): String = {
+      val r = s"$work/lmdrift_$tag"
+      graft.ml.NgramLm.save(spark, lmDriftModel, r)
+      graft.ml.NgramLm.writeDriftSidecar(spark, r,
+        spark.read.parquet(p), col("doc_id"), col("text"))
+      r
+    }
+    lazy val lmDrift1 = lmDriftRoot(docs1P, "c1")
+    lazy val lmDriftN = lmDriftRoot(docs10P, s"c$copies")
+    def lmDriftShape(root: String): Long =                // q73 shape
+      force(graft.ml.NgramLm.driftStats(spark, root,
+        spark.read.parquet(docs1P).where(col("doc_id") % 9 === 0),
+        col("doc_id"), col("text")))
     def dsirGumbelShape(p: String): Long =                // q6r shape
       force(graft.ml.Dsir.selectGumbel(
         spark.read.parquet(p).where(col("doc_id") % 7 =!= 0),
@@ -770,7 +804,11 @@ object Scale10x {
         () => fpGateProbeShape(fpTN)),
       Probe("dsir", () => dsirShape(docs1P), () => dsirShape(docs10P)),
       Probe("dsir_gumbel", () => dsirGumbelShape(docs1P),
-        () => dsirGumbelShape(docs10P))) ++
+        () => dsirGumbelShape(docs10P)),
+      Probe("dsir_drift", () => dsirDriftShape(dsirDrift1),
+        () => dsirDriftShape(dsirDriftN)),
+      Probe("lm_drift", () => lmDriftShape(lmDrift1),
+        () => lmDriftShape(lmDriftN))) ++
       nearDupProbes :+
       Probe("multimodel_eval", () => multiEvalShape(li1P, ord1P),
         () => multiEvalShape(li10P, ord10P))
@@ -987,6 +1025,14 @@ object Scale10x {
       def dsirGumbelTwin(docsv: String) =
         graft.queries.TextQueries.dsirGumbelReplaySql(
           dsirModel, s"$docsv WHERE doc_id % 7 <> 0", k = 50, seed = 17L)
+      // the drift twins recompute the BUILD row over the scaled corpus —
+      // the linear work the Spark sidecars amortize to a constant read
+      def dsirDriftTwin(docsv: String) =
+        graft.queries.TextQueries.dsirDriftReplaySql(dsirModel,
+          s"$docsv WHERE doc_id % 7 <> 0", "docs1v WHERE doc_id % 7 = 0")
+      def lmDriftTwin(docsv: String) =
+        graft.queries.LmQueries.lmDriftReplaySql("docs1v", docsv,
+          "docs1v WHERE doc_id % 9 = 0")
       // the index probe's twin serves from the SAME prebuilt encoded
       // parquet (probe ranking + ADC + top-k only) — apples-to-apples
       // index serving vs index serving (r12 ADVICE: the full-replay twin
@@ -1007,13 +1053,17 @@ object Scale10x {
         ("ann_pq" -> pqTwin("emb1v")) + ("ann_ivfpq" -> ivfPqTwin("emb1v")) +
         ("ann_recall" -> recallTwin("emb1v")) +
         ("dsir" -> dsirTwin("docs1v")) +
-        ("dsir_gumbel" -> dsirGumbelTwin("docs1v")) ++
+        ("dsir_gumbel" -> dsirGumbelTwin("docs1v")) +
+        ("dsir_drift" -> dsirDriftTwin("docs1v")) +
+        ("lm_drift" -> lmDriftTwin("docs1v")) ++
         semTwin("emb1v") ++ idxTwin("enc1v")
       val sqlN = duckSql("docsNv", "liNv", "ordNv", "evNv", "gbv", "embNv") +
         ("ann_pq" -> pqTwin("embNv")) + ("ann_ivfpq" -> ivfPqTwin("embNv")) +
         ("ann_recall" -> recallTwin("embNv")) +
         ("dsir" -> dsirTwin("docsNv")) +
-        ("dsir_gumbel" -> dsirGumbelTwin("docsNv")) ++
+        ("dsir_gumbel" -> dsirGumbelTwin("docsNv")) +
+        ("dsir_drift" -> dsirDriftTwin("docsNv")) +
+        ("lm_drift" -> lmDriftTwin("docsNv")) ++
         semTwin("embNv") ++ idxTwin("encNv")
       val views = Map("docs1v" -> docs1P, "docsNv" -> docs10P,
         "li1v" -> li1P, "liNv" -> li10P, "ord1v" -> ord1P, "ordNv" -> ord10P,

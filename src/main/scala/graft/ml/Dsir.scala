@@ -148,6 +148,71 @@ object Dsir {
     DsirModel(buckets, rows.map(_._2).toIndexedSeq)
   }
 
+  /** Write the DRIFT BASELINE sidecar for a persisted DSIR model — the
+    * q6s/q6z contract on the selection axis: the model's deltas are
+    * frozen at fit time, and this records the RAW corpus's (doc count,
+    * Σ importance weight in micro-nats) as `_drift.json` beside the
+    * model artifact. A later batch whose mean logw pulls DOWN from the
+    * baseline is drifting away from the target distribution the deltas
+    * encode (or the raw distribution moved — either way the fit is
+    * stale). One corpus-sized zero-shuffle kernel scan + a bounded agg,
+    * paid once at save time.
+    */
+  def writeDriftSidecar(spark: org.apache.spark.sql.SparkSession,
+                        path: String, corpus: DataFrame,
+                        text: String): Unit = {
+    val model = load(spark, path)
+    val st = corpus
+      .select(logwMicroCol(col(text), model).as("__w"))
+      .filter(col("__w").isNotNull)
+      .agg(count(lit(1)).as("n"), sum(col("__w")).as("s"))
+      .collect().head
+    val (n, s) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
+    val p = new org.apache.hadoop.fs.Path(s"$path/_drift.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"fmt": 1, "statN": $n, "statSumMicro": $s}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** DRIFT stats for a persisted DSIR model — [[graft.operators
+    * .Similarity.ivfPqDriftStats]]' exact contract on the selection
+    * axis: (src, n, sum_logw_micro) with `build` read from the
+    * `_drift.json` sidecar ([[writeDriftSidecar]]) and `batch` computed
+    * live by the fused scoring kernel. All-integer, so the oracle
+    * recomputes BOTH rows from the raw tables and a corrupted stored
+    * stat breaks the hash. The decision rule is the caller's (refit
+    * when the batch mean falls away from the build mean); batch cost is
+    * one zero-shuffle kernel scan + a bounded agg.
+    */
+  def driftStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                 batch: DataFrame, text: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$path/_drift.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw new IllegalArgumentException(
+      s"DSIR model at $path predates drift stats: no _drift.json — write " +
+        "the baseline with writeDriftSidecar at save time")
+    val metaTxt = new String(
+      org.apache.commons.io.IOUtils.toByteArray(fs.open(p)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def metaLong(k: String): Long =
+      (s""""$k"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(metaTxt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"malformed drift sidecar at $p: $metaTxt")).group(1).toLong
+    val model = load(spark, path)
+    val st = batch
+      .select(logwMicroCol(col(text), model).as("__w"))
+      .filter(col("__w").isNotNull)
+      .agg(count(lit(1)).as("n"), sum(col("__w")).as("s"))
+      .collect().head
+    val (bn, bs) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
+    Seq(("batch", bn, bs),
+      ("build", metaLong("statN"), metaLong("statSumMicro")))
+      .toDF("src", "n", "sum_logw_micro")
+  }
+
   /** Importance weight in integer micro-nats, as a zero-shuffle Column
     * over the text — Σ_features deltaMicro(bucket(f)), computed by the
     * fused [[graft.expressions.DsirScore]] kernel: one codegen'd pass

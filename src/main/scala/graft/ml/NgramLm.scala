@@ -281,6 +281,73 @@ object NgramLm {
         ctxCap, gramCap, order)
   }
 
+  /** Write the DRIFT BASELINE sidecar for a persisted LM — the q6s/q6z/
+    * q72 contract on the perplexity axis: the count tables are frozen at
+    * fit time, and this records the fit corpus's (scored doc count,
+    * scored gram count, Σ lm_score micro-nats) as `_drift.json` beside
+    * the model artifact. A later batch whose mean per-gram score pulls
+    * DOWN from the baseline (equivalently: mean ppl rising) is drifting
+    * away from the distribution the gate's threshold was calibrated on.
+    * One corpus scan + a bounded agg, paid once at save time.
+    */
+  def writeDriftSidecar(spark: SparkSession, path: String,
+                        corpus: DataFrame, id: Column,
+                        text: Column): Unit = {
+    val model = load(spark, path)
+    val st = scoreDocs(corpus, id, text, model)
+      .agg(count(lit(1)).as("n"), sum(col("n_bigrams")).as("g"),
+        sum(col("lm_score")).as("s"))
+      .collect().head
+    val (n, g, s) =
+      if (st.getLong(0) == 0L) (0L, 0L, 0L)
+      else (st.getLong(0), st.getLong(1), st.getLong(2))
+    val p = new org.apache.hadoop.fs.Path(s"$path/_drift.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((s"""{"fmt": 1, "statN": $n, "statGrams": $g, """ +
+      s""""statSumMicro": $s}""")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** DRIFT stats for a persisted LM — (src, n_docs, n_grams,
+    * sum_score_micro) with `build` read from the `_drift.json` sidecar
+    * ([[writeDriftSidecar]]) and `batch` scored live (the fused kernel
+    * for kernel-sized models). All-integer — lm_score is the exact
+    * micro-nat sum — so the oracle recomputes BOTH rows from raw tables
+    * and a corrupted stored stat breaks the hash. Docs with < 2 tokens
+    * score no grams and are excluded on both sides (the scoreDocs
+    * contract). Batch cost: one scan + a bounded agg.
+    */
+  def driftStats(spark: SparkSession, path: String, batch: DataFrame,
+                 id: Column, text: Column): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$path/_drift.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw new IllegalArgumentException(
+      s"LM at $path predates drift stats: no _drift.json — write the " +
+        "baseline with writeDriftSidecar at save time")
+    val metaTxt = new String(
+      org.apache.commons.io.IOUtils.toByteArray(fs.open(p)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def metaLong(k: String): Long =
+      (s""""$k"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(metaTxt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"malformed drift sidecar at $p: $metaTxt")).group(1).toLong
+    val model = load(spark, path)
+    val st = scoreDocs(batch, id, text, model)
+      .agg(count(lit(1)).as("n"), sum(col("n_bigrams")).as("g"),
+        sum(col("lm_score")).as("s"))
+      .collect().head
+    val (bn, bg, bs) =
+      if (st.getLong(0) == 0L) (0L, 0L, 0L)
+      else (st.getLong(0), st.getLong(1), st.getLong(2))
+    Seq(("batch", bn, bg, bs),
+      ("build", metaLong("statN"), metaLong("statGrams"),
+        metaLong("statSumMicro")))
+      .toDF("src", "n_docs", "n_grams", "sum_score_micro")
+  }
+
   /** Score `docs(id, text)` against a fitted model. Output (the id column
     * is emitted as `doc_id` regardless of its input name), one row per
     * document with at least one bigram (≥ 2 tokens):

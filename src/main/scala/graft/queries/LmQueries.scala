@@ -167,6 +167,41 @@ object LmQueries {
          |SELECT doc_id FROM p WHERE ppl <= 40.0
          |ORDER BY doc_id""".stripMargin)
 
+  /** q73 replay: BOTH drift rows recomputed from the raw tables — the
+    * q5k scoring chain per side (re-fit inline from `fitFrom`),
+    * aggregated to (n_docs, n_grams, Σ lm_score). Each side's full WITH
+    * chain nests inside a parenthesized subquery (the q6u/q72
+    * precedent); assembled by plain concatenation so no stripMargin can
+    * eat the inner pipes.
+    */
+  def lmDriftReplaySql(fitFrom: String, buildFrom: String,
+                       batchFrom: String): String = {
+    def side(scoreFrom: String): String =
+      "(SELECT count(*) AS n_docs, " +
+        "CAST(coalesce(sum(n_bigrams), 0) AS BIGINT) AS n_grams, " +
+        "CAST(coalesce(sum(lm_score), 0) AS BIGINT) AS sum_score_micro " +
+        "FROM (" + lmScoreOracleSqlOn(fitFrom, scoreFrom) + "))"
+    "SELECT 'batch' AS src, n_docs, n_grams, sum_score_micro FROM " +
+      side(batchFrom) +
+      "\nUNION ALL\nSELECT 'build', n_docs, n_grams, sum_score_micro FROM " +
+      side(buildFrom) + "\nORDER BY src"
+  }
+
+  /** The q73 model artifact with its drift sidecar: the q5k self-fit
+    * saved once per sf dir, baseline stat over the SAME fit corpus.
+    */
+  private val lmDriftCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureLmDriftPath(s: org.apache.spark.sql.SparkSession,
+                                d: String): String =
+    lmDriftCache.getOrElseUpdate(d, {
+      val path = sessionTmp(s, "q73_lm_drift", d)
+      NgramLm.save(s, ensureSelfModel(s, d), path)
+      NgramLm.writeDriftSidecar(s, path, Tables.documents(s, d),
+        col("doc_id"), col("text"))
+      path
+    })
+
   /** The q5k Spark side against any documents frame (Scale10x reuses it). */
   def lmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     NgramLm.selfScore(docs, col("doc_id"), col("text"), UniCap, BiCap)
@@ -660,6 +695,29 @@ object LmQueries {
       val m = ensureSelfModel(s, d)
       NgramLm.pplGate(docs, col("doc_id"), col("text"), m, maxPpl = 40.0)
         .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
+    // ---- LM-gate drift contract (q73): the q6s/q6z/q72 refit signal on
+    // the perplexity axis — the model's count tables are frozen at fit
+    // time, and this emits (src, n_docs, n_grams, sum_score_micro) for
+    // the fit corpus (from the saved model's _drift.json sidecar) vs a
+    // live batch. Fixture: the batch is an OOV-suffixed slice, whose
+    // mean per-gram score must pull BELOW the baseline (ppl rising —
+    // the re-calibrate signal). lm_score is the exact micro-nat sum,
+    // so the oracle recomputes BOTH rows from raw tables via the q5k
+    // scoring CTE — a corrupted sidecar breaks the hash. Completes the
+    // drift symmetry across every frozen gate model (IVF-PQ q6s,
+    // SemDeDup q6z, DSIR q72, perplexity q73).
+    QueryDef.sql("q73_lm_drift", lmDriftReplaySql("documents",
+      "documents",
+      "(SELECT doc_id, text || ' zq zzq qqz' AS text FROM documents " +
+        "WHERE doc_id % 9 = 0) drifted")) { (s, d) =>
+      val batch = Tables.documents(s, d).where(col("doc_id") % 9 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" zq zzq qqz")).as("text"))
+      NgramLm.driftStats(s, ensureLmDriftPath(s, d), batch,
+          col("doc_id"), col("text"))
+        .orderBy(col("src"))
     },
 
     // ---- order-3 LM: the trigram generalization, oracle-pinned ------------

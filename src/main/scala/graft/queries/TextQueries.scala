@@ -1626,6 +1626,27 @@ object TextQueries {
         "doc_id", "text", ensureDsirModel(s, d), k = 50, seed = 17L)
     },
 
+    // ---- DSIR drift contract (q72): the q6s/q6z refit signal on the
+    // selection axis — the deltas are frozen at fit time, and this emits
+    // (src, n, sum_logw_micro) for the RAW fit corpus (from the model
+    // artifact's _drift.json sidecar, written at save) vs a live batch.
+    // Fixture: the batch is the TARGET slice, whose mean logw must read
+    // ABOVE the raw baseline — the discriminating direction. All-integer
+    // (the q6j scoring CTE summed per side), both rows recomputed from
+    // raw tables — a corrupted sidecar breaks the hash. Completes the
+    // drift symmetry across all three frozen-model families (IVF-PQ
+    // q6s, SemDeDup q6z, DSIR q72).
+    QueryDef.dynamicSql("q72_dsir_drift") { (s, d) =>
+      dsirDriftReplaySql(ensureDsirModel(s, d),
+        "documents WHERE doc_id % 7 <> 0",
+        "documents WHERE doc_id % 7 = 0")
+    } { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ml.Dsir.driftStats(s, ensureDsirDriftPath(s, d),
+          docs.where(col("doc_id") % 7 === 0), "text")
+        .orderBy(col("src"))
+    },
+
     // ---- streaming DSIR gate (q6k): the fitted importance filter riding
     // an ingest stream — stateless per-row integer decision (the q6d
     // discipline), replayed in 2 micro-batches through the MemoryStream
@@ -1667,6 +1688,23 @@ object TextQueries {
        |        CAST(sum(dl.d[(CAST('0x' || substr(md5(f), 1, 15) AS BIGINT)
        |                       % ${m.buckets}) + 1]) AS BIGINT) AS logw_micro
        |      FROM f CROSS JOIN dl GROUP BY doc_id)""".stripMargin
+
+  /** q72 replay: BOTH drift rows recomputed from the raw tables — the
+    * q6j scoring CTE per side, aggregated to (n, Σ logw_micro). Each
+    * side's full WITH chain nests inside a parenthesized subquery
+    * (DuckDB 1.0 allows this — the q6u precedent); assembled by plain
+    * concatenation, so no stripMargin can eat the inner pipes.
+    */
+  def dsirDriftReplaySql(m: graft.ml.Dsir.DsirModel, buildFrom: String,
+                         batchFrom: String): String = {
+    def side(from: String): String =
+      "(SELECT count(*) AS n, " +
+        "CAST(coalesce(sum(logw_micro), 0) AS BIGINT) AS sum_logw_micro " +
+        "FROM (" + dsirScoreCte(m, from) + "\nSELECT logw_micro FROM s))"
+    "SELECT 'batch' AS src, n, sum_logw_micro FROM " + side(batchFrom) +
+      "\nUNION ALL\nSELECT 'build', n, sum_logw_micro FROM " +
+      side(buildFrom) + "\nORDER BY src"
+  }
 
   /** q6j / dsir-twin replay: top-k selection with the id tie-break. */
   def dsirReplaySql(m: graft.ml.Dsir.DsirModel, corpusFrom: String,
@@ -1739,6 +1777,22 @@ object TextQueries {
       val path = LmQueries.sessionTmp(s, "q6k_dsir_model", d)
       graft.ml.Dsir.save(s, ensureDsirModel(s, d), path)
       graft.ml.Dsir.load(s, path)
+    })
+
+  /** The q72 model artifact with its drift sidecar: q6k's save→load path
+    * discipline plus `writeDriftSidecar` over the RAW fit corpus — once
+    * per sf dir (the sidecar survives, the oracle recomputes it).
+    */
+  private val dsirDriftCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureDsirDriftPath(s: org.apache.spark.sql.SparkSession,
+                                  d: String): String =
+    dsirDriftCache.getOrElseUpdate(d, {
+      val path = LmQueries.sessionTmp(s, "q72_dsir_drift", d)
+      graft.ml.Dsir.save(s, ensureDsirModel(s, d), path)
+      graft.ml.Dsir.writeDriftSidecar(s, path,
+        Tables.documents(s, d).where(col("doc_id") % 7 =!= 0), "text")
+      path
     })
 
   /** Shared windows→islands CTE chain for the ExactSubstr oracles (k=8,

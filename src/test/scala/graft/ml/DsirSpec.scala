@@ -91,6 +91,43 @@ class DsirSpec extends SparkSpec {
     assert(flipped, "50 seeds all produced the identical sample — noise inert?")
   }
 
+  test("driftStats: rows equal an independent recomputation, target batch reads above raw baseline, sidecar-bound, refusals") {
+    val m = Dsir.fit(target, raw, "text", buckets = 64)
+    val dir = java.nio.file.Files.createTempDirectory("dsir_drift").toString
+    Dsir.save(spark, m, s"$dir/m")
+    // a model without the sidecar refuses with a clear message
+    val e = intercept[IllegalArgumentException] {
+      Dsir.driftStats(spark, s"$dir/m", target, "text")
+    }
+    assert(e.getMessage.contains("predates drift stats"), e.getMessage)
+    Dsir.writeDriftSidecar(spark, s"$dir/m", raw, "text")
+    val out = Dsir.driftStats(spark, s"$dir/m", target, "text")
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // independent recomputation of both sums via the composed fold
+    def sumOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(Dsir.logwMicroColComposed(col("text"), m).as("w"))
+        .collect().map(_.getLong(0)).sum
+    assert(out.toSeq == Seq(
+      ("batch", 2L, sumOf(target)), ("build", 4L, sumOf(raw))))
+    // the refit-signal direction: the TARGET batch's mean importance
+    // must sit above the raw fit corpus's baseline mean
+    assert(out(0)._3 / out(0)._2 > out(1)._3 / out(1)._2,
+      "target-like batch must read above the raw baseline")
+    // the build row comes from the SIDECAR: a doctored stat surfaces
+    // verbatim (the q72 oracle's recompute would break the hash)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/m/_drift.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(p, true)
+    try o.write("""{"fmt": 1, "statN": 4, "statSumMicro": -99}""".getBytes)
+    finally o.close()
+    val doctored = Dsir.driftStats(spark, s"$dir/m", target, "text")
+      .where(col("src") === "build").collect().head.getLong(2)
+    assert(doctored == -99L, s"build row must come from the sidecar: $doctored")
+    // the sidecar is invisible to the model loader (underscore file)
+    assert(Dsir.load(spark, s"$dir/m") == m)
+  }
+
   test("DsirScore kernel == the composed element_at fold, bit-for-bit") {
     val m = Dsir.fit(target, raw, "text", buckets = 256)
     // edge cases the tokenizer's collapse rules produce: empty text and

@@ -82,6 +82,48 @@ class NgramLmSpec extends SparkSpec {
     assert(kept(m2) == kept(m))
   }
 
+  test("driftStats: rows equal an independent recomputation, OOV batch pulls below baseline, sidecar-bound, refusals") {
+    val m = fitB(corpus, col("text"), uniCap = 4, biCap = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ngramlm_drift").toString
+    NgramLm.save(spark, m, dir)
+    val batch = Seq((10L, "a b zq"), (11L, "zq zzq")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      NgramLm.driftStats(spark, dir, batch, col("doc_id"), col("text"))
+    }
+    assert(e.getMessage.contains("predates drift stats"), e.getMessage)
+    NgramLm.writeDriftSidecar(spark, dir, corpus, col("doc_id"), col("text"))
+    val out = NgramLm.driftStats(spark, dir, batch, col("doc_id"), col("text"))
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent recomputation of both sides via scoreDocs
+    def stat(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val rows = NgramLm.scoreDocs(df, col("doc_id"), col("text"), m)
+        .select("n_bigrams", "lm_score").collect()
+      (rows.length.toLong, rows.map(_.getLong(0)).sum, rows.map(_.getLong(1)).sum)
+    }
+    val (bn, bg, bs) = stat(batch)
+    val (kn, kg, ks) = stat(corpus)
+    assert(out.toSeq == Seq(("batch", bn, bg, bs), ("build", kn, kg, ks)))
+    // refit-signal direction: the OOV-heavy batch's mean per-gram score
+    // pulls BELOW the in-distribution baseline (ppl rising)
+    assert(bs.toDouble / bg < ks.toDouble / kg,
+      s"OOV batch must score below baseline: $bs/$bg vs $ks/$kg")
+    // the build row comes from the sidecar: a doctored stat surfaces
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_drift.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(p, true)
+    try o.write(
+      """{"fmt": 1, "statN": 2, "statGrams": 6, "statSumMicro": -5}""".getBytes)
+    finally o.close()
+    val doctored = NgramLm.driftStats(spark, dir, batch,
+        col("doc_id"), col("text"))
+      .where(col("src") === "build").collect().head.getLong(3)
+    assert(doctored == -5L, s"build row must come from the sidecar: $doctored")
+    // the sidecar is invisible to the model loader (underscore file)
+    val m2 = loadB(spark, dir)
+    assert(m2.uniArr.toSeq == m.uniArr.toSeq && m2.biArr.toSeq == m.biArr.toSeq)
+  }
+
   test("load accepts the v1 (pre-r11) artifact format: uniCap/biCap meta, fixed 1/2 tags") {
     // hand-write a v1 artifact: meta keys uniCap/biCap (no fmt, no ctxCap)
     // and parquet n-tags FIXED at 1 (contexts) / 2 (grams) even at order 3
