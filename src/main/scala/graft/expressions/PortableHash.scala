@@ -32,13 +32,8 @@ case class Md5Bucket(child: Expression, buckets: Int)
   def bucket(s: Any): Long = {
     val md = Md5Bucket.digest.get()
     md.reset()
-    val d = md.digest(s.asInstanceOf[UTF8String].getBytes)
-    // first 8 digest bytes big-endian, dropped to the top 60 bits —
-    // exactly the integer the 15-hex-char prefix parses to
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    java.lang.Long.remainderUnsigned(v >>> 4, buckets.toLong)
+    md.update(s.asInstanceOf[UTF8String].getBytes)
+    Md5Bucket.bucketOfDigest(md, buckets)
   }
 
   override def nullSafeEval(s: Any): Any = bucket(s)

@@ -168,12 +168,8 @@ object Dsir {
       .agg(count(lit(1)).as("n"), sum(col("__w")).as("s"))
       .collect().head
     val (n, s) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
-    val p = new org.apache.hadoop.fs.Path(s"$path/_drift.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"""{"fmt": 1, "statN": $n, "statSumMicro": $s}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    graft.sources.JsonSidecar.write(spark, s"$path/_drift.json",
+      s"""{"fmt": 1, "statN": $n, "statSumMicro": $s}""")
   }
 
   /** DRIFT stats for a persisted DSIR model — [[graft.operators
@@ -189,18 +185,15 @@ object Dsir {
   def driftStats(spark: org.apache.spark.sql.SparkSession, path: String,
                  batch: DataFrame, text: String): DataFrame = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(s"$path/_drift.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) throw new IllegalArgumentException(
-      s"DSIR model at $path predates drift stats: no _drift.json — write " +
-        "the baseline with writeDriftSidecar at save time")
-    val metaTxt = new String(
-      org.apache.commons.io.IOUtils.toByteArray(fs.open(p)),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val metaTxt = graft.sources.JsonSidecar
+      .readOpt(spark, s"$path/_drift.json")
+      .getOrElse(throw new IllegalArgumentException(
+        s"DSIR model at $path predates drift stats: no _drift.json — " +
+          "write the baseline with writeDriftSidecar at save time"))
     def metaLong(k: String): Long =
-      (s""""$k"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(metaTxt)
+      graft.sources.JsonSidecar.longField(metaTxt, k)
         .getOrElse(throw new IllegalArgumentException(
-          s"malformed drift sidecar at $p: $metaTxt")).group(1).toLong
+          s"malformed drift sidecar at $path/_drift.json: $metaTxt"))
     val model = load(spark, path)
     val st = batch
       .select(logwMicroCol(col(text), model).as("__w"))

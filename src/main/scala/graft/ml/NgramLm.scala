@@ -301,13 +301,8 @@ object NgramLm {
     val (n, g, s) =
       if (st.getLong(0) == 0L) (0L, 0L, 0L)
       else (st.getLong(0), st.getLong(1), st.getLong(2))
-    val p = new org.apache.hadoop.fs.Path(s"$path/_drift.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write((s"""{"fmt": 1, "statN": $n, "statGrams": $g, """ +
-      s""""statSumMicro": $s}""")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    graft.sources.JsonSidecar.write(spark, s"$path/_drift.json",
+      s"""{"fmt": 1, "statN": $n, "statGrams": $g, "statSumMicro": $s}""")
   }
 
   /** DRIFT stats for a persisted LM — (src, n_docs, n_grams,
@@ -322,18 +317,15 @@ object NgramLm {
   def driftStats(spark: SparkSession, path: String, batch: DataFrame,
                  id: Column, text: Column): DataFrame = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(s"$path/_drift.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) throw new IllegalArgumentException(
-      s"LM at $path predates drift stats: no _drift.json — write the " +
-        "baseline with writeDriftSidecar at save time")
-    val metaTxt = new String(
-      org.apache.commons.io.IOUtils.toByteArray(fs.open(p)),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val metaTxt = graft.sources.JsonSidecar
+      .readOpt(spark, s"$path/_drift.json")
+      .getOrElse(throw new IllegalArgumentException(
+        s"LM at $path predates drift stats: no _drift.json — write the " +
+          "baseline with writeDriftSidecar at save time"))
     def metaLong(k: String): Long =
-      (s""""$k"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(metaTxt)
+      graft.sources.JsonSidecar.longField(metaTxt, k)
         .getOrElse(throw new IllegalArgumentException(
-          s"malformed drift sidecar at $p: $metaTxt")).group(1).toLong
+          s"malformed drift sidecar at $path/_drift.json: $metaTxt"))
     val model = load(spark, path)
     val st = scoreDocs(batch, id, text, model)
       .agg(count(lit(1)).as("n"), sum(col("n_bigrams")).as("g"),

@@ -167,6 +167,14 @@ object TextClassifier {
       .withColumn("pred", (col("margin") >= 0).cast("int"))
 
   def score(model: LogisticRegressionModel, df: DataFrame, text: String,
-            k: Int): DataFrame =
-    score(export(model), df, text)
+            k: Int): DataFrame = {
+    val m = export(model)
+    // the exported surface carries its own bucket count; a mismatched k
+    // is a caller-side configuration bug that must stay loud (silently
+    // scoring with the model's k would mask it)
+    require(k == m.k,
+      s"bucket-count mismatch: scoring requested k=$k but the model was " +
+        s"fitted with ${m.k} feature buckets")
+    score(m, df, text)
+  }
 }

@@ -583,7 +583,13 @@ object Dedup {
       .filter(f => f.isFile && { val n = f.getPath.getName
         !n.startsWith("_") && !n.startsWith(".") })
       .map(_.getPath)
-    if (oldFiles.length <= spec.numBuckets) return // already compact
+    // already-compact fast path. Note one nuance: a crash window's
+    // duplicate rows persist through this no-op if old + combined
+    // happened to fit in <= numBuckets files (tiny tables only — any
+    // real table's pre-crash files already exceed the bucket count);
+    // they are gate-safe regardless and fold away at the next genuine
+    // compaction.
+    if (oldFiles.length <= spec.numBuckets) return
     val stagingTable = table + "__compact_tmp"
     val stagingDir = new org.apache.hadoop.fs.Path(loc.toString + ".compact_tmp")
     spark.sql(s"DROP TABLE IF EXISTS $stagingTable")

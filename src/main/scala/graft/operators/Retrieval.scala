@@ -124,20 +124,27 @@ object Retrieval {
                           table: String, buckets: Int = 32,
                           path: Option[String] = None): Unit = {
     val spark = docs.sparkSession
+    // PERSISTED across the two jobs (the bm25TopK discipline): the df
+    // write and the (N, Σdl) aggregate both need the token arrays, and
+    // re-deriving them would tokenize the corpus twice — the build-time
+    // kernel scan IS the cost. Call-scoped: released before returning.
     val toks = docs.select(graft.functions.TextFunctions.tokens(text)
-      .as("__toks"))
-    val w0 = toks
-      .select(explode(array_distinct(col("__toks"))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "term").sortBy("term")
-      .format("parquet")
-    path.fold(w0)(w0.option("path", _)).saveAsTable(table)
-    val row = toks.agg(count(lit(1)).as("n"), sum(size(col("__toks")))
-      .as("len")).collect().head
-    val (n, len) = (row.getLong(0), if (row.getLong(0) == 0L) 0L else row.getLong(1))
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
-      s"'graft.n'='$n','graft.len'='$len')")
+        .as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w0 = toks
+        .select(explode(array_distinct(col("__toks"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "term").sortBy("term")
+        .format("parquet")
+      path.fold(w0)(w0.option("path", _)).saveAsTable(table)
+      val row = toks.agg(count(lit(1)).as("n"), sum(size(col("__toks")))
+        .as("len")).collect().head
+      val (n, len) = (row.getLong(0), if (row.getLong(0) == 0L) 0L else row.getLong(1))
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+        s"'graft.n'='$n','graft.len'='$len')")
+    } finally { toks.unpersist(); () }
   }
 
   /** [[bm25TopK]] served from a PERSISTED stats table: the per-term df

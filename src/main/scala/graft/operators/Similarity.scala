@@ -545,9 +545,12 @@ object Similarity {
     * index actually serves, not just the initial build — a caller's
     * mean-ratio refit rule stays anchored to the served data. The meta
     * rewrite follows the data append; a crash between the two leaves
-    * the baseline stale by exactly one batch (self-heals on the
-    * caller's replay, since the replayed append re-accumulates with
-    * the re-appended rows).
+    * the baseline stale by exactly one batch, and — the SAME caller
+    * contract as the data append itself — an unwrapped replay
+    * double-counts (data twice, stat once more): wrap in exactly-once
+    * machinery when batches can replay, or repair with
+    * [[refitIvfPqIndex]] over the corpus you intend to serve (its
+    * count guard will surface the duplicated rows first).
     */
   def appendIvfPqIndex(batch: DataFrame, id: String, path: String): Unit = {
     val spark = batch.sparkSession
@@ -556,10 +559,10 @@ object Similarity {
     // or torn index refuses with nothing appended
     val metaTxt = readIndexMeta(spark, path)
     def metaLong(k: String): Long =
-      (s""""$k"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(metaTxt)
+      graft.sources.JsonSidecar.longField(metaTxt, k)
         .getOrElse(throw new IllegalArgumentException(
           s"index at $path predates drift stats: no $k in meta — rebuild " +
-            "with writeIvfPqIndex before appending")).group(1).toLong
+            "with writeIvfPqIndex before appending"))
     val (oldN, oldSum) = (metaLong("statN"), metaLong("statSumNano"))
     // ONE batch scan feeds both the encoded rows and the stat terms
     // (IvfPqEncode and the coarse term null out on the same geometry
@@ -578,15 +581,17 @@ object Similarity {
       val st = enc.agg(count(lit(1)).as("n"), sum(col("__d")).as("s"))
         .collect().head
       val (bn, bs) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
-      val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(p, true)
-      try out.write(metaTxt
-        .replace(s""""statN": $oldN""", s""""statN": ${oldN + bn}""")
-        .replace(s""""statSumNano": $oldSum""",
-          s""""statSumNano": ${oldSum + bs}""")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      // REGENERATE the canonical meta from parsed values — a textual
+      // .replace would silently no-op on a differently-spaced (but
+      // valid) meta and freeze the stat with no error
+      def geom(k: String): Long = graft.sources.JsonSidecar
+        .longField(metaTxt, k)
+        .getOrElse(throw new IllegalArgumentException(
+          s"malformed IVF-PQ meta at $path: $metaTxt"))
+      graft.sources.JsonSidecar.write(spark, s"$path/meta.json",
+        s"""{"fmt": 1, "nCentroids": ${geom("nCentroids")}, """ +
+          s""""m": ${geom("m")}, "codebookSize": ${geom("codebookSize")}, """ +
+          s""""statN": ${oldN + bn}, "statSumNano": ${oldSum + bs}}""")
     } finally { enc.unpersist(); () }
   }
 
@@ -616,8 +621,11 @@ object Similarity {
     * missing sidecar during the instant between the renames — never a
     * torn mix, because meta.json, model and encoded move together with
     * their directory (IvfPqSpec pins all three windows). A crash
-    * leaves either the staging or the `.refit_old` directory behind;
-    * re-running the refit clears both.
+    * leaves the staging or `.refit_old` directory behind — and, if it
+    * hit the instant between the renames, an ABSENT root; re-running
+    * the refit recovers every case (the between-renames orphan is
+    * rolled forward from the fully-materialized staging, or rolled
+    * back from `.refit_old` — whichever survived) and then refits.
     */
   def refitIvfPqIndex(corpus: DataFrame, id: String, path: String,
                       coarse: Seq[Seq[Double]],
@@ -625,7 +633,26 @@ object Similarity {
     val spark = corpus.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta.json")),
+    def hasMeta(p: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$p/meta.json"))
+    // crash recovery for the between-renames window (root renamed out,
+    // staging not yet renamed in): roll FORWARD from the staged index if
+    // it completed (it was fully materialized before any rename — meta
+    // is its last write), else roll BACK the old one. Either way a live
+    // index exists again before this refit proceeds.
+    if (!hasMeta(path)) {
+      val staging0 = new org.apache.hadoop.fs.Path(s"$path.refit_tmp")
+      val old0 = new org.apache.hadoop.fs.Path(s"$path.refit_old")
+      if (hasMeta(staging0.toString)) {
+        require(fs.rename(staging0, root),
+          s"crash recovery: roll-forward rename of $staging0 failed")
+        fs.delete(old0, true)
+      } else if (hasMeta(old0.toString)) {
+        require(fs.rename(old0, root),
+          s"crash recovery: roll-back rename of $old0 failed")
+      }
+    }
+    require(hasMeta(path),
       s"no live index at $path to refit — writeIvfPqIndex does the " +
         "initial build")
     val oldCount = spark.read.parquet(s"$path/encoded").count()
@@ -728,7 +755,11 @@ object Similarity {
     // with an oversized batch. Callers with a genuinely larger serving
     // batch raise the cap explicitly (each row is ~12 bytes) or split
     // the batch.
-    val probeRows = probeFrame.limit(maxProbeRows + 1).collect()
+    // the +1 sentinel detects overflow of the cap; clamp so a caller
+    // raising the cap to Int.MaxValue doesn't wrap limit() negative
+    val lim = if (maxProbeRows == Int.MaxValue) Int.MaxValue
+      else maxProbeRows + 1
+    val probeRows = probeFrame.limit(lim).collect()
     require(probeRows.length <= maxProbeRows,
       s"serving batch too large: > $maxProbeRows (query, cell) probe rows " +
         s"(|queries| × nProbe=$nProbe) would be collected to the driver — " +
@@ -944,12 +975,8 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("__d")).as("s"))
       .collect().head
     val (n, s) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
-    val p = new org.apache.hadoop.fs.Path(s"$root/_drift.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"""{"fmt": 1, "statN": $n, "statSumNano": $s}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    graft.sources.JsonSidecar.write(spark, s"$root/_drift.json",
+      s"""{"fmt": 1, "statN": $n, "statSumNano": $s}""")
   }
 
   /** DRIFT stats for the semantic gate's frozen centroids —
@@ -966,18 +993,15 @@ object Similarity {
                     batch: DataFrame,
                     centroids: Seq[Seq[Double]]): DataFrame = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(s"$root/_drift.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) throw new IllegalArgumentException(
-      s"cell table at $root predates drift stats: no _drift.json — write " +
-        "the baseline with writeSemDriftSidecar at table build")
-    val metaTxt = new String(
-      org.apache.commons.io.IOUtils.toByteArray(fs.open(p)),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val metaTxt = graft.sources.JsonSidecar
+      .readOpt(spark, s"$root/_drift.json")
+      .getOrElse(throw new IllegalArgumentException(
+        s"cell table at $root predates drift stats: no _drift.json — " +
+          "write the baseline with writeSemDriftSidecar at table build"))
     def metaLong(k: String): Long =
-      (s""""$k"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(metaTxt)
+      graft.sources.JsonSidecar.longField(metaTxt, k)
         .getOrElse(throw new IllegalArgumentException(
-          s"malformed drift sidecar at $p: $metaTxt")).group(1).toLong
+          s"malformed drift sidecar at $root/_drift.json: $metaTxt"))
     val st = batch
       .select(minCoarseDist(col("embedding"), centroids).as("__d"))
       .filter(col("__d").isNotNull)

@@ -284,6 +284,21 @@ class IvfPqSpec extends SparkSpec {
       "the swapped-out directory must stay internally consistent")
     assert(fs.rename(old, root))
     assert(search(s"$dir/idx") == post)
+    // between-renames crash recovery, roll-BACK case: root absent, only
+    // .refit_old survives — a re-run restores it and refits
+    assert(fs.rename(root, old))
+    Similarity.refitIvfPqIndex(corpus, "vec_id", s"$dir/idx", c1, b1)
+    assert(search(s"$dir/idx") == post, "roll-back recovery diverged")
+    // roll-FORWARD case: root absent, a fully staged index survives —
+    // a re-run completes the crashed swap first, then refits
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/idx.refit_tmp")
+    Similarity.writeIvfPqIndex(corpus, "vec_id", staging.toString, c0, b0)
+    assert(fs.rename(root, old))
+    Similarity.refitIvfPqIndex(corpus, "vec_id", s"$dir/idx", c1, b1)
+    assert(search(s"$dir/idx") == post, "roll-forward recovery diverged")
+    val strays = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("idx.")).toSeq
+    assert(strays.isEmpty, s"recovery left stray swap dirs: $strays")
   }
 
   test("ivfPqDriftStats: exact hand-computed sums, sidecar-bound build row, predates-stats refusal") {
