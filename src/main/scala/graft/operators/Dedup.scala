@@ -569,6 +569,9 @@ object Dedup {
     * — a compaction crash after rename-in, re-compacted over old +
     * combined — are exactly what the distinct heals. On a healthy table
     * the row multiset is therefore preserved verbatim (spec-pinned).
+    * COROLLARY: only compact tables whose rows ARE membership facts —
+    * a table of additive deltas (e.g. per-batch df increments) would
+    * lose equal rows to the distinct; rebuild such tables whole instead.
     */
   def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
                            table: String): Unit = {

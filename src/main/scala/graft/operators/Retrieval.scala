@@ -116,9 +116,13 @@ object Retrieval {
     * hazard (executor memory/disk pressure per query).
     * [[bm25TopKFromStats]] over this table needs no cache and no fit
     * job at all: a bounded df lookup + one streaming kernel scan.
-    * Refresh by re-running after corpus appends (or compact with
-    * [[graft.operators.Dedup.compactBucketedTable]] if incrementally
-    * maintained by a caller).
+    * Refresh by RE-RUNNING this write after corpus appends — df counts
+    * are additive, so do NOT maintain this table with duplicate-row
+    * appends: [[graft.operators.Dedup.compactBucketedTable]]'s
+    * whole-row distinct is sound only for membership-fact tables
+    * (fingerprints, band keys), and would fold two equal (term, df)
+    * delta rows into one. As written (one row per term, rebuilt whole)
+    * the table IS compaction-safe, which the spec pins.
     */
   def writeBm25StatsTable(docs: DataFrame, id: Column, text: Column,
                           table: String, buckets: Int = 32,
