@@ -94,8 +94,16 @@ object Md5Bucket {
   * serialized expression — bounded by the fit's bucket cap (≤ 65536
   * longs), the same reason the cap exists for 100 TB.
   */
-case class DsirScore(child: Expression, deltaMicro: Array[Long])
+case class DsirScore(child: Expression, deltaMicro: IndexedSeq[Long])
     extends UnaryExpression {
+
+  // the delta table as a case-class field is an immutable IndexedSeq so
+  // expression equality/hashCode compare CONTENTS — an Array field is
+  // reference-compared, which defeats canonicalization and
+  // common-subexpression elimination (two semantically identical
+  // DsirScore expressions would never dedup). The eval/codegen hot loop
+  // indexes a flat array, converted once per (de)serialized instance.
+  @transient private lazy val deltaArr: Array[Long] = deltaMicro.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType if deltaMicro.nonEmpty => TypeCheckResult.TypeCheckSuccess
@@ -108,14 +116,15 @@ case class DsirScore(child: Expression, deltaMicro: Array[Long])
 
   def score(text: UTF8String): Long = {
     val toks = WordShinglesKernel.tokenize(text)
-    val buckets = deltaMicro.length
+    val deltas = deltaArr
+    val buckets = deltas.length
     val md = Md5Bucket.digest.get()
     var sum = 0L
     var i = 0
     while (i < toks.length) {
       md.reset()
       md.update(toks(i).getBytes)
-      sum += deltaMicro(Md5Bucket.bucketOfDigest(md, buckets).toInt)
+      sum += deltas(Md5Bucket.bucketOfDigest(md, buckets).toInt)
       i += 1
     }
     i = 0
@@ -124,7 +133,7 @@ case class DsirScore(child: Expression, deltaMicro: Array[Long])
       md.update(toks(i).getBytes)
       md.update(' '.toByte)
       md.update(toks(i + 1).getBytes)
-      sum += deltaMicro(Md5Bucket.bucketOfDigest(md, buckets).toInt)
+      sum += deltas(Md5Bucket.bucketOfDigest(md, buckets).toInt)
       i += 1
     }
     sum
@@ -142,6 +151,73 @@ case class DsirScore(child: Expression, deltaMicro: Array[Long])
 }
 
 object DsirScore {
-  def apply(text: Column, deltaMicro: Array[Long]): Column =
-    ColumnBridge.column(new DsirScore(ColumnBridge.expression(text), deltaMicro))
+  def apply(text: Column, deltaMicro: Seq[Long]): Column =
+    ColumnBridge.column(
+      new DsirScore(ColumnBridge.expression(text), deltaMicro.toIndexedSeq))
+}
+
+/** Whole-document hashed bag-of-tokens counts as ONE fused kernel — the
+  * [[DsirScore]] treatment applied to the quality classifier's feature
+  * build ([[graft.ml.TextClassifier.hashedFeatures]]): tokenize →
+  * md5-bucket each token → increment a length-k count array, in a single
+  * pass. The composed form it replaces ran k=64 separate
+  * `size(filter(__bk, _ === j))` traversals over each document's bucket
+  * array — 64 array walks plus the materialized bucket array per row,
+  * the exact composed-chain shape the DSIR axis already measured ~2×
+  * behind its twin before fusion.
+  *
+  * Bit-identical by construction to the composed chain (spec-pinned):
+  *   - tokens: [[WordShinglesKernel.tokenize]] IS
+  *     `split(trim(text), "\\s+")` (TextFunctionsSpec-pinned), including
+  *     the single empty token a whitespace-only text produces;
+  *   - bucket: [[Md5Bucket.bucketOfDigest]] — the one shared definition,
+  *     so the fused counts cannot drift from the per-token kernel.
+  *
+  * Emits `array<long>` (element j = tokens in bucket j, never null); the
+  * caller casts elements to double so the downstream PER-BUCKET float
+  * margin chain keeps the exact op order the q57/q70 oracles spell — the
+  * house constraint: fuse only the counting, never the float fold.
+  */
+case class Md5BucketCounts(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if buckets > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_bucket_counts requires STRING and buckets > 0, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  def counts(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = WordShinglesKernel.tokenize(text)
+    val md = Md5Bucket.digest.get()
+    val c = new Array[Long](buckets)
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      md.update(toks(i).getBytes)
+      c(Md5Bucket.bucketOfDigest(md, buckets).toInt) += 1L
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(c)
+  }
+
+  override def nullSafeEval(s: Any): Any = counts(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bkCounts", this,
+      classOf[Md5BucketCounts].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.counts($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5BucketCounts =
+    copy(child = newChild)
+}
+
+object Md5BucketCounts {
+  def apply(text: Column, buckets: Int): Column =
+    ColumnBridge.column(
+      new Md5BucketCounts(ColumnBridge.expression(text), buckets))
 }

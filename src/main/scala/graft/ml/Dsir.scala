@@ -215,7 +215,7 @@ object Dsir {
     * purely on array materialization.
     */
   def logwMicroCol(text: Column, model: DsirModel): Column =
-    graft.expressions.DsirScore(text, model.deltaMicro.toArray)
+    graft.expressions.DsirScore(text, model.deltaMicro)
 
   /** The composed-builtins form of [[logwMicroCol]] — the kernel's
     * semantic specification (an exact integer fold over the literal

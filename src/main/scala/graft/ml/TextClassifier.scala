@@ -59,12 +59,10 @@ object TextClassifier {
         .map { case (v, j) => (j, v) }.toIndexedSeq)
       .toDF("j", "coef")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/coefs")
-    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"""{"fmt": 1, "k": ${model.k}}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // atomic (temp + rename over): a crash cannot leave a torn meta that
+    // load() would refuse forever
+    graft.sources.JsonSidecar.write(spark, s"$path/meta.json",
+      s"""{"fmt": 1, "k": ${model.k}}""")
   }
 
   /** Load a model written by [[save]] — rows re-sort by j so the loaded
@@ -92,14 +90,38 @@ object TextClassifier {
   /** Appends `f0..f{k-1}` token-count feature columns (doubles — the
     * values are exact small integers; double keeps the downstream chain
     * arithmetic identical on both engines).
+    *
+    * The per-bucket counts come from the fused
+    * [[graft.expressions.Md5BucketCounts]] kernel — ONE
+    * tokenize→bucket→count pass per document emitting the length-k count
+    * array (the DsirScore treatment applied to the feature build; the
+    * composed chain ran k separate `size(filter(...))` traversals of a
+    * materialized bucket array per row). The f_j columns are plain
+    * element reads of that array, so the downstream PER-BUCKET float
+    * margin chain ([[marginCol]]) keeps the exact op order the q57/q70
+    * oracles spell — the house constraint: fuse only the counting,
+    * never the float fold. Bit-equality kernel == composed chain is
+    * TextClassifierSpec-pinned. The two projections below must stay
+    * separate (CollapseProject keeps them apart because the kernel alias
+    * is non-cheap and multiply-referenced — the same shape the composed
+    * form relied on), so the kernel runs once per row, not k times.
     */
   def hashedFeatures(df: DataFrame, text: String, k: Int): DataFrame = {
     require(k > 0, s"need k > 0 feature buckets, got $k")
-    // engine-portable token bucket: first 15 md5 hex chars as a 60-bit
-    // integer, mod k (DuckDB: CAST('0x' || substr(md5(t),1,15) AS BIGINT)),
-    // computed by the fused Md5Bucket kernel — bit-identical to the
-    // composed pmod/conv/substring/md5 chain (DsirSpec-pinned) without
-    // its per-token hex/decimal string churn
+    df.withColumn("__bc", graft.expressions.Md5BucketCounts(col(text), k))
+      .select(col("*") +: (0 until k).map(j =>
+        element_at(col("__bc"), j + 1).cast("double").as(s"f$j")): _*)
+      .drop("__bc")
+  }
+
+  /** The composed-builtins form of [[hashedFeatures]] — the fused
+    * kernel's semantic specification (md5-60-bit token bucket via
+    * [[graft.expressions.Md5Bucket]], then one count column per bucket),
+    * kept for the spec's bit-equality pin.
+    */
+  private[graft] def hashedFeaturesComposed(df: DataFrame, text: String,
+                                            k: Int): DataFrame = {
+    require(k > 0, s"need k > 0 feature buckets, got $k")
     val bucket = transform(TextFunctions.tokens(col(text)),
       t => graft.expressions.Md5Bucket(t, k))
     df.withColumn("__bk", bucket)

@@ -160,10 +160,24 @@ object Retrieval {
     * same integers, so idf/avgdl and every downstream double chain are
     * bit-equal (q71 shares q5x's oracle; spec-pinned). Terms absent from
     * the corpus get df = 0, same as the live fit.
+    *
+    * STALENESS GUARD (`expectedN`): `docs` and `statsTable` are
+    * independent arguments, and a corpus that drifted from the table's
+    * build corpus (appends landed, the table not yet refreshed with
+    * [[mergeBm25StatsTable]]/[[writeBm25StatsTable]]) would score with
+    * silently wrong idf/avgdl — the one silent-wrong path in a surface
+    * that otherwise refuses loudly. Serving callers track their corpus
+    * count already (every gate table records n); pass it and a
+    * mismatched table refuses instead of mis-scoring. `None` keeps the
+    * unguarded behavior for callers that KNOW table and corpus moved
+    * together (the q71 fixture builds both from one frame) — a
+    * guard-by-count job here would reintroduce the corpus-sized second
+    * pass this serving path exists to avoid.
     */
   def bm25TopKFromStats(docs: DataFrame, id: Column, text: Column,
                         statsTable: String, terms: Seq[String], k: Int,
-                        k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+                        k1: Double = 1.25, b: Double = 0.75,
+                        expectedN: Option[Long] = None): DataFrame = {
     require(terms.nonEmpty && terms.size <= 32,
       s"query term list must be 1..32 terms, got ${terms.size}")
     require(terms.distinct.size == terms.size, "query terms must be distinct")
@@ -177,6 +191,11 @@ object Retrieval {
           "table; write it with writeBm25StatsTable")
     }
     val (n, len) = (prop("n"), prop("len"))
+    expectedN.foreach(e => require(e == n,
+      s"stale BM25 stats table $statsTable: it was built over $n docs " +
+        s"but the caller serves $e — refresh it (mergeBm25StatsTable " +
+        "for an append batch, writeBm25StatsTable to rebuild) before " +
+        "scoring, or idf/avgdl would be silently wrong"))
     val empty = docs.sparkSession.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType(Seq(

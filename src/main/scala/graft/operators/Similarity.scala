@@ -544,8 +544,11 @@ object Similarity {
     * [[ivfPqDriftStats]]' `build` row keeps describing the corpus the
     * index actually serves, not just the initial build — a caller's
     * mean-ratio refit rule stays anchored to the served data. The meta
-    * rewrite follows the data append; a crash between the two leaves
-    * the baseline stale by exactly one batch, and — the SAME caller
+    * rewrite follows the data append and is ATOMIC
+    * ([[graft.sources.JsonSidecar.write]] stages to a temp file and
+    * renames over meta.json), so a crash mid-rewrite cannot leave a
+    * torn sidecar that every loader refuses on — the worst crash
+    * outcome is a baseline stale by exactly one batch; and — the SAME caller
     * contract as the data append itself — an unwrapped replay
     * double-counts (data twice, stat once more): wrap in exactly-once
     * machinery when batches can replay, or repair with
@@ -660,11 +663,19 @@ object Similarity {
     fs.delete(staging, true)
     writeIvfPqIndex(corpus, id, staging.toString, coarse, codebooks)
     val newCount = spark.read.parquet(s"$staging/encoded").count()
-    require(newCount == oldCount,
-      s"refit corpus mismatch: the live index at $path serves $oldCount " +
-        s"vectors but the refit corpus encodes $newCount — pass exactly " +
-        "the rows the index serves (base build plus every appended " +
-        "batch); the live index is untouched")
+    if (newCount != oldCount) {
+      // delete the staging BEFORE refusing: a refused staging is fully
+      // materialized (complete meta.json), and the crash-recovery path
+      // above rolls any meta-complete .refit_tmp FORWARD whenever the
+      // root goes missing — leaving it behind could later promote a
+      // wrong-corpus index to serve (and leaks a corpus-sized directory)
+      fs.delete(staging, true)
+      throw new IllegalArgumentException(
+        s"refit corpus mismatch: the live index at $path serves $oldCount " +
+          s"vectors but the refit corpus encodes $newCount — pass exactly " +
+          "the rows the index serves (base build plus every appended " +
+          "batch); the live index is untouched")
+    }
     val old = new org.apache.hadoop.fs.Path(s"$path.refit_old")
     fs.delete(old, true)
     require(fs.rename(root, old), s"swap-out rename of $path failed")

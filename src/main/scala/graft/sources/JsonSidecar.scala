@@ -13,12 +13,28 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object JsonSidecar {
 
+  /** ATOMIC overwrite: the bytes land in a `.tmp` sibling first, then one
+    * rename (FileContext with OVERWRITE — atomic on POSIX local and HDFS)
+    * swaps it over the live path. A crash therefore leaves either the old
+    * sidecar or the new one, never a torn/empty file — which matters most
+    * for the IN-PLACE meta rewrites (appendIvfPqIndex's stat
+    * accumulation): a truncate-then-write there could take a whole
+    * serving index down on a routine append crash, since every loader
+    * refuses on a malformed meta. The fixed `.tmp` name is safe under the
+    * house single-maintainer assumption (all sidecar writers are
+    * maintenance ops); a crash-leftover temp is simply overwritten by the
+    * next write and never read (readers address the exact live path).
+    */
   def write(spark: SparkSession, path: String, json: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The sidecar's full text, or None if the file does not exist. */

@@ -38,6 +38,25 @@ class TextClassifierSpec extends SparkSpec {
     assert(row == 1.0, s"token 'the' must land in md5 bucket $bucket")
   }
 
+  test("fused bucket-counts kernel == composed size(filter) chain, bit-equal") {
+    val k = 16
+    // edge cases the kernel must share with the composed form: empty
+    // string and whitespace-only text (both tokenize to one empty token),
+    // repeated tokens, multi-space runs
+    val edge = Seq((200L, ""), (201L, "   "), (202L, "the the the"),
+      (203L, "a  b   c"), (204L, "solo")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit(0.0).as("y"))
+    val docs = corpus.unionByName(edge)
+    val fused = TextClassifier.hashedFeatures(docs, "text", k)
+      .select((col("doc_id") +: (0 until k).map(j => col(s"f$j"))): _*)
+      .collect().map(_.toString).sorted.toSeq
+    val composed = TextClassifier.hashedFeaturesComposed(docs, "text", k)
+      .select((col("doc_id") +: (0 until k).map(j => col(s"f$j"))): _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fused == composed,
+      "Md5BucketCounts must be bit-identical to the composed chain")
+  }
+
   test("fit separates disjoint vocabularies; margin chain matches driver fold") {
     val k = 32
     val m = TextClassifier.fit(corpus, "text", "y", k = k)
