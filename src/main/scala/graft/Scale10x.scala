@@ -356,6 +356,38 @@ object Scale10x {
       force(graft.ml.NgramLm.driftStats(spark, root,
         spark.read.parquet(docs1P).where(col("doc_id") % 9 === 0),
         col("doc_id"), col("text")))
+    // quality classifier prefit once on the 1x corpus train slice (the
+    // dsirModel discipline: identical coefficients at both scales); the
+    // probe times the SERVED scoring path — one fused bucket-counts
+    // kernel scan + the margin projection, zero shuffles — the q57/q70
+    // shape that previously had no BENCH row
+    lazy val qualityModel = graft.ml.TextClassifier.export(
+      graft.ml.TextClassifier.fit(
+        spark.read.parquet(docs1P).where(col("doc_id") % 10 < 8)
+          // the copies carry (doc_id, text) only — a deterministic id
+          // label stands in for the q57 lang label; scoring cost (what
+          // the probe times) is label-independent
+          .select(col("text"),
+            (col("doc_id") % 3 === 0).cast("double").as("y")),
+        "text", "y", k = 64))
+    def qualityShape(p: String): Long =                   // q57/q70 shape
+      force(graft.ml.TextClassifier.score(qualityModel,
+          spark.read.parquet(p).where(col("doc_id") % 10 >= 8), "text")
+        .select(col("doc_id"), col("pred"), col("margin")))
+    // the q75 drift probe: sidecar read + one fixed-batch scoring pass —
+    // flat in corpus size; its twin recomputes the corpus-sized build row
+    def qualityDriftRoot(p: String, tag: String): String = {
+      val r = s"$work/qualdrift_$tag"
+      graft.ml.TextClassifier.save(spark, qualityModel, r)
+      graft.ml.TextClassifier.writeDriftSidecar(spark, r,
+        spark.read.parquet(p).where(col("doc_id") % 10 < 8), "text")
+      r
+    }
+    lazy val qualityDrift1 = qualityDriftRoot(docs1P, "c1")
+    lazy val qualityDriftN = qualityDriftRoot(docs10P, s"c$copies")
+    def qualityDriftShape(root: String): Long =           // q75 shape
+      force(graft.ml.TextClassifier.driftStats(spark, root,
+        spark.read.parquet(docs1P).where(col("doc_id") % 10 >= 8), "text"))
     def dsirGumbelShape(p: String): Long =                // q6r shape
       force(graft.ml.Dsir.selectGumbel(
         spark.read.parquet(p).where(col("doc_id") % 7 =!= 0),
@@ -808,7 +840,11 @@ object Scale10x {
       Probe("dsir_drift", () => dsirDriftShape(dsirDrift1),
         () => dsirDriftShape(dsirDriftN)),
       Probe("lm_drift", () => lmDriftShape(lmDrift1),
-        () => lmDriftShape(lmDriftN))) ++
+        () => lmDriftShape(lmDriftN)),
+      Probe("quality_score", () => qualityShape(docs1P),
+        () => qualityShape(docs10P)),
+      Probe("quality_drift", () => qualityDriftShape(qualityDrift1),
+        () => qualityDriftShape(qualityDriftN))) ++
       nearDupProbes :+
       Probe("multimodel_eval", () => multiEvalShape(li1P, ord1P),
         () => multiEvalShape(li10P, ord10P))
@@ -1049,13 +1085,21 @@ object Scale10x {
         graft.queries.SimilarityQueries.ivfPqRecallReplaySql(
           ivfPqFit._1, ivfPqFit._2, s"$embv WHERE vec_id >= 20",
           "emb1v WHERE vec_id < 20", k = 5, nProbe = 3)
+      def qualityTwin(docsv: String) =
+        graft.queries.TextQueries.qualityScoreReplaySql(qualityModel,
+          s"$docsv WHERE doc_id % 10 >= 8")
+      def qualityDriftTwin(docsv: String) =
+        graft.queries.TextQueries.qualityDriftReplaySql(qualityModel,
+          s"$docsv WHERE doc_id % 10 < 8", "docs1v WHERE doc_id % 10 >= 8")
       val sql1 = duckSql("docs1v", "li1v", "ord1v", "ev1v", "gbv", "emb1v") +
         ("ann_pq" -> pqTwin("emb1v")) + ("ann_ivfpq" -> ivfPqTwin("emb1v")) +
         ("ann_recall" -> recallTwin("emb1v")) +
         ("dsir" -> dsirTwin("docs1v")) +
         ("dsir_gumbel" -> dsirGumbelTwin("docs1v")) +
         ("dsir_drift" -> dsirDriftTwin("docs1v")) +
-        ("lm_drift" -> lmDriftTwin("docs1v")) ++
+        ("lm_drift" -> lmDriftTwin("docs1v")) +
+        ("quality_score" -> qualityTwin("docs1v")) +
+        ("quality_drift" -> qualityDriftTwin("docs1v")) ++
         semTwin("emb1v") ++ idxTwin("enc1v")
       val sqlN = duckSql("docsNv", "liNv", "ordNv", "evNv", "gbv", "embNv") +
         ("ann_pq" -> pqTwin("embNv")) + ("ann_ivfpq" -> ivfPqTwin("embNv")) +
@@ -1063,7 +1107,9 @@ object Scale10x {
         ("dsir" -> dsirTwin("docsNv")) +
         ("dsir_gumbel" -> dsirGumbelTwin("docsNv")) +
         ("dsir_drift" -> dsirDriftTwin("docsNv")) +
-        ("lm_drift" -> lmDriftTwin("docsNv")) ++
+        ("lm_drift" -> lmDriftTwin("docsNv")) +
+        ("quality_score" -> qualityTwin("docsNv")) +
+        ("quality_drift" -> qualityDriftTwin("docsNv")) ++
         semTwin("embNv") ++ idxTwin("encNv")
       val views = Map("docs1v" -> docs1P, "docsNv" -> docs10P,
         "li1v" -> li1P, "liNv" -> li10P, "ord1v" -> ord1P, "ordNv" -> ord10P,

@@ -221,3 +221,82 @@ object Md5BucketCounts {
     ColumnBridge.column(
       new Md5BucketCounts(ColumnBridge.expression(text), buckets))
 }
+
+/** The quality classifier's gate decision as ONE fused boolean kernel —
+  * the BigramLmGate shape on the corpus-filter axis: the fitted
+  * [[graft.ml.TextClassifier.LinearTextModel]] rides the expression as
+  * literals (bounded by the fit's bucket cap, the BigramLmScore model
+  * pattern), so a streaming ingest gate is a pure codegen'd filter with
+  * zero joins and zero state-store state.
+  *
+  * keep ⇔ margin ≥ minMargin, where margin is EXACTLY the
+  * [[graft.ml.TextClassifier.marginCol]] chain: counts from the one
+  * shared tokenize/bucket arithmetic ([[Md5BucketCounts]]'s loop,
+  * [[Md5Bucket.bucketOfDigest]]), then the left-associative
+  * per-bucket fold `intercept + c_0·f_0 + c_1·f_1 + …` in ascending
+  * bucket order — each step an IEEE double multiply-add in the same
+  * order the Column chain and the q57/q70/q74 oracles spell, so the
+  * kernel's decision is bit-identical to the composed scoring path
+  * (TextClassifierSpec pins it row-for-row). The fold lives here (not
+  * only in Column form) because a streaming filter must be one
+  * self-contained predicate: a margin computed in a preceding
+  * projection gets inlined into the pushed-down filter per f_j
+  * reference, re-running the counting kernel k times per row.
+  */
+case class LinearTextGate(child: Expression,
+                          coefficients: IndexedSeq[Double],
+                          intercept: Double, minMargin: Double)
+    extends UnaryExpression {
+
+  @transient private lazy val coefArr: Array[Double] = coefficients.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if coefficients.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"linear_text_gate requires STRING and a non-empty coefficient " +
+        s"table, got ${t.simpleString} / ${coefficients.length}")
+  }
+
+  override def dataType: DataType = BooleanType
+
+  def keep(text: UTF8String): Boolean = {
+    val coefs = coefArr
+    val buckets = coefs.length
+    val toks = WordShinglesKernel.tokenize(text)
+    val md = Md5Bucket.digest.get()
+    val counts = new Array[Long](buckets)
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      md.update(toks(i).getBytes)
+      counts(Md5Bucket.bucketOfDigest(md, buckets).toInt) += 1L
+      i += 1
+    }
+    // the exact marginCol chain: ascending buckets, one multiply-add per
+    // step, long count cast to double (both engines' exact widening)
+    var margin = intercept
+    var j = 0
+    while (j < buckets) {
+      margin = margin + coefs(j) * counts(j).toDouble
+      j += 1
+    }
+    margin >= minMargin
+  }
+
+  override def nullSafeEval(s: Any): Any = keep(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ltGate", this, classOf[LinearTextGate].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.keep($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LinearTextGate =
+    copy(child = newChild)
+}
+
+object LinearTextGate {
+  def apply(text: Column, coefficients: Seq[Double], intercept: Double,
+            minMargin: Double): Column =
+    ColumnBridge.column(new LinearTextGate(ColumnBridge.expression(text),
+      coefficients.toIndexedSeq, intercept, minMargin))
+}

@@ -188,6 +188,85 @@ object TextClassifier {
       .withColumn("margin", marginCol(model))
       .withColumn("pred", (col("margin") >= 0).cast("int"))
 
+  /** The gate decision (`margin >= minMargin`) as ONE self-contained
+    * boolean Column — the fused [[graft.expressions.LinearTextGate]]
+    * kernel with the model riding as literals. Bit-identical to
+    * `score(...).margin >= minMargin` (spec-pinned; the kernel repeats
+    * the marginCol chain in the same per-bucket order); the form a
+    * streaming filter needs, since a projected margin would be inlined
+    * into the pushed-down predicate once per feature reference.
+    */
+  def gateCol(model: LinearTextModel, text: Column,
+              minMargin: Double = 0.0): Column =
+    graft.expressions.LinearTextGate(text, model.coefficients,
+      model.intercept, minMargin)
+
+  /** Per-document margin in integer MICRO-units (round(1e6·margin) as
+    * LONG) — the drift contract's exact-replay currency: the integer
+    * per-doc terms sum order-free, so both engines aggregate
+    * identically (the LM micro-nat discipline applied to the margin
+    * distribution).
+    */
+  private def marginMicroCol(model: LinearTextModel): Column =
+    round(lit(1e6) * marginCol(model)).cast("long")
+
+  /** Write the DRIFT BASELINE sidecar for a persisted classifier — the
+    * q6z/q72/q73 contract on the quality axis: the coefficients are
+    * frozen at fit time, and this records the fit corpus's (doc count,
+    * Σ round(1e6·margin)) as `_drift.json` beside the artifact. A later
+    * batch whose mean margin moves away from the baseline means the
+    * text distribution drifted from what the filter was calibrated on
+    * (or the raw distribution moved — either way the fit is stale:
+    * refit). One corpus-sized zero-shuffle scoring pass + a bounded
+    * agg, paid once at save time.
+    */
+  def writeDriftSidecar(spark: org.apache.spark.sql.SparkSession,
+                        path: String, corpus: DataFrame,
+                        text: String): Unit = {
+    val model = load(spark, path)
+    val st = hashedFeatures(corpus.select(col(text)), text, model.k)
+      .select(marginMicroCol(model).as("__m"))
+      .filter(col("__m").isNotNull)
+      .agg(count(lit(1)).as("n"), sum(col("__m")).as("s"))
+      .collect().head
+    val (n, s) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
+    graft.sources.JsonSidecar.write(spark, s"$path/_drift.json",
+      s"""{"fmt": 1, "statN": $n, "statSumMicro": $s}""")
+  }
+
+  /** DRIFT stats for a persisted classifier — (src, n, sum_margin_micro)
+    * with `build` read from the `_drift.json` sidecar
+    * ([[writeDriftSidecar]]) and `batch` scored live through the same
+    * fused-feature margin chain. All-integer, so an oracle recomputes
+    * BOTH rows from the raw tables and a corrupted stored stat breaks
+    * the hash (the [[graft.ml.Dsir.driftStats]] contract on the quality
+    * axis). The decision rule is the caller's; batch cost is one
+    * zero-shuffle scoring pass + a bounded agg.
+    */
+  def driftStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                 batch: DataFrame, text: String): DataFrame = {
+    import spark.implicits._
+    val metaTxt = graft.sources.JsonSidecar
+      .readOpt(spark, s"$path/_drift.json")
+      .getOrElse(throw new IllegalArgumentException(
+        s"classifier at $path predates drift stats: no _drift.json — " +
+          "write the baseline with writeDriftSidecar at save time"))
+    def metaLong(k: String): Long =
+      graft.sources.JsonSidecar.longField(metaTxt, k)
+        .getOrElse(throw new IllegalArgumentException(
+          s"malformed drift sidecar at $path/_drift.json: $metaTxt"))
+    val model = load(spark, path)
+    val st = hashedFeatures(batch.select(col(text)), text, model.k)
+      .select(marginMicroCol(model).as("__m"))
+      .filter(col("__m").isNotNull)
+      .agg(count(lit(1)).as("n"), sum(col("__m")).as("s"))
+      .collect().head
+    val (bn, bs) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
+    Seq(("batch", bn, bs),
+      ("build", metaLong("statN"), metaLong("statSumMicro")))
+      .toDF("src", "n", "sum_margin_micro")
+  }
+
   def score(model: LogisticRegressionModel, df: DataFrame, text: String,
             k: Int): DataFrame = {
     val m = export(model)

@@ -69,27 +69,64 @@ object TextQueries {
       graft.ml.TextClassifier.fit(train, "text", "y", k = QmBuckets)
     })
 
-  /** The q57/q70 holdout-scoring replay as ONE SQL text parameterized on
-    * the exported model. f_j MUST be DOUBLE: DuckDB parses the
+  /** The classifier margin chain as a WITH prefix ending in CTE
+    * `m(doc_id, margin)`, parameterized on the exported model and the
+    * doc source — shared by the q57/q70 scoring replays, the q74 gate
+    * replay, the q75 drift replay, and the Scale10x quality twin, so no
+    * two replays can drift. f_j MUST be DOUBLE: DuckDB parses the
     * coefficient literals as DECIMAL, and DECIMAL * BIGINT stays in
     * decimal arithmetic — only a DOUBLE operand promotes the whole chain
     * to IEEE doubles and makes it bit-identical to the Spark side
     * (measured: 1-ulp margin drift with BIGINT features).
     */
-  private def qualityScoreOracleSql(
-      m: graft.ml.TextClassifier.LinearTextModel): String = {
+  private def qualityMarginCtes(m: graft.ml.TextClassifier.LinearTextModel,
+                                docsFrom: String): String = {
     val feats = (0 until m.k).map(j =>
       s"CAST(sum(CASE WHEN bk = $j THEN 1 ELSE 0 END) AS DOUBLE) AS f$j")
       .mkString(",\n  ")
-    s"""WITH hold AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+    s"""WITH hold AS (SELECT doc_id, text FROM $docsFrom),
        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM hold),
        |b AS (SELECT doc_id,
        |        CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % ${m.k} AS bk
        |      FROM toks),
        |f AS (SELECT doc_id, $feats FROM b GROUP BY doc_id),
-       |m AS (SELECT doc_id, ${graft.ml.TextClassifier.marginSql(m)} AS margin FROM f)
-       |SELECT doc_id, CASE WHEN margin >= 0 THEN 1 ELSE 0 END AS pred, margin
-       |FROM m ORDER BY doc_id""".stripMargin
+       |m AS (SELECT doc_id, ${graft.ml.TextClassifier.marginSql(m)} AS margin FROM f)""".stripMargin
+  }
+
+  /** The q57/q70 holdout-scoring replay (assembled by concatenation —
+    * no outer stripMargin can eat the prefix's pipes).
+    */
+  def qualityScoreReplaySql(m: graft.ml.TextClassifier.LinearTextModel,
+                            docsFrom: String): String =
+    qualityMarginCtes(m, docsFrom) +
+      "\nSELECT doc_id, CASE WHEN margin >= 0 THEN 1 ELSE 0 END AS pred, margin" +
+      "\nFROM m ORDER BY doc_id"
+
+  private def qualityScoreOracleSql(
+      m: graft.ml.TextClassifier.LinearTextModel): String =
+    qualityScoreReplaySql(m, "documents WHERE doc_id % 10 >= 8")
+
+  /** q74 replay: the gate's kept set = margin >= bar over every doc. */
+  private def qualityGateOracleSql(
+      m: graft.ml.TextClassifier.LinearTextModel, docsFrom: String): String =
+    qualityMarginCtes(m, docsFrom) +
+      "\nSELECT doc_id FROM m WHERE margin >= 0 ORDER BY doc_id"
+
+  /** q75 replay: BOTH drift rows recomputed from the raw tables — the
+    * margin CTE chain per side, aggregated to (n, Σ round(1e6·margin))
+    * with each per-doc term rounded to an integer BEFORE the sum
+    * (order-free). Each side's full WITH chain nests inside a
+    * parenthesized subquery (the q6u/q72 precedent).
+    */
+  def qualityDriftReplaySql(m: graft.ml.TextClassifier.LinearTextModel,
+                            buildFrom: String, batchFrom: String): String = {
+    def side(from: String): String =
+      "(" + qualityMarginCtes(m, from) +
+        "\nSELECT count(*) AS n, CAST(sum(CAST(round(1e6 * margin) AS " +
+        "BIGINT)) AS BIGINT) AS sum_margin_micro FROM m)"
+    s"SELECT 'batch' AS src, n, sum_margin_micro FROM ${side(batchFrom)}\n" +
+      s"UNION ALL\nSELECT 'build' AS src, n, sum_margin_micro FROM ${side(buildFrom)}\n" +
+      "ORDER BY src"
   }
 
   /** The q70 served model: [[ensureQualityModel]]'s fit exported and
@@ -106,6 +143,22 @@ object TextQueries {
       graft.ml.TextClassifier.save(s,
         graft.ml.TextClassifier.export(ensureQualityModel(s, d)), path)
       graft.ml.TextClassifier.load(s, path)
+    })
+
+  /** The q75 fixture: the q70 saved-model path with a `_drift.json`
+    * baseline over the FIT corpus (train slice) written once per sf dir
+    * — the q72/q73 drift-path discipline on the quality axis.
+    */
+  private val qmDriftCache = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+  private def ensureQualityDriftPath(s: org.apache.spark.sql.SparkSession,
+                                     d: String): String =
+    qmDriftCache.getOrElseUpdate(d, {
+      ensureServedQualityModel(s, d) // materializes the artifact
+      val path = LmQueries.sessionTmp(s, "q70_quality_model", d)
+      graft.ml.TextClassifier.writeDriftSidecar(s, path,
+        Tables.documents(s, d).where(col("doc_id") % 10 < 8), "text")
+      path
     })
 
   /** The planted cross-batch near-dup pair for q6c: 3000000 (even → replay
@@ -1329,6 +1382,46 @@ object TextQueries {
           Tables.documents(s, d).where(col("doc_id") % 10 >= 8), "text")
         .select(col("doc_id"), col("pred"), col("margin"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- STREAMING quality gate (q74): the served corpus-filter
+    // classifier riding an ingest stream — the q6d/q6k stateless-filter
+    // discipline on the quality axis, completing the gate family's
+    // stream symmetry (exact q6v, near-dup q6c, semantic q6p, ppl q6d,
+    // DSIR q6k). The fused LinearTextGate kernel carries the LOADED
+    // model (save→load round trip, the q6k served-model discipline), so
+    // the oracle — the same margin CTE chain as q57 under the threshold,
+    // embedding the PRE-SAVE coefficients — breaks the hash on artifact
+    // corruption, load drift, OR any streaming-vs-batch divergence
+    // (per-row decision makes batch boundaries invisible).
+    QueryDef.dynamicSql("q74_stream_quality_gate") { (s, d) =>
+      qualityGateOracleSql(
+        graft.ml.TextClassifier.export(ensureQualityModel(s, d)), "documents")
+    } { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.streaming.DocStream.replayQualityGatedIngest(docs,
+          ensureServedQualityModel(s, d), "doc_id", "text",
+          LmQueries.sessionTmp(s, "q74_qualgate", d), nBatches = 2,
+          minMargin = 0.0)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
+    // ---- quality-filter drift contract (q75): the q6s/q6z/q72/q73
+    // refit signal on the margin distribution — build row frozen in the
+    // `_drift.json` sidecar at save time (fit corpus), batch row scored
+    // live through the same fused-feature margin chain, both in integer
+    // micro-units rounded per doc BEFORE the sum (order-free). The
+    // oracle recomputes BOTH rows from the raw tables, so a corrupted
+    // or stale stored baseline breaks the hash. Closes the last gate
+    // axis without stream+drift symmetry.
+    QueryDef.dynamicSql("q75_quality_drift") { (s, d) =>
+      qualityDriftReplaySql(
+        graft.ml.TextClassifier.export(ensureQualityModel(s, d)),
+        "documents WHERE doc_id % 10 < 8", "documents WHERE doc_id % 10 >= 8")
+    } { (s, d) =>
+      graft.ml.TextClassifier.driftStats(s, ensureQualityDriftPath(s, d),
+          Tables.documents(s, d).where(col("doc_id") % 10 >= 8), "text")
+        .orderBy(col("src"))
     },
 
     // ---- corpus snapshot diff (dataset-version audit): added / removed /

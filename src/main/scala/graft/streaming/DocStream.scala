@@ -538,6 +538,42 @@ object DocStream {
       .option("path", sinkPath).option("checkpointLocation", ckptPath)
       .outputMode("append").start()
 
+  /** Streaming QUALITY gate — the learned corpus-filter classifier
+    * ([[graft.ml.TextClassifier]]) riding an ingest stream: keep a
+    * document iff its decision margin reaches the bar. The same
+    * STATELESS shape as [[pplGatedIngest]]/[[dsirGatedIngest]]: the
+    * fused [[graft.expressions.LinearTextGate]] boolean kernel (the
+    * fitted `LinearTextModel` rides as literals) is a pure filter in
+    * append mode — zero joins, zero state-store state, batch
+    * boundaries invisible by construction (per-row decision). This
+    * completes the gate family's quality axis: fit once offline
+    * ([[graft.ml.TextClassifier.fit]]/`save`), gate every ingest batch
+    * forever with the loaded model, refit when
+    * [[graft.ml.TextClassifier.driftStats]] says the margin
+    * distribution moved.
+    */
+  def qualityGatedIngest(docs: DataFrame,
+                         model: graft.ml.TextClassifier.LinearTextModel,
+                         textCol: String, minMargin: Double,
+                         sinkPath: String, ckptPath: String): StreamingQuery =
+    docs.filter(graft.ml.TextClassifier.gateCol(model, col(textCol), minMargin))
+      .writeStream.format("parquet")
+      .option("path", sinkPath).option("checkpointLocation", ckptPath)
+      .outputMode("append").start()
+
+  /** Bounded replay of [[qualityGatedIngest]] — the [[replayGate]]
+    * harness with the margin gate (corpus side unused: stateless).
+    */
+  def replayQualityGatedIngest(docs: DataFrame,
+                               model: graft.ml.TextClassifier.LinearTextModel,
+                               id: String, textCol: String, workDir: String,
+                               nBatches: Int = 2,
+                               minMargin: Double = 0.0): DataFrame =
+    replayGate(docs, docs.limit(0), id, textCol, workDir, nBatches) {
+      (in, _, sink, ckpt) =>
+        qualityGatedIngest(in, model, "gate_text", minMargin, sink, ckpt)
+    }
+
   /** Bounded replay of [[dsirGatedIngest]] — the [[replayGate]] harness
     * with the importance gate (corpus side unused: stateless).
     */

@@ -90,6 +90,52 @@ class TextClassifierSpec extends SparkSpec {
     assert(bare.isEmpty, s"bare decimal literal would parse as DECIMAL: $bare")
   }
 
+  test("gateCol kernel decision == scored margin >= bar, row-for-row") {
+    val k = 32
+    val m = TextClassifier.export(TextClassifier.fit(corpus, "text", "y", k = k))
+    val edge = Seq((200L, ""), (201L, "   "), (202L, "the the the"))
+      .toDF("doc_id", "text").select(col("doc_id"), col("text"),
+        lit(0.0).as("y"))
+    val docs = corpus.unionByName(edge)
+    // bars that land strictly inside, at zero, and outside the margin
+    // range — the >= boundary must agree everywhere
+    for (bar <- Seq(-2.0, 0.0, 1.5)) {
+      val viaScore = TextClassifier.score(m, docs, "text")
+        .filter(col("margin") >= bar)
+        .select("doc_id").as[Long].collect().toSet
+      val viaGate = docs.filter(TextClassifier.gateCol(m, col("text"), bar))
+        .select("doc_id").as[Long].collect().toSet
+      assert(viaGate == viaScore, s"gate kernel diverged at bar=$bar")
+    }
+  }
+
+  test("drift contract: sidecar baseline + live batch row, hand-checked; predates-stats refused") {
+    val m = TextClassifier.export(TextClassifier.fit(corpus, "text", "y", k = 16))
+    val dir = java.nio.file.Files.createTempDirectory("textclf_drift").toString
+    TextClassifier.save(spark, m, dir)
+    // no sidecar yet -> loud refusal
+    intercept[IllegalArgumentException] {
+      TextClassifier.driftStats(spark, dir, corpus, "text")
+    }
+    TextClassifier.writeDriftSidecar(spark, dir, corpus, "text")
+    val batch = corpus.filter(col("doc_id") < 100)
+    val rows = TextClassifier.driftStats(spark, dir, batch, "text")
+      .orderBy("src").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("batch", "build"))
+    // hand-compute both sums from the scored margins
+    def sumMicro(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val ms = TextClassifier.score(m, df, "text")
+        .select("margin").as[Double].collect()
+      (ms.length.toLong,
+        ms.map(x => BigDecimal(x * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum)
+    }
+    val (bn, bs) = sumMicro(batch)
+    val (cn, cs) = sumMicro(corpus)
+    assert((rows(0).getLong(1), rows(0).getLong(2)) == ((bn, bs)))
+    assert((rows(1).getLong(1), rows(1).getLong(2)) == ((cn, cs)))
+  }
+
   test("export/save/load: bit-identical round trip; served scoring == live; torn artifact refused") {
     val fit = TextClassifier.fit(corpus, "text", "y", k = 32)
     val m = TextClassifier.export(fit)

@@ -290,6 +290,31 @@ class DocStreamSpec extends SparkSpec {
     assert(run(4, 3) == expected)
   }
 
+  test("streaming quality gate == batch margin filter; batch split cannot change it") {
+    val train = (Seq("the cat sat on the mat", "a dog ran over the hill",
+        "the bird flew above the trees", "cats and dogs play here")
+        .zipWithIndex.map { case (t, i) => (i.toLong, t, 1.0) } ++
+      Seq("zorp blick frum glorp nix", "blick nix zorp frum wex",
+        "glorp wex nix blick zorp", "frum zorp wex glorp blick")
+        .zipWithIndex.map { case (t, i) => (100L + i, t, 0.0) })
+      .toDF("doc_id", "text", "y")
+    val m = graft.ml.TextClassifier.export(
+      graft.ml.TextClassifier.fit(train, "text", "y", k = 32))
+    val expected = graft.ml.TextClassifier.score(m, train, "text")
+      .filter(col("margin") >= 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty && expected.size < 8, s"must split: $expected")
+    val dir = java.nio.file.Files
+      .createTempDirectory("quality_stream_gate").toString
+    def run(nBatches: Int, tag: Int) = DocStream.replayQualityGatedIngest(
+        train, m, "doc_id", "text", s"$dir/$tag", nBatches,
+        minMargin = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(run(1, 1) == expected)
+    assert(run(2, 2) == expected)
+    assert(run(4, 3) == expected)
+  }
+
   test("streaming DSIR gate == batch threshold filter; batch split cannot change it") {
     val target = Seq((100L, "alpha beta alpha"), (101L, "alpha beta"))
       .toDF("doc_id", "text")
