@@ -29,6 +29,42 @@ object Probe {
     Tables.names.foreach { tb =>
       try Tables.load(spark, d, tb).limit(1).collect() catch { case _: Throwable => } }
 
+    if (sys.env.get("SPARK_GRAFT_PROBE_BM25").contains("1")) {
+      // phase-time the q71 serve vs the q5x live fit over the 100x copies
+      // (run Scale10x with SPARK_GRAFT_REUSE=1 first to materialize them)
+      val p = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS",
+        "/tmp/graft_scale10x/docs100")
+      val table = "graft_probe_bm25"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      t("stats table build") {
+        graft.operators.Retrieval.writeBm25StatsTable(
+          spark.read.parquet(p), col("doc_id"), col("text"), table,
+          buckets = 32, path = Some("/tmp/graft_probe_bm25"))
+      }
+      val cat = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      val terms = graft.queries.TextQueries.Bm25Terms
+      for (r <- 1 to 3) {
+        t(s"dfMap driver-direct r$r") {
+          graft.operators.Retrieval.readStatsDfMap(spark, cat, terms)
+        }
+        t(s"kernel scan only r$r") {
+          spark.read.parquet(p).select(col("doc_id"),
+              graft.expressions.Bm25TermStats(col("text"), terms.toArray)
+                .as("__s"))
+            .select(sum(col("__s.dl"))).collect()
+        }
+        t(s"serve full r$r") {
+          graft.queries.TextQueries.bm25Served(
+            spark.read.parquet(p), table).collect()
+        }
+        t(s"live topk full r$r") {
+          graft.queries.TextQueries.bm25(spark.read.parquet(p)).collect()
+        }
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.get("SPARK_GRAFT_PROBE_SALIENT").contains("1")) {
       val out = graft.operators.Curate.salientTerms(
         Tables.documents(spark, d), "doc_id", "text", k = 3)

@@ -164,8 +164,10 @@ object Dsir {
     val model = load(spark, path)
     val st = corpus
       .select(logwMicroCol(col(text), model).as("__w"))
-      .filter(col("__w").isNotNull)
-      .agg(count(lit(1)).as("n"), sum(col("__w")).as("s"))
+      // count(col) skips nulls — a .filter(isNotNull) here would be
+      // pushed BELOW the projection with the scoring kernel inlined
+      // into the predicate, running it twice per row
+      .agg(count(col("__w")).as("n"), sum(col("__w")).as("s"))
       .collect().head
     val (n, s) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
     graft.sources.JsonSidecar.write(spark, s"$path/_drift.json",
@@ -197,8 +199,10 @@ object Dsir {
     val model = load(spark, path)
     val st = batch
       .select(logwMicroCol(col(text), model).as("__w"))
-      .filter(col("__w").isNotNull)
-      .agg(count(lit(1)).as("n"), sum(col("__w")).as("s"))
+      // count(col) skips nulls — a .filter(isNotNull) here would be
+      // pushed BELOW the projection with the scoring kernel inlined
+      // into the predicate, running it twice per row
+      .agg(count(col("__w")).as("n"), sum(col("__w")).as("s"))
       .collect().head
     val (bn, bs) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
     Seq(("batch", bn, bs),

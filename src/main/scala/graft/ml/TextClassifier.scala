@@ -226,8 +226,10 @@ object TextClassifier {
     val model = load(spark, path)
     val st = hashedFeatures(corpus.select(col(text)), text, model.k)
       .select(marginMicroCol(model).as("__m"))
-      .filter(col("__m").isNotNull)
-      .agg(count(lit(1)).as("n"), sum(col("__m")).as("s"))
+      // count(col) skips nulls — a .filter(isNotNull) would be pushed
+      // below the feature projection with the counting kernel inlined
+      // into the predicate, running it twice per row
+      .agg(count(col("__m")).as("n"), sum(col("__m")).as("s"))
       .collect().head
     val (n, s) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
     graft.sources.JsonSidecar.write(spark, s"$path/_drift.json",
@@ -258,8 +260,7 @@ object TextClassifier {
     val model = load(spark, path)
     val st = hashedFeatures(batch.select(col(text)), text, model.k)
       .select(marginMicroCol(model).as("__m"))
-      .filter(col("__m").isNotNull)
-      .agg(count(lit(1)).as("n"), sum(col("__m")).as("s"))
+      .agg(count(col("__m")).as("n"), sum(col("__m")).as("s"))
       .collect().head
     val (bn, bs) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
     Seq(("batch", bn, bs),

@@ -454,8 +454,7 @@ object Similarity {
     // pure zero-shuffle projection + one bounded agg, paid once at build
     val st = corpus
       .select(minCoarseDist(col("embedding"), coarse).as("__d"))
-      .filter(col("__d").isNotNull)
-      .agg(count(lit(1)).as("n"), sum(col("__d")).as("s"))
+      .agg(count(col("__d")).as("n"), sum(col("__d")).as("s"))
       .collect().head
     val (statN, statSum) =
       (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
@@ -512,8 +511,10 @@ object Similarity {
           s"index at $path predates drift stats: no $k in meta")).group(1).toLong
     val st = batch
       .select(minCoarseDist(col("embedding"), coarse).as("__d"))
-      .filter(col("__d").isNotNull)
-      .agg(count(lit(1)).as("n"), sum(col("__d")).as("s"))
+      // count(col) skips nulls — a .filter(isNotNull) would be pushed
+      // below the projection with the distance chain inlined into the
+      // predicate, computing it twice per row
+      .agg(count(col("__d")).as("n"), sum(col("__d")).as("s"))
       .collect().head
     val (bn, bs) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
     Seq(("batch", bn, bs),
@@ -982,8 +983,7 @@ object Similarity {
                            centroids: Seq[Seq[Double]]): Unit = {
     val st = corpus
       .select(minCoarseDist(col("embedding"), centroids).as("__d"))
-      .filter(col("__d").isNotNull)
-      .agg(count(lit(1)).as("n"), sum(col("__d")).as("s"))
+      .agg(count(col("__d")).as("n"), sum(col("__d")).as("s"))
       .collect().head
     val (n, s) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
     graft.sources.JsonSidecar.write(spark, s"$root/_drift.json",
@@ -1015,8 +1015,7 @@ object Similarity {
           s"malformed drift sidecar at $root/_drift.json: $metaTxt"))
     val st = batch
       .select(minCoarseDist(col("embedding"), centroids).as("__d"))
-      .filter(col("__d").isNotNull)
-      .agg(count(lit(1)).as("n"), sum(col("__d")).as("s"))
+      .agg(count(col("__d")).as("n"), sum(col("__d")).as("s"))
       .collect().head
     val (bn, bs) = (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
     Seq(("batch", bn, bs),

@@ -2044,7 +2044,7 @@ object TextQueries {
   /** The q5x query terms — present with high tf variance at every SF.
     * (def, not val: `defs` above initializes first and would read null.)
     */
-  private def Bm25Terms = Seq("merge", "query", "spark", "stream", "window")
+  private[graft] def Bm25Terms = Seq("merge", "query", "spark", "stream", "window")
 
   /** The q71 persisted BM25 stats table: whole-vocabulary df + (N, Σdl)
     * properties, written once per sf dir per session (the ensureFpTable

@@ -87,13 +87,23 @@ class RetrievalSpec extends SparkSpec {
           col("text"), "bm25_stats_t", terms, k = 10)
         .collect().map(_.toString).sorted.toSeq
       assert(served == live, s"stats-served diverged:\n$served\nvs\n$live")
-      // the df lookup pushes the term IN-filter into the parquet scan
-      // (sorted-by-term files => row-group stats prune; the planner
-      // rightly skips the bucketed-scan machinery for a bare filter)
-      val plan = spark.table("bm25_stats_t")
+      // the df lookup is DRIVER-DIRECT (no Spark job): the map matches
+      // the catalog-scan values exactly, absent terms stay absent, and
+      // the bucket-id arithmetic agrees with where the writer actually
+      // placed each term (prune correctness — a wrong bucket id would
+      // silently read df=0)
+      val cat = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("bm25_stats_t"))
+      val direct = Retrieval.readStatsDfMap(spark, cat, terms)
+      val viaScan = spark.table("bm25_stats_t")
         .filter(col("term").isin(terms: _*))
-        .queryExecution.executedPlan.toString
-      assert(plan.contains("PushedFilters: [In(term"), plan)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(direct == viaScan, s"driver-direct $direct != scan $viaScan")
+      assert(!direct.contains("absentterm"))
+      val nJobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      Retrieval.readStatsDfMap(spark, cat, terms)
+      assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+        == nJobsBefore, "the driver-direct lookup must not run a Spark job")
       // the returned scoring plan is a single scan into the ordered
       // limit — no joins and no aggregate (the saved fit pass)
       val splan = Retrieval.bm25TopKFromStats(docs, col("doc_id"),
