@@ -116,13 +116,15 @@ object Retrieval {
     * hazard (executor memory/disk pressure per query).
     * [[bm25TopKFromStats]] over this table needs no cache and no fit
     * job at all: a bounded df lookup + one streaming kernel scan.
-    * Refresh by RE-RUNNING this write after corpus appends — df counts
-    * are additive, so do NOT maintain this table with duplicate-row
-    * appends: [[graft.operators.Dedup.compactBucketedTable]]'s
+    * Refresh after corpus appends with [[mergeBm25StatsTable]] — an
+    * O(batch) keyed merge that rewrites only the touched buckets — or
+    * re-run this write to rebuild whole. df counts are additive, so do
+    * NOT maintain this table with duplicate-row appends:
+    * [[graft.operators.Dedup.compactBucketedTable]]'s
     * whole-row distinct is sound only for membership-fact tables
     * (fingerprints, band keys), and would fold two equal (term, df)
-    * delta rows into one. As written (one row per term, rebuilt whole)
-    * the table IS compaction-safe, which the spec pins.
+    * delta rows into one. As written (one row per term, one file per
+    * bucket) the table IS compaction-safe, which the spec pins.
     */
   def writeBm25StatsTable(docs: DataFrame, id: Column, text: Column,
                           table: String, buckets: Int = 32,
@@ -139,6 +141,10 @@ object Retrieval {
       val w0 = toks
         .select(explode(array_distinct(col("__toks"))).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        // one file per bucket (each task would otherwise emit a file per
+        // bucket it holds): the serve-time driver-direct lookup opens
+        // exactly one file per probed term bucket
+        .repartition(buckets, col("term"))
         .write.mode("overwrite")
         .bucketBy(buckets, "term").sortBy("term")
         .format("parquet")
@@ -250,6 +256,211 @@ object Retrieval {
       .limit(k)
     val rows = topPlan.collect().filter(_.getLong(1) > 0)
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), topPlan.schema)
+  }
+
+  /** INCREMENTAL maintenance of a BM25 stats table — the keyed-merge
+    * refresh that completes the retrieval lifecycle: where the gate
+    * tables append membership facts (and compact), df rows are ADDITIVE,
+    * so an appended corpus batch merges as `df' = df + df_batch` for the
+    * batch's terms, `n' = n + n_batch`, `len' = len + Σdl_batch` — a
+    * BUCKET-LOCAL rewrite of only the buckets the batch's vocabulary
+    * hashes to, O(batch vocab + touched-bucket rows), never the
+    * whole-vocabulary rebuild [[writeBm25StatsTable]] pays (the one
+    * serving-state refresh that was corpus-sized).
+    *
+    * Exactly-once under replay (`batchTag`): the tag is recorded in the
+    * table properties as the LAST apply step; a merge whose tag already
+    * matches is a no-op, so re-running after any crash is safe.
+    *
+    * Crash discipline (the refit-and-swap manifest form): the merged
+    * bucket files stage COMPLETELY beside the table, then a manifest
+    * (atomic sidecar write) records the staged file names, the old files
+    * they replace, and the new properties; only then are staged files
+    * renamed in, old files deleted, properties set, manifest removed.
+    * Every window recovers at the next merge (or via
+    * [[recoverBm25StatsTable]]): staging without a manifest rolls BACK
+    * (the table untouched); a manifest rolls FORWARD (each step
+    * idempotent). Mid-apply readers may see a term's old row beside its
+    * merged row — [[readStatsDfMap]] folds duplicates by max(df), which
+    * reads the merged value (counts are additive, the merged row's df is
+    * ≥ the old one's); (N, Σdl) stay one batch stale until the
+    * properties step — the same "stale by exactly one batch" contract as
+    * the index append, caught loudly by `expectedN` serves. Merge ==
+    * rebuild row-for-row on corpus ∪ batch (spec-pinned; q76 replays the
+    * q5x oracle over the merged table).
+    */
+  def mergeBm25StatsTable(batch: DataFrame, text: Column, table: String,
+                          batchTag: String): Unit = {
+    require(batchTag.nonEmpty && !batchTag.exists(c => c == '"' || c == '\\'),
+      s"batch tag must be a plain non-empty string, got '$batchTag'")
+    val spark = batch.sparkSession
+    recoverBm25StatsTable(spark, table)
+    if (stageBm25Merge(batch, text, table, batchTag)) {
+      val cat = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      val loc = new org.apache.hadoop.fs.Path(cat.location)
+      applyMergeManifest(spark, table, loc,
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    }
+  }
+
+  /** The staging half of [[mergeBm25StatsTable]] (everything up to and
+    * including the manifest write — the commit point), split out so the
+    * spec can pin each crash window by stopping here and manufacturing
+    * the partial-apply states. Returns false when there was nothing to
+    * stage (tag already merged, or an empty batch — which just records
+    * the tag). Callers must have run [[recoverBm25StatsTable]] first.
+    */
+  private[graft] def stageBm25Merge(batch: DataFrame, text: Column,
+                                    table: String,
+                                    batchTag: String): Boolean = {
+    val spark = batch.sparkSession
+    val cat = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = cat.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table is not bucketed — not a BM25 stats table"))
+    def prop(key: String): Long = cat.properties.get("graft." + key) match {
+      case Some(v) => v.toLong
+      case None => throw new IllegalArgumentException(
+        s"$table has no 'graft.$key' property — not a BM25 stats table; " +
+          "write it with writeBm25StatsTable")
+    }
+    val (n0, len0) = (prop("n"), prop("len"))
+    if (cat.properties.get("graft.lastmerge").contains(batchTag)) return false
+    val conf = spark.sparkContext.hadoopConfiguration
+    val loc = new org.apache.hadoop.fs.Path(cat.location)
+    val fs = loc.getFileSystem(conf)
+    // ONE batch tokenize pass feeds the df rows and the (n, Σdl) agg
+    // (the writeBm25StatsTable discipline; call-scoped persist)
+    val toks = batch.select(graft.functions.TextFunctions.tokens(text)
+        .as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val st = toks.agg(count(lit(1)).as("n"), sum(size(col("__toks")))
+        .as("len")).collect().head
+      val (bn, blen) =
+        (st.getLong(0), if (st.getLong(0) == 0L) 0L else st.getLong(1))
+      if (bn == 0L) { // nothing to merge; record the tag for idempotency
+        spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+          s"'graft.lastmerge'='$batchTag')")
+        return false
+      }
+      val batchDf = toks
+        .select(explode(array_distinct(col("__toks"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("__bdf"))
+      // the batch vocabulary's buckets, via the SAME expression the
+      // bucketed writer hashes with (pmod(murmur3, numBuckets)) — a
+      // bounded driver read, <= numBuckets values
+      val touched = batchDf
+        .select(pmod(hash(col("term")), lit(spec.numBuckets)).as("__b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val bucketRe = """.*_(\d+)(?:\..*)?$""".r
+      // read-set == delete-set: touched buckets' files, plus any file
+      // whose name defeats the bucket parse (never produced by Spark's
+      // writer, but losing its rows silently would be worse than
+      // rewriting it — the staged output re-homes every row it held)
+      val oldFiles = fs.listStatus(loc)
+        .filter(f => f.isFile && { val nm = f.getPath.getName
+          !nm.startsWith("_") && !nm.startsWith(".") })
+        .map(_.getPath)
+        .filter(p => p.getName match {
+          case bucketRe(b) => touched.contains(b.toInt)
+          case _ => true
+        })
+      val oldRows =
+        if (oldFiles.isEmpty)
+          batchDf.select(col("term"), lit(0L).as("df")).limit(0)
+        else spark.read.schema(cat.dataSchema)
+          .parquet(oldFiles.map(_.toString): _*)
+      val merged = oldRows
+        // heals any not-yet-recovered duplicate (old beside merged: the
+        // merged row's df is >= — max picks it); no-op on a healthy table
+        .groupBy(col("term")).agg(max(col("df")).as("df"))
+        .join(batchDf, Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("__bdf"), lit(0L)))
+            .as("df"))
+      val stagingTable = table + "__merge_tmp"
+      val stagingDir = new org.apache.hadoop.fs.Path(loc.toString + ".merge_tmp")
+      spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+      fs.delete(stagingDir, true)
+      val w0 = merged
+        .repartition(spec.numBuckets, col("term"))
+        .write.mode("overwrite")
+        .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+          spec.bucketColumnNames.tail: _*)
+      val w1 = if (spec.sortColumnNames.isEmpty) w0
+        else w0.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+      w1.format("parquet").option("path", stagingDir.toString)
+        .saveAsTable(stagingTable)
+      spark.sql(s"DROP TABLE IF EXISTS $stagingTable") // files stay
+      val staged = fs.listStatus(stagingDir)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .map(_.getPath)
+      // the manifest is the commit point: written ATOMICALLY after the
+      // staging is fully materialized, removed after the last apply step
+      import graft.sources.JsonSidecar
+      JsonSidecar.write(spark, s"$loc/.merge_manifest.json",
+        s"""{"fmt": 1, "tag": "$batchTag", "n": ${n0 + bn}, """ +
+          s""""len": ${len0 + blen}, """ +
+          s""""rename": ${JsonSidecar.stringList(staged.map(_.getName).toSeq)}, """ +
+          s""""delete": ${JsonSidecar.stringList(oldFiles.map(_.getName).toSeq)}}""")
+      true
+    } finally { toks.unpersist(); () }
+  }
+
+  /** Complete or undo a crashed [[mergeBm25StatsTable]]: a manifest
+    * rolls the merge FORWARD (staging was complete before the manifest
+    * existed; every apply step is idempotent), a manifest-less staging
+    * directory rolls BACK (the live table was never touched). Called at
+    * every merge entry; expose it to serving processes that must heal a
+    * table without merging.
+    */
+  def recoverBm25StatsTable(spark: org.apache.spark.sql.SparkSession,
+                            table: String): Unit = {
+    val cat = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(cat.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new org.apache.hadoop.fs.Path(loc, ".merge_manifest.json")
+    val stagingDir = new org.apache.hadoop.fs.Path(loc.toString + ".merge_tmp")
+    if (fs.exists(manifest)) applyMergeManifest(spark, table, loc, fs)
+    else if (fs.exists(stagingDir)) { fs.delete(stagingDir, true); () }
+  }
+
+  /** The apply half of the merge: rename staged files in, delete the
+    * replaced files, set the new properties, remove the manifest — each
+    * step idempotent, so it serves both the happy path and roll-forward.
+    */
+  private def applyMergeManifest(spark: org.apache.spark.sql.SparkSession,
+                                 table: String,
+                                 loc: org.apache.hadoop.fs.Path,
+                                 fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    import graft.sources.JsonSidecar
+    val mPath = s"$loc/.merge_manifest.json"
+    val m = JsonSidecar.readOpt(spark, mPath).getOrElse(
+      throw new IllegalStateException(s"merge manifest vanished at $mPath"))
+    def fail(k: String) = throw new IllegalStateException(
+      s"malformed merge manifest at $mPath (no $k): $m")
+    val tag = JsonSidecar.stringField(m, "tag").getOrElse(fail("tag"))
+    val n = JsonSidecar.longField(m, "n").getOrElse(fail("n"))
+    val len = JsonSidecar.longField(m, "len").getOrElse(fail("len"))
+    val rename = JsonSidecar.stringListField(m, "rename").getOrElse(fail("rename"))
+    val delete = JsonSidecar.stringListField(m, "delete").getOrElse(fail("delete"))
+    val stagingDir = new org.apache.hadoop.fs.Path(loc.toString + ".merge_tmp")
+    rename.foreach { name =>
+      val src = new org.apache.hadoop.fs.Path(stagingDir, name)
+      if (fs.exists(src)) // already-renamed files skip on roll-forward
+        require(fs.rename(src, new org.apache.hadoop.fs.Path(loc, name)),
+          s"rename of merged file $src into $loc failed")
+    }
+    delete.foreach(name =>
+      fs.delete(new org.apache.hadoop.fs.Path(loc, name), false))
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.n'='$n','graft.len'='$len','graft.lastmerge'='$tag')")
+    fs.delete(new org.apache.hadoop.fs.Path(mPath), false)
+    fs.delete(stagingDir, true)
+    spark.catalog.refreshTable(table)
   }
 
   /** Spark's bucket id for a string key — the driver-side twin of the

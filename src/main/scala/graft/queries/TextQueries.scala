@@ -1456,6 +1456,20 @@ object TextQueries {
         Bm25Terms, k = 20)
     },
 
+    // ---- INCREMENTAL BM25 stats maintenance (q76): the table is built
+    // over a ~96% corpus slice and the rest arrives as an append batch
+    // through mergeBm25StatsTable — the O(batch) keyed merge that
+    // replaces the corpus-sized rebuild. Serving the FULL corpus from
+    // the merged table shares q5x's oracle verbatim (the q6w/q6x
+    // lifecycle-oracle shape): merge == rebuild or the hash breaks.
+    // expectedN exercises the staleness guard on its green path.
+    QueryDef.sql("q76_bm25_stats_merge", bm25OracleSql("documents")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Retrieval.bm25TopKFromStats(docs,
+        col("doc_id"), col("text"), ensureMergedBm25Table(s, d),
+        Bm25Terms, k = 20, expectedN = Some(docs.count()))
+    },
+
     QueryDef.sql("q58_snapshot_diff",
       """WITH olds AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
         |news AS (SELECT doc_id,
@@ -2058,6 +2072,31 @@ object TextQueries {
       graft.operators.Retrieval.writeBm25StatsTable(Tables.documents(s, d),
         col("doc_id"), col("text"), table, buckets = 8,
         path = Some(s"${sys.props("java.io.tmpdir")}/graft_bm25_$tag"))
+    table
+  }
+
+  /** The q76 fixture: a stats table built over ~96% of the corpus
+    * (doc_id % 23 <> 0), then [[graft.operators.Retrieval
+    * .mergeBm25StatsTable]]d with the remaining slice — so serving the
+    * FULL corpus from it replays q5x's oracle verbatim iff the keyed
+    * merge produced exactly the whole-corpus statistics (the q6w/q6x
+    * compaction-oracle shape on the retrieval axis: a df row the merge
+    * missed, double-counted, or mis-bucketed shifts idf and breaks the
+    * hash).
+    */
+  private def ensureMergedBm25Table(s: org.apache.spark.sql.SparkSession,
+                                    d: String): String = {
+    val tag = "sf" + d.replaceAll("[^0-9]", "").takeRight(8)
+    val table = s"graft_bm25m_$tag"
+    if (!s.catalog.tableExists(table)) {
+      val docs = Tables.documents(s, d)
+      graft.operators.Retrieval.writeBm25StatsTable(
+        docs.where(col("doc_id") % 23 =!= 0),
+        col("doc_id"), col("text"), table, buckets = 8,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bm25m_$tag"))
+      graft.operators.Retrieval.mergeBm25StatsTable(
+        docs.where(col("doc_id") % 23 === 0), col("text"), table, "append1")
+    }
     table
   }
 

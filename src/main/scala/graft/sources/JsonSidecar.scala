@@ -51,4 +51,23 @@ private[graft] object JsonSidecar {
   def longField(json: String, key: String): Option[Long] =
     (s""""$key"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(json)
       .map(_.group(1).toLong)
+
+  /** A plain string field (no escape handling — the house sidecars carry
+    * tags and file names, which never contain quotes or backslashes).
+    */
+  def stringField(json: String, key: String): Option[String] =
+    (s""""$key"\\s*:\\s*"([^"]*)"""").r.findFirstMatchIn(json)
+      .map(_.group(1))
+
+  /** A string-array field under the same no-escapes contract; None if
+    * the key is absent, Some(Nil) for an empty array.
+    */
+  def stringListField(json: String, key: String): Option[Seq[String]] =
+    (s""""$key"\\s*:\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(json)
+      .map(m => """"([^"]*)"""".r.findAllMatchIn(m.group(1))
+        .map(_.group(1)).toSeq)
+
+  /** Serialize a string list for the fields above. */
+  def stringList(items: Seq[String]): String =
+    items.map(s => "\"" + s + "\"").mkString("[", ", ", "]")
 }

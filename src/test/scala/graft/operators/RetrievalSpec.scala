@@ -131,4 +131,111 @@ class RetrievalSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bm25_noprops")
     }
   }
+
+  test("mergeBm25StatsTable: merge == rebuild, idempotent replay, all crash windows recover") {
+    val corpus = docs.where(col("doc_id") <= 2)
+    val batch = docs.where(col("doc_id") > 2)
+    def tableRows(t: String): Map[String, Long] =
+      spark.table(t).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def tableProps(t: String): (Long, Long) = {
+      val cat = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))
+      (cat.properties("graft.n").toLong, cat.properties("graft.len").toLong)
+    }
+    val dirRoot = java.nio.file.Files.createTempDirectory("bm25merge").toString
+    try {
+      // reference: a whole rebuild over corpus ∪ batch
+      Retrieval.writeBm25StatsTable(docs, col("doc_id"), col("text"),
+        "bm25_m_ref", buckets = 2, path = Some(s"$dirRoot/ref"))
+      val refRows = tableRows("bm25_m_ref")
+      val refProps = tableProps("bm25_m_ref")
+      // merge path: build over the corpus, merge the batch
+      Retrieval.writeBm25StatsTable(corpus, col("doc_id"), col("text"),
+        "bm25_m_t", buckets = 2, path = Some(s"$dirRoot/t"))
+      Retrieval.mergeBm25StatsTable(batch, col("text"), "bm25_m_t", "b1")
+      assert(tableRows("bm25_m_t") == refRows, "merge != rebuild rows")
+      assert(tableProps("bm25_m_t") == refProps, "merge != rebuild props")
+      // replaying the SAME batch tag is a no-op
+      Retrieval.mergeBm25StatsTable(batch, col("text"), "bm25_m_t", "b1")
+      assert(tableRows("bm25_m_t") == refRows && tableProps("bm25_m_t") == refProps,
+        "tag replay must be a no-op")
+      // served scores from the merged table == live fit on corpus ∪ batch
+      val live = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+        Seq("spark", "merge"), k = 10).collect().map(_.toString).sorted.toSeq
+      val served = Retrieval.bm25TopKFromStats(docs, col("doc_id"),
+          col("text"), "bm25_m_t", Seq("spark", "merge"), k = 10,
+          expectedN = Some(4L))
+        .collect().map(_.toString).sorted.toSeq
+      assert(served == live)
+      // ---- crash window 1: staging complete, manifest NOT yet written
+      //      (simulated: a leftover staging dir) -> roll BACK, table intact
+      val cat = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("bm25_m_t"))
+      val loc = new org.apache.hadoop.fs.Path(cat.location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val stagingDir = new org.apache.hadoop.fs.Path(loc.toString + ".merge_tmp")
+      fs.mkdirs(stagingDir)
+      Retrieval.recoverBm25StatsTable(spark, "bm25_m_t")
+      assert(!fs.exists(stagingDir), "manifest-less staging must roll back")
+      assert(tableRows("bm25_m_t") == refRows)
+      // ---- crash windows 2-4: manifest written (commit point), apply
+      //      stops (a) before any rename, (b) after a partial rename,
+      //      (c) after renames but before deletes/props. Stage a second
+      //      batch merge and manufacture each state; every recover must
+      //      land on the SAME final table.
+      val batch2 = Seq((10L, "spark stream spark window"),
+        (11L, "entirely novel terms only")).toDF("doc_id", "text")
+      Retrieval.writeBm25StatsTable(docs.unionByName(batch2),
+        col("doc_id"), col("text"), "bm25_m_ref2", buckets = 2,
+        path = Some(s"$dirRoot/ref2"))
+      val ref2Rows = tableRows("bm25_m_ref2")
+      val ref2Props = tableProps("bm25_m_ref2")
+      def checkWindow(tag: String)(corrupt: () => Unit): Unit = {
+        assert(Retrieval.stageBm25Merge(batch2, col("text"), "bm25_m_t", tag),
+          s"window $tag staged nothing")
+        corrupt()
+        Retrieval.recoverBm25StatsTable(spark, "bm25_m_t")
+        assert(tableRows("bm25_m_t") == ref2Rows, s"window $tag rows diverged")
+        assert(tableProps("bm25_m_t") == ref2Props, s"window $tag props diverged")
+        // rewind the table to the pre-merge state for the next window
+        spark.sql("DROP TABLE IF EXISTS bm25_m_t")
+        fs.delete(loc, true)
+        Retrieval.writeBm25StatsTable(corpus, col("doc_id"), col("text"),
+          "bm25_m_t", buckets = 2, path = Some(s"$dirRoot/t"))
+        Retrieval.mergeBm25StatsTable(batch, col("text"), "bm25_m_t", "b1")
+      }
+      checkWindow("w_none")(() => ()) // crash right after the manifest
+      checkWindow("w_partial") { () =>
+        // one staged file renamed in, the rest not, nothing deleted
+        val staged = fs.listStatus(stagingDir)
+          .filter(f => f.getPath.getName.startsWith("part-")).map(_.getPath)
+        assert(staged.nonEmpty)
+        assert(fs.rename(staged.head,
+          new org.apache.hadoop.fs.Path(loc, staged.head.getName)))
+      }
+      checkWindow("w_renamed") { () =>
+        // all staged files renamed in (old files still beside them):
+        // the duplicate-row window the serve's max(df) fold reads through
+        val staged = fs.listStatus(stagingDir)
+          .filter(f => f.getPath.getName.startsWith("part-")).map(_.getPath)
+        staged.foreach(p => assert(fs.rename(p,
+          new org.apache.hadoop.fs.Path(loc, p.getName))))
+        // mid-window serve: duplicates fold by max -> merged values win
+        val catNow = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("bm25_m_t"))
+        val direct = Retrieval.readStatsDfMap(spark, catNow, Seq("spark"))
+        assert(direct("spark") == ref2Rows("spark"),
+          s"mid-window serve read ${direct("spark")}, want merged ${ref2Rows("spark")}")
+      }
+      // a stale-corpus serve with expectedN refuses loudly
+      val e = intercept[IllegalArgumentException] {
+        Retrieval.bm25TopKFromStats(docs, col("doc_id"), col("text"),
+          "bm25_m_t", Seq("spark"), k = 5, expectedN = Some(99L))
+      }
+      assert(e.getMessage.contains("stale BM25 stats table"), e.getMessage)
+    } finally {
+      Seq("bm25_m_t", "bm25_m_ref", "bm25_m_ref2").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
