@@ -308,15 +308,20 @@ object Similarity {
   def pqTopK(corpus: DataFrame, corpusId: String,
              queries: DataFrame, queryId: String,
              k: Int, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    // null-drops ride Generates (explodeNonNull) so each kernel runs
+    // ONCE per row — a Filter here gets pushed below the projection
+    // with the kernel inlined into the predicate (2× the encode per
+    // corpus row, 2× the ADC distance per scored pair)
     val enc = corpus.select(col(corpusId).as("__cid"),
-        graft.expressions.PqEncode(col("embedding"), codebooks).as("__codes"))
-      .filter(col("__codes").isNotNull)
+        graft.functions.KernelOps.explodeNonNull(
+          graft.expressions.PqEncode(col("embedding"), codebooks))
+          .as("__codes"))
     val q = queries.select(col(queryId).as("__qid"),
       col("embedding").as("__qe"))
     val scored = enc.crossJoin(broadcast(q))
-      .withColumn("__dist",
+      .select(col("*"), graft.functions.KernelOps.explodeNonNull(
         graft.expressions.PqAdcDist(col("__codes"), col("__qe"), codebooks))
-      .filter(col("__dist").isNotNull)
+        .as("__dist"))
     graft.plans.GroupedTopK.perGroup(scored, Seq(col("__qid")),
         struct(col("__dist"), col("__cid")), k)
       .select(col("__qid").as(queryId), col("__cid").as(corpusId),
@@ -398,10 +403,13 @@ object Similarity {
       s"bad probe count: nProbe=$nProbe of ${coarse.size} cells")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // null-drop rides a Generate (explodeNonNull): the corpus-sized
+    // encode kernel runs ONCE per row — a Filter here is pushed below
+    // the projection with the kernel inlined into the predicate
     val enc0 = corpus.select(col(corpusId).as("__cid"),
-        graft.expressions.IvfPqEncode(col("embedding"), coarse, codebooks)
+        graft.functions.KernelOps.explodeNonNull(
+          graft.expressions.IvfPqEncode(col("embedding"), coarse, codebooks))
           .as("__s"))
-      .filter(col("__s").isNotNull)
     val enc = enc0.select(col("__cid"),
       col("__s").getField("cell").as("__cell"),
       col("__s").getField("codes").as("__codes"))
@@ -411,17 +419,17 @@ object Similarity {
     val qd = queries
       .select(col(queryId).as("__qid"), col("embedding").as("__qe"))
       .crossJoin(broadcast(centroids))
-      .withColumn("__d",
+      .select(col("*"), graft.functions.KernelOps.explodeNonNull(
         graft.expressions.FpSqDist(col("__qe"), col("__centroid")))
-      .filter(col("__d").isNotNull)
+        .as("__d"))
     val probes = graft.plans.GroupedTopK.perGroup(qd,
         Seq(col("__qid")), struct(col("__d"), col("__pcell")), nProbe)
       .select(col("__qid"), col("__qe"), col("__pcell").as("__cell"))
     val scored = enc.join(probes, Seq("__cell"))
-      .withColumn("__dist",
+      .select(col("*"), graft.functions.KernelOps.explodeNonNull(
         graft.expressions.IvfPqAdcDist(col("__codes"), col("__qe"),
           col("__cell"), coarse, codebooks))
-      .filter(col("__dist").isNotNull)
+        .as("__dist"))
     graft.plans.GroupedTopK.perGroup(scored, Seq(col("__qid")),
         struct(col("__dist"), col("__cid")), k)
       .select(col("__qid").as(queryId), col("__cid").as(corpusId),
@@ -442,9 +450,9 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     corpus.select(col(corpusId).as("vec_id"),
-        graft.expressions.IvfPqEncode(col("embedding"), coarse, codebooks)
+        graft.functions.KernelOps.explodeNonNull(
+          graft.expressions.IvfPqEncode(col("embedding"), coarse, codebooks))
           .as("__s"))
-      .filter(col("__s").isNotNull)
       .select(col("vec_id"), col("__s").getField("codes").as("codes"),
         col("__s").getField("cell").as("cell"))
       .write.partitionBy("cell").mode("overwrite")
@@ -572,10 +580,14 @@ object Similarity {
     // (IvfPqEncode and the coarse term null out on the same geometry
     // mismatches, so the stat counts exactly the appended rows)
     val enc = batch.select(col(id).as("vec_id"),
-        graft.expressions.IvfPqEncode(col("embedding"), coarse, cbs)
-          .as("__s"),
-        minCoarseDist(col("embedding"), coarse).as("__d"))
-      .filter(col("__s").isNotNull)
+        graft.functions.KernelOps.explodeKept(
+          struct(
+            graft.expressions.IvfPqEncode(col("embedding"), coarse, cbs)
+              .as("s"),
+            minCoarseDist(col("embedding"), coarse).as("d")),
+          _.getField("s").isNotNull).as("__sd"))
+      .select(col("vec_id"), col("__sd").getField("s").as("__s"),
+        col("__sd").getField("d").as("__d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       enc.select(col("vec_id"), col("__s").getField("codes").as("codes"),
@@ -748,9 +760,9 @@ object Similarity {
     val qd = queries
       .select(col(queryId).as("__qid"), col("embedding").as("__qe"))
       .crossJoin(broadcast(centroids))
-      .withColumn("__d",
+      .select(col("*"), graft.functions.KernelOps.explodeNonNull(
         graft.expressions.FpSqDist(col("__qe"), col("__centroid")))
-      .filter(col("__d").isNotNull)
+        .as("__d"))
     // ONE probe job (r12: this GroupedTopK used to run twice — once for
     // the distinct-cell collect, again inside the scored join): the
     // (query, cell) pairs land on the driver — |queries| × nProbe rows,
@@ -786,10 +798,10 @@ object Similarity {
       .select(col("vec_id").as("__cid"), col("codes").as("__codes"),
         col("cell").cast("int").as("__cell"))
     val scored = enc.join(probes, Seq("__cell"))
-      .withColumn("__dist",
+      .select(col("*"), graft.functions.KernelOps.explodeNonNull(
         graft.expressions.IvfPqAdcDist(col("__codes"), col("__qe"),
           col("__cell"), coarse, cbs))
-      .filter(col("__dist").isNotNull)
+        .as("__dist"))
     graft.plans.GroupedTopK.perGroup(scored, Seq(col("__qid")),
         struct(col("__dist"), col("__cid")), k)
       .select(col("__qid").as(queryId), col("__cid").as("vec_id"),
