@@ -894,16 +894,32 @@ object Similarity {
     * distinct on the dropped id; survivors come from one left join back
     * on the id. No windows, no driver collects.
     */
+  /** (id, embedding, cell, norm) with wrong-geometry (null-cell) rows
+    * dropped and BOTH kernels evaluated once per row: the null-drop
+    * rides a Generate over a packed struct
+    * ([[graft.functions.KernelOps.explodeKept]]) — a plain Filter here
+    * would be pushed below the projection with the cell kernel inlined
+    * into the predicate, running it twice per corpus row (and the
+    * downstream `__n > 0` filters would do the same to the norm).
+    */
+  private def assignCells(df: DataFrame, id: String,
+                          centroids: Seq[Seq[Double]]): DataFrame =
+    df.select(col(id).as("__id"), col("embedding").as("__e"),
+        graft.functions.KernelOps.explodeKept(
+          struct(
+            graft.expressions.PqEncode(col("embedding"), Seq(centroids))
+              .getItem(0).as("c"),
+            norm(col("embedding")).as("n")),
+          _.getField("c").isNotNull).as("__cn"))
+      .select(col("__id"), col("__e"),
+        col("__cn").getField("c").as("__cell"),
+        col("__cn").getField("n").as("__n"))
+
   def semDedup(corpus: DataFrame, id: String, threshold: Double,
                centroids: Seq[Seq[Double]]): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"bad SemDeDup threshold: $threshold")
-    val assigned = corpus.select(col(id).as("__id"),
-        col("embedding").as("__e"),
-        graft.expressions.PqEncode(col("embedding"), Seq(centroids))
-          .getItem(0).as("__cell"),
-        norm(col("embedding")).as("__n"))
-      .filter(col("__cell").isNotNull)
+    val assigned = assignCells(corpus, id, centroids)
     val a = assigned.filter(col("__n") > 0)
       .select(col("__cell"), col("__id").as("__ida"),
         col("__e").as("__ea"), col("__n").as("__na"))
@@ -941,14 +957,8 @@ object Similarity {
                       centroids: Seq[Seq[Double]]): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"bad SemDeDup threshold: $threshold")
-    def assigned(df: DataFrame) = df.select(col(id).as("__id"),
-        col("embedding").as("__e"),
-        graft.expressions.PqEncode(col("embedding"), Seq(centroids))
-          .getItem(0).as("__cell"),
-        norm(col("embedding")).as("__n"))
-      .filter(col("__cell").isNotNull)
-    val b = assigned(batch)
-    val c = assigned(corpus).filter(col("__n") > 0)
+    val b = assignCells(batch, id, centroids)
+    val c = assignCells(corpus, id, centroids).filter(col("__n") > 0)
       .select(col("__cell"), col("__e").as("__ec"), col("__n").as("__nc"))
     val dups = b.filter(col("__n") > 0).join(c, Seq("__cell"))
       .filter(round(dot(col("__e"), col("__ec"))
@@ -975,9 +985,9 @@ object Similarity {
                           centroids: Seq[Seq[Double]], root: String,
                           seg: String): Unit =
     df.select(col(id).as("vec_id"), col("embedding"),
-        graft.expressions.PqEncode(col("embedding"), Seq(centroids))
-          .getItem(0).as("cell"))
-      .filter(col("cell").isNotNull)
+        graft.functions.KernelOps.explodeNonNull(
+          graft.expressions.PqEncode(col("embedding"), Seq(centroids))
+            .getItem(0)).as("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$root/seg=$seg")
 
@@ -1050,11 +1060,7 @@ object Similarity {
                             centroids: Seq[Seq[Double]]): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"bad SemDeDup threshold: $threshold")
-    val b = batch.select(col(id).as("__id"), col("embedding").as("__e"),
-        graft.expressions.PqEncode(col("embedding"), Seq(centroids))
-          .getItem(0).as("__cell"),
-        norm(col("embedding")).as("__n"))
-      .filter(col("__cell").isNotNull)
+    val b = assignCells(batch, id, centroids)
       .filter(col("__n") > 0)
     val c = state.select(col("cell").cast("int").as("__cell"),
         col("embedding").as("__ec"), norm(col("embedding")).as("__nc"))
@@ -1076,9 +1082,9 @@ object Similarity {
                            threshold: Double,
                            centroids: Seq[Seq[Double]]): DataFrame = {
     val assigned = batch.select(col(id).as("__id"),
-        graft.expressions.PqEncode(col("embedding"), Seq(centroids))
-          .getItem(0).as("__cell"))
-      .filter(col("__cell").isNotNull)
+        graft.functions.KernelOps.explodeNonNull(
+          graft.expressions.PqEncode(col("embedding"), Seq(centroids))
+            .getItem(0)).as("__cell"))
     // distinct IS needed here (unlike the anti-join consumer): the left
     // join below would duplicate a batch row per matching state row
     val dups = semDupIdsAgainstCells(batch, id, state, threshold, centroids)
