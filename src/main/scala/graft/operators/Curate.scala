@@ -24,14 +24,25 @@ object Curate {
     */
   def curate(df: DataFrame, id: String, text: String,
              cfg: Config = Config()): DataFrame = {
-    val scored = df
-      .withColumn("quality", TextFunctions.qualityScore(col(text)))
-      .withColumn("lang", TextFunctions.langId(col(text)))
-      .withColumn("n_tokens", TextFunctions.tokenCount(col(text)))
-    val gated = scored
-      .filter(col("quality") >= cfg.minQuality)
-      .filter(col("lang") === cfg.lang)
-      .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
+    // the three signal kernels are computed ONCE per row: the gate rides
+    // a Generate over a packed struct (KernelOps.explodeKept) — chained
+    // .filter()s here would be pushed below the projection with every
+    // signal kernel inlined into its predicate, scanning each document's
+    // text twice per signal (the round-15 pushdown hazard); the signal
+    // COLUMNS still come back attached, from the same single evaluation
+    val gated = df
+      .select(col("*"), graft.functions.KernelOps.explodeKept(
+        struct(TextFunctions.qualityScore(col(text)).as("q"),
+          TextFunctions.langId(col(text)).as("l"),
+          TextFunctions.tokenCount(col(text)).as("n")),
+        s => s.getField("q") >= cfg.minQuality &&
+          s.getField("l") === cfg.lang &&
+          s.getField("n").between(cfg.minTokens, cfg.maxTokens))
+        .as("__qln"))
+      .select(col("*"), col("__qln").getField("q").as("quality"),
+        col("__qln").getField("l").as("lang"),
+        col("__qln").getField("n").as("n_tokens"))
+      .drop("__qln")
     val exactDeduped = Dedup.dropExactDupes(gated, id, text)
     Dedup.dropNearDupes(exactDeduped, id, text, cfg.nearDupThreshold)
   }
