@@ -288,6 +288,15 @@ object Retrieval {
     * the index append, caught loudly by `expectedN` serves. Merge ==
     * rebuild row-for-row on corpus ∪ batch (spec-pinned; q76 replays the
     * q5x oracle over the merged table).
+    *
+    * ORDERING with [[graft.operators.Dedup.compactBucketedTable]]: run
+    * [[recoverBm25StatsTable]] first. A mid-crash table holds a term's
+    * old row BESIDE its merged row — different df values, so the
+    * compaction's whole-row distinct keeps both (it heals only EQUAL
+    * duplicates); recovery deletes the old files and restores the
+    * one-row-per-term invariant the compaction (and any raw table scan)
+    * assumes. The serving reads ([[readStatsDfMap]]) are themselves
+    * immune via the max(df) fold.
     */
   def mergeBm25StatsTable(batch: DataFrame, text: Column, table: String,
                           batchTag: String): Unit = {

@@ -90,6 +90,23 @@ class TextClassifierSpec extends SparkSpec {
     assert(bare.isEmpty, s"bare decimal literal would parse as DECIMAL: $bare")
   }
 
+  test("scoring plan evaluates the counting kernel exactly once per row") {
+    val m = TextClassifier.export(TextClassifier.fit(corpus, "text", "y", k = 8))
+    // parquet-backed input: a local Seq relation constant-folds the whole
+    // projection away (ConvertToLocalRelation) and proves nothing
+    val dir = java.nio.file.Files.createTempDirectory("textclf_plan").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    // CollapseProject must keep the kernel projection separate from the
+    // k feature extractions (non-cheap alias, multiply referenced) — if
+    // it ever inlines, the kernel appears once per f_j reference and
+    // scoring cost multiplies by k
+    val plan = TextClassifier.score(m, spark.read.parquet(dir), "text")
+      .queryExecution.executedPlan.toString.toLowerCase
+    val hits = "md5bucketcounts".r.findAllIn(plan).length
+    assert(hits == 1,
+      s"expected exactly one kernel site in the plan, got $hits:\n$plan")
+  }
+
   test("gateCol kernel decision == scored margin >= bar, row-for-row") {
     val k = 32
     val m = TextClassifier.export(TextClassifier.fit(corpus, "text", "y", k = k))

@@ -104,6 +104,19 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.readStatsDfMap(spark, cat, terms)
       assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
         == nJobsBefore, "the driver-direct lookup must not run a Spark job")
+      // and the WHOLE serve is exactly one job: the kernel scan into the
+      // ordered limit — no fit job, no lookup job, no plan-side filter
+      // re-running the kernel (the round-15 pushdown hazard). Parquet-
+      // backed corpus: a local Seq relation would constant-fold.
+      val pdir = java.nio.file.Files.createTempDirectory("bm25_serve_plan")
+      docs.write.mode("overwrite").parquet(pdir.toString)
+      val pdocs = spark.read.parquet(pdir.toString)
+      val before2 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      Retrieval.bm25TopKFromStats(pdocs, col("doc_id"), col("text"),
+        "bm25_stats_t", terms, k = 10)
+      val after2 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      assert(after2 == before2 + 1,
+        s"stats-served BM25 must cost exactly ONE job, ran ${after2 - before2}")
       // the returned scoring plan is a single scan into the ordered
       // limit — no joins and no aggregate (the saved fit pass)
       val splan = Retrieval.bm25TopKFromStats(docs, col("doc_id"),
