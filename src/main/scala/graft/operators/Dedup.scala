@@ -328,6 +328,31 @@ object Dedup {
         graft.expressions.WordShingles.shingleJaccard(
           col("__ta"), col("__tb"), shingleN).as("jaccard"))
 
+  /** [[verifyJaccardBetween]] with the threshold applied INSIDE the
+    * verify projection: the keep rides a Generate
+    * ([[graft.functions.KernelOps.explodeKept]]), so the jaccard kernel
+    * runs exactly once per candidate pair AND no barrier is needed —
+    * the previous shape (verify → no-op min() aggregate → filter) paid
+    * ONE FULL EXCHANGE of the pair table purely to stop the optimizer
+    * folding the threshold into the verify join's condition (which
+    * re-ran the kernel per copied site). Same output multiset: callers
+    * dedup candidates before the verify, so the min() was always a
+    * no-op, and a Generate-dropped null jaccard equals the filter's
+    * null-drop.
+    */
+  private def verifyJaccardKept(candidates: DataFrame, docsA: DataFrame,
+                                docsB: DataFrame, id: String, text: String,
+                                shingleN: Int,
+                                threshold: Double): DataFrame =
+    candidates
+      .join(docsA.select(col(id).as("doc_a"), col(text).as("__ta")), Seq("doc_a"))
+      .join(docsB.select(col(id).as("doc_b"), col(text).as("__tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.KernelOps.explodeKept(
+          graft.expressions.WordShingles.shingleJaccard(
+            col("__ta"), col("__tb"), shingleN),
+          _ >= threshold).as("jaccard"))
+
   /** Full MinHash-LSH near-dup pipeline: block with banding, verify with
     * exact Jaccard, keep pairs at or above `threshold`.
     *
@@ -341,28 +366,23 @@ object Dedup {
   def minhashNearDupes(df: DataFrame, id: String, text: String,
                        threshold: Double = 0.8, bands: Int = 8,
                        rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame =
-    verifyJaccard(
+    verifyJaccardKept(
         // ONE keyed exchange does candidate dedup AND the verify spread:
         // dropDuplicates lands on the already-(doc_a,doc_b)-partitioned
         // child (no exchange of its own), and a user repartition is exempt
         // from AQE's byte-based coalescing, which would otherwise funnel
         // the per-pair-CPU verify stage into one or two tasks. (The
         // earlier distinct().repartition(n) shape paid two exchanges of
-        // the pair table for the same result.)
+        // the pair table for the same result.) The threshold keep lives
+        // INSIDE the verify projection (verifyJaccardKept's Generate) —
+        // this used to be a verify → no-op min() aggregate → filter
+        // chain whose only purpose was a pushdown barrier, at the price
+        // of one more exchange of the pair table.
         minhashCandidatesRaw(df, id, text, bands, rowsPerBand, shingleN)
           .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
             col("doc_a"), col("doc_b"))
           .dropDuplicates("doc_a", "doc_b"),
-        df, id, text, shingleN)
-      // no-op aggregate (candidate pairs are already distinct) acting as a
-      // pushdown BARRIER: without it the optimizer folds the threshold into
-      // the verify join's condition and the jaccard kernel runs a second
-      // time per candidate pair (measured ~2x verify cost at 10x scale).
-      // The aggregate keeps the filter above a once-evaluated column at the
-      // price of one exchange of the tiny (id, id, double) pair table.
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(min(col("jaccard")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        df, df, id, text, shingleN, threshold)
 
   /** Cross-corpus near-dup pairs: batch docs vs an already-ingested corpus
     * — the near-dup sibling of [[dropDupesAgainst]], and the incremental
@@ -392,12 +412,9 @@ object Dedup {
       .repartition(batch.sparkSession.sessionState.conf.numShufflePartitions,
         col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    verifyJaccardBetween(cands, batch, corpus, id, text, shingleN)
-      // pushdown barrier (see minhashNearDupes): keep the threshold filter
-      // off the verify join condition so the jaccard kernel runs once
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(min(col("jaccard")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // threshold keep inside the verify projection (verifyJaccardKept):
+    // kernel once per pair, no barrier exchange (see minhashNearDupes)
+    verifyJaccardKept(cands, batch, corpus, id, text, shingleN, threshold)
   }
 
   /** Persist a corpus's LSH band table as a BUCKETED catalog table — the
@@ -722,10 +739,7 @@ object Dedup {
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    verifyJaccardBetween(cands, batch, corpus, id, text, shingleN)
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(min(col("jaccard")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccardKept(cands, batch, corpus, id, text, shingleN, threshold)
   }
 
   /** Rows of `batch` with no near-dup in `corpus`: the incremental-ingest
