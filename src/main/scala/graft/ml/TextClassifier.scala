@@ -236,6 +236,31 @@ object TextClassifier {
       s"""{"fmt": 1, "statN": $n, "statSumMicro": $s}""")
   }
 
+  /** REFIT-AND-SWAP for a SERVED classifier — the drift contract's
+    * ACTION on the quality axis ([[driftStats]] tells the caller WHEN;
+    * this is HOW), the [[graft.operators.Similarity.refitIvfPqIndex]]
+    * lifecycle step applied to the artifact-store families: the freshly
+    * fitted model ([[fit]] + [[export]], the caller's choice of slice
+    * and hyperparameters) stages COMPLETELY beside the live path —
+    * coefficients, meta, and a NEW `_drift.json` baseline over the refit
+    * corpus, so the swapped-in filter's drift clock restarts at its own
+    * fit distribution — then two atomic directory renames swap it under
+    * the serving path ([[graft.sources.ArtifactSwap]]: a reader in any
+    * crash window loads old, new, or fails loudly; `_drift.json` is the
+    * staging's completeness witness, so a staging that crashed between
+    * the sidecars is never promoted). Also serves as the ATOMIC initial
+    * publish when no live artifact exists yet. Corpus-sized cost is the
+    * baseline's one zero-shuffle scoring pass; the swap is two renames.
+    */
+  def refitAndSwap(spark: org.apache.spark.sql.SparkSession,
+                   model: LinearTextModel, fitCorpus: DataFrame,
+                   text: String, path: String): Unit =
+    graft.sources.ArtifactSwap.refresh(spark, path,
+        witness = "_drift.json") { tmp =>
+      save(spark, model, tmp)
+      writeDriftSidecar(spark, tmp, fitCorpus, text)
+    }
+
   /** DRIFT stats for a persisted classifier — (src, n, sum_margin_micro)
     * with `build` read from the `_drift.json` sidecar
     * ([[writeDriftSidecar]]) and `batch` scored live through the same

@@ -697,6 +697,102 @@ object Similarity {
     fs.delete(old, true)
   }
 
+  /** COMPACTION for the persisted IVF-PQ index — the
+    * [[graft.operators.Dedup.compactBucketedTable]]/[[compactSemCellTable]]
+    * maintenance loop applied to the ANN axis, closing the index
+    * lifecycle's last unbounded GROWTH: every [[appendIvfPqIndex]] lands
+    * one more part file in each touched cell partition, so a long append
+    * stream degrades the probed-cell scan into a many-small-files listing
+    * even though the row volume stays bounded by the corpus. Folds the
+    * encoded tree to ONE file per cell (each cell's rows hash to one
+    * shuffle task); the model and meta.json — geometry and drift baseline
+    * — are never touched, so a reader's already-loaded model stays valid
+    * across the swap and the [[ivfPqDriftStats]] contract is unaffected.
+    *
+    * Unlike the GATE-state compactions, index rows are NOT
+    * duplication-insensitive (a doubled code row occupies two top-k
+    * slots and displaces the true k-th), so the gate tables'
+    * old+combined crash window is unacceptable here and the file-level
+    * rename-in-then-delete fold is ruled out. Instead the
+    * [[refitIvfPqIndex]] directory-swap discipline scoped to the
+    * `encoded` subtree: the compacted tree fully materializes BESIDE the
+    * live one (`encoded.compact_tmp`; the committer's `_SUCCESS` marker
+    * is its completeness witness), then two atomic renames —
+    * encoded → encoded.compact_old, tmp → encoded — and a final delete.
+    * A reader in any window sees the OLD tree (consistent), the NEW tree
+    * (consistent, same row multiset), or fails loudly on the absent path
+    * in the instant between the renames — never duplicated and never
+    * silently-missing rows. Crash recovery at entry mirrors the refit:
+    * an absent encoded root rolls FORWARD from a `_SUCCESS`-complete tmp
+    * or BACK from compact_old, whichever survived. A footer-cheap row
+    * count guard refuses a staging whose multiset size drifted from the
+    * live read (the case it catches in practice: an append landing
+    * between the fold's two jobs). SINGLE-MAINTAINER contract — the same
+    * one [[refitIvfPqIndex]] states: an append landing between the
+    * staging read and the swap would be discarded by the swap, so run
+    * compaction from the serialized maintenance loop that owns appends
+    * and refits.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit = {
+    val enc = new org.apache.hadoop.fs.Path(s"$path/encoded")
+    val fs = enc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/encoded.compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path/encoded.compact_old")
+    // a torn or foreign index refuses before anything is touched (meta
+    // geometry + model section sizes — the appendIvfPqIndex guard)
+    loadIvfPqModel(spark, path)
+    // crash recovery for the between-renames window (encoded renamed
+    // out, tmp not yet renamed in): roll FORWARD from the staged tree if
+    // it completed (_SUCCESS is the committer's last write), else roll
+    // BACK the old one — a live encoded tree exists again before this
+    // compaction proceeds
+    if (!fs.exists(enc)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        require(fs.rename(tmp, enc),
+          s"crash recovery: roll-forward rename of $tmp failed")
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, enc),
+          s"crash recovery: roll-back rename of $old failed")
+        fs.delete(tmp, true)
+      }
+    }
+    require(fs.exists(enc),
+      s"no encoded tree at $path — writeIvfPqIndex does the initial build")
+    // already-compact fast path: every cell partition holds <= 1 data file
+    val cellDirs = fs.listStatus(enc)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+    def nDataFiles(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).count(f => f.isFile && { val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") })
+    if (cellDirs.forall(cd => nDataFiles(cd.getPath) <= 1)) return
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    // partition discovery restores `cell`; repartitioning ON the cell
+    // value lands each cell's rows in exactly one task -> one file per
+    // cell. Rows pass through verbatim — no dropDuplicates: a duplicated
+    // vec_id here is a real double-append, surfaced by the refit count
+    // guard, never silently healed into a different served multiset.
+    val rows = spark.read.parquet(enc.toString)
+    val n0 = rows.count()
+    rows.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(tmp.toString)
+    val n1 = spark.read.parquet(tmp.toString).count()
+    if (n1 != n0) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compaction row-count drift at $path: live encoded tree read $n0 " +
+          s"rows but the staged fold holds $n1 — an append landed " +
+          "mid-compaction (single-maintainer contract) or the fold was " +
+          "torn; the live index is untouched")
+    }
+    require(fs.rename(enc, old), s"swap-out rename of $enc failed")
+    require(fs.rename(tmp, enc), s"swap-in rename into $enc failed — the " +
+      s"previous encoded tree is preserved at $old")
+    fs.delete(old, true)
+  }
+
   /** Load the (coarse, codebooks) sidecar written by [[writeIvfPqIndex]]
     * — rows re-sort to canonical order (bit-identical to the fitted
     * model); the sidecar's section sizes guard torn/foreign artifacts.

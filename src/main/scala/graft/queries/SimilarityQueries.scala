@@ -421,6 +421,29 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("vec_id"))
     },
 
+    // ---- IVF-PQ index compaction (q77): the maintenance loop on the
+    // ANN axis — the q6q lifecycle with the odd half appended as TWO
+    // batches (so cell partitions genuinely hold multiple small files),
+    // then compactIvfPqIndex folds the encoded tree to one file per cell
+    // under the directory-swap discipline, and the search serves the
+    // post-compaction artifact. The oracle is EXACTLY q6h's from-scratch
+    // replay over the full corpus: a compaction that dropped, duplicated
+    // or re-coded a single row breaks the hash (the q6w/q6x table-served
+    // == live discipline applied to the index).
+    QueryDef.dynamicSql("q77_ivfpq_compacted") { (s, d) =>
+      val (coarse, cbs) = ensureIvfPq(s, d)
+      ivfPqReplaySql(coarse, cbs,
+        "embeddings WHERE vec_id >= 5",
+        "embeddings WHERE vec_id < 5", k = 5, nProbe = 3)
+    } { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfPqTopKFromIndex(s, ensureIvfPqCompactedIndex(s, d),
+          queries, "query_id", k = 5, nProbe = 3)
+        .orderBy(col("query_id"), col("vec_id"))
+    },
+
     // ---- SemDeDup (Abbas et al. 2023 — cluster-blocked semantic dedup,
     // the LAION/DataComp discipline). Cell assignment replays as the q5y
     // integer argmin with ONE full-vector subspace; the within-cell pair
@@ -685,6 +708,30 @@ object SimilarityQueries {
         "vec_id", path)
       val (c1, b1) = ensureIvfPqRefit(s, d)
       Similarity.refitIvfPqIndex(corpus, "vec_id", path, c1, b1)
+      path
+    })
+
+  /** The q77 index: the q6q lifecycle with the odd half appended as TWO
+    * separate batches — each append lands its own part files, so the
+    * cell partitions genuinely carry the many-small-files state — then
+    * compacted to one file per cell. Built once per sf dir, so the
+    * search genuinely serves the post-compaction tree.
+    */
+  private val ivfPqCompactCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureIvfPqCompactedIndex(s: org.apache.spark.sql.SparkSession,
+                                        d: String): String =
+    ivfPqCompactCache.getOrElseUpdate(d, {
+      val path = LmQueries.sessionTmp(s, "q77_ivfpq_compact", d)
+      val (coarse, cbs) = ensureIvfPq(s, d)
+      val corpus = Tables.embeddings(s, d).where(col("vec_id") >= 5)
+      Similarity.writeIvfPqIndex(corpus.where(col("vec_id") % 2 === 0),
+        "vec_id", path, coarse, cbs)
+      Similarity.appendIvfPqIndex(corpus.where(col("vec_id") % 4 === 1),
+        "vec_id", path)
+      Similarity.appendIvfPqIndex(corpus.where(col("vec_id") % 4 === 3),
+        "vec_id", path)
+      Similarity.compactIvfPqIndex(s, path)
       path
     })
 

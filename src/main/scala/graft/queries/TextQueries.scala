@@ -161,6 +161,45 @@ object TextQueries {
       path
     })
 
+  /** The q78 refit model: a SECOND deterministic fit over a DIFFERENT
+    * training slice (doc_id % 10 < 6) — genuinely different coefficients
+    * than [[ensureQualityModel]]'s, so a swap that silently kept the old
+    * artifact would produce old-model scores against a new-model oracle.
+    */
+  private val refitQmCache = scala.collection.concurrent.TrieMap
+    .empty[String, graft.ml.TextClassifier.LinearTextModel]
+  private def ensureRefitQualityModel(s: org.apache.spark.sql.SparkSession,
+                                      d: String)
+      : graft.ml.TextClassifier.LinearTextModel =
+    refitQmCache.getOrElseUpdate(d, {
+      val train = Tables.documents(s, d).where(col("doc_id") % 10 < 6)
+        .select(col("text"),
+          (col("lang") === "en").cast("double").as("y"))
+      graft.ml.TextClassifier.export(
+        graft.ml.TextClassifier.fit(train, "text", "y", k = QmBuckets))
+    })
+
+  /** The q78 artifact: the q70 serving lifecycle (save + drift baseline)
+    * on its OWN path — q70/q74/q75 keep serving the original model from
+    * theirs — then a refit-and-swap with the fresh model, once per sf
+    * dir, so the scoring genuinely serves the post-swap artifact.
+    */
+  private val refitQmPathCache = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+  private def ensureRefitQualityPath(s: org.apache.spark.sql.SparkSession,
+                                     d: String): String =
+    refitQmPathCache.getOrElseUpdate(d, {
+      val path = LmQueries.sessionTmp(s, "q78_quality_refit", d)
+      graft.ml.TextClassifier.save(s,
+        graft.ml.TextClassifier.export(ensureQualityModel(s, d)), path)
+      graft.ml.TextClassifier.writeDriftSidecar(s, path,
+        Tables.documents(s, d).where(col("doc_id") % 10 < 8), "text")
+      // the drift contract fired: refit on the fresh slice, swap atomically
+      graft.ml.TextClassifier.refitAndSwap(s, ensureRefitQualityModel(s, d),
+        Tables.documents(s, d).where(col("doc_id") % 10 < 6), "text", path)
+      path
+    })
+
   /** The planted cross-batch near-dup pair for q6c: 3000000 (even → replay
     * batch 0, novel vs the corpus, survives round 0) and 3000001 (odd →
     * batch 1, a near-dup of 3000000 — ~0.92 shingle Jaccard, deep in the
@@ -1422,6 +1461,26 @@ object TextQueries {
       graft.ml.TextClassifier.driftStats(s, ensureQualityDriftPath(s, d),
           Tables.documents(s, d).where(col("doc_id") % 10 >= 8), "text")
         .orderBy(col("src"))
+    },
+
+    // ---- quality-classifier refit-and-swap (q78): the drift contract's
+    // ACTION on the quality axis — the q6y discipline applied to the
+    // artifact-store families: the q70 serving lifecycle on its own
+    // path, then a refit on a different training slice staged
+    // (coefficients + meta + a FRESH _drift baseline, the witness) and
+    // atomically swapped under the serving path; scoring serves the
+    // post-swap artifact. The oracle is the q70 holdout replay WITH THE
+    // REFIT model's pre-save coefficients: a swap that silently kept the
+    // old artifact, tore between the sidecars, or drifted a coefficient
+    // on the way through save→load breaks the hash (swap == fresh fit).
+    QueryDef.dynamicSql("q78_quality_refit") { (s, d) =>
+      qualityScoreOracleSql(ensureRefitQualityModel(s, d))
+    } { (s, d) =>
+      val served = graft.ml.TextClassifier.load(s, ensureRefitQualityPath(s, d))
+      graft.ml.TextClassifier.score(served,
+          Tables.documents(s, d).where(col("doc_id") % 10 >= 8), "text")
+        .select(col("doc_id"), col("pred"), col("margin"))
+        .orderBy(col("doc_id"))
     },
 
     // ---- corpus snapshot diff (dataset-version audit): added / removed /

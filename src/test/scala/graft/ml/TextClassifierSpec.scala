@@ -178,4 +178,67 @@ class TextClassifierSpec extends SparkSpec {
     finally out.close()
     intercept[IllegalArgumentException] { TextClassifier.load(spark, s"$dir/torn") }
   }
+
+  test("refitAndSwap: served == refit model, drift baseline restarts, crash windows recover") {
+    val m0 = TextClassifier.export(TextClassifier.fit(corpus, "text", "y", k = 32))
+    // the refit: labels flipped — genuinely different coefficients
+    val flipped = corpus.withColumn("y", lit(1.0) - col("y"))
+    val m1 = TextClassifier.export(TextClassifier.fit(flipped, "text", "y", k = 32))
+    assert(m0 != m1, "refit fixture needs a genuinely different model")
+    val dir = java.nio.file.Files.createTempDirectory("textclf_swap").toString
+    val path = s"$dir/clf"
+    // the serving lifecycle: publish m0 + its baseline, then swap in m1
+    TextClassifier.save(spark, m0, path)
+    TextClassifier.writeDriftSidecar(spark, path, corpus, "text")
+    TextClassifier.refitAndSwap(spark, m1, corpus, "text", path)
+    assert(TextClassifier.load(spark, path) == m1,
+      "the refit model must actually be serving")
+    // the drift clock restarted at the refit corpus: baseline == a fresh
+    // save+writeDriftSidecar of m1 over the same corpus
+    TextClassifier.save(spark, m1, s"$dir/fresh")
+    TextClassifier.writeDriftSidecar(spark, s"$dir/fresh", corpus, "text")
+    def buildRow(p: String) = TextClassifier.driftStats(spark, p, corpus, "text")
+      .where(col("src") === "build").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).head
+    assert(buildRow(path) == buildRow(s"$dir/fresh"),
+      "swapped drift baseline != fresh baseline")
+    // no stray swap dirs after a clean refresh
+    val stray0 = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("clf.")).toSeq
+    assert(stray0.isEmpty, s"clean refresh left stray dirs: $stray0")
+    // mid-swap window: the live path is ABSENT between the renames — a
+    // reader fails loudly; the swapped-out dir stays consistent
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$path.swap_old")
+    assert(fs.rename(root, old))
+    intercept[Exception] { TextClassifier.load(spark, path) }
+    assert(TextClassifier.load(spark, old.toString) == m1,
+      "the swapped-out artifact must stay internally consistent")
+    // roll-BACK recovery: only .swap_old survives — a re-run restores it
+    // first, then swaps in the refit
+    TextClassifier.refitAndSwap(spark, m1, corpus, "text", path)
+    assert(TextClassifier.load(spark, path) == m1, "roll-back recovery diverged")
+    // roll-FORWARD recovery: a witness-complete staging survives with the
+    // live path renamed out — a re-run promotes the staging first
+    val staging = s"$path.swap_tmp"
+    TextClassifier.save(spark, m0, staging)
+    TextClassifier.writeDriftSidecar(spark, staging, corpus, "text")
+    assert(fs.rename(root, old))
+    TextClassifier.refitAndSwap(spark, m1, corpus, "text", path)
+    assert(TextClassifier.load(spark, path) == m1, "roll-forward recovery diverged")
+    // an INCOMPLETE staging (meta but no _drift witness) is never
+    // promoted: recovery rolls back the old artifact instead
+    TextClassifier.save(spark, m0, staging) // no drift sidecar
+    assert(fs.rename(root, old))
+    TextClassifier.refitAndSwap(spark, m1, corpus, "text", path)
+    assert(TextClassifier.load(spark, path) == m1,
+      "incomplete staging must not be promoted")
+    val stray = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("clf.")).toSeq
+    assert(stray.isEmpty, s"recovery left stray swap dirs: $stray")
+    // first-time publish (no live artifact) is the same atomic path
+    TextClassifier.refitAndSwap(spark, m1, corpus, "text", s"$dir/first")
+    assert(TextClassifier.load(spark, s"$dir/first") == m1)
+  }
 }

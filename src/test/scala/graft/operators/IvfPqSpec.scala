@@ -301,6 +301,88 @@ class IvfPqSpec extends SparkSpec {
     assert(strays.isEmpty, s"recovery left stray swap dirs: $strays")
   }
 
+  test("compactIvfPqIndex: one file per cell, search/model unchanged, no-op re-run, crash windows") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.where(col("vec_id") >= 5)
+    val (cc, cb) = Similarity.fitIvfPq(corpus, nCentroids = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_comp").toString
+    val idx = s"$dir/idx"
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def search(p: String) = Similarity.ivfPqTopKFromIndex(spark, p,
+        queries, "query_id", k = 5, nProbe = 3)
+      .orderBy("query_id", "vec_id").collect().map(_.toString).toSeq
+    def cellFiles: Map[String, Seq[String]] = {
+      val cells = new java.io.File(s"$idx/encoded").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      cells.map(c => c.getName -> c.listFiles()
+        .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .sorted.toSeq).toMap
+    }
+    // the appending lifecycle: build the even half, append the odd half
+    // as TWO batches — cell partitions genuinely carry small files
+    Similarity.writeIvfPqIndex(corpus.where(col("vec_id") % 2 === 0),
+      "vec_id", idx, cc, cb)
+    Similarity.appendIvfPqIndex(corpus.where(col("vec_id") % 4 === 1),
+      "vec_id", idx)
+    Similarity.appendIvfPqIndex(corpus.where(col("vec_id") % 4 === 3),
+      "vec_id", idx)
+    assert(cellFiles.exists(_._2.size > 1),
+      "fixture must carry multi-file cell partitions")
+    val pre = search(idx)
+    def rows = spark.read.parquet(s"$idx/encoded")
+      .select(col("vec_id"), col("cell").cast("int"), col("codes"))
+      .collect().map(_.toString).sorted.toSeq
+    val preRows = rows
+    val preMeta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$idx/meta.json")))
+    Similarity.compactIvfPqIndex(spark, idx)
+    assert(cellFiles.forall(_._2.size == 1),
+      s"compaction must fold to one file per cell: $cellFiles")
+    assert(rows == preRows, "compaction changed the row multiset")
+    assert(search(idx) == pre, "served search changed across compaction")
+    assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$idx/meta.json"))) == preMeta,
+      "compaction must not touch the model sidecar")
+    // no-op fast path: a re-run leaves the exact same files in place
+    val snap = cellFiles
+    Similarity.compactIvfPqIndex(spark, idx)
+    assert(cellFiles == snap, "no-op re-run rewrote files")
+    // a torn index refuses BEFORE any write (the appendIvfPqIndex guard)
+    val enc = new org.apache.hadoop.fs.Path(s"$idx/encoded")
+    val fs = enc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeMeta(txt: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$idx/meta.json"), true)
+      try out.write(txt.getBytes) finally out.close()
+    }
+    writeMeta("""{"fmt": 1, "nCentroids": 99, "m": 2, "codebookSize": 2, """ +
+      """"statN": 0, "statSumNano": 0}""")
+    intercept[IllegalArgumentException] {
+      Similarity.compactIvfPqIndex(spark, idx)
+    }
+    assert(cellFiles == snap, "refused compaction touched the encoded tree")
+    writeMeta(preMeta)
+    // mid-swap window: the encoded root is ABSENT between the renames —
+    // a reader fails loudly, never sees duplicates or a silent subset;
+    // a re-run rolls BACK from compact_old and serves the old tree
+    val old = new org.apache.hadoop.fs.Path(s"$idx/encoded.compact_old")
+    assert(fs.rename(enc, old))
+    intercept[Exception] { search(idx) }
+    Similarity.compactIvfPqIndex(spark, idx)
+    assert(search(idx) == pre, "roll-back recovery diverged")
+    // roll-FORWARD window: a _SUCCESS-complete staging survives the
+    // crash with the root renamed out — a re-run promotes the staging
+    val tmp = new org.apache.hadoop.fs.Path(s"$idx/encoded.compact_tmp")
+    spark.read.parquet(enc.toString).repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(tmp.toString)
+    assert(fs.rename(enc, old))
+    Similarity.compactIvfPqIndex(spark, idx)
+    assert(search(idx) == pre, "roll-forward recovery diverged")
+    val stray = new java.io.File(idx).listFiles().map(_.getName)
+      .filter(_.startsWith("encoded.")).toSeq
+    assert(stray.isEmpty, s"recovery left stray swap dirs: $stray")
+  }
+
   test("ivfPqDriftStats: exact hand-computed sums, sidecar-bound build row, predates-stats refusal") {
     // coarse distance of v to its NEAREST cell on the nano grid
     def minD(v: Seq[Float]): Long = coarse.map(cc =>
