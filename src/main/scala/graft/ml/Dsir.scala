@@ -174,6 +174,27 @@ object Dsir {
       s"""{"fmt": 1, "statN": $n, "statSumMicro": $s}""")
   }
 
+  /** REFIT-AND-SWAP for a SERVED DSIR model — the drift contract's
+    * ACTION on the selection axis ([[driftStats]] says WHEN; this is
+    * HOW), the [[graft.ml.TextClassifier.refitAndSwap]] lifecycle step:
+    * the freshly fitted delta table ([[fit]], the caller's choice of
+    * target/raw slices) stages COMPLETELY beside the live path — deltas,
+    * meta, and a NEW `_drift.json` baseline over `fitCorpus` (the refit
+    * RAW corpus), so the swapped-in selector's drift clock restarts at
+    * its own fit distribution — then two atomic directory renames swap
+    * it under the serving path ([[graft.sources.ArtifactSwap]]: readers
+    * in any crash window load old, new, or fail loudly; the baseline is
+    * the completeness witness). Also the ATOMIC first-time publish.
+    */
+  def refitAndSwap(spark: org.apache.spark.sql.SparkSession,
+                   model: DsirModel, fitCorpus: DataFrame, text: String,
+                   path: String): Unit =
+    graft.sources.ArtifactSwap.refresh(spark, path,
+        witness = "_drift.json") { tmp =>
+      save(spark, model, tmp)
+      writeDriftSidecar(spark, tmp, fitCorpus, text)
+    }
+
   /** DRIFT stats for a persisted DSIR model — [[graft.operators
     * .Similarity.ivfPqDriftStats]]' exact contract on the selection
     * axis: (src, n, sum_logw_micro) with `build` read from the

@@ -305,6 +305,28 @@ object NgramLm {
       s"""{"fmt": 1, "statN": $n, "statGrams": $g, "statSumMicro": $s}""")
   }
 
+  /** REFIT-AND-SWAP for a SERVED LM — the drift contract's ACTION on
+    * the perplexity axis ([[driftStats]] says WHEN; this is HOW), the
+    * [[graft.ml.TextClassifier.refitAndSwap]] lifecycle step: the
+    * freshly fitted model ([[fit]]/[[fitOrder]], the caller's choice of
+    * reference slice and caps) stages COMPLETELY beside the live path —
+    * count tables, meta, and a NEW `_drift.json` baseline over
+    * `fitCorpus` (the refit reference corpus), so the swapped-in gate's
+    * drift clock restarts at its own fit distribution — then two atomic
+    * directory renames swap it under the serving path
+    * ([[graft.sources.ArtifactSwap]]: readers in any crash window load
+    * old, new, or fail loudly; the baseline is the completeness
+    * witness). Also the ATOMIC first-time publish.
+    */
+  def refitAndSwap(spark: SparkSession, model: LmModel,
+                   fitCorpus: DataFrame, id: Column, text: Column,
+                   path: String): Unit =
+    graft.sources.ArtifactSwap.refresh(spark, path,
+        witness = "_drift.json") { tmp =>
+      save(spark, model, tmp)
+      writeDriftSidecar(spark, tmp, fitCorpus, id, text)
+    }
+
   /** DRIFT stats for a persisted LM — (src, n_docs, n_grams,
     * sum_score_micro) with `build` read from the `_drift.json` sidecar
     * ([[writeDriftSidecar]]) and `batch` scored live (the fused kernel

@@ -1108,6 +1108,83 @@ object Similarity {
       s"""{"fmt": 1, "statN": $n, "statSumNano": $s}""")
   }
 
+  /** REFIT-AND-SWAP for a sem cell-table root — the drift contract's
+    * ACTION on the semantic axis ([[semDriftStats]] says WHEN; this is
+    * HOW), completing refit symmetry across every frozen gate model
+    * (IVF-PQ [[refitIvfPqIndex]], quality/DSIR/LM artifact swaps).
+    * Unlike IVF-PQ codes, the cell table stores the RAW embeddings, so
+    * the refit re-blocks the table FROM ITSELF: every segment's rows
+    * re-assign to the freshly fitted centroids and rewrite as ONE new
+    * segment under a staged sibling root, with a NEW `_drift.json`
+    * baseline over exactly the staged rows (the completeness witness,
+    * written last — after the count guard, so a refused staging is
+    * never promotable); then the [[refitIvfPqIndex]] two-rename swap.
+    * A reader in any crash window sees the old root (consistent), the
+    * new root (consistent), or fails loudly on the absent path between
+    * the renames; entry recovery rolls forward from a witness-complete
+    * staging or back from `.refit_old`. The count guard refuses a
+    * staging that dropped rows (a geometry-mismatched centroid set
+    * nulls out at the encode — loud here, never a silently shrunken
+    * gate). QUIESCE the stream first (the [[compactSemCellTable]]
+    * `keepLatestBatchSeg` rationale, strengthened: a re-blocked table
+    * folds EVERY segment, so an uncommitted batch's crash replay would
+    * find its own survivors in the combined state and self-match) — the
+    * single-maintainer contract.
+    */
+  def refitSemCellTable(spark: org.apache.spark.sql.SparkSession,
+                        root: String, centroids: Seq[Seq[Double]],
+                        into: String = "corpus"): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root.refit_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$root.refit_old")
+    def complete(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_drift.json"))
+    if (!fs.exists(rootP)) {
+      if (complete(tmp)) {
+        require(fs.rename(tmp, rootP),
+          s"crash recovery: roll-forward rename of $tmp failed")
+        fs.delete(old, true)
+      } else if (complete(old)) {
+        require(fs.rename(old, rootP),
+          s"crash recovery: roll-back rename of $old failed")
+        fs.delete(tmp, true)
+      }
+    }
+    require(fs.exists(rootP),
+      s"no cell table at $root to refit — writeSemCellSegment does the " +
+        "initial build")
+    val rows = spark.read.parquet(root)
+      .select(col("vec_id"), col("embedding"))
+    val n0 = rows.count()
+    fs.delete(tmp, true)
+    writeSemCellSegment(rows, "vec_id", centroids, tmp.toString, into)
+    // a geometry-mismatched centroid set nulls EVERY row at the encode,
+    // leaving a staging parquet with no data files — which the read
+    // refuses to infer a schema from; count that as 0 so the guard
+    // below fires with the domain error (and deletes the staging)
+    val n1 = try spark.read.parquet(tmp.toString).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    if (n1 != n0) {
+      fs.delete(tmp, true)
+      throw new IllegalArgumentException(
+        s"refit row-count drift at $root: the live table serves $n0 rows " +
+          s"but the re-blocked staging holds $n1 — a geometry-mismatched " +
+          "centroid set dropped rows at the encode, or a batch landed " +
+          "mid-refit (single-maintainer contract); the live table is " +
+          "untouched")
+    }
+    // baseline over exactly the staged rows; _drift.json is the witness
+    writeSemDriftSidecar(spark, tmp.toString,
+      spark.read.parquet(tmp.toString).select(col("vec_id"), col("embedding")),
+      centroids)
+    fs.delete(old, true)
+    require(fs.rename(rootP, old), s"swap-out rename of $root failed")
+    require(fs.rename(tmp, rootP), s"swap-in rename into $root failed — " +
+      s"the previous cell table is preserved at $old")
+    fs.delete(old, true)
+  }
+
   /** DRIFT stats for the semantic gate's frozen centroids —
     * [[ivfPqDriftStats]]' exact contract over the cell table's sidecar:
     * (src, n, sum_dist_nano) with `build` read from `_drift.json`

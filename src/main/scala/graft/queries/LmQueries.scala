@@ -202,6 +202,28 @@ object LmQueries {
       path
     })
 
+  /** The q7a artifact: the q73 serving lifecycle (self-fit save + drift
+    * baseline) on its OWN path — q73 keeps serving the original model
+    * from its — then a refit-and-swap with a model fit on the %3=2
+    * reference slice, once per sf dir, so the scoring genuinely serves
+    * the post-swap artifact.
+    */
+  private val refitLmCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureRefitLmPath(s: org.apache.spark.sql.SparkSession,
+                                d: String): String =
+    refitLmCache.getOrElseUpdate(d, {
+      val path = sessionTmp(s, "q7a_lm_refit", d)
+      val docs = Tables.documents(s, d)
+      NgramLm.save(s, ensureSelfModel(s, d), path)
+      NgramLm.writeDriftSidecar(s, path, docs, col("doc_id"), col("text"))
+      // the drift contract fired: refit on the reference slice, swap
+      val slice = docs.where(col("doc_id") % 3 === 2)
+      val refit = NgramLm.fit(slice, col("text"), UniCap, BiCap)
+      NgramLm.refitAndSwap(s, refit, slice, col("doc_id"), col("text"), path)
+      path
+    })
+
   /** The q5k Spark side against any documents frame (Scale10x reuses it). */
   def lmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     NgramLm.selfScore(docs, col("doc_id"), col("text"), UniCap, BiCap)
@@ -718,6 +740,27 @@ object LmQueries {
       NgramLm.driftStats(s, ensureLmDriftPath(s, d), batch,
           col("doc_id"), col("text"))
         .orderBy(col("src"))
+    },
+
+    // ---- LM refit-and-swap (q7a): the drift contract's ACTION on the
+    // perplexity axis — the q78/q79 discipline on the LM artifact: the
+    // q73 serving lifecycle (self-fit saved + drift baseline) on its own
+    // path, then a refit on the %3=2 reference slice (genuinely
+    // different count tables) staged (counts + meta + a FRESH _drift
+    // baseline, the witness) and atomically swapped under the serving
+    // path; scoring then serves the post-swap artifact. The oracle
+    // refits the SAME slice-model inline in SQL (the q5p cross-corpus
+    // form) and replays the full score surface: a swap that kept the
+    // old artifact, tore between the sidecars, or lost a count in the
+    // round trip shifts lm_score and breaks the hash (swap == fresh
+    // fit).
+    QueryDef.sql("q7a_lm_refit",
+      lmScoreOracleSqlOn(
+        "(SELECT * FROM documents WHERE doc_id % 3 = 2)", "documents")) {
+      (s, d) =>
+        NgramLm.scoreDocs(Tables.documents(s, d), col("doc_id"),
+            col("text"), NgramLm.load(s, ensureRefitLmPath(s, d)))
+          .orderBy(col("doc_id"))
     },
 
     // ---- order-3 LM: the trigram generalization, oracle-pinned ------------

@@ -499,6 +499,30 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     },
 
+    // ---- semantic-gate refit-and-swap (q7b): the q6z drift contract's
+    // ACTION — the q6y/q78 discipline on the cell table, completing
+    // refit symmetry across every frozen gate model. The q6t two-segment
+    // lifecycle on its own root, then refitSemCellTable re-blocks the
+    // table FROM ITSELF (the raw embeddings live in the table) onto
+    // freshly fitted different-seed centroids, staged beside and swapped
+    // atomically; the gate then serves the post-swap table WITH the
+    // refit centroids. The oracle is the q6o live-gate replay with the
+    // REFIT centroid literals over the full corpus: a swap that kept the
+    // old blocking would mis-cell the state against the batch's new
+    // assignment and break the hash (refit-table == live gate).
+    QueryDef.dynamicSql("q7b_semgate_refit") { (s, d) =>
+      semDedupGateReplaySql(ensureSemRefitCentroids(s, d),
+        "embeddings WHERE vec_id % 11 = 0",
+        "embeddings WHERE vec_id % 11 <> 0", threshold = "0.15")
+    } { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.semDedupAgainstCells(
+          emb.where(col("vec_id") % 11 === 0), "vec_id",
+          s.read.parquet(ensureRefitCellTable(s, d)),
+          threshold = 0.15, ensureSemRefitCentroids(s, d))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- SemDeDup centroid drift contract (q6z): q6s's refit signal on
     // the semantic axis — the gate's centroids are frozen at fit time,
     // and this emits (src, n, sum_dist_nano) for the blocking corpus
@@ -756,6 +780,44 @@ object SimilarityQueries {
       // crash-replay correctness under a live stream)
       Similarity.compactSemCellTable(s, root, "corpus2",
         keepLatestBatchSeg = false)
+      root
+    })
+
+  /** The q7b refit centroids: a SECOND deterministic fit over the gate
+    * corpus with a different seed — genuinely different blocking than
+    * [[ensureSemGateCentroids]]', so a swap that silently kept the old
+    * table would mis-cell state rows against the new assignment.
+    */
+  private val semRefitCentCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+  private def ensureSemRefitCentroids(s: org.apache.spark.sql.SparkSession,
+                                      d: String): Seq[Seq[Double]] =
+    semRefitCentCache.getOrElseUpdate(d,
+      Similarity.fitSemDedupCentroids(
+        Tables.embeddings(s, d).where(col("vec_id") % 11 =!= 0), seed = 43L))
+
+  /** The q7b root: the q6t two-segment lifecycle (plus the drift
+    * baseline the refit decision would have read) on its OWN root, then
+    * refit-and-swap onto the fresh centroids — once per sf dir, so the
+    * gate genuinely serves the post-swap re-blocked table. The stream
+    * that wrote b7 is quiesced by construction here (the refit folds
+    * every segment — the single-maintainer contract).
+    */
+  private val semRefitCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureRefitCellTable(s: org.apache.spark.sql.SparkSession,
+                                   d: String): String =
+    semRefitCache.getOrElseUpdate(d, {
+      val root = LmQueries.sessionTmp(s, "q7b_celltable", d)
+      val corpus = Tables.embeddings(s, d).where(col("vec_id") % 11 =!= 0)
+      val cents = ensureSemGateCentroids(s, d)
+      Similarity.writeSemCellSegment(corpus.where(col("vec_id") % 2 === 0),
+        "vec_id", cents, root, "corpus")
+      Similarity.writeSemCellSegment(corpus.where(col("vec_id") % 2 =!= 0),
+        "vec_id", cents, root, "b7")
+      Similarity.writeSemDriftSidecar(s, root, corpus, cents)
+      // the drift contract fired: refit the blocking, re-block, swap
+      Similarity.refitSemCellTable(s, root, ensureSemRefitCentroids(s, d))
       root
     })
 

@@ -1813,6 +1813,27 @@ object TextQueries {
         .orderBy(col("src"))
     },
 
+    // ---- DSIR refit-and-swap (q79): the drift contract's ACTION on the
+    // selection axis — the q78 discipline on the DSIR artifact: the q72
+    // serving lifecycle on its own path, then a refit with a DIFFERENT
+    // target slice (genuinely different deltas) staged (delta table +
+    // meta + a FRESH _drift baseline over the refit raw corpus, the
+    // witness) and atomically swapped under the serving path; selection
+    // then serves the post-swap artifact. The oracle is the q6j rank-cut
+    // replay WITH THE REFIT model's pre-save deltas: a swap that kept
+    // the old artifact or tore between the sidecars breaks the hash
+    // (the scores in the output embed the delta table — swap == fresh
+    // fit).
+    QueryDef.dynamicSql("q79_dsir_refit") { (s, d) =>
+      dsirReplaySql(ensureRefitDsirModel(s, d),
+        "documents WHERE doc_id % 7 <> 0", k = 50)
+    } { (s, d) =>
+      val path = ensureRefitDsirPath(s, d)
+      graft.ml.Dsir.select(
+        Tables.documents(s, d).where(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", graft.ml.Dsir.load(s, path), k = 50)
+    },
+
     // ---- streaming DSIR gate (q6k): the fitted importance filter riding
     // an ingest stream — stateless per-row integer decision (the q6d
     // discipline), replayed in 2 micro-batches through the MemoryStream
@@ -1958,6 +1979,43 @@ object TextQueries {
       graft.ml.Dsir.save(s, ensureDsirModel(s, d), path)
       graft.ml.Dsir.writeDriftSidecar(s, path,
         Tables.documents(s, d).where(col("doc_id") % 7 =!= 0), "text")
+      path
+    })
+
+  /** The q79 refit model: a SECOND deterministic fit with a DIFFERENT
+    * target slice (every 5th doc) — genuinely different deltas than
+    * [[ensureDsirModel]]'s, so a swap that silently kept the old
+    * artifact would produce old-delta scores against a new-delta oracle.
+    */
+  private val refitDsirCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ml.Dsir.DsirModel]
+  private def ensureRefitDsirModel(s: org.apache.spark.sql.SparkSession,
+                                   d: String): graft.ml.Dsir.DsirModel =
+    refitDsirCache.getOrElseUpdate(d, {
+      val docs = Tables.documents(s, d)
+      graft.ml.Dsir.fit(
+        docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 5 =!= 0), "text", buckets = 256)
+    })
+
+  /** The q79 artifact: the q72 serving lifecycle (save + drift baseline)
+    * on its OWN path — q72/q6k keep serving the original model from
+    * theirs — then a refit-and-swap with the fresh model, once per sf
+    * dir, so the selection genuinely serves the post-swap artifact.
+    */
+  private val refitDsirPathCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureRefitDsirPath(s: org.apache.spark.sql.SparkSession,
+                                  d: String): String =
+    refitDsirPathCache.getOrElseUpdate(d, {
+      val path = LmQueries.sessionTmp(s, "q79_dsir_refit", d)
+      val docs = Tables.documents(s, d)
+      graft.ml.Dsir.save(s, ensureDsirModel(s, d), path)
+      graft.ml.Dsir.writeDriftSidecar(s, path,
+        docs.where(col("doc_id") % 7 =!= 0), "text")
+      // the drift contract fired: refit on the fresh slices, swap atomically
+      graft.ml.Dsir.refitAndSwap(s, ensureRefitDsirModel(s, d),
+        docs.where(col("doc_id") % 5 =!= 0), "text", path)
       path
     })
 

@@ -184,6 +184,43 @@ class DsirSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dsir.load(spark, s"$dir/torn") }
   }
 
+  test("refitAndSwap: served == refit model, drift baseline restarts, mid-swap loud, recovery") {
+    val m0 = Dsir.fit(target, raw, "text", buckets = 64)
+    // the refit: target/raw roles swapped — genuinely different deltas
+    val m1 = Dsir.fit(raw, target, "text", buckets = 64)
+    assert(m0 != m1, "refit fixture needs a genuinely different model")
+    val dir = java.nio.file.Files.createTempDirectory("dsir_swap").toString
+    val path = s"$dir/dsir"
+    Dsir.save(spark, m0, path)
+    Dsir.writeDriftSidecar(spark, path, raw, "text")
+    Dsir.refitAndSwap(spark, m1, target, "text", path)
+    assert(Dsir.load(spark, path) == m1, "the refit model must be serving")
+    // the drift clock restarted at the refit corpus: baseline == a fresh
+    // save + sidecar of m1 over the same corpus
+    Dsir.save(spark, m1, s"$dir/fresh")
+    Dsir.writeDriftSidecar(spark, s"$dir/fresh", target, "text")
+    def buildRow(p: String) = Dsir.driftStats(spark, p, raw, "text")
+      .where(col("src") === "build").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).head
+    assert(buildRow(path) == buildRow(s"$dir/fresh"),
+      "swapped drift baseline != fresh baseline")
+    // mid-swap window: live path absent between the renames — loud fail,
+    // swapped-out dir consistent; a re-run recovers (ArtifactSwap's
+    // window coverage is pinned exhaustively in TextClassifierSpec)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$path.swap_old")
+    assert(fs.rename(root, old))
+    intercept[Exception] { Dsir.load(spark, path) }
+    assert(Dsir.load(spark, old.toString) == m1,
+      "the swapped-out artifact must stay internally consistent")
+    Dsir.refitAndSwap(spark, m1, target, "text", path)
+    assert(Dsir.load(spark, path) == m1, "roll-back recovery diverged")
+    val stray = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("dsir.")).toSeq
+    assert(stray.isEmpty, s"recovery left stray swap dirs: $stray")
+  }
+
   test("scores plan: zero-shuffle pure projection") {
     val m = Dsir.fit(target, raw, "text", buckets = 32)
     val plan = Dsir.scores(raw, "doc_id", "text", m)

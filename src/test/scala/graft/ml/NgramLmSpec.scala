@@ -82,6 +82,51 @@ class NgramLmSpec extends SparkSpec {
     assert(kept(m2) == kept(m))
   }
 
+  test("refitAndSwap: served == refit model, drift baseline restarts, mid-swap loud, recovery") {
+    val m0 = fitB(corpus, col("text"), uniCap = 4, biCap = 4)
+    // the refit: a different corpus — genuinely different count tables
+    val corpus2 = Seq((1L, "b a b a"), (2L, "b b a b")).toDF("doc_id", "text")
+    val m1 = fitB(corpus2, col("text"), uniCap = 4, biCap = 4)
+    assert(m0.uniArr.toSeq != m1.uniArr.toSeq,
+      "refit fixture needs a genuinely different model")
+    val dir = java.nio.file.Files.createTempDirectory("ngramlm_swap").toString
+    val path = s"$dir/lm"
+    NgramLm.save(spark, m0, path)
+    NgramLm.writeDriftSidecar(spark, path, corpus, col("doc_id"), col("text"))
+    NgramLm.refitAndSwap(spark, m1, corpus2, col("doc_id"), col("text"), path)
+    val served = loadB(spark, path)
+    assert(served.uniArr.toSeq == m1.uniArr.toSeq &&
+      served.biArr.toSeq == m1.biArr.toSeq,
+      "the refit model must be serving")
+    // the drift clock restarted at the refit corpus: baseline == a fresh
+    // save + sidecar of m1 over the same corpus
+    NgramLm.save(spark, m1, s"$dir/fresh")
+    NgramLm.writeDriftSidecar(spark, s"$dir/fresh", corpus2,
+      col("doc_id"), col("text"))
+    def buildRow(p: String) =
+      NgramLm.driftStats(spark, p, corpus, col("doc_id"), col("text"))
+        .where(col("src") === "build").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(buildRow(path) == buildRow(s"$dir/fresh"),
+      "swapped drift baseline != fresh baseline")
+    // mid-swap window: live path absent between the renames — loud fail,
+    // swapped-out dir consistent; a re-run recovers (ArtifactSwap's
+    // window coverage is pinned exhaustively in TextClassifierSpec)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$path.swap_old")
+    assert(fs.rename(root, old))
+    intercept[Exception] { NgramLm.load(spark, path) }
+    assert(loadB(spark, old.toString).uniArr.toSeq == m1.uniArr.toSeq,
+      "the swapped-out artifact must stay internally consistent")
+    NgramLm.refitAndSwap(spark, m1, corpus2, col("doc_id"), col("text"), path)
+    assert(loadB(spark, path).uniArr.toSeq == m1.uniArr.toSeq,
+      "roll-back recovery diverged")
+    val stray = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("lm.")).toSeq
+    assert(stray.isEmpty, s"recovery left stray swap dirs: $stray")
+  }
+
   test("driftStats: rows equal an independent recomputation, OOV batch pulls below baseline, sidecar-bound, refusals") {
     val m = fitB(corpus, col("text"), uniCap = 4, biCap = 4)
     val dir = java.nio.file.Files.createTempDirectory("ngramlm_drift").toString

@@ -154,6 +154,87 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("refitSemCellTable: re-blocking flips the straddling pair, multiset kept, baseline restarts, guard, crash windows") {
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // old cell 0; new cell 0
+      (11L, Seq(0.70f, 0.0f, 0.71f, 0.0f)), // old cell 1; NEW cell 0
+      (12L, Seq(0.0f, 1.0f, 0.0f, 0.0f))    // old cell 0 (tie); new cell 1
+    ).toDF("vec_id", "embedding")
+    // the batch row is near-parallel to 11 (cos=0.9999) but the OLD
+    // blocking cells them apart (batch -> cell 0, 11 -> cell 1): kept.
+    // The refit centroids cell them TOGETHER: dropped. The flip is the
+    // old-table-survived discriminator.
+    val batch = Seq((1L, Seq(0.71f, 0.0f, 0.70f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents2: Seq[Seq[Double]] = Seq(
+      Seq(0.7, 0.0, 0.7, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("semrefit").toString
+    val root = s"$dir/cells"
+    Similarity.writeSemCellSegment(corpus.where(col("vec_id") =!= 11L),
+      "vec_id", cents, root, "corpus")
+    Similarity.writeSemCellSegment(corpus.where(col("vec_id") === 11L),
+      "vec_id", cents, root, "b3")
+    Similarity.writeSemDriftSidecar(spark, root, corpus, cents)
+    def gate(c: Seq[Seq[Double]]) =
+      Similarity.semDedupAgainstCells(batch, "vec_id",
+          spark.read.parquet(root), threshold = 0.9, c)
+        .select("vec_id", "kept").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(gate(cents) == Seq((1L, true)),
+      "old blocking must keep the straddling batch row")
+    // the stream that wrote b3 is quiesced here — the refit folds all
+    Similarity.refitSemCellTable(spark, root, cents2)
+    val segs = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("seg=")).toSeq
+    assert(segs == Seq("seg=corpus"), s"refit must leave one segment: $segs")
+    // row multiset preserved, cells re-assigned to the new blocking
+    val rows = spark.read.parquet(root)
+      .select(col("vec_id"), col("cell").cast("int")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(rows == Seq((10L, 0), (11L, 0), (12L, 1)),
+      s"re-blocked assignment wrong: $rows")
+    assert(gate(cents2) == Seq((1L, false)),
+      "the refit blocking must drop the straddling batch row")
+    // the drift clock restarted: baseline == a fresh build + sidecar of
+    // the SAME rows under the new centroids
+    Similarity.writeSemCellSegment(corpus, "vec_id", cents2,
+      s"$dir/fresh", "corpus")
+    Similarity.writeSemDriftSidecar(spark, s"$dir/fresh", corpus, cents2)
+    def buildRow(p: String) =
+      Similarity.semDriftStats(spark, p, batch, cents2)
+        .where(col("src") === "build").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).head
+    assert(buildRow(root) == buildRow(s"$dir/fresh"),
+      "swapped drift baseline != fresh baseline")
+    // geometry-mismatched refit refuses loudly, live table untouched
+    val e = intercept[IllegalArgumentException] {
+      Similarity.refitSemCellTable(spark, root,
+        Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)))
+    }
+    assert(e.getMessage.contains("row-count drift"), e.getMessage)
+    assert(gate(cents2) == Seq((1L, false)), "refused refit touched the table")
+    // mid-swap window: root absent between the renames — loud fail; a
+    // re-run rolls BACK and refits
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$root.refit_old")
+    assert(fs.rename(rootP, old))
+    intercept[Exception] { gate(cents2) }
+    Similarity.refitSemCellTable(spark, root, cents2)
+    assert(gate(cents2) == Seq((1L, false)), "roll-back recovery diverged")
+    // roll-FORWARD window: a witness-complete staging survives with the
+    // root renamed out — a re-run promotes it first, then refits
+    val tmp = s"$root.refit_tmp"
+    Similarity.writeSemCellSegment(corpus, "vec_id", cents2, tmp, "corpus")
+    Similarity.writeSemDriftSidecar(spark, tmp, corpus, cents2)
+    assert(fs.rename(rootP, old))
+    Similarity.refitSemCellTable(spark, root, cents2)
+    assert(gate(cents2) == Seq((1L, false)), "roll-forward recovery diverged")
+    val stray = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("cells.")).toSeq
+    assert(stray.isEmpty, s"recovery left stray swap dirs: $stray")
+  }
+
   test("semDriftStats: hand-computed sums, drifted-batch discrimination, sidecar-bound, refusals") {
     // min fixed-point distance to the nearest centroid (the shared grid)
     def minD(v: Seq[Float]): Long = cents.map(c =>
