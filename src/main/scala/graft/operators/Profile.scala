@@ -39,4 +39,56 @@ object Profile {
     one.selectExpr(
       s"stack(${cols.size}, $stackArgs) AS (col_name, n, n_null, min_v, max_v)")
   }
+
+  /** Corpus vocabulary-size estimate via the KMV distinct sketch
+    * ([[graft.functions.KmvSketch]]): one row —
+    * `(n_tokens, n_mins, kth_min, est_distinct)` — from ONE bounded
+    * aggregate over the tokenized corpus. The scale contrast this
+    * operator exists for: `distinct().count()` on 100 TB of tokens
+    * shuffles every distinct token across the wire (vocabulary-sized);
+    * here each partition forwards ≤k longs and the driver reads ONE row
+    * (the q5l bounded-fit discipline), with the final BigInt estimate
+    * computed once driver-side (the DSIR ln precedent — the only
+    * >64-bit arithmetic stays off the data plane).
+    *
+    * Everything is a deterministic function of the input set: hash =
+    * the engine-portable md5-60-bit chain, estimate = exact integer
+    * floor division — so the q7c oracle replays the whole row, sketch
+    * values included, bit-for-bit (HUGEINT on the DuckDB side).
+    * `kth_min` is null while the sketch is unsaturated (the estimate is
+    * then the exact distinct count — the sketch IS the distinct set).
+    *
+    * `shingleN` > 1 sketches adjacent n-token grams instead of unigrams
+    * (distinct n-gram cardinality — the dedup-planning statistic): plain
+    * adjacent grams (the NgramLm construction, short docs emit none),
+    * NOT the WordShingles whole-doc collapse.
+    */
+  def vocabSketch(docs: DataFrame, text: String, k: Int,
+                  shingleN: Int = 1): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = graft.functions.TextFunctions.tokens(col(text))
+    val grams =
+      if (shingleN == 1) toks
+      else when(size(toks) < shingleN,
+          array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (shingleN - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(shingleN)))))
+    val row = docs
+      .select(explode(grams).as("__t"))
+      .select(conv(substring(md5(col("__t")), 1, 15), 16, 10)
+        .cast("long").as("__h"))
+      .agg(graft.functions.KmvSketch.kmv(col("__h"), k).as("mins"),
+        count(lit(1)).as("n"))
+      .collect().head // bounded by contract: one row, <= k longs
+    val mins = row.getSeq[Long](0)
+    val kth: Option[Long] =
+      if (mins.length < k) None else Some(mins.last)
+    Seq((row.getLong(1), mins.length.toLong, kth,
+        graft.functions.KmvSketch.estimate(mins, k)))
+      .toDF("n_tokens", "n_mins", "kth_min", "est_distinct")
+  }
 }

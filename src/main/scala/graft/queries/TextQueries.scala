@@ -161,6 +161,29 @@ object TextQueries {
       path
     })
 
+  /** The q7c replay at k=256: the k smallest distinct md5-60-bit token
+    * hashes by a global DISTINCT + ORDER BY (exactly the vocabulary-
+    * sized work the Spark sketch's bounded aggregate removes) and the
+    * HUGEINT floor-division estimate — shared with the Scale10x
+    * vocab_sketch twin, so probe and oracle can never drift.
+    */
+  def vocabSketchReplaySql(docsFrom: String): String =
+    s"""WITH tk AS (SELECT string_split(text, ' ') AS t FROM $docsFrom),
+       |toks AS (SELECT unnest([array_to_string(t[i:i+2], ' ')
+       |                        for i in range(1, len(t) - 1)]) AS t
+       |         FROM tk),
+       |h AS (SELECT CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+       |      FROM toks),
+       |mins AS (SELECT DISTINCT h FROM h ORDER BY h LIMIT 256),
+       |agg AS (SELECT count(*) AS n_mins, max(h) AS kth FROM mins),
+       |tot AS (SELECT count(*) AS n_tokens FROM h)
+       |SELECT n_tokens, n_mins,
+       |  CASE WHEN n_mins < 256 THEN NULL ELSE kth END AS kth_min,
+       |  CASE WHEN n_mins < 256 THEN n_mins
+       |       ELSE CAST((255::HUGEINT * 1152921504606846976::HUGEINT)
+       |                 // kth::HUGEINT AS BIGINT) END AS est_distinct
+       |FROM agg, tot""".stripMargin
+
   /** The q78 refit model: a SECOND deterministic fit over a DIFFERENT
     * training slice (doc_id % 10 < 6) — genuinely different coefficients
     * than [[ensureQualityModel]]'s, so a swap that silently kept the old
@@ -1691,6 +1714,23 @@ object TextQueries {
         .select(explode(col("hh")).as(Seq("term", "n")))
         .orderBy(col("n").desc, col("term"))
         .limit(25)
+    },
+
+    // ---- KMV distinct sketch (q7c): corpus distinct-cardinality
+    // estimation WITHOUT the cardinality-sized distinct shuffle — the k
+    // smallest md5-60-bit hashes of adjacent 3-grams (mergeable bounded
+    // aggregate, <= k longs per partition cross the wire; 3-grams
+    // because the synthetic unigram vocabulary is 31 — too small to
+    // saturate the estimator) and the exact-integer KMV estimate
+    // floor((k-1)*2^60 / h_k). Deterministic function of the input SET
+    // (the engine-portable hash + integer floor division), so unlike an
+    // HLL this sketch gets the house FULL oracle: DuckDB recomputes the
+    // k smallest distinct hashes and the HUGEINT estimate, and the hash
+    // compare pins sketch values AND estimate bit-for-bit.
+    QueryDef.sql("q7c_vocab_sketch", vocabSketchReplaySql("documents")) {
+      (s, d) =>
+        graft.operators.Profile.vocabSketch(Tables.documents(s, d), "text",
+          k = 256, shingleN = 3)
     },
 
     // ---- overlapping context-window chunking (full oracle: DuckDB replays

@@ -26,4 +26,70 @@ class ProfileSpec extends SparkSpec {
     // one partial + one final aggregate, and no join/union of per-column scans
     assert(!plan.contains("Union"), s"per-column scans unioned:\n$plan")
   }
+
+  test("KmvSketch: k-min semantics by hand, repeats inert, merge == single pass") {
+    val s = new graft.functions.KmvSketch(3)
+    // reduce keeps the 3 smallest DISTINCT values in ascending order
+    var b = s.zero
+    Seq(50L, 10L, 50L, 30L, 20L, 40L, 10L).foreach(v => b = s.reduce(b, v))
+    assert(b.toSeq == Seq(10L, 20L, 30L), b.toSeq.toString)
+    // merge == the k smallest distinct of the union, any split
+    val (h1, h2) = (s.zero, s.zero)
+    val all = Seq(50L, 10L, 50L, 30L, 20L, 40L, 10L)
+    val b1 = all.take(3).foldLeft(s.zero)(s.reduce)
+    val b2 = all.drop(3).foldLeft(s.zero)(s.reduce)
+    assert(s.merge(b1, b2).toSeq == b.toSeq, "merge diverged from one pass")
+    assert(h1.isEmpty && h2.isEmpty)
+    // unsaturated estimate is the exact distinct count; saturated is the
+    // floor-division formula
+    assert(graft.functions.KmvSketch.estimate(Seq(10L, 20L), 3) == 2L)
+    assert(graft.functions.KmvSketch.estimate(Seq(10L, 20L, 1L << 59), 3) ==
+      ((BigInt(2) << 60) / BigInt(1L << 59)).toLong)
+  }
+
+  test("vocabSketch: unsaturated == exact distinct set, layout-invariant, estimate sane, plan bounded") {
+    val docs = Seq(
+      (1L, "a b c a"), (2L, "b d e"), (3L, "c f"), (4L, "a f g")
+    ).toDF("doc_id", "text")
+    // k above the true vocabulary (7): the sketch IS the distinct set
+    // and the estimate is EXACT
+    val exactRow = Profile.vocabSketch(docs, "text", k = 64).collect().head
+    assert(exactRow.getLong(0) == 12L, "token count")
+    assert(exactRow.getLong(1) == 7L && exactRow.isNullAt(2) &&
+      exactRow.getLong(3) == 7L,
+      s"unsaturated sketch must be exact: $exactRow")
+    // layout invariance: 1 vs 8 partitions produce the identical row
+    // (partial merges are exact — the mergeability contract)
+    val row8 = Profile.vocabSketch(docs.repartition(8), "text", k = 64)
+      .collect().head
+    assert(row8.toString == exactRow.toString, "layout changed the sketch")
+    // saturated on real data (3-gram cardinality ~16k >> k=256): kth_min
+    // present and the estimate within a loose rel-error band of the
+    // exact distinct count (k=256 -> ~6% std err; assert 25%)
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val satRow = Profile.vocabSketch(real, "text", k = 256, shingleN = 3)
+      .collect().head
+    assert(!satRow.isNullAt(2), s"sketch must saturate on 3-grams: $satRow")
+    val est = satRow.getLong(3)
+    val toks3 = Profile.vocabSketch(real, "text", k = 1 << 20, shingleN = 3)
+      .collect().head
+    val exact = toks3.getLong(1) // unsaturated giant-k sketch IS exact
+    assert(math.abs(est - exact).toDouble / exact < 0.25,
+      s"KMV estimate $est too far from exact $exact")
+    // scale shape: the aggregate's shuffle carries bounded summaries —
+    // no vocabulary-sized distinct exchange (no hashpartitioning on the
+    // hash/token column anywhere in the plan)
+    val h = conv(substring(md5(lit("x")), 1, 15), 16, 10)
+    val plan = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("__t"))
+      .select(conv(substring(md5(col("__t")), 1, 15), 16, 10)
+        .cast("long").as("__h"))
+      .agg(graft.functions.KmvSketch.kmv(col("__h"), 256).as("mins"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(__h"),
+      s"vocabulary-sized distinct shuffle in the sketch plan:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected a partial-merge aggregate:\n$plan")
+  }
 }
