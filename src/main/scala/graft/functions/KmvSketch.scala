@@ -70,6 +70,59 @@ class KmvSketch(k: Int) extends Aggregator[Long,
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
 
+/** Union of per-document KMV partial sketches ([[graft.expressions
+  * .KmvMins]] output): each input is already an ascending distinct
+  * ≤k-array, so reduce and merge are the same O(k) sorted-merge-dedup —
+  * the aggregate sees one small array per DOCUMENT instead of one row
+  * per gram (the fused-kernel scale shape; [[KmvSketch]] remains the
+  * value-at-a-time form the composed chain and the spec pin use).
+  */
+class KmvUnion(k: Int) extends Aggregator[Array[Long],
+    Array[Long], Array[Long]] with Serializable {
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  override def reduce(b: Array[Long], a: Array[Long]): Array[Long] =
+    KmvUnion.mergeSorted(b, a, k)
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    KmvUnion.mergeSorted(b1, b2, k)
+
+  override def finish(b: Array[Long]): Array[Long] = b
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+object KmvUnion {
+  /** The k smallest distinct values of two ascending distinct arrays —
+    * one O(min(|a|+|b|, k)) merge pass, no allocation churn.
+    */
+  private[functions] def mergeSorted(a: Array[Long], b: Array[Long],
+                                     k: Int): Array[Long] = {
+    if (b == null || b.isEmpty) return a
+    if (a.isEmpty)
+      return if (b.length <= k) b else java.util.Arrays.copyOf(b, k)
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var o = 0
+    while (o < out.length && (i < a.length || j < b.length)) {
+      val v =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+          val x = a(i); if (j < b.length && b(j) == x) j += 1; i += 1; x
+        } else { val x = b(j); j += 1; x }
+      out(o) = v
+      o += 1
+    }
+    if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+  }
+
+  def kmvUnion(mins: Column, k: Int): Column =
+    udaf(new KmvUnion(k)).apply(mins)
+}
+
 object KmvSketch {
   /** Column form: aggregate a 60-bit-hash column into its ascending
     * k-minimum-values summary (`ARRAY<BIGINT>`).

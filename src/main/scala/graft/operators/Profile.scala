@@ -69,11 +69,42 @@ object Profile {
     require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
     val spark = docs.sparkSession
     import spark.implicits._
+    // the fused per-doc kernel: the aggregate sees ONE <= k-array per
+    // document instead of one exploded row per gram (the composed form,
+    // kept below for the spec's bit-equality pin, measured 5.7x behind
+    // its twin at 100x on gram-row churn). The two projections stay
+    // separate (the kernel alias is non-cheap and multiply-referenced),
+    // so the kernel runs once per row.
+    val row = docs
+      .select(graft.expressions.KmvMins(col(text), shingleN, k).as("__s"))
+      .select(col("__s").getField("mins").as("__m"),
+        col("__s").getField("n").as("__n"))
+      .agg(graft.functions.KmvUnion.kmvUnion(col("__m"), k).as("mins"),
+        coalesce(sum(col("__n")), lit(0L)).as("n"))
+      .collect().head // bounded by contract: one row, <= k longs
+    val mins = row.getSeq[Long](0)
+    val kth: Option[Long] =
+      if (mins.length < k) None else Some(mins.last)
+    Seq((row.getLong(1), mins.length.toLong, kth,
+        graft.functions.KmvSketch.estimate(mins, k)))
+      .toDF("n_tokens", "n_mins", "kth_min", "est_distinct")
+  }
+
+  /** The composed-builtins form of [[vocabSketch]] — the fused kernel's
+    * semantic specification (adjacent n-grams by `slice`+`concat_ws`,
+    * the md5-60-bit `conv` chain, one exploded row per gram through the
+    * value-at-a-time [[graft.functions.KmvSketch]]), kept for the spec's
+    * bit-equality pin.
+    */
+  private[graft] def vocabSketchComposed(docs: DataFrame, text: String,
+                                         k: Int, shingleN: Int): DataFrame = {
+    require(k >= 2 && shingleN >= 1, s"bad k/shingleN: $k/$shingleN")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val toks = graft.functions.TextFunctions.tokens(col(text))
     val grams =
       if (shingleN == 1) toks
-      else when(size(toks) < shingleN,
-          array().cast("array<string>"))
+      else when(size(toks) < shingleN, array().cast("array<string>"))
         .otherwise(transform(
           sequence(lit(1), size(toks) - (shingleN - 1)),
           i => concat_ws(" ", slice(toks, i, lit(shingleN)))))
@@ -83,7 +114,7 @@ object Profile {
         .cast("long").as("__h"))
       .agg(graft.functions.KmvSketch.kmv(col("__h"), k).as("mins"),
         count(lit(1)).as("n"))
-      .collect().head // bounded by contract: one row, <= k longs
+      .collect().head
     val mins = row.getSeq[Long](0)
     val kth: Option[Long] =
       if (mins.length < k) None else Some(mins.last)

@@ -76,20 +76,62 @@ class ProfileSpec extends SparkSpec {
     val exact = toks3.getLong(1) // unsaturated giant-k sketch IS exact
     assert(math.abs(est - exact).toDouble / exact < 0.25,
       s"KMV estimate $est too far from exact $exact")
-    // scale shape: the aggregate's shuffle carries bounded summaries —
-    // no vocabulary-sized distinct exchange (no hashpartitioning on the
-    // hash/token column anywhere in the plan)
-    val h = conv(substring(md5(lit("x")), 1, 15), 16, 10)
+    // scale shape of the FUSED path: one kernel projection into a
+    // partial-merge aggregate — no Generate (no per-gram row explosion)
+    // and no cardinality-sized distinct exchange
     val plan = docs
-      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
-        .as("__t"))
-      .select(conv(substring(md5(col("__t")), 1, 15), 16, 10)
-        .cast("long").as("__h"))
-      .agg(graft.functions.KmvSketch.kmv(col("__h"), 256).as("mins"))
+      .select(graft.expressions.KmvMins(col("text"), 3, 256).as("__s"))
+      .select(col("__s").getField("mins").as("__m"),
+        col("__s").getField("n").as("__n"))
+      .agg(graft.functions.KmvUnion.kmvUnion(col("__m"), 256).as("mins"),
+        sum(col("__n")).as("n"))
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("hashpartitioning(__h"),
-      s"vocabulary-sized distinct shuffle in the sketch plan:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"per-gram row explosion in the fused sketch plan:\n$plan")
+    assert(!plan.contains("hashpartitioning(__"),
+      s"cardinality-sized distinct shuffle in the sketch plan:\n$plan")
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
       s"expected a partial-merge aggregate:\n$plan")
+  }
+
+  test("vocabSketch fused kernel == composed explode chain, row-for-row") {
+    // toy: short docs (< n tokens -> zero grams), repeats, unsaturated
+    val docs = Seq(
+      (1L, "a b c a b"), (2L, "b d"), (3L, "c f g h c f g"), (4L, "x")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    for (n <- Seq(1, 3); k <- Seq(2, 8, 64)) {
+      assert(rows(Profile.vocabSketch(docs, "text", k, n)) ==
+        rows(Profile.vocabSketchComposed(docs, "text", k, n)),
+        s"fused != composed at n=$n k=$k")
+    }
+    // real data, saturated at k=256 over 3-grams: the q7c operating point
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(rows(Profile.vocabSketch(real, "text", 256, 3)) ==
+      rows(Profile.vocabSketchComposed(real, "text", 256, 3)),
+      "fused != composed on testdata at the q7c operating point")
+    // per-doc partials: the kernel's mins/count equal the per-doc
+    // composed computation (catches row-level drift an aggregate of
+    // many docs could mask)
+    val perDoc = docs
+      .select(col("doc_id"),
+        graft.expressions.KmvMins(col("text"), 3, 8).as("__s"))
+      .select(col("doc_id"), col("__s.mins"), col("__s.n"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1).toSeq, r.getLong(2)))).toMap
+    val composedPerDoc = docs.collect().map { r =>
+      val toks = r.getString(1).trim.split("\\s+").toSeq
+      val grams = if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      val hashes = grams.map { g =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        BigInt(1, md.digest(g.getBytes("UTF-8"))).toString(16)
+          .reverse.padTo(32, '0').reverse.take(15) }
+        .map(h => java.lang.Long.parseLong(h, 16))
+      r.getLong(0) ->
+        ((hashes.distinct.sorted.take(8), grams.length.toLong))
+    }.toMap
+    assert(perDoc == composedPerDoc, s"$perDoc\nvs\n$composedPerDoc")
   }
 }
