@@ -143,9 +143,8 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
-    phases("canary_pre_seq") = hostCanary()
     // pass 1: sequential per-query latency, best of `runs`
-    val results = phase("seq") {
+    def seqOnce(tag: String): Map[String, Double] = phase(s"seq$tag") {
       selected.map { case (name, fn) =>
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
@@ -160,9 +159,9 @@ object Bench {
     // passes: a single wall measurement is hostage to one bad scheduling
     // interleave or host-contention burst (this box degrades ~8x for
     // minutes at a time — PERF.md), and this number IS the headline.
-    def wallOnce(): Double = {
+    def wallOnce(order: Map[String, Double]): Double = {
       val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-      results.toSeq.sortBy(-_._2).foreach { case (n, _) => queue.add(n) }
+      order.toSeq.sortBy(-_._2).foreach { case (n, _) => queue.add(n) }
       val t0 = System.nanoTime()
       val workers = (1 to streams).map { i =>
         new Thread(() => {
@@ -188,10 +187,50 @@ object Bench {
     // interleave or contention burst — take best of SPARK_GRAFT_WALL_RUNS
     // (default 3) and record every pass so the artifact shows the spread
     val wallRuns = sys.env.getOrElse("SPARK_GRAFT_WALL_RUNS", "3").toInt.max(1)
-    phases("canary_pre_wall") = hostCanary()
-    val walls = (1 to wallRuns).map { i => phase(s"wall$i")(wallOnce()) }
-    phases("canary_post_wall") = hostCanary()
-    val sparkWall = walls.min
+    // SELF-DEFENDING suite: a whole seq+wall attempt whose endpoint
+    // canaries exceed the quiet bar (~0.032 s — tools/bench_gate.md) was
+    // taken in a contended window and would report the host, not the
+    // engine (the r15 gate artifact read 1.68× in a window the builder's
+    // own discipline would have rejected, against a 0.985× certified quiet
+    // reading). Re-run the suite up to SPARK_GRAFT_BENCH_ATTEMPTS times
+    // until an attempt's three endpoint canaries are all quiet, keep the
+    // per-query and wall MINIMA across attempts (best-of-N — same sampling
+    // discipline as the in-attempt passes), and certify the emitted
+    // canary_spark from the quietest attempt. A canary of -1 (no
+    // python3/duckdb) can't certify anything and stops the loop.
+    val canaryBar = sys.env.getOrElse("SPARK_GRAFT_CANARY_BAR", "0.032").toDouble
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt.max(1)
+    var results = Map.empty[String, Double]
+    var sparkWall = Double.MaxValue
+    val attemptCanaries = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+    var attempt = 0
+    var done = false
+    while (attempt < maxAttempts && !done) {
+      attempt += 1
+      val tag = s"_a$attempt"
+      val cPreSeq = hostCanary()
+      phases(s"canary_pre_seq$tag") = cPreSeq
+      val res = seqOnce(tag)
+      results =
+        if (results.isEmpty) res
+        else results.map { case (k, v) => k -> math.min(v, res.getOrElse(k, v)) }
+      val cPreWall = hostCanary()
+      phases(s"canary_pre_wall$tag") = cPreWall
+      val walls = (1 to wallRuns).map { i => phase(s"wall$i$tag")(wallOnce(res)) }
+      val cPostWall = hostCanary()
+      phases(s"canary_post_wall$tag") = cPostWall
+      sparkWall = math.min(sparkWall, walls.min)
+      attemptCanaries += ((cPreSeq, cPreWall, cPostWall))
+      val cs = Seq(cPreSeq, cPreWall, cPostWall)
+      done = cs.exists(_ < 0) || cs.forall(_ <= canaryBar)
+    }
+    phases("bench_attempts") = attempt.toDouble
+    // the emitted window certificate comes from the QUIETEST attempt —
+    // the one whose readings dominate the kept minima
+    val best = attemptCanaries.minBy { case (a, b, c) => math.max(a, math.max(b, c)) }
+    phases("canary_pre_seq") = best._1
+    phases("canary_pre_wall") = best._2
+    phases("canary_post_wall") = best._3
     // experiments (filtered runs) skip the DuckDB side: totals over
     // different query subsets aren't comparable anyway
     val duckdb = if (only.isDefined) Map.empty[String, Double]

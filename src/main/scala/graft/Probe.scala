@@ -280,6 +280,75 @@ object Probe {
       spark.stop(); return
     }
 
+    if (sys.env.get("SPARK_GRAFT_PROBE_SUBSTR").contains("1")) {
+      // phase-time the q6f span report over the 100x copies (run Scale10x
+      // with SPARK_GRAFT_REUSE=1 first)
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val p = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS",
+        "/tmp/graft_scale10x/docs100")
+      import graft.expressions.WordShingles
+      val k = 8
+      for (r <- 1 to 2) {
+        val docs = spark.read.parquet(p)
+        t(s"scan only r$r") { docs.agg(count(lit(1))).collect() }
+        t(s"windows explode+hash r$r") {
+          docs.select(col("doc_id"),
+              posexplode(WordShingles.ngrams(col("text"), k))
+                .as(Seq("__pos", "__g")))
+            .select(col("doc_id"), col("__pos").cast("long").as("__pos"),
+              xxhash64(col("__g")).as("__fp"))
+            .agg(count(lit(1)),
+              sum(pmod(col("__fp"), lit(1000000007L)))).collect()
+        }
+        t(s"hot fps (shingle kernel) r$r") {
+          docs.select(explode(WordShingles.shingles(col("text"), k)).as("__g"))
+            .select(xxhash64(col("__g")).as("__fp"))
+            .groupBy(col("__fp")).agg(count(lit(1)).as("__nd"))
+            .filter(col("__nd") >= 2)
+            .agg(count(lit(1))).collect()
+        }
+        t(s"full report r$r") {
+          val df = graft.operators.Dedup.duplicatedSpans(
+            docs, "doc_id", "text", k = k, minDocs = 2)
+          df.agg(count(lit(1)),
+            sum(pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
+              lit(1000000007L)))).collect()
+        }
+        t(s"full removal r$r") {
+          val df = graft.operators.Dedup.removeDuplicatedSpans(
+            docs, "doc_id", "text", k = k, minDocs = 2)
+          df.agg(count(lit(1)),
+            sum(pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
+              lit(1000000007L)))).collect()
+        }
+      }
+    }
+
+    if (sys.env.get("SPARK_GRAFT_PROBE_LM3").contains("1")) {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val p = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS",
+        "/tmp/graft_scale10x/docs100")
+      import graft.expressions.WordShingles
+      for (r <- 1 to 2) {
+        val docs = spark.read.parquet(p)
+        t(s"kernel+explode count r$r") {
+          docs.select(explode(
+              WordShingles.multiGramCounts(col("text"), 2, 3)).as("__g"))
+            .agg(count(lit(1))).collect()
+        }
+        t(s"explode+agg r$r") {
+          docs.select(explode(
+              WordShingles.multiGramCounts(col("text"), 2, 3)).as("__g"))
+            .groupBy(col("__g.n").as("n"), col("__g.gram").as("g"))
+            .agg(sum(col("__g.cnt")).as("c"))
+            .agg(count(lit(1))).collect()
+        }
+        t(s"full trigram fit r$r") {
+          graft.ml.NgramLm.fitOrder(docs, col("text"), 3, 400, 800)
+        }
+      }
+    }
+
     if (sys.env.get("SPARK_GRAFT_PROBE_STREAM").contains("1")) {
       // per-micro-batch durationMs breakdown for the three streaming
       // replays: separates the streaming ENGINE's trigger overhead

@@ -262,18 +262,22 @@ object Scale10x {
       force(graft.operators.Events.asofJoin(clicks, views, "user_id", "tus",
         rightCols = Seq("tus", "view_value")))
     }
-    def rangeShape(p: String): Long = {                   // q69 shape
-      val intervals = spark.range(30).select(
-        (unix_micros(to_timestamp(lit("2024-01-01 02:00:00")))
-          + col("id") * 86400L * 1000000L).as("s_us"),
-        (unix_micros(to_timestamp(lit("2024-01-01 02:00:00")))
-          + col("id") * 86400L * 1000000L + 90L * 60 * 1000000L).as("e_us"),
-        col("id").as("win_id"))
-      force(graft.operators.Events.rangeJoin(spark.read.parquet(p), "ts_us",
-          intervals, "s_us", "e_us", bucketUs = 90L * 60 * 1000000)
+    def rangeIntervals = spark.range(30).select(
+      (unix_micros(to_timestamp(lit("2024-01-01 02:00:00")))
+        + col("id") * 86400L * 1000000L).as("s_us"),
+      (unix_micros(to_timestamp(lit("2024-01-01 02:00:00")))
+        + col("id") * 86400L * 1000000L + 90L * 60 * 1000000L).as("e_us"),
+      col("id").as("win_id"))
+    def rangeShape(p: String): Long =                     // q7d shape
+      force(graft.operators.Events.rangeJoinBroadcast(
+          spark.read.parquet(p), "ts_us", rangeIntervals, "s_us", "e_us")
         .groupBy(col("win_id"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users")))
-    }
+    def rangeBandedShape(p: String): Long =               // q69 shape
+      force(graft.operators.Events.rangeJoin(spark.read.parquet(p), "ts_us",
+          rangeIntervals, "s_us", "e_us", bucketUs = 90L * 60 * 1000000)
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users")))
 
     import graft.operators.Similarity
     def annQueries = spark.read.parquet(emb1P).where(col("vec_id") < 20)
@@ -539,6 +543,14 @@ object Scale10x {
            |           FROM $evv WHERE event_type = 'view')
            |SELECT c.event_id, c.user_id, c.tus, v.tus AS view_tus, v.view_value
            |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.tus >= v.tus""".stripMargin,
+      "range_join_banded" ->
+        s"""WITH w AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 02:00:00',
+           |                  TIMESTAMP '2024-01-30 02:00:00', INTERVAL 1 DAY)) AS ws),
+           |iv AS (SELECT epoch_us(ws) AS s_us, epoch_us(ws + INTERVAL 90 MINUTE) AS e_us,
+           |       CAST(row_number() OVER (ORDER BY ws) - 1 AS BIGINT) AS win_id FROM w)
+           |SELECT iv.win_id, count(*) AS n, count(DISTINCT e.user_id) AS n_users
+           |FROM $evv e JOIN iv ON e.ts_us >= iv.s_us AND e.ts_us < iv.e_us
+           |GROUP BY iv.win_id""".stripMargin,
       "range_join" ->
         s"""WITH w AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 02:00:00',
            |                  TIMESTAMP '2024-01-30 02:00:00', INTERVAL 1 DAY)) AS ws),
@@ -826,6 +838,8 @@ object Scale10x {
       Probe("sessionize_stats", () => sessionShape(ev1P), () => sessionShape(evNP)),
       Probe("asof_join", () => asofShape(ev1P), () => asofShape(evNP)),
       Probe("range_join", () => rangeShape(ev1P), () => rangeShape(evNP)),
+      Probe("range_join_banded", () => rangeBandedShape(ev1P),
+        () => rangeBandedShape(evNP)),
       Probe("ann_brute", () => annBruteShape(emb1P), () => annBruteShape(embNP)),
       Probe("ann_ivf", () => annIvfShape(emb1P), () => annIvfShape(embNP)),
       Probe("ann_pq", () => annPqShape(emb1P), () => annPqShape(embNP)),

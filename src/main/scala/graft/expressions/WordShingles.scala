@@ -167,10 +167,18 @@ object WordShinglesKernel {
     * needs ONE scan for its unigram AND bigram tables instead of one scan
     * per order — at 100 TB that halves the fit's corpus reads.
     */
-  def multiGramCounts(text: UTF8String, maxN: Int): ArrayData = {
+  def multiGramCounts(text: UTF8String, maxN: Int): ArrayData =
+    multiGramCounts(text, 1, maxN)
+
+  /** [[multiGramCounts]] restricted to orders minN..maxN — the order-n
+    * LM fit only consumes the (order−1, order) tables, and emitting the
+    * sub-context orders just to filter them out again is a third of the
+    * fit kernel's row churn at order 3.
+    */
+  def multiGramCounts(text: UTF8String, minN: Int, maxN: Int): ArrayData = {
     val toks = tokenize(text)
     val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
-    var n = 1
+    var n = math.max(minN, 1)
     while (n <= maxN) {
       if (toks.length >= n) {
         val counts = new java.util.LinkedHashMap[UTF8String, Int](toks.length * 2)
@@ -264,6 +272,10 @@ object WordShingles {
 
   def multiGramCounts(text: Column, maxN: Int): Column =
     ColumnBridge.column(MultiGramCounts(ColumnBridge.expression(text), maxN))
+
+  def multiGramCounts(text: Column, minN: Int, maxN: Int): Column =
+    ColumnBridge.column(
+      MultiGramCounts(ColumnBridge.expression(text), maxN, minN))
 }
 
 /** All-orders-at-once gram counts ([[WordShinglesKernel.multiGramCounts]])
@@ -271,12 +283,15 @@ object WordShingles {
   * kernel that lets [[graft.ml.NgramLm.fit]] build its unigram and bigram
   * tables from a SINGLE corpus scan.
   */
-case class MultiGramCounts(child: Expression, maxN: Int) extends UnaryExpression {
+case class MultiGramCounts(child: Expression, maxN: Int,
+                           minN: Int = 1) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType if maxN > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType if maxN > 0 && minN >= 1 && minN <= maxN =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"multi_gram_counts requires STRING and maxN > 0, got ${t.simpleString} / $maxN")
+      s"multi_gram_counts requires STRING and 1 <= minN <= maxN, " +
+        s"got ${t.simpleString} / $minN..$maxN")
   }
 
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -285,12 +300,12 @@ case class MultiGramCounts(child: Expression, maxN: Int) extends UnaryExpression
     StructField("cnt", LongType, nullable = false))), containsNull = false)
 
   override def nullSafeEval(v: Any): Any =
-    WordShinglesKernel.multiGramCounts(v.asInstanceOf[UTF8String], maxN)
+    WordShinglesKernel.multiGramCounts(v.asInstanceOf[UTF8String], minN, maxN)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val kernel = WordShinglesKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = $kernel.multiGramCounts($a, $maxN);")
+      s"${ev.value} = $kernel.multiGramCounts($a, $minN, $maxN);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MultiGramCounts =

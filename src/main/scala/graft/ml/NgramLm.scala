@@ -139,9 +139,9 @@ object NgramLm {
   /** Order-n generalization of [[fit]] (order=3 → trigram model): the
     * context table holds (order-1)-gram counts and the gram table
     * order-gram counts, from the same single corpus scan (the fused
-    * kernel emits every order 1..n per document; the sub-context orders
-    * are filtered out before the aggregation, so the only waste is a
-    * per-document local map, never a shuffle or a second read). The
+    * kernel emits exactly orders n−1 and n per document — emitting the
+    * sub-context orders just to filter them was a third of the fit's
+    * row churn at order 3). The
     * add-V smoothing constant is `ctxCap` — at order 2 this is exactly
     * the vocabulary-cap convention the bigram model always had.
     */
@@ -149,11 +149,7 @@ object NgramLm {
                ctxCap: Int, gramCap: Int): LmModel = {
     require(order >= 2, s"order must be >= 2, got $order")
     require(ctxCap > 0 && gramCap > 0, s"caps must be positive: $ctxCap/$gramCap")
-    val agg = corpus
-      .select(explode(WordShingles.multiGramCounts(text, order)).as("__g"))
-      .where(col("__g.n").isin(order - 1, order))
-      .groupBy(col("__g.n").as("n"), col("__g.gram").as("g"))
-      .agg(sum(col("__g.cnt")).as("c"))
+    val agg = gramCounts(corpus, text, order - 1, order)
     // per-n top-V with the bounded-heap operator: map-side partial heaps
     // keep ≤ k rows per (partition, n) below the exchange, so neither the
     // full gram table nor a per-n sort ever materializes. k is the larger
@@ -190,6 +186,23 @@ object NgramLm {
       finally survivors.unpersist()
     }
   }
+
+  /** The (n, gram) → count table both fits aggregate over: the
+    * multi-order kernel's per-document distinct-gram rows through one
+    * hash aggregation. The per-document map inside the kernel IS the
+    * pre-aggregation that matters (per-doc distinct grams cross into
+    * the partial aggregate, never per-occurrence rows); a per-TASK
+    * imperative pre-aggregate was prototyped and measured SLOWER at
+    * 100× (+0.3 s — the Dataset round-trip and lost codegen outweigh
+    * re-probing rows the kernel already deduped), so the declarative
+    * form stands.
+    */
+  private[ml] def gramCounts(corpus: DataFrame, text: Column,
+                             minN: Int, maxN: Int): DataFrame =
+    corpus
+      .select(explode(WordShingles.multiGramCounts(text, minN, maxN)).as("__g"))
+      .groupBy(col("__g.n").as("n"), col("__g.gram").as("g"))
+      .agg(sum(col("__g.cnt")).as("c"))
 
   /** One trimmed, persisted, eagerly materialized count table of the
     * distributed-model fit (see [[fitOrder]]'s large-caps branch).
@@ -545,10 +558,7 @@ object NgramLm {
       s"backoff model caps ${caps.sum} exceed the embed ceiling " +
         s"$KernelModelMaxRows")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
-    val agg = corpus
-      .select(explode(WordShingles.multiGramCounts(text, order)).as("__g"))
-      .groupBy(col("__g.n").as("n"), col("__g.gram").as("g"))
-      .agg(sum(col("__g.cnt")).as("c"))
+    val agg = gramCounts(corpus, text, 1, order)
     val k = caps.max
     val top = GroupedTopK.perGroup(agg, Seq(col("n")),
       struct((-col("c")).as("nc"), col("g").as("gg")), k).collect()

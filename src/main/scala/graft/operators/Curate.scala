@@ -453,8 +453,18 @@ object Curate {
     // are EXCLUDED from the output, explicitly (they would otherwise fall
     // out of the null-unsafe equi-joins as a silent artifact) — coalesce
     // upstream to keep them (the mixtureCounts null discipline)
-    val base = df.withColumn("__rbV", value)
+    // grouped path: ONE exchange on the group key serves everything —
+    // the (group, value) count aggregate, the cumulative window, the
+    // tie row_number, and the equi-join back are all satisfied by
+    // hash(group) clustering (ClusteredDistribution subsets), and the
+    // two consumers of the repartition dedup through ReuseExchange, so
+    // only local sorts remain between stages. (The previous phrasing
+    // exchanged separately for the count aggregate, each window, and
+    // the join — 2.5× the DuckDB twin at 100× on pure exchange count.)
+    val base0 = df.withColumn("__rbV", value)
       .where(gc.foldLeft(col("__rbV").isNotNull)(_ && _.isNotNull))
+    val base =
+      if (groups.nonEmpty) base0.repartition(gc: _*) else base0
     val counts = base.groupBy(gc :+ col("__rbV"): _*)
       .agg(count(lit(1)).as("__rbN"))
     val cum =

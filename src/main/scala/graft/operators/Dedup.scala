@@ -1038,11 +1038,22 @@ object Dedup {
         posexplode(WordShingles.ngrams(col(text), k)).as(Seq("__pos", "__g")))
       .select(col(id), col("__pos").cast("long").as("__pos"),
         xxhash64(col("__g")).as("__fp"))
-    val hot = w.groupBy(col("__fp"))
-      .agg(countDistinct(col(id)).as("__nd"))
+    // hot side: the DISTINCT-shingle kernel dedups grams per document
+    // locally, so "documents containing fp" is a plain count — ONE fp
+    // exchange. The equivalent countDistinct(id) over the window rows
+    // plans as a (fp, id) dedup exchange FOLLOWED by the fp count
+    // exchange; the first carries the whole corpus's window volume
+    // (measured +3 s of the operator's 100x cost).
+    val hot = Par.spread(corpus.select(col(text)))
+      .select(explode(WordShingles.shingles(col(text), k)).as("__g"))
+      .select(xxhash64(col("__g")).as("__fp"))
+      .groupBy(col("__fp")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__fp"))
-    w.join(hot, Seq("__fp"), "left_semi")
+    // both sides already reduce to longs; hash semi-join without the
+    // sort-merge sort of every window row (the hot side is the smaller
+    // build side by construction)
+    w.join(hot.hint("shuffle_hash"), Seq("__fp"), "left_semi")
   }
 
   /** Per-document duplicated-span REPORT: one row per maximal run of
@@ -1060,14 +1071,45 @@ object Dedup {
     * join adds a second corpus-pruned scan of two columns.
     */
   /** Shared island-merge + clamp behind the two span reports: flagged
-    * windows (id, __pos) become maximal spans. One exchange on the
-    * document id serves both the PARTITIONED window functions and the
-    * span aggregate; the per-doc length join adds a corpus-pruned
-    * two-column scan for the short-doc clamp.
+    * windows (id, __pos) aggregate to ONE sorted position array per
+    * document (a single exchange on the document id — the only exchange
+    * the report needs beyond the fingerprint join), and the
+    * [[graft.expressions.SpanIslands]] kernel merges each document's
+    * islands in one local pass. The per-doc length join stays a
+    * corpus-pruned two-column scan for the short-doc clamp. Replaces the
+    * composed lag/sum window functions + (id, island) re-aggregation
+    * (kept below as [[spansFromFlaggedWindowsComposed]], the spec's
+    * bit-equality pin) — at 100× the window-function chain held this
+    * family at 1.3–1.6× vs the DuckDB twin (r13–r15 watch).
     */
   private def spansFromFlaggedWindows(windows: DataFrame, corpus: DataFrame,
                                       id: String, text: String,
                                       k: Int): DataFrame = {
+    // NOTE: the per-doc token count joins from a second corpus-pruned
+    // two-column scan. Carrying it through the window explode instead
+    // looks cheaper but is not: ExtractGenerator hoists the alias ABOVE
+    // the Generate, re-tokenizing per WINDOW row (measured +9 s at 100x).
+    val perDoc = windows.groupBy(col(id))
+      .agg(sort_array(collect_list(col("__pos"))).as("__ps"))
+    val nw = corpus.select(col(id), spanTokens(col(text)))
+    perDoc.join(nw, Seq(id))
+      .select(col(id), explode(
+        graft.expressions.SpanExpressions.spanIslands(
+          col("__ps"), col("__nw"), k)).as("__sp"))
+      .select(col(id), col("__sp.span_start").as("span_start"),
+        col("__sp.span_end").as("span_end"),
+        col("__sp.span_tokens").as("span_tokens"),
+        col("__sp.n_windows").as("n_windows"))
+  }
+
+  /** The composed-builtins island merge — [[spansFromFlaggedWindows]]'s
+    * semantic specification (lag/sum window functions over the flagged
+    * windows, (id, island) aggregation, `least` clamp), kept for the
+    * spec's bit-equality pin.
+    */
+  private[graft] def spansFromFlaggedWindowsComposed(
+      windows: DataFrame, corpus: DataFrame,
+      id: String, text: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col(id)).orderBy(col("__pos"))
     val runW = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1107,19 +1149,31 @@ object Dedup {
     */
   def contaminatedSpans(corpus: DataFrame, id: String, text: String,
                         eval_ : DataFrame, evalText: String,
-                        k: Int = 8): DataFrame = {
+                        k: Int = 8): DataFrame =
+    spansFromFlaggedWindows(
+      contaminatedWindows(corpus, id, text, eval_, evalText, k),
+      corpus, id, text, k)
+
+  /** The eval-membership window flagging behind [[contaminatedSpans]] and
+    * [[removeContaminatedSpans]]: every k-token corpus window whose
+    * fingerprint occurs anywhere in the eval set (the [[decontaminate]]
+    * membership rule — eval fingerprints broadcast, corpus gram text
+    * never shuffles).
+    */
+  private def contaminatedWindows(corpus: DataFrame, id: String,
+                                  text: String, eval_ : DataFrame,
+                                  evalText: String, k: Int): DataFrame = {
     import graft.expressions.WordShingles
     require(k >= 2, s"bad span-decontamination geometry: k=$k")
     val evalFps = eval_
       .select(explode(WordShingles.ngrams(col(evalText), k)).as("__g"))
       .select(xxhash64(col("__g")).as("__fp")).distinct()
-    val hit = Par.spread(corpus.select(col(id), col(text)))
+    Par.spread(corpus.select(col(id), col(text)))
       .select(col(id),
         posexplode(WordShingles.ngrams(col(text), k)).as(Seq("__pos", "__g")))
       .select(col(id), col("__pos").cast("long").as("__pos"),
         xxhash64(col("__g")).as("__fp"))
       .join(broadcast(evalFps), Seq("__fp"), "left_semi")
-    spansFromFlaggedWindows(hit, corpus, id, text, k)
   }
 
   /** ExactSubstr span REMOVAL: every token covered by a duplicated span is
@@ -1135,13 +1189,43 @@ object Dedup {
     * is the [[dedupLines]] per-doc sort-rejoin aggregate. No global sort,
     * no window without a partition, nothing driver-side.
     */
-  /** Shared span-removal rebuild: every token covered by `spans` drops
-    * from its document, survivors rejoin in order (the [[dedupLines]]
-    * sort-rejoin aggregate at substring granularity); one row per input
-    * document — fully-covered docs survive as empty text.
+  /** Shared span-removal rebuild: every token covered by a flagged
+    * window drops from its document, survivors rejoin in order; one row
+    * per input document — fully-covered docs survive as empty text.
+    * Fused shape: the flagged windows aggregate to one sorted position
+    * array per document (the SAME aggregate the span report uses — the
+    * island merge is implicit in the cover union, since windows whose
+    * positions differ by <= k cover a contiguous range), the corpus
+    * joins it once on the id, and [[graft.expressions.SpanKeep]]
+    * rebuilds each document in one local pass. The corpus text crosses
+    * the wire ONCE; the composed form (kept below as
+    * [[removeSpanCoverComposed]], the spec's bit-equality pin) instead
+    * posexploded every token of the corpus through an (id, pos)
+    * anti-join and re-collected them — two corpus-token-sized exchanges
+    * this shape deletes.
     */
-  private def removeSpanCover(corpus: DataFrame, id: String, text: String,
-                              spans: DataFrame): DataFrame = {
+  private def removeFlaggedCover(corpus: DataFrame, id: String, text: String,
+                                 windows: DataFrame, k: Int): DataFrame = {
+    val perDoc = windows.groupBy(col(id))
+      .agg(sort_array(collect_list(col("__pos"))).as("__ps"))
+    corpus.select(col(id), col(text))
+      .join(perDoc, Seq(id), "left")
+      .select(col(id),
+        graft.expressions.SpanExpressions.spanKeep(col(text),
+          coalesce(col("__ps"), lit(Array.emptyLongArray)), k).as("__r"))
+      .select(col(id), coalesce(col("__r.kept"), lit("")).as(text),
+        (col("__r.nw") - col("__r.n_kept")).as("n_removed"))
+  }
+
+  /** The composed-builtins span removal — [[removeFlaggedCover]]'s
+    * semantic specification (cover posexplode, (id, pos) anti-join,
+    * sort-rejoin aggregate), kept for the spec's bit-equality pin. Takes
+    * the SPAN table (the report's output), where the fused form consumes
+    * the flagged windows directly.
+    */
+  private[graft] def removeSpanCoverComposed(
+      corpus: DataFrame, id: String, text: String,
+      spans: DataFrame): DataFrame = {
     val cover = spans.select(col(id),
       explode(sequence(col("span_start"), col("span_end"))).as("__pos"))
     val kept = corpus
@@ -1178,9 +1262,27 @@ object Dedup {
     size(spanTokenArr(text)).cast("long").as("__nw")
 
   def removeDuplicatedSpans(corpus: DataFrame, id: String, text: String,
-                            k: Int = 8, minDocs: Int = 2): DataFrame =
-    removeSpanCover(corpus, id, text,
-      duplicatedSpans(corpus, id, text, k, minDocs))
+                            k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2 && minDocs >= 2,
+      s"bad ExactSubstr geometry: k=$k minDocs=$minDocs")
+    removeFlaggedCover(corpus, id, text,
+      duplicatedWindows(corpus, id, text, k, minDocs), k)
+  }
+
+  /** Composed-builtins [[duplicatedSpans]] / [[removeDuplicatedSpans]] —
+    * the fused kernels' semantic specification, spec-pinned bit-equal.
+    */
+  private[graft] def duplicatedSpansComposed(corpus: DataFrame, id: String,
+                                             text: String, k: Int,
+                                             minDocs: Int): DataFrame =
+    spansFromFlaggedWindowsComposed(
+      duplicatedWindows(corpus, id, text, k, minDocs), corpus, id, text, k)
+
+  private[graft] def removeDuplicatedSpansComposed(
+      corpus: DataFrame, id: String, text: String,
+      k: Int, minDocs: Int): DataFrame =
+    removeSpanCoverComposed(corpus, id, text,
+      duplicatedSpansComposed(corpus, id, text, k, minDocs))
 
   /** SURGICAL decontamination: remove the eval-overlapping spans but keep
     * the documents ([[decontaminate]] drops whole docs; this excises the
@@ -1190,6 +1292,14 @@ object Dedup {
   def removeContaminatedSpans(corpus: DataFrame, id: String, text: String,
                               eval_ : DataFrame, evalText: String,
                               k: Int = 8): DataFrame =
-    removeSpanCover(corpus, id, text,
-      contaminatedSpans(corpus, id, text, eval_, evalText, k))
+    removeFlaggedCover(corpus, id, text,
+      contaminatedWindows(corpus, id, text, eval_, evalText, k), k)
+
+  private[graft] def removeContaminatedSpansComposed(
+      corpus: DataFrame, id: String, text: String,
+      eval_ : DataFrame, evalText: String, k: Int): DataFrame =
+    removeSpanCoverComposed(corpus, id, text,
+      spansFromFlaggedWindowsComposed(
+        contaminatedWindows(corpus, id, text, eval_, evalText, k),
+        corpus, id, text, k))
 }

@@ -116,6 +116,47 @@ object Events {
       .drop("__b")
   }
 
+  /** Range join for BOUNDED interval sets — the serving-path variant of
+    * [[rangeJoin]]: the intervals collect to the driver (guarded by
+    * `maxIntervals` — refuse loudly rather than silently OOM), ride a
+    * sorted-containment kernel ([[graft.expressions.IntervalMatch]]:
+    * binary search + staircase max-end cutoff, exact for any overlap
+    * structure), and each matched point equi-joins the broadcast
+    * interval payload by index. ONE codegen'd projection + one broadcast
+    * hash join — no interval×bucket explode, no bucket exchange, no
+    * containment re-filter, and no `bucketUs` tuning knob to mis-size.
+    * Maintenance windows, sessions, campaign periods — the common range
+    * joins — are all bounded interval sets; [[rangeJoin]] remains the
+    * shape for corpus-sized intervals.
+    */
+  def rangeJoinBroadcast(points: DataFrame, tsUsCol: String,
+                         intervals: DataFrame, startUs: String, endUs: String,
+                         maxIntervals: Int = 1 << 22): DataFrame = {
+    val spark = points.sparkSession
+    val limited = intervals.limit(maxIntervals + 1).collect()
+    require(limited.length <= maxIntervals,
+      s"rangeJoinBroadcast: interval set exceeds $maxIntervals rows — " +
+        "use the banded rangeJoin for corpus-sized intervals")
+    val sIx = intervals.schema.fieldIndex(startUs)
+    val eIx = intervals.schema.fieldIndex(endUs)
+    val starts = limited.map(_.getLong(sIx))
+    val ends = limited.map(_.getLong(eIx))
+    val ivSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__iix",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        intervals.schema.fields.toIndexedSeq)
+    val ivRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(limited.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(i +: r.toSeq)
+      }: _*)
+    val ivIdx = spark.createDataFrame(ivRows, ivSchema)
+    points
+      .withColumn("__iix", explode(graft.expressions.IntervalMatch(
+        col(tsUsCol), starts, ends)))
+      .join(broadcast(ivIdx), Seq("__iix"))
+      .drop("__iix")
+  }
+
   /** Day-over-day retention: for each day, how many users active that day
     * were also active the next day.
     */

@@ -42,8 +42,10 @@ object Profile {
 
   /** Corpus vocabulary-size estimate via the KMV distinct sketch
     * ([[graft.functions.KmvSketch]]): one row —
-    * `(n_tokens, n_mins, kth_min, est_distinct)` — from ONE bounded
-    * aggregate over the tokenized corpus. The scale contrast this
+    * `(n_units, n_mins, kth_min, est_distinct)` — from ONE bounded
+    * aggregate over the tokenized corpus; `n_units` counts the sketched
+    * units (tokens at shingleN = 1, adjacent n-grams at shingleN > 1).
+    * The scale contrast this
     * operator exists for: `distinct().count()` on 100 TB of tokens
     * shuffles every distinct token across the wire (vocabulary-sized);
     * here each partition forwards ≤k longs and the driver reads ONE row
@@ -87,7 +89,7 @@ object Profile {
       if (mins.length < k) None else Some(mins.last)
     Seq((row.getLong(1), mins.length.toLong, kth,
         graft.functions.KmvSketch.estimate(mins, k)))
-      .toDF("n_tokens", "n_mins", "kth_min", "est_distinct")
+      .toDF("n_units", "n_mins", "kth_min", "est_distinct")
   }
 
   /** The composed-builtins form of [[vocabSketch]] — the fused kernel's
@@ -120,6 +122,6 @@ object Profile {
       if (mins.length < k) None else Some(mins.last)
     Seq((row.getLong(1), mins.length.toLong, kth,
         graft.functions.KmvSketch.estimate(mins, k)))
-      .toDF("n_tokens", "n_mins", "kth_min", "est_distinct")
+      .toDF("n_units", "n_mins", "kth_min", "est_distinct")
   }
 }

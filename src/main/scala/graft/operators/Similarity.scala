@@ -766,7 +766,14 @@ object Similarity {
     def nDataFiles(p: org.apache.hadoop.fs.Path): Int =
       fs.listStatus(p).count(f => f.isFile && { val n = f.getPath.getName
         !n.startsWith("_") && !n.startsWith(".") })
-    if (cellDirs.forall(cd => nDataFiles(cd.getPath) <= 1)) return
+    if (cellDirs.forall(cd => nDataFiles(cd.getPath) <= 1)) {
+      // a crash after swap-in but before the final deletes can leave a
+      // stale compact_old (a full duplicate of the index) — clear the
+      // leftovers here too, or a no-op run would carry them forever
+      fs.delete(tmp, true)
+      fs.delete(old, true)
+      return
+    }
     fs.delete(tmp, true)
     fs.delete(old, true)
     // partition discovery restores `cell`; repartitioning ON the cell

@@ -228,6 +228,32 @@ object EventQueries {
         .orderBy(col("win_id"))
     },
 
+    // ---- broadcast sorted-interval range join (same contract as q69,
+    //      served through the IntervalMatch kernel + one broadcast hash
+    //      join — the bounded-interval serving path; the oracle is the
+    //      identical containment SQL, so the two algorithms can never
+    //      drift) ----
+    QueryDef.sql("q7d_range_join_bcast",
+      """WITH w AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 02:00:00',
+        |                  TIMESTAMP '2024-01-30 02:00:00', INTERVAL 1 DAY)) AS ws),
+        |iv AS (SELECT epoch_us(ws) AS s_us, epoch_us(ws + INTERVAL 90 MINUTE) AS e_us,
+        |       CAST(row_number() OVER (ORDER BY ws) - 1 AS BIGINT) AS win_id FROM w)
+        |SELECT iv.win_id, count(*) AS n, count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN iv ON epoch_us(e.ts) >= iv.s_us AND epoch_us(e.ts) < iv.e_us
+        |GROUP BY iv.win_id ORDER BY win_id""".stripMargin) { (s, d) =>
+      val intervals = s.range(30).select(
+        (unix_micros(to_timestamp(lit("2024-01-01 02:00:00")))
+          + col("id") * 86400L * 1000000L).as("s_us"),
+        (unix_micros(to_timestamp(lit("2024-01-01 02:00:00")))
+          + col("id") * 86400L * 1000000L + 90L * 60 * 1000000L).as("e_us"),
+        col("id").as("win_id"))
+      Events.rangeJoinBroadcast(Tables.events(s, d), "ts_us", intervals,
+          "s_us", "e_us")
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("win_id"))
+    },
+
     // ---- skew tools: salted two-phase agg + salted broadcast join ----------
     // event_type is the suite's hot-key workload (5 values over the whole
     // table, ~20% of rows each): Skew.saltedSumCount spreads each hot key

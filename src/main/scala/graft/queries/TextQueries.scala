@@ -176,8 +176,8 @@ object TextQueries {
        |      FROM toks),
        |mins AS (SELECT DISTINCT h FROM h ORDER BY h LIMIT 256),
        |agg AS (SELECT count(*) AS n_mins, max(h) AS kth FROM mins),
-       |tot AS (SELECT count(*) AS n_tokens FROM h)
-       |SELECT n_tokens, n_mins,
+       |tot AS (SELECT count(*) AS n_units FROM h)
+       |SELECT n_units, n_mins,
        |  CASE WHEN n_mins < 256 THEN NULL ELSE kth END AS kth_min,
        |  CASE WHEN n_mins < 256 THEN n_mins
        |       ELSE CAST((255::HUGEINT * 1152921504606846976::HUGEINT)

@@ -45,6 +45,17 @@ private[graft] object ArtifactSwap {
     // staging, else roll BACK the old artifact — a live artifact exists
     // again before this refresh proceeds
     if (!fs.exists(new org.apache.hadoop.fs.Path(root, "meta.json"))) {
+      // this recovery only handles ArtifactSwap's OWN crash windows, and
+      // those always leave the live path ABSENT (the swap-out rename is
+      // atomic). A root that EXISTS without meta.json is torn some other
+      // way (e.g. a legacy in-place save) — renaming onto an existing
+      // directory would nest the staging/.swap_old INSIDE it (Hadoop
+      // rename semantics) and, in the roll-back branch, bury then delete
+      // the only good copy. Refuse loudly instead of guessing.
+      require(!fs.exists(root),
+        s"refusing to refresh $root: directory exists but has no meta.json " +
+          "(torn by something other than an ArtifactSwap crash) — inspect " +
+          "and remove it before retrying")
       if (complete(staging)) {
         require(fs.rename(staging, root),
           s"crash recovery: roll-forward rename of $staging failed")

@@ -235,6 +235,24 @@ class CurateSpec extends SparkSpec {
       7L -> 1, 8L -> 1, 9L -> 2, 10L -> 3))
   }
 
+  test("rankBuckets grouped plan: one data exchange, reused across both consumers") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, i % 4, (i * 7) % 23)).toDF("id", "g", "v")
+    val out = Curate.rankBuckets(df, Seq("g"), col("v"), col("id"), k = 3)
+    out.collect() // materialize so AQE finalizes stage reuse
+    val plan = out.queryExecution.executedPlan.toString
+    // every data exchange is the operator's OWN hash(g) repartition
+    // (REPARTITION_BY_COL) — the count aggregate, both windows, and the
+    // equi-join all run on that clustering with local sorts only, so
+    // the planner inserts NO further exchange (ENSURE_REQUIREMENTS).
+    // Column pruning legitimately splits the repartition into one wide
+    // branch (tie window) and narrow ones (count/total aggregates),
+    // which AQE dedups by stage reuse.
+    val ensure = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
+    assert(ensure == 0, s"planner-inserted exchange in grouped rankBuckets:\n$plan")
+  }
+
   test("rankBuckets equals the row_number formulation (grouped + global)") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(7)

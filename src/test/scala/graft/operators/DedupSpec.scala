@@ -689,6 +689,50 @@ class DedupSpec extends SparkSpec {
       (5L, "p q r s t", 0L)))
   }
 
+  test("ExactSubstr fused kernels == composed builtins, bit for bit") {
+    // the fused SpanIslands/SpanKeep path vs the retained composed
+    // specification (window functions + posexplode/anti-join/rebuild),
+    // over every edge the family owns: island merges at exactly gap k,
+    // gap splits, short-doc clamp, full cover, no cover, irregular
+    // whitespace, and an empty-after-trim text
+    val edge = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e q"),
+      (3L, "p q r s t u v w"),
+      (4L, "f g h z z a b c"),
+      (5L, "a b"), (6L, "a b"),
+      (7L, "  a b c d e  "),
+      (8L, "a b\nc   d\te"),
+      (9L, "")
+    ).toDF("doc_id", "text")
+    for (minDocs <- Seq(2, 3)) {
+      val spansF = Dedup.duplicatedSpans(edge, "doc_id", "text", 3, minDocs)
+      val spansC = Dedup.duplicatedSpansComposed(edge, "doc_id", "text", 3, minDocs)
+      assert(spansF.exceptAll(spansC).isEmpty && spansC.exceptAll(spansF).isEmpty,
+        s"span report diverged at minDocs=$minDocs")
+      val remF = Dedup.removeDuplicatedSpans(edge, "doc_id", "text", 3, minDocs)
+      val remC = Dedup.removeDuplicatedSpansComposed(edge, "doc_id", "text", 3, minDocs)
+      assert(remF.exceptAll(remC).isEmpty && remC.exceptAll(remF).isEmpty,
+        s"span removal diverged at minDocs=$minDocs")
+    }
+    val evalSet = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val rcF = Dedup.removeContaminatedSpans(edge, "doc_id", "text", evalSet, "text", 3)
+    val rcC = Dedup.removeContaminatedSpansComposed(edge, "doc_id", "text", evalSet, "text", 3)
+    assert(rcF.exceptAll(rcC).isEmpty && rcC.exceptAll(rcF).isEmpty,
+      "contaminated-span removal diverged")
+  }
+
+  test("ExactSubstr fused removal: corpus text crosses the wire once, no per-token explode") {
+    val plan = Dedup.removeDuplicatedSpans(substrDocs, "doc_id", "text", 3, 2)
+      .queryExecution.executedPlan.toString
+    // the composed shape had a covered-position Generate + (id, pos)
+    // anti-join + collect_list rebuild; the fused shape has NO generate
+    // on the removal side (the only Generates are the window fingerprint
+    // explodes) and no anti-join at all
+    assert(!plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("collect_list(struct"), plan)
+  }
+
   test("ExactSubstr plans: no cartesian products, every window partitioned") {
     for (df <- Seq(
         Dedup.duplicatedSpans(substrDocs, "doc_id", "text", 3, 2),

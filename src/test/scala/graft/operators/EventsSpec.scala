@@ -84,6 +84,42 @@ class EventsSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop"), s"banded range join must hash-join:\n$plan")
   }
 
+  test("rangeJoinBroadcast == banded rangeJoin == naive, incl. overlaps, empty set, nulls") {
+    val points = ((0L until 200L by 7L).map(t => (Some(t), s"p$t")) :+
+      ((None: Option[Long], "pnull"))).toDF("tus", "ptag")
+    // overlapping, nested, and disjoint intervals; unsorted input order
+    val intervals = Seq(
+      (40L, 100L, "w1"), (0L, 50L, "w0"), (150L, 160L, "w2"),
+      (45L, 47L, "wNested"), (45L, 200L, "wWide"))
+      .toDF("s_us", "e_us", "wtag")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("ptag", "wtag").as[(String, String)].collect().toSet
+    val naive = pairs(points.crossJoin(intervals)
+      .filter(col("tus") >= col("s_us") && col("tus") < col("e_us")))
+    val banded = pairs(Events.rangeJoin(points, "tus", intervals,
+      "s_us", "e_us", bucketUs = 16L))
+    val kernel = pairs(Events.rangeJoinBroadcast(points, "tus", intervals,
+      "s_us", "e_us"))
+    assert(naive.nonEmpty && banded == naive && kernel == naive)
+    // empty interval set: empty result, schema preserved
+    val empty = Events.rangeJoinBroadcast(points, "tus",
+      intervals.limit(0), "s_us", "e_us")
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == Seq("tus", "ptag", "s_us", "e_us", "wtag"))
+    // the plan is one projection + one broadcast hash join — no bucket
+    // explode-join and no post-join containment filter
+    val plan = Events.rangeJoinBroadcast(points, "tus", intervals,
+      "s_us", "e_us").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    // the oversize guard refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Events.rangeJoinBroadcast(points, "tus", intervals, "s_us", "e_us",
+        maxIntervals = 2)
+    }
+    assert(e.getMessage.contains("banded"))
+  }
+
   test("dailyRetention counts users active on consecutive days") {
     val day = 24L * 3600 * 1000000
     val df = Seq(

@@ -33,13 +33,13 @@ class ProfileSpec extends SparkSpec {
     var b = s.zero
     Seq(50L, 10L, 50L, 30L, 20L, 40L, 10L).foreach(v => b = s.reduce(b, v))
     assert(b.toSeq == Seq(10L, 20L, 30L), b.toSeq.toString)
-    // merge == the k smallest distinct of the union, any split
-    val (h1, h2) = (s.zero, s.zero)
+    // merge == the k smallest distinct of the union, any split — incl.
+    // the empty-empty edge
     val all = Seq(50L, 10L, 50L, 30L, 20L, 40L, 10L)
     val b1 = all.take(3).foldLeft(s.zero)(s.reduce)
     val b2 = all.drop(3).foldLeft(s.zero)(s.reduce)
     assert(s.merge(b1, b2).toSeq == b.toSeq, "merge diverged from one pass")
-    assert(h1.isEmpty && h2.isEmpty)
+    assert(s.merge(s.zero, s.zero).isEmpty)
     // unsaturated estimate is the exact distinct count; saturated is the
     // floor-division formula
     assert(graft.functions.KmvSketch.estimate(Seq(10L, 20L), 3) == 2L)
