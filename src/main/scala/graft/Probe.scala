@@ -349,6 +349,39 @@ object Probe {
       }
     }
 
+    if (sys.env.get("SPARK_GRAFT_PROBE_SM").contains("1")) {
+      // job-level attribution for the q6c/q6p 2-trigger replays
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            starts.put(j.jobId, (System.nanoTime(),
+              Option(j.properties.getProperty("spark.job.description"))
+                .getOrElse("?").take(70)))
+            ()
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = starts.remove(j.jobId)
+            if (s != null) jobs.add(
+              f"job ${j.jobId}%3d ${(System.nanoTime() - s._1) / 1e9}%6.3f s  ${s._2}")
+            ()
+          }
+        })
+      for (q <- Seq("q6c_stream_selfmaintain", "q6p_stream_semgate_sm");
+           aqe <- Seq("true", "false"); r <- 1 to 2) {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        jobs.clear()
+        t(s"$q aqe=$aqe r$r") { SparkEntry.queries(q)(spark, d).count() }
+        Thread.sleep(300)
+        if (r == 2) println(s"[probe]   jobs=${jobs.size}")
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.get("SPARK_GRAFT_PROBE_STREAM").contains("1")) {
       // per-micro-batch durationMs breakdown for the three streaming
       // replays: separates the streaming ENGINE's trigger overhead
