@@ -194,15 +194,25 @@ object Bench {
     // own discipline would have rejected, against a 0.985× certified quiet
     // reading). Re-run the suite up to SPARK_GRAFT_BENCH_ATTEMPTS times
     // until an attempt's three endpoint canaries are all quiet, keep the
-    // per-query and wall MINIMA across attempts (best-of-N — same sampling
-    // discipline as the in-attempt passes), and certify the emitted
-    // canary_spark from the quietest attempt. A canary of -1 (no
-    // python3/duckdb) can't certify anything and stops the loop.
+    // per-query and wall MINIMA across the CLEAN attempts only (noisy
+    // attempts' numbers are discarded once a clean window exists — a
+    // lucky wall from a contended window must not ship under a quiet
+    // certificate), and certify the emitted canary_spark from the
+    // quietest kept attempt. A canary of -1 (no python3/duckdb) can't
+    // certify anything and stops the loop.
     val canaryBar = sys.env.getOrElse("SPARK_GRAFT_CANARY_BAR", "0.032").toDouble
     val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt.max(1)
-    var results = Map.empty[String, Double]
-    var sparkWall = Double.MaxValue
-    val attemptCanaries = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+    final case class Attempt(res: Map[String, Double], wall: Double,
+                             cPreSeq: Double, cPreWall: Double,
+                             cPostWall: Double) {
+      def worstCanary: Double =
+        math.max(cPreSeq, math.max(cPreWall, cPostWall))
+      def clean: Boolean = Seq(cPreSeq, cPreWall, cPostWall)
+        .forall(c => c >= 0 && c <= canaryBar)
+      def uncertifiable: Boolean =
+        Seq(cPreSeq, cPreWall, cPostWall).exists(_ < 0)
+    }
+    val attempts = scala.collection.mutable.ArrayBuffer.empty[Attempt]
     var attempt = 0
     var done = false
     while (attempt < maxAttempts && !done) {
@@ -211,26 +221,35 @@ object Bench {
       val cPreSeq = hostCanary()
       phases(s"canary_pre_seq$tag") = cPreSeq
       val res = seqOnce(tag)
-      results =
-        if (results.isEmpty) res
-        else results.map { case (k, v) => k -> math.min(v, res.getOrElse(k, v)) }
       val cPreWall = hostCanary()
       phases(s"canary_pre_wall$tag") = cPreWall
       val walls = (1 to wallRuns).map { i => phase(s"wall$i$tag")(wallOnce(res)) }
       val cPostWall = hostCanary()
       phases(s"canary_post_wall$tag") = cPostWall
-      sparkWall = math.min(sparkWall, walls.min)
-      attemptCanaries += ((cPreSeq, cPreWall, cPostWall))
-      val cs = Seq(cPreSeq, cPreWall, cPostWall)
-      done = cs.exists(_ < 0) || cs.forall(_ <= canaryBar)
+      val a = Attempt(res, walls.min, cPreSeq, cPreWall, cPostWall)
+      attempts += a
+      done = a.uncertifiable || a.clean
     }
     phases("bench_attempts") = attempt.toDouble
-    // the emitted window certificate comes from the QUIETEST attempt —
-    // the one whose readings dominate the kept minima
-    val best = attemptCanaries.minBy { case (a, b, c) => math.max(a, math.max(b, c)) }
-    phases("canary_pre_seq") = best._1
-    phases("canary_pre_wall") = best._2
-    phases("canary_post_wall") = best._3
+    // min-merge ONLY over attempts whose window the emitted certificate
+    // can actually vouch for: if any attempt ran clean, noisy attempts'
+    // numbers are DISCARDED (a lucky wall from a contended window must
+    // not ship under a quiet canary — the exact laundering this loop
+    // exists to prevent). With no clean attempt, merge everything and
+    // certify the quietest window honestly (canary_spark then reads
+    // above the bar, so the artifact self-documents its contention).
+    val kept = {
+      val clean = attempts.filter(_.clean)
+      if (clean.nonEmpty) clean else attempts
+    }
+    val results = kept.map(_.res).reduce { (a, b) =>
+      a.map { case (k, v) => k -> math.min(v, b.getOrElse(k, v)) }
+    }
+    val sparkWall = kept.map(_.wall).min
+    val best = kept.minBy(_.worstCanary)
+    phases("canary_pre_seq") = best.cPreSeq
+    phases("canary_pre_wall") = best.cPreWall
+    phases("canary_post_wall") = best.cPostWall
     // experiments (filtered runs) skip the DuckDB side: totals over
     // different query subsets aren't comparable anyway
     val duckdb = if (only.isDefined) Map.empty[String, Double]

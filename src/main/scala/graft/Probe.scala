@@ -322,6 +322,7 @@ object Probe {
               lit(1000000007L)))).collect()
         }
       }
+      spark.stop(); return
     }
 
     if (sys.env.get("SPARK_GRAFT_PROBE_LM3").contains("1")) {
@@ -347,6 +348,7 @@ object Probe {
           graft.ml.NgramLm.fitOrder(docs, col("text"), 3, 400, 800)
         }
       }
+      spark.stop(); return
     }
 
     if (sys.env.get("SPARK_GRAFT_PROBE_SM").contains("1")) {

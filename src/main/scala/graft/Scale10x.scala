@@ -262,6 +262,15 @@ object Scale10x {
       force(graft.operators.Events.asofJoin(clicks, views, "user_id", "tus",
         rightCols = Seq("tus", "view_value")))
     }
+    def rangeJoinTwinSql(evv: String): String =
+      s"""WITH w AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 02:00:00',
+         |                  TIMESTAMP '2024-01-30 02:00:00', INTERVAL 1 DAY)) AS ws),
+         |iv AS (SELECT epoch_us(ws) AS s_us, epoch_us(ws + INTERVAL 90 MINUTE) AS e_us,
+         |       CAST(row_number() OVER (ORDER BY ws) - 1 AS BIGINT) AS win_id FROM w)
+         |SELECT iv.win_id, count(*) AS n, count(DISTINCT e.user_id) AS n_users
+         |FROM $evv e JOIN iv ON e.ts_us >= iv.s_us AND e.ts_us < iv.e_us
+         |GROUP BY iv.win_id""".stripMargin
+
     def rangeIntervals = spark.range(30).select(
       (unix_micros(to_timestamp(lit("2024-01-01 02:00:00")))
         + col("id") * 86400L * 1000000L).as("s_us"),
@@ -543,22 +552,10 @@ object Scale10x {
            |           FROM $evv WHERE event_type = 'view')
            |SELECT c.event_id, c.user_id, c.tus, v.tus AS view_tus, v.view_value
            |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.tus >= v.tus""".stripMargin,
-      "range_join_banded" ->
-        s"""WITH w AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 02:00:00',
-           |                  TIMESTAMP '2024-01-30 02:00:00', INTERVAL 1 DAY)) AS ws),
-           |iv AS (SELECT epoch_us(ws) AS s_us, epoch_us(ws + INTERVAL 90 MINUTE) AS e_us,
-           |       CAST(row_number() OVER (ORDER BY ws) - 1 AS BIGINT) AS win_id FROM w)
-           |SELECT iv.win_id, count(*) AS n, count(DISTINCT e.user_id) AS n_users
-           |FROM $evv e JOIN iv ON e.ts_us >= iv.s_us AND e.ts_us < iv.e_us
-           |GROUP BY iv.win_id""".stripMargin,
-      "range_join" ->
-        s"""WITH w AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 02:00:00',
-           |                  TIMESTAMP '2024-01-30 02:00:00', INTERVAL 1 DAY)) AS ws),
-           |iv AS (SELECT epoch_us(ws) AS s_us, epoch_us(ws + INTERVAL 90 MINUTE) AS e_us,
-           |       CAST(row_number() OVER (ORDER BY ws) - 1 AS BIGINT) AS win_id FROM w)
-           |SELECT iv.win_id, count(*) AS n, count(DISTINCT e.user_id) AS n_users
-           |FROM $evv e JOIN iv ON e.ts_us >= iv.s_us AND e.ts_us < iv.e_us
-           |GROUP BY iv.win_id""".stripMargin,
+      // ONE containment SQL serves both range-join probes (kernel +
+      // banded compute the same result; q69/q7d pin both to this text)
+      "range_join_banded" -> rangeJoinTwinSql(evv),
+      "range_join" -> rangeJoinTwinSql(evv),
       // same survivors as the Spark gate probe, computed EXACTLY: batch
       // shingles join corpus shingles (DuckDB's natural algorithm — no
       // persisted LSH state to amortize, which is precisely what this twin

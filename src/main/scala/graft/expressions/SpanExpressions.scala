@@ -131,8 +131,10 @@ case class SpanKeep(left: Expression, right: Expression,
     var i = 0
     while (i < ps.length) {
       // window positions come from the same text, so p is in range by
-      // construction; clamp anyway — a foreign span table must not crash
-      var j = math.max(ps(i), 0L).toInt
+      // construction; clamp anyway — a foreign span table must not crash.
+      // The clamp stays in LONG space on both ends (a raw .toInt of a
+      // position past Int.MaxValue would wrap negative and index out)
+      var j = math.min(math.max(ps(i), 0L), nw.toLong).toInt
       val hi = math.min(ps(i) + (k - 1).toLong, nw - 1L)
       while (j <= hi) { covered(j) = true; j += 1 }
       i += 1

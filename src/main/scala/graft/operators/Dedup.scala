@@ -1033,18 +1033,27 @@ object Dedup {
   private def duplicatedWindows(corpus: DataFrame, id: String, text: String,
                                 k: Int, minDocs: Int): DataFrame = {
     import graft.expressions.WordShingles
-    val w = Par.spread(corpus.select(col(id), col(text)))
+    // null-id rows carry no document identity and are excluded from BOTH
+    // sides (countDistinct ignored them implicitly; the row-count hot
+    // side below must not let them vote)
+    val docs = Par.spread(
+      corpus.select(col(id), col(text)).where(col(id).isNotNull))
+    val w = docs
       .select(col(id),
         posexplode(WordShingles.ngrams(col(text), k)).as(Seq("__pos", "__g")))
       .select(col(id), col("__pos").cast("long").as("__pos"),
         xxhash64(col("__g")).as("__fp"))
     // hot side: the DISTINCT-shingle kernel dedups grams per document
-    // locally, so "documents containing fp" is a plain count — ONE fp
-    // exchange. The equivalent countDistinct(id) over the window rows
-    // plans as a (fp, id) dedup exchange FOLLOWED by the fp count
+    // locally, so "documents containing fp" is a plain row count — ONE
+    // fp exchange. The equivalent countDistinct(id) over the window
+    // rows plans as a (fp, id) dedup exchange FOLLOWED by the fp count
     // exchange; the first carries the whole corpus's window volume
-    // (measured +3 s of the operator's 100x cost).
-    val hot = Par.spread(corpus.select(col(text)))
+    // (measured +3 s of the operator's 100x cost). Row count == distinct
+    // documents under the family's standing input contract (ONE row per
+    // document id — every gate/dedup operator here assumes it); a
+    // duplicate-id corpus would inflate the count where countDistinct
+    // shrugged, so the contract is stated rather than silently absorbed.
+    val hot = docs
       .select(explode(WordShingles.shingles(col(text), k)).as("__g"))
       .select(xxhash64(col("__g")).as("__fp"))
       .groupBy(col("__fp")).agg(count(lit(1)).as("__nd"))

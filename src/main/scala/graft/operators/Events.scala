@@ -133,7 +133,12 @@ object Events {
                          intervals: DataFrame, startUs: String, endUs: String,
                          maxIntervals: Int = 1 << 22): DataFrame = {
     val spark = points.sparkSession
-    val limited = intervals.limit(maxIntervals + 1).collect()
+    // null-bound intervals define no containment range; the banded
+    // rangeJoin drops them implicitly (null bucket keys fall out of the
+    // equi-join) — match that here rather than NPE on Row.getLong
+    val limited = intervals
+      .where(col(startUs).isNotNull && col(endUs).isNotNull)
+      .limit(maxIntervals + 1).collect()
     require(limited.length <= maxIntervals,
       s"rangeJoinBroadcast: interval set exceeds $maxIntervals rows — " +
         "use the banded rangeJoin for corpus-sized intervals")

@@ -705,6 +705,10 @@ class DedupSpec extends SparkSpec {
       (8L, "a b\nc   d\te"),
       (9L, "")
     ).toDF("doc_id", "text")
+      // null text must round-trip identically through both forms (the
+      // left-join null discipline: text -> "", n_removed -> NULL)
+      .unionByName(Seq(10L).toDF("doc_id")
+        .select(col("doc_id"), lit(null).cast("string").as("text")))
     for (minDocs <- Seq(2, 3)) {
       val spansF = Dedup.duplicatedSpans(edge, "doc_id", "text", 3, minDocs)
       val spansC = Dedup.duplicatedSpansComposed(edge, "doc_id", "text", 3, minDocs)

@@ -89,8 +89,11 @@ class EventsSpec extends SparkSpec {
       ((None: Option[Long], "pnull"))).toDF("tus", "ptag")
     // overlapping, nested, and disjoint intervals; unsorted input order
     val intervals = Seq(
-      (40L, 100L, "w1"), (0L, 50L, "w0"), (150L, 160L, "w2"),
-      (45L, 47L, "wNested"), (45L, 200L, "wWide"))
+      (Some(40L), Some(100L), "w1"), (Some(0L), Some(50L), "w0"),
+      (Some(150L), Some(160L), "w2"), (Some(45L), Some(47L), "wNested"),
+      (Some(45L), Some(200L), "wWide"),
+      // null-bound interval: both algorithms must DROP it, not crash
+      (None: Option[Long], Some(90L), "wNullStart"))
       .toDF("s_us", "e_us", "wtag")
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("ptag", "wtag").as[(String, String)].collect().toSet
