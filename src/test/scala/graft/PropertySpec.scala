@@ -301,4 +301,35 @@ class PropertySpec extends SparkSpec {
       assert(k == j, s"fit=$fitTexts probe=$probeTexts")
     }
   }
+
+  test("ExactSubstr fused kernels equal the composed forms on random corpora") {
+    // random small-alphabet docs with irregular whitespace maximize window
+    // collisions, gap-k island merges, short-doc clamps, and full covers —
+    // the fused SpanIslands/SpanKeep path must be row-identical to the
+    // retained composed specification on every draw
+    val word = Gen.oneOf("a", "b", "c", "aa")
+    val sep = Gen.oneOf(" ", "  ", "\n", "\t ")
+    val messyText: Gen[String] = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, word)
+      ss <- Gen.listOfN(math.max(n - 1, 0), sep)
+      pad <- Gen.oneOf("", " ", "  ")
+    } yield pad + ws.zipAll(ss, "", "").map { case (w, s) => w + s }
+      .mkString + pad
+    val corpusGen = Gen.choose(3, 8).flatMap(n => Gen.listOfN(n, messyText))
+    forSamples(Gen.zip(corpusGen, Gen.choose(2, 4), Gen.choose(2, 3)),
+      n = 6) { case (texts, k, minDocs) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy(d.columns.map(col).toIndexedSeq: _*)
+          .collect().map(_.toSeq).toSeq
+      val sF = rows(operators.Dedup.duplicatedSpans(df, "doc_id", "text", k, minDocs))
+      val sC = rows(operators.Dedup.duplicatedSpansComposed(df, "doc_id", "text", k, minDocs))
+      assert(sF == sC, s"span report diverged: texts=$texts k=$k minDocs=$minDocs")
+      val rF = rows(operators.Dedup.removeDuplicatedSpans(df, "doc_id", "text", k, minDocs))
+      val rC = rows(operators.Dedup.removeDuplicatedSpansComposed(df, "doc_id", "text", k, minDocs))
+      assert(rF == rC, s"span removal diverged: texts=$texts k=$k minDocs=$minDocs")
+    }
+  }
 }
