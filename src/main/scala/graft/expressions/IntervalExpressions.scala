@@ -33,9 +33,28 @@ case class IntervalMatch(child: Expression, starts: Array[Long],
   override def dataType: DataType =
     ArrayType(IntegerType, containsNull = false)
 
+  // case-class equality would compare the Array fields by REFERENCE,
+  // so two semantically identical instances would never compare equal —
+  // defeating Catalyst's semanticEquals-based reuse (CSE, exchange/
+  // subquery reuse) and making canonicalization inconsistent. Compare
+  // the bounds by content.
+  override def equals(other: Any): Boolean = other match {
+    case that: IntervalMatch =>
+      child == that.child &&
+        java.util.Arrays.equals(starts, that.starts) &&
+        java.util.Arrays.equals(ends, that.ends)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.hashCode(starts)),
+      Integer.valueOf(java.util.Arrays.hashCode(ends)))
+
   // sorted-by-start view + running max of end over the sorted prefix,
-  // built once per task (the expression is immutable; arrays are tiny
-  // by the caller's broadcast contract)
+  // built once per task (the expression is immutable; the caller's
+  // maxIntervals guard — rangeJoinBroadcast, default 1<<16 — bounds the
+  // arrays to genuinely broadcast scale, ~16 B per interval here)
   @transient private lazy val order: Array[Int] =
     starts.indices.sortBy(starts(_)).toArray
   @transient private lazy val sortedStarts: Array[Long] = order.map(starts(_))

@@ -1065,20 +1065,6 @@ object Dedup {
     w.join(hot.hint("shuffle_hash"), Seq("__fp"), "left_semi")
   }
 
-  /** Per-document duplicated-span REPORT: one row per maximal run of
-    * duplicated k-token windows — (id, span_start, span_end, span_tokens,
-    * n_windows), token positions 0-based inclusive. Windows at positions
-    * p < p' belong to one span when p' − p <= k (their covered ranges
-    * overlap or touch — a contiguous duplicated region). Documents
-    * shorter than k tokens collapse to a single whole-document window
-    * ([[graft.expressions.WordShingles]] short-text rule), so span_end
-    * clamps to the document's last token.
-    *
-    * Scale shape: after [[duplicatedWindows]], one exchange on the
-    * document id serves both the island window functions (PARTITIONED —
-    * never a global window) and the span aggregate; the per-doc length
-    * join adds a second corpus-pruned scan of two columns.
-    */
   /** Shared island-merge + clamp behind the two span reports: flagged
     * windows (id, __pos) aggregate to ONE sorted position array per
     * document (a single exchange on the document id — the only exchange
@@ -1141,6 +1127,30 @@ object Dedup {
         (end - col("span_start") + 1).as("span_tokens"), col("n_windows"))
   }
 
+  /** Per-document duplicated-span REPORT: one row per maximal run of
+    * duplicated k-token windows — (id, span_start, span_end, span_tokens,
+    * n_windows), token positions 0-based inclusive. Windows at positions
+    * p < p' belong to one span when p' − p <= k (their covered ranges
+    * overlap or touch — a contiguous duplicated region). Documents
+    * shorter than k tokens collapse to a single whole-document window
+    * ([[graft.expressions.WordShingles]] short-text rule), so span_end
+    * clamps to the document's last token.
+    *
+    * INPUT CONTRACT (shared by the whole ExactSubstr family —
+    * [[contaminatedSpans]], [[removeDuplicatedSpans]],
+    * [[removeContaminatedSpans]]): ONE row per document `id`. The hot-
+    * fingerprint count treats per-document-distinct window rows as
+    * distinct documents, so a corpus with repeated ids silently inflates
+    * the duplicate vote (effectively lowering `minDocs`) rather than
+    * erroring. Rows with a NULL `id` carry no document identity and are
+    * EXCLUDED from the report and from duplicate voting (they previously
+    * lumped into one all-nulls group; since r16 they simply drop, the
+    * [[mixtureCounts]] null discipline).
+    *
+    * Scale shape: after [[duplicatedWindows]], one exchange on the
+    * document id serves both the island merge and the span aggregate;
+    * the per-doc length join adds a second corpus-pruned two-column scan.
+    */
   def duplicatedSpans(corpus: DataFrame, id: String, text: String,
                       k: Int = 8, minDocs: Int = 2): DataFrame = {
     require(k >= 2 && minDocs >= 2,
@@ -1154,7 +1164,9 @@ object Dedup {
     * [[duplicatedSpans]] machinery with the [[decontaminate]] membership
     * rule (the eval set's distinct 8-byte fingerprints broadcast; the
     * corpus side never shuffles gram text). The surgical counterpart of
-    * the document-level [[decontaminate]] drop.
+    * the document-level [[decontaminate]] drop. Input contract: one row
+    * per document `id` (see [[duplicatedSpans]]); membership flagging
+    * itself is per-row, so only the span report's per-id grouping cares.
     */
   def contaminatedSpans(corpus: DataFrame, id: String, text: String,
                         eval_ : DataFrame, evalText: String,
@@ -1185,19 +1197,6 @@ object Dedup {
       .join(broadcast(evalFps), Seq("__fp"), "left_semi")
   }
 
-  /** ExactSubstr span REMOVAL: every token covered by a duplicated span is
-    * dropped from every document (the [[dedupLines]] hot-content
-    * semantics applied at substring granularity; surviving tokens rejoin
-    * in order). Returns one row per input document — (id, text,
-    * n_removed) — fully-duplicated documents survive as empty text with
-    * n_removed = their token count.
-    *
-    * Scale shape: spans explode to covered positions (bounded by document
-    * length), tokens anti-join them on (id, pos) — co-partitioned by the
-    * same id exchange the span build already required — and the rebuild
-    * is the [[dedupLines]] per-doc sort-rejoin aggregate. No global sort,
-    * no window without a partition, nothing driver-side.
-    */
   /** Shared span-removal rebuild: every token covered by a flagged
     * window drops from its document, survivors rejoin in order; one row
     * per input document — fully-covered docs survive as empty text.
@@ -1270,6 +1269,23 @@ object Dedup {
   private def spanTokens(text: Column): Column =
     size(spanTokenArr(text)).cast("long").as("__nw")
 
+  /** ExactSubstr span REMOVAL: every token covered by a duplicated span is
+    * dropped from every document (the [[dedupLines]] hot-content
+    * semantics applied at substring granularity; surviving tokens rejoin
+    * in order). Returns one row per input document — (id, text,
+    * n_removed) — fully-duplicated documents survive as empty text with
+    * n_removed = their token count.
+    *
+    * Input contract: one row per document `id`; NULL-id rows pass through
+    * unmodified (they cannot be flagged — see [[duplicatedSpans]] for the
+    * family's id discipline and the duplicate-id caveat).
+    *
+    * Scale shape: the flagged windows aggregate to one position array per
+    * document, the corpus text crosses the wire once, and the
+    * [[graft.expressions.SpanKeep]] kernel rebuilds each document in one
+    * local pass. No global sort, no window without a partition, nothing
+    * driver-side.
+    */
   def removeDuplicatedSpans(corpus: DataFrame, id: String, text: String,
                             k: Int = 8, minDocs: Int = 2): DataFrame = {
     require(k >= 2 && minDocs >= 2,
@@ -1297,6 +1313,7 @@ object Dedup {
     * the documents ([[decontaminate]] drops whole docs; this excises the
     * k-token-window runs [[contaminatedSpans]] reports and rebuilds the
     * text). Returns one row per input document — (id, text, n_removed).
+    * Input contract: one row per document `id` (see [[duplicatedSpans]]).
     */
   def removeContaminatedSpans(corpus: DataFrame, id: String, text: String,
                               eval_ : DataFrame, evalText: String,

@@ -128,11 +128,35 @@ object Events {
     * Maintenance windows, sessions, campaign periods — the common range
     * joins — are all bounded interval sets; [[rangeJoin]] remains the
     * shape for corpus-sized intervals.
+    *
+    * Memory cost per interval: the full interval Row collects to the
+    * driver, the two 8-byte bounds embed in the [[IntervalMatch]]
+    * expression (serialized into every stage's task binary), and the
+    * payload Rows become a local-relation broadcast — roughly
+    * 16 B/interval in the kernel plus the full row width on the driver
+    * and in the broadcast. The default `maxIntervals` (65,536 ≈ 1 MiB of
+    * bounds + a few MiB of typical payload) keeps all three genuinely
+    * broadcast-scale; raise it only when driver and broadcast budgets are
+    * known, and prefer the banded [[rangeJoin]] past a few million rows.
     */
   def rangeJoinBroadcast(points: DataFrame, tsUsCol: String,
                          intervals: DataFrame, startUs: String, endUs: String,
-                         maxIntervals: Int = 1 << 22): DataFrame = {
+                         maxIntervals: Int = 1 << 16): DataFrame = {
     val spark = points.sparkSession
+    // fail on non-integral bounds BEFORE the collect: Row.getLong on a
+    // timestamp/decimal column would surface as a bare ClassCastException
+    // with no column name, unlike the kernel's explicit BIGINT check on
+    // the ts side
+    for (c <- Seq(startUs, endUs)) {
+      val t = intervals.schema(c).dataType
+      require(t == org.apache.spark.sql.types.LongType ||
+          t == org.apache.spark.sql.types.IntegerType ||
+          t == org.apache.spark.sql.types.ShortType ||
+          t == org.apache.spark.sql.types.ByteType,
+        s"rangeJoinBroadcast: bound column '$c' must be an integral type " +
+          s"(BIGINT-compatible), got ${t.simpleString} — cast it explicitly " +
+          "(a timestamp's unit choice is the caller's, not ours)")
+    }
     // null-bound intervals define no containment range; the banded
     // rangeJoin drops them implicitly (null bucket keys fall out of the
     // equi-join) — match that here rather than NPE on Row.getLong
@@ -141,11 +165,12 @@ object Events {
       .limit(maxIntervals + 1).collect()
     require(limited.length <= maxIntervals,
       s"rangeJoinBroadcast: interval set exceeds $maxIntervals rows — " +
-        "use the banded rangeJoin for corpus-sized intervals")
+        "raise maxIntervals deliberately or use the banded rangeJoin " +
+        "for corpus-sized intervals")
     val sIx = intervals.schema.fieldIndex(startUs)
     val eIx = intervals.schema.fieldIndex(endUs)
-    val starts = limited.map(_.getLong(sIx))
-    val ends = limited.map(_.getLong(eIx))
+    val starts = limited.map(r => r.getAs[Number](sIx).longValue)
+    val ends = limited.map(r => r.getAs[Number](eIx).longValue)
     val ivSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("__iix",
         org.apache.spark.sql.types.IntegerType, nullable = false) +:

@@ -121,6 +121,29 @@ class EventsSpec extends SparkSpec {
         maxIntervals = 2)
     }
     assert(e.getMessage.contains("banded"))
+    // non-integral bound columns refuse BEFORE the collect, naming the
+    // column — not a bare ClassCastException from Row.getLong
+    val tsIv = intervals.select(
+      timestamp_micros(col("s_us")).as("s_us"), col("e_us"), col("wtag"))
+    val e2 = intercept[IllegalArgumentException] {
+      Events.rangeJoinBroadcast(points, "tus", tsIv, "s_us", "e_us")
+    }
+    assert(e2.getMessage.contains("s_us") && e2.getMessage.contains("timestamp"))
+    // integer bounds are fine (widened, not refused)
+    val intIv = intervals.select(col("s_us").cast("int").as("s_us"),
+      col("e_us").cast("int").as("e_us"), col("wtag"))
+    assert(pairs(Events.rangeJoinBroadcast(points, "tus", intIv,
+      "s_us", "e_us")) == naive)
+    // structural equality for the kernel expression: identical bounds in
+    // two instances must compare equal (Catalyst semanticEquals/CSE) even
+    // though the Array fields would compare by reference
+    import graft.expressions.IntervalMatch
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val a1 = new IntervalMatch(Literal(1L), Array(1L, 5L), Array(3L, 9L))
+    val a2 = new IntervalMatch(Literal(1L), Array(1L, 5L), Array(3L, 9L))
+    val a3 = new IntervalMatch(Literal(1L), Array(1L, 5L), Array(3L, 8L))
+    assert(a1 == a2 && a1.hashCode == a2.hashCode && a1 != a3)
+    assert(a1.semanticEquals(a2) && !a1.semanticEquals(a3))
   }
 
   test("dailyRetention counts users active on consecutive days") {
