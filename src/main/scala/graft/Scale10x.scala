@@ -72,17 +72,32 @@ object Scale10x {
         df.repartition(32).write.mode("overwrite").parquet(p)
       p
     }
+    // executor-side fan-out: ONE scan exploded by a per-row copy index.
+    // The previous shape — a `copies`-way unionByName of id-shifted scans —
+    // put the scale factor in the PLAN (1000 scan branches at 1000x), and
+    // analysis/codegen of that plan alone OOM'd the default 8g driver heap
+    // (r16 verdict #3). Same rows, same copymark texts; plan size is now
+    // O(1) in `copies` and the data amplification happens on executors,
+    // the same discipline the engine itself is graded on.
     def scaled(df: DataFrame, idCols: Seq[String], copies: Int,
-               suffix: Option[String]): DataFrame =
-      (0 until copies).map { k =>
-        val shifted = idCols.foldLeft(df)((d, c) =>
-          d.withColumn(c, col(c) + lit(k * 100000000L)))
-        suffix match {
-          case Some(tc) if k > 0 =>
-            shifted.withColumn(tc, concat(col(tc), lit(s" copymark$k")))
-          case _ => shifted
-        }
-      }.reduce(_ unionByName _)
+               suffix: Option[String]): DataFrame = {
+      // spread the SOURCE before exploding: the 1x tables are a single
+      // parquet split, so without this the whole copies-fold fan-out runs
+      // in one task (first live run: ~1 busy core writing li1000)
+      val fan = df.repartition(cpus.toInt)
+        .withColumn("__k",
+          explode(sequence(lit(0L), lit((copies - 1).toLong))))
+      val shifted = idCols.foldLeft(fan)((d, c) =>
+        d.withColumn(c, col(c) + col("__k") * lit(100000000L)))
+      val marked = suffix match {
+        case Some(tc) => shifted.withColumn(tc,
+          when(col("__k") > 0,
+            concat(col(tc), lit(" copymark"), col("__k").cast("string")))
+            .otherwise(col(tc)))
+        case None => shifted
+      }
+      marked.drop("__k")
+    }
 
     val docs1P = write(docs, "docs1")
     val docs10P = write(scaled(docs, Seq("doc_id"), copies, Some("text")), s"docs$copies")
@@ -885,7 +900,8 @@ object Scale10x {
     // (not through the generic Probe harness: build and append MUTATE the
     // band table, so only the excludeCorpusDocs-probed steps are best-of-2)
     val gateNames = Seq("gate_table_build", "gate_probe", "gate_append",
-      "gate_reprobe", "gate_compact", "gate_postcompact")
+      "gate_reprobe", "gate_compact", "gate_postcompact",
+      "gate_decomp_bandscan", "gate_decomp_textscan", "gate_decomp_cands")
     val gateOn = only.forall(o => gateNames.exists(n => o.exists(n.startsWith)))
     val gateResults: Seq[(String, Double, Double, Long, Long)] =
       if (!gateOn) Seq.empty
@@ -904,6 +920,32 @@ object Scale10x {
         }
         val (p1, prows1) = bo2(gateProbeShape(docs1P, table1, gateBatchP))
         val (pN, prowsN) = bo2(gateProbeShape(docs10P, tableN, gateBatchP))
+        // ---- decomposition of the probe's growth axis (r16 verdict #2).
+        // The probe = batch banding + (band,bh) equi-join against the
+        // bucketed state + candidate dedup + jaccard verify (a join that
+        // reads corpus TEXT). Three floors isolate where growth lives:
+        //   bandscan — reading the state band rows the join consumes
+        //     (corpus-sized; reducible only by touching fewer rows);
+        //   textscan — reading the corpus (id, text) the verify consumes
+        //     (corpus-sized; reducible by pruning to candidate docs);
+        //   cands    — everything EXCEPT the verify (banding + state join
+        //     + dedup), so probe − cands ≈ the verify's true cost.
+        // Measured pre-append, same state the probe itself saw.
+        def bandScanShape(table: String): Long = force(spark.table(table))
+        def textScanShape(docsP: String): Long =
+          force(spark.read.parquet(docsP).select(col("doc_id"), col("text")))
+        def candShape(table: String, batchP: String): Long = {
+          val batch = spark.read.parquet(batchP)
+          force(Dedup.bandTableCandidates(
+            Dedup.bandedBatchKeys(batch, "doc_id", "text", 8, 4, 3),
+            table, "doc_id", Some(batch.select(col("doc_id")))))
+        }
+        val (ds1, dsr1) = bo2(bandScanShape(table1))
+        val (dsN, dsrN) = bo2(bandScanShape(tableN))
+        val (ts1, tsr1) = bo2(textScanShape(docs1P))
+        val (tsN, tsrN) = bo2(textScanShape(docs10P))
+        val (cd1, cdr1) = bo2(candShape(table1, gateBatchP))
+        val (cdN, cdrN) = bo2(candShape(tableN, gateBatchP))
         val (a1, _) = time(gateAppend(docs1P, table1, gateBatchP))
         val (aN, _) = time(gateAppend(docs10P, tableN, gateBatchP))
         val (r1, rrows1) = bo2(gateProbeShape(docs1P, table1, gateBatch2P))
@@ -922,6 +964,9 @@ object Scale10x {
         val rows = Seq(
           ("gate_table_build", tb1, tbN, bandRows(docs1P), bandRows(docs10P)),
           ("gate_probe", p1, pN, prows1, prowsN),
+          ("gate_decomp_bandscan", ds1, dsN, dsr1, dsrN),
+          ("gate_decomp_textscan", ts1, tsN, tsr1, tsrN),
+          ("gate_decomp_cands", cd1, cdN, cdr1, cdrN),
           ("gate_append", a1, aN, prows1, prowsN),
           ("gate_reprobe", r1, rN, rrows1, rrowsN),
           ("gate_compact", c1, cN, bandRows(docs1P), bandRows(docs10P)),

@@ -130,31 +130,33 @@ object Retrieval {
                           table: String, buckets: Int = 32,
                           path: Option[String] = None): Unit = {
     val spark = docs.sparkSession
-    // PERSISTED across the two jobs (the bm25TopK discipline): the df
-    // write and the (N, Σdl) aggregate both need the token arrays, and
-    // re-deriving them would tokenize the corpus twice — the build-time
-    // kernel scan IS the cost. Call-scoped: released before returning.
+    // TWO kernel scans, ZERO corpus-sized cache: the df write and the
+    // (N, Σdl) aggregate both need the token arrays, and this build used
+    // to persist them MEMORY_AND_DISK across the two jobs. At 1000x
+    // (5M docs) the deserialized token-array partitions unroll to ~25 GB
+    // of heap across 32 concurrent tasks and OOM the default 8 g driver-
+    // JVM (measured, r17) — a corpus-sized cached intermediate is exactly
+    // what the serve path's scaladoc calls "the 100 TB difference", and
+    // the build must obey its own discipline. Tokenizing twice costs one
+    // extra codegen'd split-scan, linear and heap-bounded.
     val toks = docs.select(graft.functions.TextFunctions.tokens(text)
-        .as("__toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val w0 = toks
-        .select(explode(array_distinct(col("__toks"))).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        // one file per bucket (each task would otherwise emit a file per
-        // bucket it holds): the serve-time driver-direct lookup opens
-        // exactly one file per probed term bucket
-        .repartition(buckets, col("term"))
-        .write.mode("overwrite")
-        .bucketBy(buckets, "term").sortBy("term")
-        .format("parquet")
-      path.fold(w0)(w0.option("path", _)).saveAsTable(table)
-      val row = toks.agg(count(lit(1)).as("n"), sum(size(col("__toks")))
-        .as("len")).collect().head
-      val (n, len) = (row.getLong(0), if (row.getLong(0) == 0L) 0L else row.getLong(1))
-      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
-        s"'graft.n'='$n','graft.len'='$len')")
-    } finally { toks.unpersist(); () }
+      .as("__toks"))
+    val w0 = toks
+      .select(explode(array_distinct(col("__toks"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // one file per bucket (each task would otherwise emit a file per
+      // bucket it holds): the serve-time driver-direct lookup opens
+      // exactly one file per probed term bucket
+      .repartition(buckets, col("term"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet")
+    path.fold(w0)(w0.option("path", _)).saveAsTable(table)
+    val row = toks.agg(count(lit(1)).as("n"), sum(size(col("__toks")))
+      .as("len")).collect().head
+    val (n, len) = (row.getLong(0), if (row.getLong(0) == 0L) 0L else row.getLong(1))
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.n'='$n','graft.len'='$len')")
   }
 
   /** [[bm25TopK]] served from a PERSISTED stats table: the per-term df

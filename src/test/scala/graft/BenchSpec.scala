@@ -85,6 +85,35 @@ class BenchSpec extends AnyFunSuite {
     assert(parsed("duckdb_seq") == 0.5 && parsed("duckdb_total") == 0.4)
   }
 
+  test("emitLine carries the wall-dispersion certificate (self-defense v2)") {
+    val line = Bench.emitLine(Map("q01_x" -> 1.0), 0.8, Map("q01_x" -> 0.5),
+      8, "/sf", Map("wall_disp" -> 1.042))
+    assert(Bench.parseFlatJson(line)("wall_disp") == 1.042, line)
+    // absent phases → explicit -1, never a fake 1.0 certificate
+    val bare = Bench.emitLine(Map("q01_x" -> 1.0), 0.8, Map("q01_x" -> 0.5),
+      8, "/sf")
+    assert(Bench.parseFlatJson(bare)("wall_disp") == -1.0, bare)
+  }
+
+  test("recordedSeq reads the committed detail's spark map, sf-gated") {
+    val detail = """{"spark":{"q01_x":1.25,"q02_y":0.5},""" +
+      """"spark_wall_concurrent":3.0,"streams":28,""" +
+      """"duckdb":{"q01_x":0.9},"duckdb_wall_concurrent":1.0,""" +
+      """"phases":{"wall1_a1":3.0},"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parseRecordSpark(detail) ==
+      Map("q01_x" -> 1.25, "q02_y" -> 0.5))
+    assert(Bench.parseRecordSf(detail).contains("/root/testdata/sf0.1"))
+    val tmp = java.nio.file.Files.createTempFile("graft_rec", ".json")
+    java.nio.file.Files.writeString(tmp, detail)
+    // matching sf → the record; other sf → empty (a record certifies only
+    // its own workload); missing file → empty, never a throw
+    assert(Bench.recordedSeq("/root/testdata/sf0.1", tmp.toString).size == 2)
+    assert(Bench.recordedSeq("/root/testdata/sf0.01", tmp.toString).isEmpty)
+    assert(Bench.recordedSeq("/sf", "/nonexistent/detail.json").isEmpty)
+    // a duckdb-only blob must not masquerade as a spark record
+    assert(Bench.parseRecordSpark("""{"duckdb":{"q01_x":0.9}}""").isEmpty)
+  }
+
   test("JsonDump.q escapes quotes, backslashes, and ALL control chars") {
     assert(JsonDump.q("""a"b\c""") == "\"a\\\"b\\\\c\"")
     assert(JsonDump.q("l1\nl2\tt\rr") == "\"l1\\nl2\\tt\\rr\"")

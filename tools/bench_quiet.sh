@@ -47,6 +47,21 @@ try:
     print(max(d.get('canary', 9), d.get('canary_spark', 9)))
 except Exception:
     print(9)")
+  # self-defense v2: also reject a window whose kept attempt saw >25%
+  # dispersion across its own wall runs (mid-suite burst the endpoint
+  # canaries cannot see); -1 (unknown) passes — old artifacts lack the key
+  disp=$(python3 -c "
+import json
+try:
+    d = json.load(open('/tmp/bench_quiet_line.json'))
+    print(d.get('wall_disp', -1))
+except Exception:
+    print(9)")
+  if ! awk -v d="$disp" 'BEGIN{exit !(d <= 1.25)}'; then
+    echo "[bench_quiet] attempt $i wall dispersion $disp > 1.25, retrying"
+    sleep 60
+    continue
+  fi
   ratio=$(python3 -c "
 import json
 try:
