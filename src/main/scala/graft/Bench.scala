@@ -251,13 +251,18 @@ object Bench {
                              cPreSeq: Double, cPreWall: Double,
                              cPostWall: Double) {
       def wall: Double = walls.min
+      // -1 = UNKNOWN (one wall pass is no evidence of steadiness), never
+      // a fake 1.0 certificate — matching emitLine's absent-phase
+      // convention, which BenchSpec pins
       def dispersion: Double =
-        if (walls.size < 2 || walls.min <= 0) 1.0 else walls.max / walls.min
+        if (walls.size < 2 || walls.min <= 0) -1.0 else walls.max / walls.min
       def worstCanary: Double =
         math.max(cPreSeq, math.max(cPreWall, cPostWall))
       def clean: Boolean = Seq(cPreSeq, cPreWall, cPostWall)
         .forall(c => c >= 0 && c <= canaryBar)
-      def steady: Boolean = dispersion <= dispBar
+      // unknown dispersion cannot trigger a retry (there is nothing to
+      // re-measure with WALL_RUNS=1) but it ships as -1, not as steady
+      def steady: Boolean = dispersion < 0 || dispersion <= dispBar
       def underRecord: Boolean = {
         val r = seqVsRecord(res); r < 0 || r <= recFactor
       }
@@ -302,12 +307,21 @@ object Bench {
     val results = kept.map(_.res).reduce { (a, b) =>
       a.map { case (k, v) => k -> math.min(v, b.getOrElse(k, v)) }
     }
-    val sparkWall = kept.map(_.wall).min
-    val best = kept.minBy(_.worstCanary)
-    phases("canary_pre_seq") = best.cPreSeq
-    phases("canary_pre_wall") = best.cPreWall
-    phases("canary_post_wall") = best.cPostWall
-    phases("wall_disp") = kept.map(_.dispersion).min
+    // the attempt that CONTRIBUTES the shipped wall also supplies the
+    // dispersion certificate — min-ing dispersion over kept attempts
+    // would let a bursty attempt's lucky wall ship under a steadier
+    // attempt's wall_disp, the exact laundering the triggers exist to
+    // prevent
+    val wallAttempt = kept.minBy(_.wall)
+    val sparkWall = wallAttempt.wall
+    // ... and its canaries: within the quiet/clean tiers every kept
+    // attempt is under the bar anyway, and in the all-attempts fallback
+    // the certificate must describe the window the headline wall was
+    // actually measured in, not the quietest sibling's
+    phases("canary_pre_seq") = wallAttempt.cPreSeq
+    phases("canary_pre_wall") = wallAttempt.cPreWall
+    phases("canary_post_wall") = wallAttempt.cPostWall
+    phases("wall_disp") = wallAttempt.dispersion
     phases("seq_vs_record") = seqVsRecord(results)
     // experiments (filtered runs) skip the DuckDB side: totals over
     // different query subsets aren't comparable anyway
@@ -466,21 +480,38 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
   /** The committed record: per-query sequential seconds from the last
-    * full-suite BENCH_DETAIL.json (path overridable via
-    * SPARK_GRAFT_RECORD), empty when the file is absent, unparsable, or
-    * was taken at a DIFFERENT sf dir (a record certifies only its own
-    * workload). Self-defense v2's trigger (b) compares against this.
+    * COMMITTED BENCH_DETAIL.json — `git show HEAD:` first, because every
+    * full run (including degraded ones) overwrites the working-tree copy,
+    * and a record that degrades to "whatever the previous attempt wrote"
+    * would neuter trigger (b) across back-to-back runs. Falls back to the
+    * working-tree file outside a git checkout; SPARK_GRAFT_RECORD forces
+    * a specific snapshot file (and skips git). Empty when absent,
+    * unparsable, or taken at a DIFFERENT sf dir (a record certifies only
+    * its own workload).
     */
   private[graft] def recordedSeq(sfDir: String,
                                  path: String = sys.env.getOrElse(
                                    "SPARK_GRAFT_RECORD", "BENCH_DETAIL.json"))
       : Map[String, Double] = try {
-    val f = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.isReadable(f)) return Map.empty
-    val txt = java.nio.file.Files.readString(f)
-    if (!parseRecordSf(txt).contains(sfDir)) return Map.empty
+    val txt =
+      if (!sys.env.contains("SPARK_GRAFT_RECORD")) {
+        try {
+          import scala.sys.process._
+          val out = Seq("git", "show", s"HEAD:$path").!!(
+            ProcessLogger(_ => ()))
+          if (out.contains("\"spark\"")) out else readRecordFile(path)
+        } catch { case _: Throwable => readRecordFile(path) }
+      } else readRecordFile(path)
+    if (txt.isEmpty || !parseRecordSf(txt).contains(sfDir)) return Map.empty
     parseRecordSpark(txt)
   } catch { case _: Throwable => Map.empty }
+
+  private def readRecordFile(path: String): String = {
+    val f = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isReadable(f))
+      java.nio.file.Files.readString(f)
+    else ""
+  }
 
   /** Extract the detail artifact's `"spark":{...}` per-query object; the
     * inner object is flat (writeDetail), so the first `}` closes it.

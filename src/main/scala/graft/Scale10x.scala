@@ -81,6 +81,10 @@ object Scale10x {
     // the same discipline the engine itself is graded on.
     def scaled(df: DataFrame, idCols: Seq[String], copies: Int,
                suffix: Option[String]): DataFrame = {
+      // copies=0 would make sequence(0, -1) a DESCENDING [0, -1] array —
+      // a silently corrupt 2x build with a negative-shifted copy, where
+      // the old unionByName shape threw on the empty reduce
+      require(copies >= 1, s"scaled: copies must be >= 1, got $copies")
       // spread the SOURCE before exploding: the 1x tables are a single
       // parquet split, so without this the whole copies-fold fan-out runs
       // in one task (first live run: ~1 busy core writing li1000)

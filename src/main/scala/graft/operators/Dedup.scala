@@ -737,24 +737,53 @@ object Dedup {
       batchBands: DataFrame, bandTable: String, id: String,
       excludeCorpusDocs: Option[DataFrame]): DataFrame = {
     val spark = batchBands.sparkSession
-    // the batch's bands broadcast and the state table STREAMS through the
-    // probe side (bucketed read, no exchange, no sort — plan-pinned by
-    // the scale harness), so the per-batch cost is one hash probe per
-    // state row. Probe on ONE fused BIGINT key instead of the composite
-    // (band, bh): a single-long join key builds a LongHashedRelation
-    // where the composite key falls back to the row-based relation —
-    // measured 23% off the whole candidate stage at 1000x (40M state
-    // rows, 4.76 -> 3.66 s, identical candidate set). The exact (band,
-    // bh) equality stays as a post-join filter, so a 64-bit fuse
-    // collision can only add a candidate pair that the exact-jaccard
-    // verify then judges on its real similarity — semantics unchanged.
-    val a = batchBands
-      .withColumn("__bk", xxhash64(col("band"), col("bh"))).as("a")
-    val b = spark.table(bandTable)
-      .withColumn("__bk", xxhash64(col("band"), col("bh"))).as("b")
-    val raw = a.join(b, col("a.__bk") === col("b.__bk"))
-      .filter(col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    // TWO join shapes, picked by the planner's own broadcast test:
+    //
+    // (1) MICRO-BATCH (band rows under the broadcast threshold — the
+    // steady-state ingest/gate case): the batch's bands broadcast and
+    // the state table STREAMS through the probe side (bucketed read, no
+    // exchange, no sort — plan-pinned by the scale harness), so the
+    // per-batch cost is one hash probe per state row. Probe on ONE
+    // fused BIGINT key instead of the composite (band, bh): a
+    // single-long join key builds a LongHashedRelation where the
+    // composite key falls back to the row-based relation — measured 23%
+    // off the whole candidate stage at 1000x (40M state rows,
+    // 4.76 -> 3.66 s, identical candidate set). The exact (band, bh)
+    // equality stays as a post-join filter, so a 64-bit fuse collision
+    // can only add a candidate pair that the exact-jaccard verify then
+    // judges on its real similarity — semantics unchanged.
+    //
+    // (2) LARGE BATCH (a backfill through nearDupesAgainstTable): a
+    // fused-key join would DEFEAT the state table's bucketing — the
+    // table's hash(bh) distribution satisfies a join on (band, bh)
+    // (subset of the keys) but not one on the derived __bk, so Spark
+    // would exchange the corpus-sized state per probe. Keep the
+    // composite-key join there: the state side stays exchange-free and
+    // only the batch shuffles, which is the right trade when the batch
+    // is itself corpus-scale. The eligibility test mirrors the
+    // planner's (optimized-plan size vs autoBroadcastJoinThreshold), so
+    // the fused shape is used exactly when the broadcast would happen.
+    val bandsKeyed = batchBands
+      .withColumn("__bk", xxhash64(col("band"), col("bh")))
+    val smallBatch = try {
+      val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+      thr > 0 &&
+        bandsKeyed.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
+    } catch { case _: Throwable => false }
+    val raw = if (smallBatch) {
+      val a = bandsKeyed.as("a")
+      val b = spark.table(bandTable)
+        .withColumn("__bk", xxhash64(col("band"), col("bh"))).as("b")
+      a.join(b, col("a.__bk") === col("b.__bk"))
+        .filter(col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    } else {
+      val a = batchBands.as("a")
+      val b = spark.table(bandTable).as("b")
+      a.join(b,
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    }
     excludeCorpusDocs
       .fold(raw)(ex => raw.join(ex.select(col(id).as("doc_b")),
         Seq("doc_b"), "left_anti"))

@@ -11,23 +11,22 @@
 set -u
 MAX=${1:-8}
 OUT=${2:-/tmp/BENCH_QUIET.json}
-BAR=0.032
+. "$(dirname "$0")/canary.sh"
+BAR=$CANARY_BAR
 
-canary() {
-python3 - <<'EOF'
-import duckdb, time
-con = duckdb.connect()
-con.execute("CREATE VIEW lineitem AS SELECT * FROM "
-            "read_parquet('/root/testdata/sf0.1/lineitem.parquet')")
-best = 9.0
-for _ in range(3):
-    t0 = time.perf_counter()
-    con.execute("SELECT l_returnflag, sum(l_extendedprice) "
-                "FROM lineitem GROUP BY 1").fetchall()
-    best = min(best, time.perf_counter() - t0)
-print(f"{best:.3f}")
-EOF
-}
+# pin self-defense v2's record trigger to the COMMITTED detail before the
+# first run: every full Bench run overwrites BENCH_DETAIL.json, so without
+# a snapshot the "record" would degrade to whatever the previous (possibly
+# degraded) attempt wrote. Prefer the git-committed copy (same source
+# Bench itself reads) and fall back to the working tree outside a git
+# checkout; either way the snapshot is immutable across the loop's runs.
+REC=/tmp/bench_quiet_record_$$.json
+if git show HEAD:BENCH_DETAIL.json > "$REC" 2>/dev/null && [ -s "$REC" ]; then
+  export SPARK_GRAFT_RECORD="$REC"
+elif [ -f BENCH_DETAIL.json ]; then
+  cp BENCH_DETAIL.json "$REC"
+  export SPARK_GRAFT_RECORD="$REC"
+fi
 
 for i in $(seq 1 "$MAX"); do
   c=$(canary)

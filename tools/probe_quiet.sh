@@ -23,28 +23,17 @@ ROWS=${1:?usage: tools/probe_quiet.sh <row[,row...]> [copies] [max_attempts] [ou
 COPIES=${2:-100}
 MAX=${3:-6}
 OUT=${4:-/tmp/PROBE_QUIET_$(echo "$ROWS" | tr ',' '_')_${COPIES}x.json}
-BAR=${PROBE_QUIET_BAR:-0.032}
-
-canary() {
-python3 - <<'EOF'
-import duckdb, time
-con = duckdb.connect()
-con.execute("CREATE VIEW lineitem AS SELECT * FROM "
-            "read_parquet('/root/testdata/sf0.1/lineitem.parquet')")
-best = 9.0
-for _ in range(3):
-    t0 = time.perf_counter()
-    con.execute("SELECT l_returnflag, sum(l_extendedprice) "
-                "FROM lineitem GROUP BY 1").fetchall()
-    best = min(best, time.perf_counter() - t0)
-print(f"{best:.3f}")
-EOF
-}
-
-quiet() { awk -v c="$1" -v b="$BAR" 'BEGIN{exit !(c <= b && c >= 0)}'; }
+CANARY_BAR=${PROBE_QUIET_BAR:-0.032}
+. "$(dirname "$0")/canary.sh"
+BAR=$CANARY_BAR
+quiet() { canary_quiet "$1"; }
 
 RAW=/tmp/probe_quiet_raw_$$.json
 for i in $(seq 1 "$MAX"); do
+  # a STALE raw file from a prior noisy attempt must never ship under a
+  # later attempt's quiet canaries — delete before every run so a silent
+  # sbt failure (output is discarded) leaves nothing to mis-certify
+  rm -f "$RAW"
   pre=$(canary)
   echo "[probe_quiet] attempt $i/$MAX pre-canary $pre (bar $BAR)"
   if ! quiet "$pre"; then
@@ -53,7 +42,8 @@ for i in $(seq 1 "$MAX"); do
     continue
   fi
   SPARK_GRAFT_COPIES=$COPIES SPARK_GRAFT_REUSE=1 SPARK_GRAFT_ONLY=$ROWS \
-    sbt -batch "runMain graft.Scale10x $RAW" >/dev/null 2>&1
+    sbt -batch "runMain graft.Scale10x $RAW" >/dev/null 2>&1 \
+    || echo "[probe_quiet] sbt run failed (attempt $i)"
   post=$(canary)
   echo "[probe_quiet] attempt $i post-canary $post"
   if quiet "$post" && [ -s "$RAW" ]; then
