@@ -733,11 +733,178 @@ object Dedup {
     * jaccard verify — factored out so the scale harness's decomposition
     * row times EXACTLY the probe's own candidate plan (no drift).
     */
+  /** Trickle-batch crossover knobs for [[pointReadBandCandidates]].
+    *
+    * Saturation math (PERF.md gate_probe contract): a batch carrying K
+    * uniformly-hashed band keys touches an expected B·(1−(1−1/B)^K) of a
+    * B-bucket state table — at K ≫ B every bucket file is hit and the
+    * streaming broadcast-probe pass (linear in state, ~65 ns/row) is
+    * already optimal. For K ≪ state-rows the point read's real lever is
+    * finer than file pruning: each bucket file is SORTED by bh, so
+    * parquet row-group stats + column-index page pruning skip everything
+    * but the ~K touched pages, making the read output-sized instead of
+    * state-sized. The keys-per-bucket cap encodes the measured 1000×
+    * crossover (Scale10x gate_pointread row: 50-doc/400-key batch vs
+    * the 7.09 s streaming probe over 40M state rows); the bucket floor
+    * keeps fixture-sized tables (tests and sf oracles use 4–8 buckets
+    * with batches of hundreds of docs) on the join paths their plan
+    * pins certify.
+    */
+  private[graft] val PointReadKeysPerBucket = 16
+  private[graft] val PointReadMinBuckets = 16
+  private[graft] val PointReadMaxPlanBytes = 1L << 20
+
+  /** The candidate stage served by a DRIVER-DIRECT point read of the band
+    * table's parquet files (the [[Retrieval.readStatsDfMap]] pattern):
+    * zero Spark jobs against the state table — bucket files pruned to
+    * the batch keys' buckets, a bh record filter inside each file
+    * letting row-group stats/column-index pages skip the rest (files are
+    * written `sortBy("bh")`), and the (band, bh) match + exclusion +
+    * pair dedup done on the ≤output-sized driver rows. Returns None
+    * (fall back to the join shapes) unless the batch is a genuine
+    * trickle: bigint doc ids, a bucketed table with ≥
+    * [[PointReadMinBuckets]] buckets, batch band rows under
+    * [[PointReadMaxPlanBytes]] by plan stats, distinct bh count ≤
+    * [[PointReadKeysPerBucket]]·buckets, and any exclusion frame itself
+    * collectable. Candidate sets are identical to the join shapes by
+    * construction (exact (band, bh) equality, same exclusion, same pair
+    * dedup) — spec-pinned in DedupSpec.
+    */
+  private[graft] def pointReadBandCandidates(
+      batchBands: DataFrame, bandTable: String, id: String,
+      excludeCorpusDocs: Option[DataFrame]): Option[DataFrame] = {
+    val spark = batchBands.sparkSession
+    // session kill switch (`spark.graft.bandPointRead.enabled=false`):
+    // lets an operator pin the join shapes, and lets the scale harness
+    // A/B the two paths on the SAME batch
+    if (!spark.sessionState.conf
+        .getConfString("spark.graft.bandPointRead.enabled", "true")
+        .toBoolean) return None
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val shapeOk =
+      batchBands.schema.fieldNames.toSeq == Seq("doc", "band", "bh") &&
+        batchBands.schema("doc").dataType == LongType &&
+        batchBands.schema("band").dataType == IntegerType &&
+        batchBands.schema("bh").dataType == LongType
+    val catOpt =
+      if (!shapeOk) None
+      else scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(bandTable))).toOption
+    val eligible = catOpt.flatMap { cat =>
+      val buckets = cat.bucketSpec.map(_.numBuckets).getOrElse(0)
+      def planSmall(df: DataFrame): Boolean = scala.util.Try(
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          PointReadMaxPlanBytes).getOrElse(false)
+      val exOk = excludeCorpusDocs.forall(ex =>
+        ex.schema(id).dataType == LongType && planSmall(ex))
+      if (buckets >= PointReadMinBuckets && exOk && planSmall(batchBands))
+        Some((cat, buckets))
+      else None
+    }
+    eligible.flatMap { case (cat, buckets) =>
+      // one tiny collect of the batch's own band rows (size-gated above);
+      // the state table costs NO job at all
+      val rows = batchBands.collect().filter(r =>
+        !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
+      val byBh = rows.groupBy(_.getLong(2))
+      if (byBh.size > PointReadKeysPerBucket.toLong * buckets) None
+      else {
+        val excluded: Set[Long] = excludeCorpusDocs.fold(Set.empty[Long])(
+          _.select(col(id)).collect().iterator
+            .filterNot(_.isNullAt(0)).map(_.getLong(0)).toSet)
+        val pairs = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+        if (byBh.nonEmpty) {
+          val conf = spark.sparkContext.hadoopConfiguration
+          val loc = new org.apache.hadoop.fs.Path(cat.location)
+          val fs = loc.getFileSystem(conf)
+          // bucket id via the writer's own partitionIdExpression
+          // (Murmur3 seed 42, pmod) — mirror of Retrieval.sparkBucketId
+          // for the bigint key
+          def bucketId(bh: Long): Int = {
+            val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+              Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+                bh, LongType)), 42).eval(null).asInstanceOf[Int]
+            java.lang.Math.floorMod(h, buckets)
+          }
+          val wanted = byBh.keySet.map(bucketId)
+          val bucketRe = """.*_(\d+)(?:\..*)?$""".r
+          // an unparseable file name stays in the read set — the prune is
+          // an optimization, never a correctness gate (readStatsDfMap's
+          // discipline)
+          val files = fs.listStatus(loc)
+            .filter(f => f.isFile && { val nm = f.getPath.getName
+              !nm.startsWith("_") && !nm.startsWith(".") })
+            .map(_.getPath)
+            .filter(_.getName match {
+              case bucketRe(b) => wanted.contains(b.toInt)
+              case _ => true
+            })
+          import org.apache.parquet.filter2.predicate.FilterApi
+          // native set-membership predicate, NOT an OR tree of eq leaves:
+          // `in` evaluates one hash-set probe per record and prunes
+          // row-groups/pages from their [min,max] stats in one pass,
+          // where a several-hundred-leaf OR tree re-walks every leaf per
+          // record AND per pruning decision (measured 8 s vs sub-second
+          // on the 10x gate fixture for ~400 keys)
+          val keySet = new java.util.HashSet[java.lang.Long]()
+          byBh.keysIterator.foreach(k => keySet.add(java.lang.Long.valueOf(k)))
+          val pred = FilterApi.in(FilterApi.longColumn("bh"), keySet)
+          // files read in PARALLEL on the driver: an uncompacted bucketed
+          // table holds one file per (write task × bucket) — 1024 at the
+          // 32×32 scale shape — and the ~8 ms footer/schema open cost per
+          // file, serial, was the entire 9 s read (measured 10×); the work
+          // is I/O-bound and embarrassingly file-parallel
+          def readFile(p: org.apache.hadoop.fs.Path): Seq[(Long, Long)] = {
+            val local = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            val rd = org.apache.parquet.hadoop.ParquetReader
+              .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+              .withConf(conf)
+              .withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(pred))
+              .build()
+            try {
+              var g = rd.read()
+              while (g != null) {
+                val stateDoc = g.getLong("doc", 0)
+                val stateBand = g.getInteger("band", 0)
+                val stateBh = g.getLong("bh", 0)
+                if (!excluded.contains(stateDoc))
+                  byBh.getOrElse(stateBh, Array.empty[org.apache.spark.sql.Row])
+                    .foreach { br =>
+                      if (br.getInt(1) == stateBand)
+                        local += ((br.getLong(0), stateDoc))
+                    }
+                g = rd.read()
+              }
+            } finally rd.close()
+            local.toSeq
+          }
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(16, math.max(1, files.length)))
+          try {
+            import scala.jdk.CollectionConverters._
+            val tasks = files.map { p =>
+              (() => readFile(p)): java.util.concurrent.Callable[Seq[(Long, Long)]]
+            }
+            pool.invokeAll(tasks.toSeq.asJava).asScala
+              .foreach(f => pairs ++= f.get())
+          } finally pool.shutdown()
+        }
+        // sorted for a deterministic LocalRelation row order regardless of
+        // file read interleaving (the join shapes' outputs are unordered
+        // too, but determinism is the house bit-stability discipline)
+        Some(spark.createDataFrame(pairs.toSeq.sorted).toDF("doc_a", "doc_b"))
+      }
+    }
+  }
+
   private[graft] def bandTableCandidates(
       batchBands: DataFrame, bandTable: String, id: String,
       excludeCorpusDocs: Option[DataFrame]): DataFrame = {
     val spark = batchBands.sparkSession
-    // TWO join shapes, picked by the planner's own broadcast test:
+    // THREE shapes. A trickle batch (keys ≪ buckets·cap — see the
+    // saturation scaladoc at [[PointReadKeysPerBucket]]) short-circuits
+    // to the driver-direct point read; otherwise TWO join shapes,
+    // picked by the planner's own broadcast test:
     //
     // (1) MICRO-BATCH (band rows under the broadcast threshold — the
     // steady-state ingest/gate case): the batch's bands broadcast and
@@ -755,14 +922,25 @@ object Dedup {
     //
     // (2) LARGE BATCH (a backfill through nearDupesAgainstTable): a
     // fused-key join would DEFEAT the state table's bucketing — the
-    // table's hash(bh) distribution satisfies a join on (band, bh)
-    // (subset of the keys) but not one on the derived __bk, so Spark
-    // would exchange the corpus-sized state per probe. Keep the
-    // composite-key join there: the state side stays exchange-free and
-    // only the batch shuffles, which is the right trade when the batch
-    // is itself corpus-scale. The eligibility test mirrors the
+    // table is bucketed by hash(bh), not by the derived __bk, so Spark
+    // would exchange the corpus-sized state per probe. Join on the
+    // BUCKET column `bh` ALONE, with band equality as a post-join
+    // filter (the same trick as the fused branch's exact-equality
+    // filter): a composite (band, bh) join key does NOT co-partition
+    // with the table's hash(bh) bucketing either — Spark requires the
+    // full join key set to equal the clustering keys, and the planner
+    // both disabled the bucketed scan and exchanged the state table
+    // when this branch joined on (band, bh) (plan-pinned by DedupSpec).
+    // On the single bh key the state side stays exchange-free and only
+    // the batch shuffles, which is the right trade when the batch is
+    // itself corpus-scale. bh is a 64-bit hash of the band's signature
+    // slice, so cross-band bh collisions are vanishing; the filter
+    // keeps the candidate set exact. The eligibility test mirrors the
     // planner's (optimized-plan size vs autoBroadcastJoinThreshold), so
     // the fused shape is used exactly when the broadcast would happen.
+    val viaPointRead =
+      pointReadBandCandidates(batchBands, bandTable, id, excludeCorpusDocs)
+    if (viaPointRead.isDefined) return viaPointRead.get
     val bandsKeyed = batchBands
       .withColumn("__bk", xxhash64(col("band"), col("bh")))
     val smallBatch = try {
@@ -771,7 +949,14 @@ object Dedup {
         bandsKeyed.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
     } catch { case _: Throwable => false }
     val raw = if (smallBatch) {
-      val a = bandsKeyed.as("a")
+      // explicit broadcast hint (ADVICE r17): the eligibility test above
+      // mirrors the planner's, but stat drift near the threshold / AQE /
+      // a conf change between the probe and the join could make the
+      // planner decline — and a declined broadcast on the derived __bk
+      // key would force a full exchange of the corpus-sized state table,
+      // the exact regression branch (2) exists to avoid. The hint pins
+      // the tested condition to the executed plan.
+      val a = broadcast(bandsKeyed).as("a")
       val b = spark.table(bandTable)
         .withColumn("__bk", xxhash64(col("band"), col("bh"))).as("b")
       a.join(b, col("a.__bk") === col("b.__bk"))
@@ -780,8 +965,15 @@ object Dedup {
     } else {
       val a = batchBands.as("a")
       val b = spark.table(bandTable).as("b")
-      a.join(b,
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      // band equality spelled `a.band - b.band = 0` ON PURPOSE: a plain
+      // `a.band === b.band` — even as a filter ABOVE the join — is folded
+      // into the join condition and re-extracted as an equi-join KEY,
+      // putting the plan right back on the composite (band, bh) keys
+      // this branch exists to avoid. The subtraction references both
+      // sides in one expression, so ExtractEquiJoinKeys must leave it as
+      // a post-join condition; Int wraparound preserves `a-b=0 ⟺ a=b`.
+      a.join(b, col("a.bh") === col("b.bh") &&
+          col("a.band") - col("b.band") === lit(0))
         .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
     }
     excludeCorpusDocs
@@ -792,6 +984,12 @@ object Dedup {
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+      // stable (doc_a, doc_b) column ORDER: the USING-column anti-join
+      // above moves doc_b to the front of the schema, so without this
+      // projection the output order depends on whether an exclusion
+      // frame was passed (and differs from the point-read shape) —
+      // positional consumers would silently read swapped pairs
+      .select(col("doc_a"), col("doc_b"))
   }
 
   /** Rows of `batch` with no near-dup in `corpus`: the incremental-ingest

@@ -125,6 +125,17 @@ object Retrieval {
     * (fingerprints, band keys), and would fold two equal (term, df)
     * delta rows into one. As written (one row per term, one file per
     * bucket) the table IS compaction-safe, which the spec pins.
+    *
+    * INPUT CONTRACT — `docs` must be DETERMINISTIC across jobs (the
+    * ExactSubstr input-contract style): this build tokenizes the corpus
+    * in TWO independent jobs (the df write and the (N, Σdl) aggregate —
+    * deliberately uncached, see the heap note below), so a `docs` plan
+    * that re-evaluates differently per job (a `sample`/`rand`/`uuid`
+    * column, a `limit` over a shuffle-dependent order) would record
+    * table properties that silently disagree with the written df rows
+    * and skew every served score. Materialize such inputs to parquet
+    * (or `checkpoint`) first; plain reads, filters, and projections are
+    * safe.
     */
   def writeBm25StatsTable(docs: DataFrame, id: Column, text: Column,
                           table: String, buckets: Int = 32,

@@ -757,4 +757,139 @@ class DedupSpec extends SparkSpec {
     assert(semiLine.contains("__fp") && !semiLine.contains("__g"), spansPlan)
   }
 
+  test("trickle-batch point read: identical candidates and probe results, no state-table scan in the plan") {
+    // a trickle batch (distinct bh ≪ buckets·cap on a ≥16-bucket table)
+    // short-circuits the candidate stage to a driver-direct parquet point
+    // read (r17 verdict #3); equality vs the join shapes and vs live
+    // banding is the whole contract
+    val corpus = docs
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank extra"),
+      (101L, "genuinely novel content speaking about entirely unrelated astronomy topics"))
+      .toDF("doc_id", "text")
+    // same corpus banded twice: 16 buckets (≥ the point-read floor) and
+    // 8 (below it, stays on the join shapes) — bucket count does not
+    // change band-row CONTENT, so the two tables' candidates must agree
+    Dedup.writeBandTable(corpus, "doc_id", "text", "pr_bands",
+      buckets = 16, bands = 16, rowsPerBand = 2)
+    Dedup.writeBandTable(corpus, "doc_id", "text", "prj_bands",
+      buckets = 8, bands = 16, rowsPerBand = 2)
+    try {
+      val bandRows = Dedup.bandedBatchKeys(batch, "doc_id", "text", 16, 2, 3)
+      val pr = Dedup.pointReadBandCandidates(bandRows, "pr_bands",
+        "doc_id", None)
+      assert(pr.isDefined, "trickle batch must be point-read eligible")
+      // the point-read result is driver-materialized rows: no join, no
+      // state-table scan anywhere in its plan
+      val prPlan = pr.get.queryExecution.executedPlan.toString
+      assert(!prPlan.contains("pr_bands") && !prPlan.contains("Join"), prPlan)
+      val prSet = pr.get.select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+      val joinSet = Dedup.bandTableCandidates(bandRows, "prj_bands",
+          "doc_id", None)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(prSet == joinSet && prSet.nonEmpty,
+        s"point read diverges from join shape: $prSet vs $joinSet")
+      // bandTableCandidates auto-picks the point read on the 16-bucket
+      // table — same set again
+      val autoSet = Dedup.bandTableCandidates(bandRows, "pr_bands",
+          "doc_id", None)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(autoSet == joinSet)
+      // exclusion parity: excluding a corpus doc removes exactly its pairs
+      // on both paths
+      val ex = Some(Seq(1L).toDF("doc_id"))
+      val prEx = Dedup.pointReadBandCandidates(bandRows, "pr_bands",
+          "doc_id", ex).get
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val joinEx = Dedup.bandTableCandidates(bandRows, "prj_bands",
+          "doc_id", ex)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(prEx == joinEx && prEx == joinSet.filterNot(_._2 == 1L))
+      // column-ORDER contract: the exclusion anti-join must not leak the
+      // USING-column-first schema (doc_b, doc_a) to positional consumers
+      assert(Dedup.bandTableCandidates(bandRows, "prj_bands", "doc_id", ex)
+        .columns.toSeq == Seq("doc_a", "doc_b"))
+      // end-to-end: the full probe through the point-read table equals
+      // live banding
+      val viaTable = Dedup.nearDupesAgainstTable(batch, corpus, "pr_bands",
+          "doc_id", "text", threshold = 0.5, bands = 16, rowsPerBand = 2)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val live = Dedup.nearDupesAgainst(batch, corpus, "doc_id", "text",
+          threshold = 0.5, bands = 16, rowsPerBand = 2)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(viaTable == live, s"probe diverged: $viaTable vs $live")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pr_bands")
+      spark.sql("DROP TABLE IF EXISTS prj_bands")
+    }
+  }
+
+  test("bandTableCandidates: fused and composite branches emit identical candidates") {
+    // the candidate stage has TWO join shapes (fused __bk broadcast for
+    // micro-batches, composite (band,bh) for corpus-scale backfills) picked
+    // by the planner's broadcast test; the fused branch is oracle-covered
+    // (q5f/q6x) but until this spec nothing forced the composite branch and
+    // compared — a drift between the shapes would silently change backfill
+    // results (r17 verdict #2)
+    val corpus = docs
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank extra"),
+      (101L, "genuinely novel content speaking about entirely unrelated astronomy topics"))
+      .toDF("doc_id", "text")
+    Dedup.writeBandTable(corpus, "doc_id", "text", "branch_bands",
+      buckets = 4, bands = 16, rowsPerBand = 2)
+    try {
+      val bandRows = Dedup.bandedBatchKeys(batch, "doc_id", "text", 16, 2, 3)
+      val fused = Dedup.bandTableCandidates(bandRows, "branch_bands",
+        "doc_id", None)
+      // the small-batch branch now carries an explicit broadcast hint
+      // (ADVICE r17): the eligibility probe and the executed plan must
+      // not be able to diverge
+      assert(fused.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "small-batch branch must broadcast the batch bands")
+      val fusedSet = fused.select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+      val thr0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE off so the static plan tree (with visible Exchange nodes) is
+      // what the exchange-free assertion walks
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val comp = Dedup.bandTableCandidates(bandRows, "branch_bands",
+          "doc_id", None)
+        val plan = comp.queryExecution.executedPlan
+        val planStr = plan.toString
+        assert(!planStr.contains("BroadcastHashJoin"),
+          s"composite branch must not broadcast:\n$planStr")
+        val compSet = comp.select("doc_a", "doc_b")
+          .as[(Long, Long)].collect().toSet
+        assert(fusedSet.nonEmpty && compSet == fusedSet,
+          s"branches diverge: fused=$fusedSet composite=$compSet")
+        // the state table must stream off its bucketed files with NO
+        // exchange between its scan and the join — the entire point of
+        // keeping the composite (band,bh) key on this branch
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        def hasBandScan(p: SparkPlan): Boolean =
+          p.collectLeaves().exists(_.toString.contains("branch_bands"))
+        val join = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        }.find(j => j.children.exists(hasBandScan))
+        assert(join.isDefined,
+          s"no join with a direct (unshuffled) band-table scan:\n$planStr")
+        val stateSide = join.get.children.filter(hasBandScan)
+        assert(stateSide.forall(s =>
+            s.collect { case e: ShuffleExchangeLike => e }.isEmpty),
+          s"state side of the composite join must be exchange-free:\n$planStr")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS branch_bands")
+  }
+
 }

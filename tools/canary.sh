@@ -4,8 +4,11 @@
 # port in Bench.hostCanary(); change all three together.
 CANARY_BAR=${CANARY_BAR:-0.032}
 
+# Fail-CLOSED (ADVICE r17): python3/duckdb absent or erroring emits the
+# sentinel -1 (Bench.hostCanary's convention), which canary_quiet rejects
+# — an unmeasurable window must never read as quiet.
 canary() {
-python3 - <<'EOF'
+python3 - <<'EOF' || echo "-1"
 import duckdb, time
 con = duckdb.connect()
 con.execute("CREATE VIEW lineitem AS SELECT * FROM "
@@ -20,4 +23,11 @@ print(f"{best:.3f}")
 EOF
 }
 
-canary_quiet() { awk -v c="$1" -v b="$CANARY_BAR" 'BEGIN{exit !(c <= b && c >= 0)}'; }
+# empty / non-numeric / negative input is NOT quiet: awk would coerce ""
+# to 0 and certify an unmeasured window (ADVICE r17)
+canary_quiet() {
+  case "$1" in
+    ''|*[!0-9.]*) return 1;;
+  esac
+  awk -v c="$1" -v b="$CANARY_BAR" 'BEGIN{exit !(c <= b && c >= 0)}'
+}

@@ -47,7 +47,10 @@ for i in $(seq 1 "$MAX"); do
   post=$(canary)
   echo "[probe_quiet] attempt $i post-canary $post"
   if quiet "$post" && [ -s "$RAW" ]; then
-    python3 - "$RAW" "$OUT" "$pre" "$post" "$ROWS" "$COPIES" <<'EOF'
+    # fail-CLOSED (ADVICE r17): CERTIFIED and exit 0 only if the cert
+    # writer itself succeeded AND the output file exists non-empty — a
+    # crashed writer must not leave the script claiming a certificate
+    if python3 - "$RAW" "$OUT" "$pre" "$post" "$ROWS" "$COPIES" <<'EOF' && [ -s "$OUT" ]; then
 import json, sys
 raw, out, pre, post, rows, copies = sys.argv[1:7]
 d = json.load(open(raw))
@@ -59,9 +62,11 @@ cert = {"rows": keep, "copies": int(copies),
 json.dump(cert, open(out, "w"), indent=1)
 print(json.dumps(cert, indent=1))
 EOF
-    echo "[probe_quiet] CERTIFIED reading written to $OUT"
-    rm -f "$RAW"
-    exit 0
+      echo "[probe_quiet] CERTIFIED reading written to $OUT"
+      rm -f "$RAW"
+      exit 0
+    fi
+    echo "[probe_quiet] cert writer failed (attempt $i), retrying"
   fi
   echo "[probe_quiet] window went noisy mid-probe, retrying"
   sleep 60
