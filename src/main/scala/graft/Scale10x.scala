@@ -906,7 +906,8 @@ object Scale10x {
     val gateNames = Seq("gate_table_build", "gate_probe", "gate_append",
       "gate_reprobe", "gate_compact", "gate_postcompact",
       "gate_decomp_bandscan", "gate_decomp_textscan", "gate_decomp_cands",
-      "gate_pointread_cands", "gate_pointread_stream")
+      "gate_pointread_cands", "gate_pointread_stream",
+      "gate_pointread_auto")
     val gateOn = only.forall(o => gateNames.exists(n => o.exists(n.startsWith)))
     val gateResults: Seq[(String, Double, Double, Long, Long)] =
       if (!gateOn) Seq.empty
@@ -951,17 +952,19 @@ object Scale10x {
         val (tsN, tsrN) = bo2(textScanShape(docs10P))
         val (cd1, cdr1) = bo2(candShape(table1, gateBatchP))
         val (cdN, cdrN) = bo2(candShape(tableN, gateBatchP))
-        // ---- the trickle-batch point read (r17 verdict #3): for batches
-        // whose distinct band keys fit the PointReadKeysPerBucket·buckets
-        // cap, the candidate stage is a DRIVER-DIRECT bucket-pruned
-        // parquet read (files sorted by bh, so column-index pages skip
-        // everything but the touched keys) instead of the streaming
-        // broadcast probe, whose cost is STATE-sized regardless of batch
-        // size. A 50-doc local batch (~400 band keys vs 32 buckets ·
-        // cap 16 = 512) auto-picks it; the A/B twin runs the SAME batch
-        // with the session kill switch pinning the streaming shape.
-        // Candidate-set equality is REQUIRED in-harness. Measured
-        // pre-append like the decomp rows.
+        // ---- the trickle-batch point read (r17 verdict #3), measured
+        // HONESTLY in three modes on the SAME 50-doc batch (~400 band
+        // keys): "force" = the driver-direct bucket-pruned parquet read
+        // unconditionally (its raw cost), "off" = the streaming
+        // broadcast probe pinned, "auto" = the production byte-gated
+        // pick. The measurement REFUTED the prescription's premise —
+        // hash-bucketed files span the full bh range so page pruning
+        // never engages, and the driver decode loses to the
+        // executor-parallel scan as state grows (11.3 s vs 2.4 s at
+        // 1000×) — so the auto row's claim is that the pick logic takes
+        // the cheaper side at every scale (point read only under the
+        // PointReadMaxStateBytes gate). Candidate-set equality is
+        // REQUIRED in-harness. Measured pre-append like the decomp rows.
         val trickleDf = {
           val rows = spark.read.parquet(gateBatchP)
             .orderBy(col("doc_id")).limit(50).collect()
@@ -970,31 +973,39 @@ object Scale10x {
               java.util.Arrays.asList(rows: _*)),
             spark.read.parquet(gateBatchP).schema)
         }
-        def trickleCandShape(table: String, pointRead: Boolean): Long = {
+        // mode: "force" = point read unconditionally (its raw cost, even
+        // where the byte gate would decline), "off" = streaming shape
+        // pinned, "auto" = production pick (byte-gated)
+        def trickleConf(mode: String): Unit = {
           spark.conf.set("spark.graft.bandPointRead.enabled",
-            pointRead.toString)
+            (mode != "off").toString)
+          spark.conf.set("spark.graft.bandPointRead.force",
+            (mode == "force").toString)
+        }
+        def trickleCandShape(table: String, mode: String): Long = {
+          trickleConf(mode)
           try force(Dedup.bandTableCandidates(
             Dedup.bandedBatchKeys(trickleDf, "doc_id", "text", 8, 4, 3),
             table, "doc_id", Some(trickleDf.select(col("doc_id")))))
-          finally spark.conf.set("spark.graft.bandPointRead.enabled", "true")
+          finally trickleConf("auto")
         }
-        def trickleCandSet(table: String, pointRead: Boolean): Set[(Long, Long)] = {
-          spark.conf.set("spark.graft.bandPointRead.enabled",
-            pointRead.toString)
+        def trickleCandSet(table: String, mode: String): Set[(Long, Long)] = {
+          trickleConf(mode)
           try Dedup.bandTableCandidates(
               Dedup.bandedBatchKeys(trickleDf, "doc_id", "text", 8, 4, 3),
               table, "doc_id", Some(trickleDf.select(col("doc_id"))))
             .select(col("doc_a"), col("doc_b"))
             .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-          finally spark.conf.set("spark.graft.bandPointRead.enabled", "true")
+          finally trickleConf("auto")
         }
-        require(trickleCandSet(tableN, pointRead = true) ==
-            trickleCandSet(tableN, pointRead = false),
+        require(trickleCandSet(tableN, "force") == trickleCandSet(tableN, "off"),
           "point-read candidates diverge from the streaming shape")
-        val (tp1, tpr1) = bo2(trickleCandShape(table1, pointRead = true))
-        val (tpN, tprN) = bo2(trickleCandShape(tableN, pointRead = true))
-        val (ts1b, tsr1b) = bo2(trickleCandShape(table1, pointRead = false))
-        val (tsNb, tsrNb) = bo2(trickleCandShape(tableN, pointRead = false))
+        val (tp1, tpr1) = bo2(trickleCandShape(table1, "force"))
+        val (tpN, tprN) = bo2(trickleCandShape(tableN, "force"))
+        val (ts1b, tsr1b) = bo2(trickleCandShape(table1, "off"))
+        val (tsNb, tsrNb) = bo2(trickleCandShape(tableN, "off"))
+        val (ta1, tar1) = bo2(trickleCandShape(table1, "auto"))
+        val (taN, tarN) = bo2(trickleCandShape(tableN, "auto"))
         val (a1, _) = time(gateAppend(docs1P, table1, gateBatchP))
         val (aN, _) = time(gateAppend(docs10P, tableN, gateBatchP))
         val (r1, rrows1) = bo2(gateProbeShape(docs1P, table1, gateBatch2P))
@@ -1018,6 +1029,7 @@ object Scale10x {
           ("gate_decomp_cands", cd1, cdN, cdr1, cdrN),
           ("gate_pointread_cands", tp1, tpN, tpr1, tprN),
           ("gate_pointread_stream", ts1b, tsNb, tsr1b, tsrNb),
+          ("gate_pointread_auto", ta1, taN, tar1, tarN),
           ("gate_append", a1, aN, prows1, prowsN),
           ("gate_reprobe", r1, rN, rrows1, rrowsN),
           ("gate_compact", c1, cN, bandRows(docs1P), bandRows(docs10P)),
@@ -1425,7 +1437,7 @@ object Scale10x {
       }
       f"""  "$n": {"t1_sec": $t1%.3f, "t10_sec": $t10%.3f, "ratio": ${t10 / t1}%.2f, "rows1": $r1, "rows10": $r10$duckPart}"""
     }.mkString(
-      s"""{\n  "_meta": {"sf": "$sfDir", "copies": $copies, "layout": "32-way multi-row-group parquet for BOTH scales", "note": "ratio ~<=copies = linear-or-better (sub-linear = the 1x run is scheduling-floor-bound, not compute-bound); the neardup probes (10x artifact only) are OUTPUT-bound - the scaled build plants near-identical copies per doc, so true pairs (rows10) grow quadratically in the duplication factor, and honest scaling is time vs output rows. duck*_sec = DuckDB computing the SAME RESULT over the SAME parquet files (best of 2, all cores); the near-dup twins use DuckDB's natural exact shingle-join algorithm - the q46/q4f oracles prove both formulations emit identical sets. spark_over_duck_${copies}x > 1 means DuckDB is faster at the scaled size. minhash_signatures has no twin (xxhash64 kernel is Spark-internal). gate_* rows = the incremental near-dup ingest gate: gate_table_build is the one-time corpus banding (amortized across every later batch), gate_probe/gate_reprobe the per-batch steady state (probe asserted exchange-free bucketed on the corpus side at ${copies}x before timing), gate_append the survivor band append; gate_probe's twin computes the SAME survivors via DuckDB's exact shingle join, which must re-derive corpus shingles every batch - the amortization the persisted band table buys. gate_decomp_* rows decompose the probe (r17): bandscan = streaming read of ALL state band rows, textscan = read of all corpus (id,text), cands = the probe's own factored candidate stage (banding + broadcast state join + pair dedup, Dedup.bandTableCandidates) - so probe-cands ~= the jaccard verify, and growth is attributable to the streaming broadcast-probe pass, not read volume. gate_pointread_* rows (r18) A/B the TRICKLE-batch regime on one 50-doc batch (~400 band keys vs 32 buckets, inside the PointReadKeysPerBucket cap): _cands = the candidate stage auto-picking the driver-direct bucket-pruned parquet point read (zero jobs against state; bh-sorted files let column-index pages skip everything untouched), _stream = the SAME batch with the session kill switch pinning the streaming broadcast probe (state-sized regardless of batch size) - candidate-set equality is required in-harness, and the pair is the measured basis of the saturation-threshold crossover documented at Dedup.PointReadKeysPerBucket. events probes (sessionize_stats/asof_join/range_join) scale horizontally: ${copies}x adds USERS, per-user history constant. ann_ivfpq_idx's twin is the SERVING TAIL over the same prebuilt encoded parquet (probe+ADC+top-k, no rebuild - apples-to-apples index serving). semgate_sm (<=10x class) times the 2-trigger self-maintaining semantic-gate stream replay against a two-round chained twin; its floor is the streaming machinery (see PERF.md ledger). ivfpq_append/ivfpq_drift have no twins (write-path / sidecar-read ops); their claim is cost FLAT in index+corpus size, measured by the absolutes. ivfpq_refit (q6y) is the drift contract's ACTION — a corpus-sized rebuild + constant swap, honestly LINEAR, timed once (no twin: write-path). ivfpq_compact (q77) folds the append's per-cell small files to one file per cell under the directory-swap discipline — INDEX-sized (reads/rewrites only the m-int coded rows, never raw embeddings), honestly linear with a constant swap, timed once (mutating; row-count preservation required in-harness, full row equality oracle-pinned by q77). gate_compact/fpgate_compact time the q6x/q6w table compactions (one-time maintenance, corpus-sized); gate_postcompact/fpgate_postcompact re-run the SAME probe over the compacted table — claim: ~= the pre-compact probe (gate_reprobe/fpgate_probe), with gate equality required in-harness and oracle-pinned by q6w/q6x. semgate_drift (q6z, <=10x class) reads the sidecar baseline + one fixed-batch projection (flat); its twin recomputes the corpus-sized build row the sidecar amortizes away. bm25_stats_build/bm25_merge (q76, mutating, timed once, merge arithmetic REQUIRED in-harness): the build is the one-time corpus tokenize scan, the merge the O(batch vocab + touched-bucket rows) keyed refresh that replaces it per append - the synthetic docs vocabulary is tiny (31 terms at 1x), so both rows are scan/floor-bound absolutes and the merge's claim is FLAT across 1x->100x. quality_score/quality_drift = the q57/q70 served classifier scoring scan (fused bucket-counts kernel, no twin gap) and the q75 margin-drift contract (sidecar read + fixed-batch scan, flat; twin recomputes the corpus-sized build row). quality_refit/dsir_refit/lm_refit (q78/q79/q7a) = the drift contract's ACTION on the quality/selection/perplexity axes: stage (save + fresh drift baseline over the refit corpus) + two atomic renames — the baseline's corpus-sized scoring pass dominates, honestly LINEAR with a constant swap (the ivfpq_refit class), timed once (mutating). semgate_refit (q7b) = the action on the semantic axis: the cell table re-blocks FROM ITSELF onto fresh centroids (corpus-sized encode + partitioned rewrite + baseline pass, dedicated roots - the shared semCell roots feed the streaming probe and stay unfolded), honestly LINEAR, constant swap, timed once (mutating). vocab_sketch (q7c) = the KMV distinct sketch: one bounded aggregate (<= k longs per partition cross the shuffle) vs a twin doing the global DISTINCT + ORDER BY the sketch removes - the gap is the point; estimate oracle-pinned exactly (md5-60-bit hash + HUGEINT floor division on both sides)."},\n""",
+      s"""{\n  "_meta": {"sf": "$sfDir", "copies": $copies, "layout": "32-way multi-row-group parquet for BOTH scales", "note": "ratio ~<=copies = linear-or-better (sub-linear = the 1x run is scheduling-floor-bound, not compute-bound); the neardup probes (10x artifact only) are OUTPUT-bound - the scaled build plants near-identical copies per doc, so true pairs (rows10) grow quadratically in the duplication factor, and honest scaling is time vs output rows. duck*_sec = DuckDB computing the SAME RESULT over the SAME parquet files (best of 2, all cores); the near-dup twins use DuckDB's natural exact shingle-join algorithm - the q46/q4f oracles prove both formulations emit identical sets. spark_over_duck_${copies}x > 1 means DuckDB is faster at the scaled size. minhash_signatures has no twin (xxhash64 kernel is Spark-internal). gate_* rows = the incremental near-dup ingest gate: gate_table_build is the one-time corpus banding (amortized across every later batch), gate_probe/gate_reprobe the per-batch steady state (probe asserted exchange-free bucketed on the corpus side at ${copies}x before timing), gate_append the survivor band append; gate_probe's twin computes the SAME survivors via DuckDB's exact shingle join, which must re-derive corpus shingles every batch - the amortization the persisted band table buys. gate_decomp_* rows decompose the probe (r17): bandscan = streaming read of ALL state band rows, textscan = read of all corpus (id,text), cands = the probe's own factored candidate stage (banding + broadcast state join + pair dedup, Dedup.bandTableCandidates) - so probe-cands ~= the jaccard verify, and growth is attributable to the streaming broadcast-probe pass, not read volume. gate_pointread_* rows (r18) measure the TRICKLE-batch regime on one 50-doc batch (~400 band keys) in three modes: _cands = the driver-direct bucket-pruned parquet point read FORCED (its raw cost - zero Spark jobs against state, but hash-bucketed files span the full bh range so page pruning never engages and the driver decodes every pruned byte), _stream = the SAME batch pinned to the streaming broadcast probe, _auto = the production byte-gated pick (Dedup.PointReadMaxStateBytes). The force-vs-stream pair is the measured crossover recorded at the knob scaladoc (the point read LOSES once pruned bytes are large - 11.3 s vs 2.4 s at 1000x - refuting the file-prune intuition); the auto row's claim is that the pick takes the cheaper side at every scale. Candidate-set equality required in-harness. events probes (sessionize_stats/asof_join/range_join) scale horizontally: ${copies}x adds USERS, per-user history constant. ann_ivfpq_idx's twin is the SERVING TAIL over the same prebuilt encoded parquet (probe+ADC+top-k, no rebuild - apples-to-apples index serving). semgate_sm (<=10x class) times the 2-trigger self-maintaining semantic-gate stream replay against a two-round chained twin; its floor is the streaming machinery (see PERF.md ledger). ivfpq_append/ivfpq_drift have no twins (write-path / sidecar-read ops); their claim is cost FLAT in index+corpus size, measured by the absolutes. ivfpq_refit (q6y) is the drift contract's ACTION — a corpus-sized rebuild + constant swap, honestly LINEAR, timed once (no twin: write-path). ivfpq_compact (q77) folds the append's per-cell small files to one file per cell under the directory-swap discipline — INDEX-sized (reads/rewrites only the m-int coded rows, never raw embeddings), honestly linear with a constant swap, timed once (mutating; row-count preservation required in-harness, full row equality oracle-pinned by q77). gate_compact/fpgate_compact time the q6x/q6w table compactions (one-time maintenance, corpus-sized); gate_postcompact/fpgate_postcompact re-run the SAME probe over the compacted table — claim: ~= the pre-compact probe (gate_reprobe/fpgate_probe), with gate equality required in-harness and oracle-pinned by q6w/q6x. semgate_drift (q6z, <=10x class) reads the sidecar baseline + one fixed-batch projection (flat); its twin recomputes the corpus-sized build row the sidecar amortizes away. bm25_stats_build/bm25_merge (q76, mutating, timed once, merge arithmetic REQUIRED in-harness): the build is the one-time corpus tokenize scan, the merge the O(batch vocab + touched-bucket rows) keyed refresh that replaces it per append - the synthetic docs vocabulary is tiny (31 terms at 1x), so both rows are scan/floor-bound absolutes and the merge's claim is FLAT across 1x->100x. quality_score/quality_drift = the q57/q70 served classifier scoring scan (fused bucket-counts kernel, no twin gap) and the q75 margin-drift contract (sidecar read + fixed-batch scan, flat; twin recomputes the corpus-sized build row). quality_refit/dsir_refit/lm_refit (q78/q79/q7a) = the drift contract's ACTION on the quality/selection/perplexity axes: stage (save + fresh drift baseline over the refit corpus) + two atomic renames — the baseline's corpus-sized scoring pass dominates, honestly LINEAR with a constant swap (the ivfpq_refit class), timed once (mutating). semgate_refit (q7b) = the action on the semantic axis: the cell table re-blocks FROM ITSELF onto fresh centroids (corpus-sized encode + partitioned rewrite + baseline pass, dedicated roots - the shared semCell roots feed the streaming probe and stay unfolded), honestly LINEAR, constant swap, timed once (mutating). vocab_sketch (q7c) = the KMV distinct sketch: one bounded aggregate (<= k longs per partition cross the shuffle) vs a twin doing the global DISTINCT + ORDER BY the sketch removes - the gap is the point; estimate oracle-pinned exactly (md5-60-bit hash + HUGEINT floor division on both sides)."},\n""",
       ",\n", "\n}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(s"[scale10x] wrote $outPath")

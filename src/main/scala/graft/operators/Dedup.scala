@@ -733,26 +733,38 @@ object Dedup {
     * jaccard verify — factored out so the scale harness's decomposition
     * row times EXACTLY the probe's own candidate plan (no drift).
     */
-  /** Trickle-batch crossover knobs for [[pointReadBandCandidates]].
+  /** Trickle-batch crossover knobs for [[pointReadBandCandidates]] —
+    * set from MEASUREMENT (Scale10x gate_pointread_* A/B rows), and the
+    * measurement refutes the obvious intuition, so it is recorded here:
     *
     * Saturation math (PERF.md gate_probe contract): a batch carrying K
     * uniformly-hashed band keys touches an expected B·(1−(1−1/B)^K) of a
-    * B-bucket state table — at K ≫ B every bucket file is hit and the
-    * streaming broadcast-probe pass (linear in state, ~65 ns/row) is
-    * already optimal. For K ≪ state-rows the point read's real lever is
-    * finer than file pruning: each bucket file is SORTED by bh, so
-    * parquet row-group stats + column-index page pruning skip everything
-    * but the ~K touched pages, making the read output-sized instead of
-    * state-sized. The keys-per-bucket cap encodes the measured 1000×
-    * crossover (Scale10x gate_pointread row: 50-doc/400-key batch vs
-    * the 7.09 s streaming probe over 40M state rows); the bucket floor
-    * keeps fixture-sized tables (tests and sf oracles use 4–8 buckets
-    * with batches of hundreds of docs) on the join paths their plan
-    * pins certify.
+    * B-bucket state table, so FILE pruning only bites when K ≪ B. But
+    * file pruning is not the binding constraint — PAGE pruning is, and
+    * it never engages: bucket assignment is murmur3(bh) mod B (not a
+    * range split), so every bucket file's sorted bh column still spans
+    * the full 64-bit space and every page's [min,max] intersects any
+    * multi-key probe set. The driver therefore decodes every pruned
+    * byte, single-machine, against an executor-parallel vectorized scan
+    * on the other path: at the 1000× gate fixture (40M state rows,
+    * ~800 MB) the forced point read cost 11.3 s vs 2.4 s for the
+    * streaming candidate stage on the SAME 50-doc batch (a full state
+    * scan alone is 0.59 s on 32 cores); even at the 1× fixture (~1 MB
+    * state) the point read read 0.97 s vs 0.64 s — its per-file opens
+    * and the exclusion-collect job outweigh the decode saving at
+    * MB-scale too. The point read's genuine regime is KB-scale or
+    * freshly-compacted state, where it answers in one driver read with
+    * ZERO Spark jobs against the state (the readStatsDfMap latency
+    * property) — hence the BYTE gate below (default 256 KB, both
+    * crossover points measured above it), not a row/bucket heuristic.
+    * The bucket floor keeps fixture-sized tables (tests and sf oracles
+    * use 4–8 buckets with batches of hundreds of docs) on the join
+    * paths their plan pins certify.
     */
   private[graft] val PointReadKeysPerBucket = 16
   private[graft] val PointReadMinBuckets = 16
   private[graft] val PointReadMaxPlanBytes = 1L << 20
+  private[graft] val PointReadMaxStateBytes = 1L << 18
 
   /** The candidate stage served by a DRIVER-DIRECT point read of the band
     * table's parquet files (the [[Retrieval.readStatsDfMap]] pattern):
@@ -765,10 +777,13 @@ object Dedup {
     * trickle: bigint doc ids, a bucketed table with ≥
     * [[PointReadMinBuckets]] buckets, batch band rows under
     * [[PointReadMaxPlanBytes]] by plan stats, distinct bh count ≤
-    * [[PointReadKeysPerBucket]]·buckets, and any exclusion frame itself
-    * collectable. Candidate sets are identical to the join shapes by
-    * construction (exact (band, bh) equality, same exclusion, same pair
-    * dedup) — spec-pinned in DedupSpec.
+    * [[PointReadKeysPerBucket]]·buckets, any exclusion frame itself
+    * collectable, and — the measured crossover, see the knob scaladoc —
+    * bucket-pruned file bytes ≤ [[PointReadMaxStateBytes]] (bypassable
+    * with `spark.graft.bandPointRead.force=true`). Candidate sets are
+    * identical to the join shapes by construction (exact (band, bh)
+    * equality, same exclusion, same pair dedup) — spec-pinned in
+    * DedupSpec.
     */
   private[graft] def pointReadBandCandidates(
       batchBands: DataFrame, bandTable: String, id: String,
@@ -807,38 +822,55 @@ object Dedup {
       val rows = batchBands.collect().filter(r =>
         !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
       val byBh = rows.groupBy(_.getLong(2))
-      if (byBh.size > PointReadKeysPerBucket.toLong * buckets) None
+      val conf = spark.sparkContext.hadoopConfiguration
+      val loc = new org.apache.hadoop.fs.Path(cat.location)
+      val fs = loc.getFileSystem(conf)
+      // bucket id via the writer's own partitionIdExpression
+      // (Murmur3 seed 42, pmod) — mirror of Retrieval.sparkBucketId
+      // for the bigint key
+      def bucketId(bh: Long): Int = {
+        val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+          Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+            bh, LongType)), 42).eval(null).asInstanceOf[Int]
+        java.lang.Math.floorMod(h, buckets)
+      }
+      val wanted = byBh.keySet.map(bucketId)
+      val bucketRe = """.*_(\d+)(?:\..*)?$""".r
+      // an unparseable file name stays in the read set — the prune is
+      // an optimization, never a correctness gate (readStatsDfMap's
+      // discipline)
+      val fileStatuses = fs.listStatus(loc)
+        .filter(f => f.isFile && { val nm = f.getPath.getName
+          !nm.startsWith("_") && !nm.startsWith(".") })
+        .filter(_.getPath.getName match {
+          case bucketRe(b) => wanted.contains(b.toInt)
+          case _ => true
+        })
+      // the BYTE gate is the real crossover, measured not guessed
+      // ([[PointReadMaxStateBytes]] scaladoc): hash-bucketed band files
+      // each span the full 64-bit bh range (bucket = murmur3(bh) mod B,
+      // not a range), so parquet page/row-group pruning cannot skip
+      // anything for a multi-key probe and the driver decodes every
+      // pruned byte — fine while that is a few MB, hopeless against the
+      // executor-parallel scan once it is hundreds (1000× gate fixture:
+      // 11.3 s driver vs 2.4 s streaming for the SAME 50-doc batch).
+      // `spark.graft.bandPointRead.force=true` bypasses the gate for
+      // measurement and for operators who know their layout.
+      val force = spark.sessionState.conf
+        .getConfString("spark.graft.bandPointRead.force", "false").toBoolean
+      val maxBytes = spark.sessionState.conf
+        .getConfString("spark.graft.bandPointRead.maxStateBytes",
+          PointReadMaxStateBytes.toString).toLong
+      val bytesOk = force ||
+        fileStatuses.iterator.map(_.getLen).sum <= maxBytes
+      if (byBh.size > PointReadKeysPerBucket.toLong * buckets || !bytesOk) None
       else {
         val excluded: Set[Long] = excludeCorpusDocs.fold(Set.empty[Long])(
           _.select(col(id)).collect().iterator
             .filterNot(_.isNullAt(0)).map(_.getLong(0)).toSet)
         val pairs = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
         if (byBh.nonEmpty) {
-          val conf = spark.sparkContext.hadoopConfiguration
-          val loc = new org.apache.hadoop.fs.Path(cat.location)
-          val fs = loc.getFileSystem(conf)
-          // bucket id via the writer's own partitionIdExpression
-          // (Murmur3 seed 42, pmod) — mirror of Retrieval.sparkBucketId
-          // for the bigint key
-          def bucketId(bh: Long): Int = {
-            val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
-              Seq(org.apache.spark.sql.catalyst.expressions.Literal(
-                bh, LongType)), 42).eval(null).asInstanceOf[Int]
-            java.lang.Math.floorMod(h, buckets)
-          }
-          val wanted = byBh.keySet.map(bucketId)
-          val bucketRe = """.*_(\d+)(?:\..*)?$""".r
-          // an unparseable file name stays in the read set — the prune is
-          // an optimization, never a correctness gate (readStatsDfMap's
-          // discipline)
-          val files = fs.listStatus(loc)
-            .filter(f => f.isFile && { val nm = f.getPath.getName
-              !nm.startsWith("_") && !nm.startsWith(".") })
-            .map(_.getPath)
-            .filter(_.getName match {
-              case bucketRe(b) => wanted.contains(b.toInt)
-              case _ => true
-            })
+          val files = fileStatuses.map(_.getPath)
           import org.apache.parquet.filter2.predicate.FilterApi
           // native set-membership predicate, NOT an OR tree of eq leaves:
           // `in` evaluates one hash-set probe per record and prunes

@@ -810,6 +810,20 @@ class DedupSpec extends SparkSpec {
       // USING-column-first schema (doc_b, doc_a) to positional consumers
       assert(Dedup.bandTableCandidates(bandRows, "prj_bands", "doc_id", ex)
         .columns.toSeq == Seq("doc_a", "doc_b"))
+      // the BYTE gate (the measured crossover): with the cap at 0 the
+      // auto pick must decline and fall back to the join shapes; force
+      // overrides it
+      spark.conf.set("spark.graft.bandPointRead.maxStateBytes", "0")
+      try {
+        assert(Dedup.pointReadBandCandidates(bandRows, "pr_bands",
+          "doc_id", None).isEmpty, "byte gate must decline")
+        spark.conf.set("spark.graft.bandPointRead.force", "true")
+        assert(Dedup.pointReadBandCandidates(bandRows, "pr_bands",
+          "doc_id", None).isDefined, "force must bypass the byte gate")
+      } finally {
+        spark.conf.unset("spark.graft.bandPointRead.maxStateBytes")
+        spark.conf.unset("spark.graft.bandPointRead.force")
+      }
       // end-to-end: the full probe through the point-read table equals
       // live banding
       val viaTable = Dedup.nearDupesAgainstTable(batch, corpus, "pr_bands",
