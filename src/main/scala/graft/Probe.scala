@@ -29,6 +29,48 @@ object Probe {
     Tables.names.foreach { tb =>
       try Tables.load(spark, d, tb).limit(1).collect() catch { case _: Throwable => } }
 
+    if (sys.env.contains("SPARK_GRAFT_PROBE_EXEC")) {
+      // generic executed-plan probe (r18): run the named queries twice and
+      // report wall, stage/task counts, and the FINAL adaptive plan's
+      // operator tallies — the initial explain shows duplicated subtrees
+      // (e.g. PrefixSum references its input 6x) and only the executed
+      // plan says whether runtime exchange reuse collapsed them
+      val names = sys.env("SPARK_GRAFT_PROBE_EXEC").split(',').toSeq
+      val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+      val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet()
+            tasks.addAndGet(sc.stageInfo.numTasks)
+          }
+        })
+      for (name <- names; r <- 1 to 2) {
+        stages.set(0); tasks.set(0)
+        val df = t(s"$name r$r") {
+          val df = SparkEntry.queries(name)(spark, d)
+          df.count(); df
+        }
+        // collect() executes THIS df's own QueryExecution, so the adaptive
+        // plan below is finalized (count() plans a separate agg on top and
+        // leaves df's plan isFinalPlan=false, hiding runtime reuse)
+        df.collect()
+        Thread.sleep(300)
+        val p = df.queryExecution.executedPlan.toString
+        def c(pat: String) = pat.r.findAllIn(p).size
+        println(s"[probe]   $name r$r stages=${stages.get} tasks=${tasks.get}" +
+          s" scans=${c("Scan parquet")} exch=${c("Exchange")}" +
+          s" reusedExch=${c("ReusedExchange")} bhj=${c("BroadcastHashJoin")}" +
+          s" smj=${c("SortMergeJoin")} aqe=${c("AdaptiveSparkPlan")}" +
+          s" shufStage=${c("ShuffleQueryStage")}" +
+          s" reusedStage=${c("ReusedQueryStage|ReusedSubquery")}")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"/tmp/probe_exec_${name}_r$r.txt"), p)
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.get("SPARK_GRAFT_PROBE_BM25").contains("1")) {
       // phase-time the q71 serve vs the q5x live fit over the 100x copies
       // (run Scale10x with SPARK_GRAFT_REUSE=1 first to materialize them)
@@ -114,6 +156,21 @@ object Probe {
           .select((col("path") +: Sources.parseTilePath(col("path"))): _*)
           .agg(count(col("slide_name")), sum(col("col")), sum(col("row"))).collect() }
         t(s"q35 full r$r") { SparkEntry.queries("q35_tile_paths")(spark, d).count() }
+        // candidate kernel: same outputs, no regex, no array allocation —
+        // suffix strip via endswith+substr, fields via substring_index
+        t(s"parse v2 (substr) r$r") {
+          val file = substring_index(col("path"), "/", -1)
+          val base = when(endswith(file, lit(".jpg")),
+            file.substr(lit(1), length(file) - 4)).otherwise(file)
+          paths.select(
+              substring_index(substring_index(col("path"), "/", -2), "/", 1)
+                .as("slide_name"),
+              substring_index(substring_index(base, "_", -2), "_", 1)
+                .cast("int").as("col"),
+              substring_index(base, "_", -1).cast("int").as("row"))
+            .agg(count(col("slide_name")), sum(col("col")), sum(col("row")))
+            .collect()
+        }
       }
       spark.stop(); return
     }

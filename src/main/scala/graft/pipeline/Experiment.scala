@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.operators._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** H6: the end-to-end experiment dataflow (`ExperimentSetup_v2.py:20-298`)
@@ -47,18 +47,48 @@ object Experiment {
     */
   def prepare(meta: DataFrame, cfg: Config): DataFrame = {
     val a = cfg.ageCol
-    val stats = meta.agg(avg(col(a)).as("__mean"),
-      min(col(a)).as("__min"), max(col(a)).as("__max"))
-    val span = col("__max") - col("__min")
-    val scaled = meta.crossJoin(broadcast(stats))
-      .withColumn(a, coalesce(col(a), col("__mean")))
+    // Scalar fills as LITERALS, via bounded one-row collects (r18).
+    // Attached as broadcast cross-joins (the previous shape), the stats
+    // and per-column mode subtrees are UN-PRUNABLE: a join may change the
+    // row count, so Catalyst must execute them even when no downstream
+    // column reads the imputed values — q36's finalized plan scanned
+    // customer 14x while its output (per-fold BA/AUROC) never touches
+    // age/gender, and the DuckDB twin prunes its `imp` CTE entirely. As
+    // literals the fills constant-fold and the whole imputation
+    // arithmetic prunes like any other unused projection; consumers that
+    // DO read the imputed columns (ExperimentSpec) get bit-identical
+    // values — same aggregates, same expressions, only the attachment
+    // changed. The collects are 1-row aggregates (bounded by
+    // construction) and run the same single metadata pass per scalar the
+    // cross-join form executed anyway.
+    val statsRow = meta.agg(avg(col(a)).cast("double").as("__mean"),
+      min(col(a)).cast("double").as("__min"),
+      max(col(a)).cast("double").as("__max")).head()
+    def dlit(i: Int): Column =
+      if (statsRow.isNullAt(i)) lit(null).cast("double")
+      else lit(statsRow.getDouble(i))
+    val (meanL, minL, maxL) = (dlit(0), dlit(1), dlit(2))
+    val span = maxL - minL
+    val scaled = meta
+      .withColumn(a, coalesce(col(a), meanL))
       // same constant-column guard as Encode.scale01: span 0 scales to 0.0
       .withColumn(s"${a}_scaled",
-        when(span > 0, (col(a) - col("__min")) / span)
+        when(span > 0, (col(a) - minL) / span)
           .otherwise(when(col(a).isNotNull, lit(0.0))))
-      .drop("__mean", "__min", "__max")
-    val encoded = Encode.bucketize(Impute.modeImpute(scaled, cfg.catCols),
-      a, Seq(30.0, 60.0), s"${a}_class")
+    // per-column mode fills, same reference tie semantics as
+    // Impute.modeImpute (most frequent, ties toward the LOWEST value),
+    // computed over the progressively-filled frame exactly as the fold
+    // in modeImpute does; an all-null column mirrors modeImpute's
+    // empty-cross-join result (zero rows)
+    val imputed = cfg.catCols.foldLeft(scaled) { (d, c) =>
+      val m = d.filter(col(c).isNotNull)
+        .groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+        .orderBy(col("__cnt").desc, col(c).asc)
+        .limit(1).select(col(c)).collect()
+      if (m.isEmpty) d.where(lit(false))
+      else d.withColumn(c, coalesce(col(c), lit(m(0).get(0))))
+    }
+    val encoded = Encode.bucketize(imputed, a, Seq(30.0, 60.0), s"${a}_class")
     val folded = StratifiedFolds.assignSets(
       StratifiedFolds.assignRoundRobin(
         encoded, Seq(col(cfg.labelCol), col("lab")), cfg.nFolds, col(cfg.slideCol)),
