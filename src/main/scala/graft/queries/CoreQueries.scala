@@ -292,9 +292,23 @@ object CoreQueries {
         .select(col("c_custkey"))
       val b = Tables.orders(s, d).where(col("o_orderstatus") === "O")
         .select(col("o_custkey").as("c_custkey")).distinct()
-      val spark = s; import spark.implicits._
-      Seq(("except", a.except(b).count()), ("intersect", a.intersect(b).count()))
-        .toDF("op", "n").orderBy(col("op"))
+      // one lazy DAG instead of two EAGER count() jobs (r18): EXCEPT and
+      // INTERSECT over the same pair share the distinct-a ⟕ distinct-b
+      // probe, so both counts come from one aggregate over one join —
+      // half the scans, no driver-side actions in the query path. The
+      // null-safe join condition mirrors set-op equality (NULL <=> NULL),
+      // and both ops count DISTINCT left rows exactly as EXCEPT/INTERSECT
+      // do; `stack` unpivots the one aggregate row into the same
+      // (op, n) rows the eager form produced.
+      a.distinct()
+        .join(b.withColumn("__inb", lit(1)),
+          a("c_custkey") <=> b("c_custkey"), "left")
+        .agg(sum(when(col("__inb").isNull, 1L).otherwise(0L)).as("__ex"),
+          sum(when(col("__inb").isNotNull, 1L).otherwise(0L)).as("__in"))
+        .selectExpr(
+          "stack(2, 'except', coalesce(__ex, 0L), " +
+            "'intersect', coalesce(__in, 0L)) AS (op, n)")
+        .orderBy(col("op"))
     },
 
     // ---- custom physical operator: grouped top-k via bounded heaps --------
