@@ -38,35 +38,83 @@ object Probe {
       val names = sys.env("SPARK_GRAFT_PROBE_EXEC").split(',').toSeq
       val stages = new java.util.concurrent.atomic.AtomicInteger(0)
       val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+      val cpuMs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val trueCpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+      // per-job wall attribution (jobId -> (startNs, descr)); printed for
+      // multi-job queries (streaming replays, fit-then-serve) where the
+      // stage tally alone can't say which driver-sequenced job owns the wall
+      val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Double, String)]()
+      val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+      val jobCpu = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onStageCompleted(
               sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
             stages.incrementAndGet()
             tasks.addAndGet(sc.stageInfo.numTasks)
+            // executor CPU attribution: under the N-stream bench wall the
+            // binding resource is total executor time, not per-query wall
+            cpuMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+            trueCpuNs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
+            val jid = stageJob.get(sc.stageInfo.stageId)
+            jobCpu.merge(jid, sc.stageInfo.taskMetrics.executorRunTime,
+              (a, b) => a + b)
+            ()
+          }
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val d = Option(j.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .getOrElse("")
+            jobStart.put(j.jobId, (System.nanoTime(), d))
+            j.stageIds.foreach(s => stageJob.put(s, j.jobId))
+            ()
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = jobStart.remove(j.jobId)
+            if (s != null)
+              jobs.add(((System.nanoTime() - s._1) / 1e9,
+                f"job ${j.jobId} cpu=${jobCpu.getOrDefault(j.jobId, 0L) / 1000.0}%.2fs ${s._2.take(50)}"))
+            ()
           }
         })
-      for (name <- names; r <- 1 to 2) {
-        stages.set(0); tasks.set(0)
+      val runsN = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "2").toInt
+      for (name <- names; r <- 1 to runsN) {
+        stages.set(0); tasks.set(0); jobs.clear(); cpuMs.set(0L)
+        trueCpuNs.set(0L)
         val df = t(s"$name r$r") {
           val df = SparkEntry.queries(name)(spark, d)
           df.count(); df
         }
         // collect() executes THIS df's own QueryExecution, so the adaptive
         // plan below is finalized (count() plans a separate agg on top and
-        // leaves df's plan isFinalPlan=false, hiding runtime reuse)
-        df.collect()
+        // leaves df's plan isFinalPlan=false, hiding runtime reuse).
+        // Skippable for pure timing/CPU sweeps (PROBE_PLAN=0): the collect
+        // doubles the execution and pollutes the CPU tally.
+        val wantPlan = !sys.env.get("SPARK_GRAFT_PROBE_PLAN").contains("0")
+        if (wantPlan) df.collect()
         Thread.sleep(300)
-        val p = df.queryExecution.executedPlan.toString
+        val p = if (wantPlan) df.queryExecution.executedPlan.toString else ""
         def c(pat: String) = pat.r.findAllIn(p).size
-        println(s"[probe]   $name r$r stages=${stages.get} tasks=${tasks.get}" +
+        println(f"[probe]   $name r$r occ=${cpuMs.get / 1000.0}%.2fs" +
+          f" cpu=${trueCpuNs.get / 1e9}%.2fs" +
+          s" stages=${stages.get} tasks=${tasks.get}" +
           s" scans=${c("Scan parquet")} exch=${c("Exchange")}" +
           s" reusedExch=${c("ReusedExchange")} bhj=${c("BroadcastHashJoin")}" +
           s" smj=${c("SortMergeJoin")} aqe=${c("AdaptiveSparkPlan")}" +
           s" shufStage=${c("ShuffleQueryStage")}" +
           s" reusedStage=${c("ReusedQueryStage|ReusedSubquery")}")
-        java.nio.file.Files.writeString(
+        if (wantPlan) java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"/tmp/probe_exec_${name}_r$r.txt"), p)
+        if (sys.env.get("SPARK_GRAFT_PROBE_JOBS").contains("1")) {
+          import scala.jdk.CollectionConverters._
+          val js = jobs.asScala.toSeq
+          println(f"[probe]   $name r$r njobs=${js.size} jobwall=${js.map(_._1).sum}%.3f")
+          js.sortBy(-_._1).take(12).foreach { case (w, id) =>
+            println(f"[probe]     $w%6.3f  $id") }
+        }
       }
       spark.stop(); return
     }

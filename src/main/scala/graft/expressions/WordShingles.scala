@@ -20,16 +20,48 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen. Bit-identical output is pinned by TextFunctionsSpec.
   */
 object WordShinglesKernel {
-  // compiled ONCE: UTF8String.split delegates to String.split, which
-  // re-runs Pattern.compile per call for multi-char regexes — a real cost
-  // when the jaccard kernel tokenizes two texts per candidate pair.
-  // Pattern.split(s, -1) is byte-identical to s.split("\\s+", -1).
-  private val WSPAT: java.util.regex.Pattern =
-    java.util.regex.Pattern.compile("\\s+")
   private val SPACE: UTF8String = UTF8String.fromString(" ")
 
-  private[expressions] def tokenize(text: UTF8String): Array[UTF8String] =
-    WSPAT.split(text.trim().toString, -1).map(UTF8String.fromString)
+  /** Byte-level replication of `trim(text).toString.split("\\s+", -1)`
+    * (r18 — previously a compiled-Pattern split; the probe's executor-CPU
+    * sweep put this tokenizer under more than half of the suite's top CPU
+    * rows via shingles/jaccard/term counts). Java's `\s` class without
+    * UNICODE_CHARACTER_CLASS is exactly the six ASCII bytes
+    * 0x09–0x0D + 0x20, and multi-byte UTF-8 sequences never contain
+    * bytes < 0x80, so scanning raw UTF-8 bytes is equivalent to the regex
+    * over the decoded string — with zero UTF-16 decode, zero regex
+    * machinery, zero re-encode, and zero-copy token slices
+    * (`fromBytes(bytes, start, len)` wraps the parent array). Split edge
+    * semantics replicated bit-for-bit (pinned by TextFunctionsSpec +
+    * fuzz): empty input → [""], a leading separator run → leading "",
+    * a trailing run with limit -1 → trailing "", interior runs collapse.
+    * (Only observable deviation: malformed UTF-8 bytes pass through
+    * verbatim where the old String round-trip substituted U+FFFD —
+    * unreachable from parquet string columns, which are valid UTF-8 by
+    * spec.)
+    */
+  private[expressions] def tokenize(text: UTF8String): Array[UTF8String] = {
+    val t = text.trim() // ASCII-space trim, same call as the old path
+    val bytes = t.getBytes
+    val n = bytes.length
+    if (n == 0) return Array(UTF8String.EMPTY_UTF8)
+    @inline def ws(b: Byte): Boolean =
+      b == 0x20.toByte || (b >= 0x09.toByte && b <= 0x0D.toByte)
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](
+      math.min(n / 4 + 1, 64))
+    var i = 0
+    var start = 0
+    while (i < n) {
+      if (ws(bytes(i))) {
+        out += UTF8String.fromBytes(bytes, start, i - start)
+        while (i < n && ws(bytes(i))) i += 1
+        start = i
+        if (i == n) out += UTF8String.EMPTY_UTF8
+      } else i += 1
+    }
+    if (start < n) out += UTF8String.fromBytes(bytes, start, n - start)
+    out.toArray
+  }
 
   private[expressions] def joinWith(sep: UTF8String,
                                     parts: Array[UTF8String]): UTF8String =

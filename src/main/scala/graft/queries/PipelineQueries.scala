@@ -71,13 +71,20 @@ object PipelineQueries {
         |GROUP BY t.slide_name ORDER BY slide_name""".stripMargin) { (s, d) =>
       // Par.spread: the regex parse is CPU-bound and the single-row-group
       // scan would otherwise pin it to one core (no-op on well-split input)
+      // concat-of-casts, not format_string (r18): %d with no width pads
+      // nothing, so the two forms are byte-identical, but format_string
+      // drags java.util.Formatter through every row (~µs/row — the probe
+      // measured 5.5 executor-CPU-seconds on this one query, top of the
+      // whole suite) while concat+cast is a codegen'd byte append
       val paths = graft.operators.Par.spread(Tables.lineitem(s, d)
         .select(col("l_suppkey"), col("l_partkey"), col("l_linenumber")))
-        .select(format_string("/tiles/s%d/s%d_%d_%d.jpg",
-          col("l_suppkey"), col("l_suppkey"),
-          col("l_partkey") % 100, col("l_linenumber")).as("path"))
+        .select(concat(lit("/tiles/s"), col("l_suppkey").cast("string"),
+          lit("/s"), col("l_suppkey").cast("string"),
+          lit("_"), (col("l_partkey") % 100).cast("string"),
+          lit("_"), col("l_linenumber").cast("string"),
+          lit(".jpg")).as("path"))
       val meta = Tables.supplier(s, d).select(
-        format_string("s%d", col("s_suppkey")).as("slide_name"),
+        concat(lit("s"), col("s_suppkey").cast("string")).as("slide_name"),
         col("s_nationkey"))
       paths
         .select((col("path") +: Sources.parseTilePath(col("path"))): _*)
