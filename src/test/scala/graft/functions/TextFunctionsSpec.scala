@@ -62,6 +62,36 @@ class TextFunctionsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("byte-level tokenizer matches split(trim(t), \"\\\\s+\", -1) on every edge") {
+    // r18: WordShinglesKernel.tokenize scans raw UTF-8 bytes for the six
+    // ASCII \s bytes instead of the regex engine. This pin drives the
+    // exact Java-split edge semantics the scanner replicates — leading /
+    // trailing separator-run empties, interior-run collapse, non-ASCII
+    // whitespace NOT splitting (\s without UNICODE_CHARACTER_CLASS),
+    // multi-byte text intact — via the public shingles surface vs the
+    // composable twin, plus a deterministic pseudo-random fuzz.
+    val edges = Seq(
+      "\ta", "a\t", "\t", "\t\n\r", "ab", "a\fb", "a\r\nb",
+      "café naïve 日本語 😀 ok",
+      "a\u00A0b",     // NBSP is NOT \s: must stay one token
+      "\u2028x\u2029", // unicode line separators: not \s either
+      " \t mixed \n runs \f here  ")
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab \t\n\r\f é10"
+    val fuzz = (1 to 200).map(_ =>
+      (1 to rnd.nextInt(30)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (edges ++ fuzz).toDF("t").cache()
+    for (n <- Seq(1, 2, 3)) {
+      val native = df.select(TextFunctions.shingles(col("t"), n))
+        .as[Seq[String]].collect().toSeq
+      val composable = df.select(TextFunctions.shinglesComposable(col("t"), n))
+        .as[Seq[String]].collect().toSeq
+      assert(native == composable, s"n=$n")
+    }
+    df.unpersist()
+  }
+
   test("redactPii replaces emails and phone runs, spares dates/ranges/short ids") {
     val out = Seq(
       "write to jane.doe+x@sub.example.org today",
