@@ -807,12 +807,21 @@ object Dedup {
         org.apache.spark.sql.catalyst.TableIdentifier(bandTable))).toOption
     val eligible = catOpt.flatMap { cat =>
       val buckets = cat.bucketSpec.map(_.numBuckets).getOrElse(0)
+      // the prune below assigns files by murmur3(bh) mod buckets, so it is
+      // only sound when the writer bucketed BY bh — a table bucketed by
+      // any other column with enough buckets would silently DROP matching
+      // files (missed near-dups); and the driver reader speaks parquet
+      // only (r18 review finding)
+      val layoutOk =
+        cat.bucketSpec.exists(_.bucketColumnNames == Seq("bh")) &&
+          cat.provider.exists(_.equalsIgnoreCase("parquet"))
       def planSmall(df: DataFrame): Boolean = scala.util.Try(
         df.queryExecution.optimizedPlan.stats.sizeInBytes <=
           PointReadMaxPlanBytes).getOrElse(false)
       val exOk = excludeCorpusDocs.forall(ex =>
         ex.schema(id).dataType == LongType && planSmall(ex))
-      if (buckets >= PointReadMinBuckets && exOk && planSmall(batchBands))
+      if (layoutOk && buckets >= PointReadMinBuckets && exOk &&
+          planSmall(batchBands))
         Some((cat, buckets))
       else None
     }

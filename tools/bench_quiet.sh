@@ -36,9 +36,17 @@ for i in $(seq 1 "$MAX"); do
     sleep 120
     continue
   fi
+  # keep the FULL record (per-query map) for $OUT, not the trailing
+  # compact bracket line Bench prints for the driver's tail window — the
+  # pre-r18 artifact always carried "queries" and consumers read it
+  # (r18 review finding); fall back to any metric line if the full one
+  # is missing so the gate fields below still evaluate
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     sbt -batch 'runMain graft.Bench' 2>&1 \
-    | grep -o '{"metric".*' | tail -1 > /tmp/bench_quiet_line.json
+    | grep -o '{"metric".*' > /tmp/bench_quiet_lines.txt
+  grep '"queries"' /tmp/bench_quiet_lines.txt | tail -1 > /tmp/bench_quiet_line.json
+  [ -s /tmp/bench_quiet_line.json ] \
+    || tail -1 /tmp/bench_quiet_lines.txt > /tmp/bench_quiet_line.json
   post=$(python3 -c "
 import json
 try:
